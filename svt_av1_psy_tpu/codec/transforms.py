@@ -1,0 +1,342 @@
+"""AV1 forward/inverse integer transforms, batched over blocks.
+
+Bit-exact to the normative AV1 transforms (behavior reference:
+Source/Lib/Codec/transforms.c + inv_transforms.c; spec §7.13.3). The 1-D
+butterfly networks are data (codec/tables/txfm_graphs.json, extracted by
+tools/extract_txfm_graphs.py) evaluated as vectorized integer ops over a
+batch axis — each stage is a handful of (B,) lane ops, which XLA/TPU maps
+onto the VPU when run via the jnp backend.
+
+This module is the numpy golden model; ops/txfm.py holds the JAX/device
+version (same graphs, jnp ops).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+
+from .constants import TX_HEIGHT, TX_WIDTH, TX_TYPE_1D, TxType, TxType1D
+
+_TABLE_DIR = Path(__file__).resolve().parent / "tables"
+
+COS_BIT_MIN = 10
+INV_COS_BIT = 12
+NEW_SQRT2_BITS = 12
+NEW_SQRT2 = 5793      # 2^12 * sqrt(2)
+NEW_INV_SQRT2 = 2896  # 2^12 / sqrt(2)
+
+
+@functools.lru_cache(maxsize=None)
+def cospi_arr(bit: int) -> np.ndarray:
+    """cospi[j] = round(cos(pi*j/128) * 2^bit) (normative constant)."""
+    return np.array(
+        [int(math.floor(math.cos(math.pi * j / 128) * (1 << bit) + 0.5)) for j in range(64)],
+        dtype=np.int64,
+    )
+
+
+# sinpi[j] ~ round(sqrt(2)*sin(j*pi/9)*2/3 * 2^bit), but normatively ADJUSTED
+# so that sinpi[1] + sinpi[2] == sinpi[4] (required by the ADST4 factorization;
+# pure rounding differs at bits 11/13/15/16). Values are AV1 spec constants.
+_SINPI = {
+    10: (0, 330, 621, 836, 951),
+    11: (0, 660, 1241, 1672, 1901),
+    12: (0, 1321, 2482, 3344, 3803),
+    13: (0, 2642, 4964, 6689, 7606),
+    14: (0, 5283, 9929, 13377, 15212),
+    15: (0, 10566, 19858, 26755, 30424),
+    16: (0, 21133, 39716, 53510, 60849),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def sinpi_arr(bit: int) -> np.ndarray:
+    return np.array(_SINPI[bit], dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _graphs() -> dict:
+    return json.loads((_TABLE_DIR / "txfm_graphs.json").read_text())
+
+
+def round_shift(x, bit: int):
+    """(x + (1 << (bit-1))) >> bit for bit>0; x << -bit for bit<=0."""
+    if bit == 0:
+        return x
+    if bit > 0:
+        return (x + (1 << (bit - 1))) >> bit
+    return x << (-bit)
+
+
+def _clamp(x, bit):
+    if bit is None:
+        return x
+    lo = -(1 << (bit - 1))
+    hi = (1 << (bit - 1)) - 1
+    return np.clip(x, lo, hi)
+
+
+def eval_graph(name: str, x: np.ndarray, cos_bit: int, clamp_bit):
+    """Evaluate a butterfly graph over x of shape (batch, n) int64.
+
+    clamp_bit: per-stage add/sub clamp (inverse path), or None (forward)."""
+    g = _graphs()[name]
+    cospi = cospi_arr(cos_bit)
+    cur = None
+    for stage in g["stages"]:
+        nxt = np.empty((x.shape[0], len(stage)), dtype=np.int64)
+        for i, op in enumerate(stage):
+            kind = op[0]
+            if kind == "in":
+                nxt[:, i] = x[:, op[1]]
+            elif kind == "inng":
+                nxt[:, i] = -x[:, op[1]]
+            elif kind == "addin":
+                nxt[:, i] = x[:, op[1]] + x[:, op[2]]
+            elif kind == "subin":
+                nxt[:, i] = x[:, op[1]] - x[:, op[2]]
+            elif kind == "cp":
+                nxt[:, i] = cur[:, op[1]]
+            elif kind == "ng":
+                nxt[:, i] = -cur[:, op[1]]
+            elif kind == "add":
+                nxt[:, i] = _clamp(cur[:, op[1]] + cur[:, op[2]], clamp_bit)
+            elif kind == "sub":
+                nxt[:, i] = _clamp(cur[:, op[1]] - cur[:, op[2]], clamp_bit)
+            elif kind == "btf":
+                _, sa, ca, a, sb, cb, b = op
+                acc = sa * cospi[ca] * cur[:, a] + sb * cospi[cb] * cur[:, b]
+                nxt[:, i] = round_shift(acc, cos_bit)
+            else:
+                raise ValueError(kind)
+        cur = nxt
+    return cur
+
+
+def _adst4(x: np.ndarray, cos_bit: int, inverse: bool) -> np.ndarray:
+    """sinpi-based length-4 ADST (hand-coded; {i,f}adst4 in the reference)."""
+    sinpi = sinpi_arr(cos_bit)
+    x0, x1, x2, x3 = (x[:, i] for i in range(4))
+    if inverse:
+        s0 = sinpi[1] * x0
+        s1 = sinpi[2] * x0
+        s2 = sinpi[3] * x1
+        s3 = sinpi[4] * x2
+        s4 = sinpi[1] * x2
+        s5 = sinpi[2] * x3
+        s6 = sinpi[4] * x3
+        s7 = (x0 - x2) + x3
+        s0 = s0 + s3
+        s1 = s1 - s4
+        s3 = s2
+        s2 = sinpi[3] * s7
+        s0 = s0 + s5
+        s1 = s1 - s6
+        o0 = s0 + s3
+        o1 = s1 + s3
+        o2 = s2
+        o3 = (s0 + s1) - s3
+    else:
+        s0 = sinpi[1] * x0
+        s1 = sinpi[4] * x0
+        s2 = sinpi[2] * x1
+        s3 = sinpi[1] * x1
+        s4 = sinpi[3] * x2
+        s5 = sinpi[4] * x3
+        s6 = sinpi[2] * x3
+        s7 = (x0 + x1) - x3
+        a0 = s0 + s2
+        a1 = sinpi[3] * s7
+        a2 = s1 - s3
+        a3 = s4
+        a0 = a0 + s5
+        a2 = a2 + s6
+        o0 = a0 + a3
+        o1 = a1
+        o2 = a2 - a3
+        o3 = (a2 - a0) + a3
+    out = np.stack([o0, o1, o2, o3], axis=1)
+    return round_shift(out, cos_bit)
+
+
+def _identity(x: np.ndarray, n: int) -> np.ndarray:
+    """IDTX 1-D scaling ({i,f}identity{4,8,16,32,64})."""
+    if n == 4:
+        return round_shift(x * NEW_SQRT2, NEW_SQRT2_BITS)
+    if n == 8:
+        return x * 2
+    if n == 16:
+        return round_shift(x * 2 * NEW_SQRT2, NEW_SQRT2_BITS)
+    if n == 32:
+        return x * 4
+    if n == 64:
+        return round_shift(x * 4 * NEW_SQRT2, NEW_SQRT2_BITS)
+    raise ValueError(n)
+
+
+def _txfm_1d(x: np.ndarray, kind: TxType1D, n: int, cos_bit: int, inverse: bool, clamp_bit):
+    if kind == TxType1D.IDTX:
+        return _identity(x, n)
+    if kind in (TxType1D.ADST, TxType1D.FLIPADST):
+        if n == 4:
+            return _adst4(x, cos_bit, inverse)
+        name = f"{'i' if inverse else 'f'}adst{n}"
+    else:
+        name = f"{'i' if inverse else 'f'}dct{n}"
+    return eval_graph(name, x, cos_bit, clamp_bit)
+
+
+# shift tables (transforms.h:27-45, inv_transforms.c:17-36); index = TxSize
+FWD_SHIFT = np.array(
+    [
+        (2, 0, 0), (2, -1, 0), (2, -2, 0), (2, -4, 0), (0, -2, -2),
+        (2, -1, 0), (2, -1, 0), (2, -2, 0), (2, -2, 0), (2, -4, 0),
+        (2, -4, 0), (0, -2, -2), (2, -4, -2), (2, -1, 0), (2, -1, 0),
+        (2, -2, 0), (2, -2, 0), (0, -2, 0), (2, -4, 0),
+    ],
+    dtype=np.int8,
+)
+INV_SHIFT = np.array(
+    [
+        (0, -4), (-1, -4), (-2, -4), (-2, -4), (-2, -4),
+        (0, -4), (0, -4), (-1, -4), (-1, -4), (-1, -4),
+        (-1, -4), (-1, -4), (-1, -4), (-1, -4), (-1, -4),
+        (-2, -4), (-2, -4), (-2, -4), (-2, -4),
+    ],
+    dtype=np.int8,
+)
+# fwd cos bits indexed [txw_idx][txh_idx] (transforms.h:47-50)
+FWD_COS_BIT_COL = [
+    [13, 13, 13, 0, 0], [13, 13, 13, 12, 0], [13, 13, 13, 12, 13],
+    [0, 13, 13, 12, 13], [0, 0, 13, 12, 13],
+]
+FWD_COS_BIT_ROW = [
+    [13, 13, 12, 0, 0], [13, 13, 13, 12, 0], [13, 13, 12, 13, 12],
+    [0, 12, 13, 12, 11], [0, 0, 12, 11, 10],
+]
+
+
+def _rect_log_ratio(w: int, h: int) -> int:
+    if w > h:
+        return int(math.log2(w // h))
+    return -int(math.log2(h // w))
+
+
+def _flips(tx_type: int):
+    v, hz = TX_TYPE_1D[TxType(tx_type)]
+    ud = v == TxType1D.FLIPADST
+    lr = hz == TxType1D.FLIPADST
+    return ud, lr
+
+
+def forward_transform_2d(residual: np.ndarray, tx_size: int, tx_type: int, bd: int = 8) -> np.ndarray:
+    """residual (B, H, W) int -> coefficients (B, H, W) int32, row-major.
+
+    For 64-point dimensions the upper coefficients are zeroed per spec
+    (only the top-left <=32x32 region is coded)."""
+    del bd  # forward path range is bd-independent here
+    B, H, W = residual.shape
+    w_idx, h_idx = int(math.log2(W)) - 2, int(math.log2(H)) - 2
+    tx_size = int(tx_size)
+    assert TX_WIDTH[tx_size] == W and TX_HEIGHT[tx_size] == H
+    shift = FWD_SHIFT[tx_size]
+    cos_bit_col = FWD_COS_BIT_COL[w_idx][h_idx]
+    cos_bit_row = FWD_COS_BIT_ROW[w_idx][h_idx]
+    vtype, htype = TX_TYPE_1D[TxType(tx_type)]
+    ud_flip, lr_flip = _flips(tx_type)
+
+    x = residual.astype(np.int64)
+    if ud_flip:
+        x = x[:, ::-1, :]
+    x = round_shift(x, -int(shift[0]))
+    # column transform: length H along axis 1
+    xc = np.transpose(x, (0, 2, 1)).reshape(B * W, H)
+    xc = _txfm_1d(xc, vtype, H, cos_bit_col, inverse=False, clamp_bit=None)
+    xc = round_shift(xc, -int(shift[1]))
+    buf = np.transpose(xc.reshape(B, W, H), (0, 2, 1))
+    if lr_flip:
+        buf = buf[:, :, ::-1]
+    # row transform: length W along axis 2
+    xr = buf.reshape(B * H, W)
+    xr = _txfm_1d(xr, htype, W, cos_bit_row, inverse=False, clamp_bit=None)
+    xr = round_shift(xr, -int(shift[2]))
+    out = xr.reshape(B, H, W)
+    if abs(_rect_log_ratio(W, H)) == 1:
+        out = round_shift(out * NEW_SQRT2, NEW_SQRT2_BITS)
+    # zero the never-coded region of 64-point transforms
+    if W == 64:
+        out[:, :, 32:] = 0
+    if H == 64:
+        out[:, 32:, :] = 0
+    return out.astype(np.int32)
+
+
+def inverse_transform_add(
+    coeffs: np.ndarray, pred: np.ndarray, tx_size: int, tx_type: int, bd: int = 8
+) -> np.ndarray:
+    """coeffs (B, H, W) int32 (upper-64 region ignored), pred (B, H, W) uint16
+    -> recon (B, H, W) uint16. Bit-exact normative inverse + add + clip."""
+    B, H, W = coeffs.shape
+    tx_size = int(tx_size)
+    assert TX_WIDTH[tx_size] == W and TX_HEIGHT[tx_size] == H
+    shift = INV_SHIFT[tx_size]
+    vtype, htype = TX_TYPE_1D[TxType(tx_type)]
+    ud_flip, lr_flip = _flips(tx_type)
+    if bd == 8:
+        range_row, range_col = 16, 16
+    elif bd == 10:
+        range_row, range_col = 18, 16
+    else:
+        range_row, range_col = 20, 18
+
+    x = coeffs.astype(np.int64)
+    if W == 64:
+        x = x.copy()
+        x[:, :, 32:] = 0
+    if H == 64:
+        x = x.copy()
+        x[:, 32:, :] = 0
+    if abs(_rect_log_ratio(W, H)) == 1:
+        x = round_shift(x * NEW_INV_SQRT2, NEW_SQRT2_BITS)
+    x = _clamp(x, bd + 8)
+    # row transform: length W along axis 2
+    xr = x.reshape(B * H, W)
+    xr = _txfm_1d(xr, htype, W, INV_COS_BIT, inverse=True, clamp_bit=range_row)
+    xr = round_shift(xr, -int(shift[0]))
+    buf = xr.reshape(B, H, W)
+    if lr_flip:
+        buf = buf[:, :, ::-1]
+    # column transform: length H along axis 1
+    buf = _clamp(buf, max(bd + 6, 16))
+    xc = np.transpose(buf, (0, 2, 1)).reshape(B * W, H)
+    xc = _txfm_1d(xc, vtype, H, INV_COS_BIT, inverse=True, clamp_bit=range_col)
+    xc = round_shift(xc, -int(shift[1]))
+    out = np.transpose(xc.reshape(B, W, H), (0, 2, 1))
+    if ud_flip:
+        out = out[:, ::-1, :]
+    recon = pred.astype(np.int64) + out
+    return np.clip(recon, 0, (1 << bd) - 1).astype(np.uint16)
+
+
+def tx_types_for_size(tx_size: int, intra: bool = True):
+    """Valid tx types given the 1-D length limits (ADST<=16, IDTX<=32, 64=DCT only)."""
+    W, H = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+    out = []
+    for tt in range(16):
+        v, hz = TX_TYPE_1D[TxType(tt)]
+        ok = True
+        for kind, n in ((v, H), (hz, W)):
+            if kind in (TxType1D.ADST, TxType1D.FLIPADST) and n > 16:
+                ok = False
+            if kind == TxType1D.IDTX and n > 32:
+                ok = False
+            if kind == TxType1D.DCT and n > 64:
+                ok = False
+        if ok:
+            out.append(TxType(tt))
+    return out
