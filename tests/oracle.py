@@ -29,6 +29,16 @@ for p in ORACLE_PATHS:
         except OSError:
             pass
 
+if _lib is not None:
+    # bind the RTCD function-pointer tables (C-only build -> all _c kernels);
+    # many kernels call through globals like svt_memcpy that live in BSS
+    for setup in ("svt_aom_setup_common_rtcd_internal", "svt_aom_setup_rtcd_internal"):
+        fn = getattr(_lib, setup, None)
+        if fn is not None:
+            fn.argtypes = [ctypes.c_uint64]
+            fn.restype = None
+            fn(0)
+
 available = _lib is not None
 
 _I16P = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -86,13 +96,16 @@ def inv_txfm2d_add(coeffs: np.ndarray, pred: np.ndarray, tx_type: int, bd: int =
     return recon.reshape(H, W)
 
 
-def intra_pred(name: str, above: np.ndarray, left: np.ndarray, size_wh, bd: int = 8,
-               **kw) -> np.ndarray:
-    """Call svt_aom_{name}_predictor_{W}x{H}_c (8-bit) on given neighbors."""
+def intra_pred(name: str, above_with_tl: np.ndarray, left: np.ndarray, size_wh) -> np.ndarray:
+    """Call svt_aom_{name}_predictor_{W}x{H}_c (8-bit).
+
+    above_with_tl: W+1 entries [top_left, above0..aboveW-1] — the C predictors
+    index above[-1] for the corner (paeth), so we pass an offset pointer."""
     W, H = size_wh
     fn = getattr(_lib, f"svt_aom_{name}_predictor_{W}x{H}_c")
-    fn.argtypes = [_U8P, ctypes.c_uint32, _U8P, _U8P]
+    fn.argtypes = [_U8P, ctypes.c_ssize_t, _U8P, _U8P]
     fn.restype = None
     dst = np.zeros((H, W), dtype=np.uint8)
-    fn(dst, W, np.ascontiguousarray(above, np.uint8), np.ascontiguousarray(left, np.uint8))
+    buf = np.ascontiguousarray(above_with_tl, np.uint8)
+    fn(dst, W, buf[1:], np.ascontiguousarray(left, np.uint8))
     return dst
