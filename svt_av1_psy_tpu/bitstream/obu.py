@@ -1,0 +1,348 @@
+"""OBU assembly: sequence header, frame header, OBU framing.
+
+Behavior reference: Source/Lib/Codec/entropy_coding.c:3238-3900
+(write_uncompressed_header_obu, write_sequence_header_obu, write_frame_size,
+write_tile_info, encode_quantization) — field order is normative (AV1 spec
+§5.5/§5.9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..codec.constants import FrameType, ObuType
+from .bitwriter import BitWriter, leb128
+
+
+@dataclass
+class SequenceParams:
+    width: int
+    height: int
+    profile: int = 0
+    still_picture: bool = False
+    reduced_still_picture_header: bool = False
+    seq_level_idx: int = 13          # 5.1
+    seq_tier: int = 0
+    use_128x128_superblock: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+    enable_interintra_compound: bool = False
+    enable_masked_compound: bool = False
+    enable_warped_motion: bool = False
+    enable_dual_filter: bool = False
+    enable_order_hint: bool = False
+    enable_jnt_comp: bool = False
+    enable_ref_frame_mvs: bool = False
+    order_hint_bits: int = 7
+    # 0/1 fixed, or 2 = per-frame choice. NOTE: reduced_still_picture_header
+    # normatively forces this to 2 (spec 5.5.1), so the frame header then
+    # always codes allow_screen_content_tools.
+    seq_force_screen_content_tools: int = 2
+    seq_force_integer_mv: int = 2
+    enable_superres: bool = False
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    bit_depth: int = 8
+    monochrome: bool = False
+    color_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coefficients: int = 2
+    color_range: int = 0
+    chroma_sample_position: int = 0
+    separate_uv_delta_q: bool = False
+    film_grain_params_present: bool = False
+
+    @property
+    def frame_dim_bits(self):
+        wb = max(self.width - 1, 1).bit_length()
+        hb = max(self.height - 1, 1).bit_length()
+        return wb, hb
+
+
+@dataclass
+class FrameParams:
+    frame_type: FrameType = FrameType.KEY_FRAME
+    show_frame: bool = True
+    showable_frame: bool = False
+    error_resilient_mode: bool = False
+    disable_cdf_update: bool = False
+    allow_screen_content_tools: bool = False
+    base_q_idx: int = 100
+    y_dc_delta_q: int = 0
+    u_dc_delta_q: int = 0
+    u_ac_delta_q: int = 0
+    v_dc_delta_q: int = 0
+    v_ac_delta_q: int = 0
+    using_qmatrix: bool = False
+    qm_y: int = 15
+    qm_u: int = 15
+    qm_v: int = 15
+    filter_level: tuple = (0, 0)
+    filter_level_uv: tuple = (0, 0)
+    sharpness: int = 0
+    tx_mode_select: bool = False     # False = TX_MODE_LARGEST
+    reduced_tx_set: bool = False
+    allow_intrabc: bool = False
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    refresh_frame_flags: int = 0xFF
+    order_hint: int = 0
+
+
+def write_obu(obu_type: ObuType, payload: bytes, has_size: bool = True) -> bytes:
+    """OBU header (no extension) + leb128 size + payload."""
+    header = bytes([(int(obu_type) << 3) | (int(has_size) << 1)])
+    if has_size:
+        return header + leb128(len(payload)) + payload
+    return header + payload
+
+
+def temporal_delimiter_obu() -> bytes:
+    return write_obu(ObuType.TEMPORAL_DELIMITER, b"")
+
+
+def _write_color_config(w: BitWriter, sp: SequenceParams):
+    high_bitdepth = sp.bit_depth > 8
+    w.f(int(high_bitdepth), 1)
+    if sp.profile == 2 and high_bitdepth:
+        w.f(0, 1)  # twelve_bit
+    if sp.profile != 1:
+        w.f(int(sp.monochrome), 1)
+    described = not (
+        sp.color_primaries == 2 and sp.transfer_characteristics == 2 and sp.matrix_coefficients == 2
+    )
+    w.f(int(described), 1)
+    if described:
+        w.f(sp.color_primaries, 8)
+        w.f(sp.transfer_characteristics, 8)
+        w.f(sp.matrix_coefficients, 8)
+    if sp.monochrome:
+        w.f(sp.color_range, 1)
+        return
+    if sp.color_primaries == 1 and sp.transfer_characteristics == 13 and sp.matrix_coefficients == 0:
+        pass  # srgb: subsampling 0, color_range 1 implied
+    else:
+        w.f(sp.color_range, 1)
+        if sp.profile == 0:
+            pass  # 4:2:0 implied
+        elif sp.profile == 1:
+            pass  # 4:4:4 implied
+        # (profile 2 subsampling signaling not needed for our profiles)
+        w.f(sp.chroma_sample_position, 2)
+    w.f(int(sp.separate_uv_delta_q), 1)
+
+
+def sequence_header_payload(sp: SequenceParams) -> bytes:
+    w = BitWriter()
+    w.f(sp.profile, 3)
+    w.f(int(sp.still_picture), 1)
+    w.f(int(sp.reduced_still_picture_header), 1)
+    if sp.reduced_still_picture_header:
+        w.f(sp.seq_level_idx, 5)
+    else:
+        w.f(0, 1)  # timing_info_present
+        w.f(0, 1)  # initial_display_delay_present
+        w.f(0, 5)  # operating_points_cnt_minus_1
+        w.f(0, 12)  # operating_point_idc[0]
+        w.f(sp.seq_level_idx, 5)
+        if sp.seq_level_idx > 7:
+            w.f(sp.seq_tier, 1)
+    wb, hb = sp.frame_dim_bits
+    w.f(wb - 1, 4)
+    w.f(hb - 1, 4)
+    w.f(sp.width - 1, wb)
+    w.f(sp.height - 1, hb)
+    if not sp.reduced_still_picture_header:
+        w.f(0, 1)  # frame_id_numbers_present
+    w.f(int(sp.use_128x128_superblock), 1)
+    w.f(int(sp.enable_filter_intra), 1)
+    w.f(int(sp.enable_intra_edge_filter), 1)
+    if not sp.reduced_still_picture_header:
+        w.f(int(sp.enable_interintra_compound), 1)
+        w.f(int(sp.enable_masked_compound), 1)
+        w.f(int(sp.enable_warped_motion), 1)
+        w.f(int(sp.enable_dual_filter), 1)
+        w.f(int(sp.enable_order_hint), 1)
+        if sp.enable_order_hint:
+            w.f(int(sp.enable_jnt_comp), 1)
+            w.f(int(sp.enable_ref_frame_mvs), 1)
+        if sp.seq_force_screen_content_tools == 2:
+            w.f(1, 1)
+        else:
+            w.f(0, 1)
+            w.f(sp.seq_force_screen_content_tools, 1)
+        if sp.seq_force_screen_content_tools > 0:
+            if sp.seq_force_integer_mv == 2:
+                w.f(1, 1)
+            else:
+                w.f(0, 1)
+                w.f(sp.seq_force_integer_mv, 1)
+        if sp.enable_order_hint:
+            w.f(sp.order_hint_bits - 1, 3)
+    w.f(int(sp.enable_superres), 1)
+    w.f(int(sp.enable_cdef), 1)
+    w.f(int(sp.enable_restoration), 1)
+    _write_color_config(w, sp)
+    w.f(int(sp.film_grain_params_present), 1)
+    w.trailing_bits()
+    return w.data()
+
+
+def sequence_header_obu(sp: SequenceParams) -> bytes:
+    return write_obu(ObuType.SEQUENCE_HEADER, sequence_header_payload(sp))
+
+
+def _tile_log2(blk: int, target: int) -> int:
+    k = 0
+    while (blk << k) < target:
+        k += 1
+    return k
+
+
+def _write_tile_info(w: BitWriter, sp: SequenceParams, fp: FrameParams):
+    sb_shift = 7 if sp.use_128x128_superblock else 6
+    sb_size = 1 << sb_shift
+    sb_cols = (sp.width + sb_size - 1) >> sb_shift
+    sb_rows = (sp.height + sb_size - 1) >> sb_shift
+    sb_size_log2 = sb_shift
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols, _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+
+    w.f(1, 1)  # uniform_tile_spacing_flag
+    tcl = min_log2_tile_cols
+    assert fp.tile_cols_log2 >= min_log2_tile_cols
+    while tcl < max_log2_tile_cols:
+        if tcl < fp.tile_cols_log2:
+            w.f(1, 1)
+            tcl += 1
+        else:
+            w.f(0, 1)
+            break
+    min_log2_tile_rows = max(min_log2_tiles - tcl, 0)
+    trl = min_log2_tile_rows
+    assert fp.tile_rows_log2 >= min_log2_tile_rows
+    while trl < max_log2_tile_rows:
+        if trl < fp.tile_rows_log2:
+            w.f(1, 1)
+            trl += 1
+        else:
+            w.f(0, 1)
+            break
+    if tcl > 0 or trl > 0:
+        w.f(0, tcl + trl)  # context_update_tile_id
+        w.f(3, 2)          # tile_size_bytes_minus_1 = 3 (4-byte sizes)
+    return tcl, trl
+
+
+def _write_delta_q(w: BitWriter, v: int):
+    if v:
+        w.f(1, 1)
+        w.su(v, 7)
+    else:
+        w.f(0, 1)
+
+
+def _write_quantization(w: BitWriter, sp: SequenceParams, fp: FrameParams):
+    w.f(fp.base_q_idx, 8)
+    _write_delta_q(w, fp.y_dc_delta_q)
+    if not sp.monochrome:
+        if sp.separate_uv_delta_q:
+            diff_uv = (fp.u_dc_delta_q != fp.v_dc_delta_q) or (fp.u_ac_delta_q != fp.v_ac_delta_q)
+            w.f(int(diff_uv), 1)
+        else:
+            diff_uv = False
+        _write_delta_q(w, fp.u_dc_delta_q)
+        _write_delta_q(w, fp.u_ac_delta_q)
+        if diff_uv:
+            _write_delta_q(w, fp.v_dc_delta_q)
+            _write_delta_q(w, fp.v_ac_delta_q)
+    w.f(int(fp.using_qmatrix), 1)
+    if fp.using_qmatrix:
+        w.f(fp.qm_y, 4)
+        w.f(fp.qm_u, 4)
+        if not sp.monochrome and sp.separate_uv_delta_q:
+            w.f(fp.qm_v, 4)
+
+
+def _write_loop_filter(w: BitWriter, sp: SequenceParams, fp: FrameParams):
+    w.f(fp.filter_level[0], 6)
+    w.f(fp.filter_level[1], 6)
+    if not sp.monochrome and (fp.filter_level[0] or fp.filter_level[1]):
+        w.f(fp.filter_level_uv[0], 6)
+        w.f(fp.filter_level_uv[1], 6)
+    w.f(fp.sharpness, 3)
+    w.f(0, 1)  # loop_filter_delta_enabled
+
+
+def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
+    """Uncompressed header for a KEY frame (intra-only v0 path)."""
+    assert fp.frame_type == FrameType.KEY_FRAME
+    w = BitWriter()
+    if not sp.reduced_still_picture_header:
+        w.f(0, 1)  # show_existing_frame
+        w.f(int(fp.frame_type), 2)
+        w.f(int(fp.show_frame), 1)
+        if not fp.show_frame:
+            w.f(int(fp.showable_frame), 1)
+        # error_resilient_mode implied for shown key frames
+        if not fp.show_frame:
+            w.f(int(fp.error_resilient_mode), 1)
+    w.f(int(fp.disable_cdf_update), 1)
+    if sp.seq_force_screen_content_tools == 2:
+        w.f(int(fp.allow_screen_content_tools), 1)
+    if not sp.reduced_still_picture_header:
+        w.f(0, 1)  # frame_size_override_flag
+        if sp.enable_order_hint:
+            w.f(fp.order_hint, sp.order_hint_bits)
+        if not fp.show_frame:
+            w.f(fp.refresh_frame_flags, 8)
+    # frame_size (override 0 -> max dims), superres disabled, render==frame
+    if sp.enable_superres:
+        w.f(0, 1)  # use_superres
+    w.f(0, 1)  # render_and_frame_size_different
+    if fp.allow_screen_content_tools:
+        w.f(int(fp.allow_intrabc), 1)
+    might_bwd_adapt = (not sp.reduced_still_picture_header) and (not fp.disable_cdf_update)
+    if might_bwd_adapt:
+        w.f(0, 1)  # refresh_frame_context: 0 = backward adaptation enabled
+    _write_tile_info(w, sp, fp)
+    _write_quantization(w, sp, fp)
+    w.f(0, 1)  # segmentation_enabled
+    if fp.base_q_idx > 0:
+        w.f(0, 1)  # delta_q_present
+    _write_loop_filter(w, sp, fp)
+    if sp.enable_cdef and not fp.allow_intrabc:
+        raise NotImplementedError("cdef params")
+    if sp.enable_restoration and not fp.allow_intrabc:
+        raise NotImplementedError("lr params")
+    w.f(int(fp.tx_mode_select), 1)
+    w.f(int(fp.reduced_tx_set), 1)
+    if sp.film_grain_params_present and fp.show_frame:
+        w.f(0, 1)  # apply_grain
+    return w  # caller appends trailing bits or tile data alignment
+
+
+def frame_obu(sp: SequenceParams, fp: FrameParams, tile_payloads: list) -> bytes:
+    """OBU_FRAME: uncompressed header (byte-aligned) + tile group data.
+
+    tile_payloads: list of per-tile coded byte strings, raster order."""
+    w = frame_header_payload(sp, fp)
+    w.byte_align()  # OBU_FRAME: header is byte-aligned, no trailing bits
+    data = bytearray(w.data())
+    n_tiles = len(tile_payloads)
+    # tile group header: tile_start_and_end_present omitted when 1 tile total
+    tlog2 = fp.tile_cols_log2 + fp.tile_rows_log2
+    if tlog2:
+        tg = BitWriter()
+        tg.f(0, 1)  # tile_start_and_end_present_flag
+        tg.byte_align()
+        data += tg.data()
+    for i, tp in enumerate(tile_payloads):
+        if i != n_tiles - 1:
+            data += (len(tp) - 1).to_bytes(4, "little")  # tile_size_minus_1, le(4)
+        data += tp
+    return write_obu(ObuType.FRAME, bytes(data))

@@ -1,0 +1,451 @@
+"""All-intra (key frame) encoder: partition walk, mode decision, transform
+pipeline, reconstruction, and tile symbol emission.
+
+This is the v0 end-to-end slice (SURVEY.md §7 step 3): DC/V/H/SMOOTH/PAETH
+intra over a 64x64-SB partition tree (forced splits at frame edges),
+TX_MODE_LARGEST (one transform per plane block), DCT only, single or multiple
+tiles, conformant recon (verified against libaom/dav1d via the AVIF oracle).
+
+Behavioral reference for syntax order: entropy_coding.c:4820-4960
+(write_modes_b I-slice path), encode_partition_av1 (:1005).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream.frame_context import FrameContext
+from ..bitstream.range_coder import RangeEncoder, update_cdf
+from .coeff_coding import (
+    COEFF_CONTEXT_MASK,
+    get_txb_ctx,
+    write_coeffs_txb,
+)
+from .constants import (
+    BLOCK_HEIGHT,
+    BLOCK_WIDTH,
+    BlockSize,
+    PartitionType,
+    PredictionMode,
+    TX_HEIGHT,
+    TX_WIDTH,
+    TxSize,
+    UVPredictionMode,
+)
+from .intra import predict
+from .quant import build_plane_quant, quantize_b
+from .spec_tables import get_tables
+from .transforms import forward_transform_2d, inverse_transform_add
+
+# largest rect tx fitting each block size (definitions.h max_txsize_rect)
+MAX_TX_RECT = {
+    BlockSize.BLOCK_4X4: TxSize.TX_4X4, BlockSize.BLOCK_4X8: TxSize.TX_4X8,
+    BlockSize.BLOCK_8X4: TxSize.TX_8X4, BlockSize.BLOCK_8X8: TxSize.TX_8X8,
+    BlockSize.BLOCK_8X16: TxSize.TX_8X16, BlockSize.BLOCK_16X8: TxSize.TX_16X8,
+    BlockSize.BLOCK_16X16: TxSize.TX_16X16, BlockSize.BLOCK_16X32: TxSize.TX_16X32,
+    BlockSize.BLOCK_32X16: TxSize.TX_32X16, BlockSize.BLOCK_32X32: TxSize.TX_32X32,
+    BlockSize.BLOCK_32X64: TxSize.TX_32X64, BlockSize.BLOCK_64X32: TxSize.TX_64X32,
+    BlockSize.BLOCK_64X64: TxSize.TX_64X64, BlockSize.BLOCK_4X16: TxSize.TX_4X16,
+    BlockSize.BLOCK_16X4: TxSize.TX_16X4, BlockSize.BLOCK_8X32: TxSize.TX_8X32,
+    BlockSize.BLOCK_32X8: TxSize.TX_32X8, BlockSize.BLOCK_16X64: TxSize.TX_16X64,
+    BlockSize.BLOCK_64X16: TxSize.TX_64X16,
+}
+
+_BSIZE_BY_WH = {(int(BLOCK_WIDTH[b]), int(BLOCK_HEIGHT[b])): BlockSize(b) for b in range(22)}
+
+# kf y-mode neighbor context classes (intra_mode_context)
+INTRA_MODE_CONTEXT = np.array([0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0])
+
+# partition context lookup (above, left) per block size
+PARTITION_CTX_LOOKUP = {
+    BlockSize.BLOCK_4X4: (31, 31), BlockSize.BLOCK_4X8: (31, 30),
+    BlockSize.BLOCK_8X4: (30, 31), BlockSize.BLOCK_8X8: (30, 30),
+    BlockSize.BLOCK_8X16: (30, 28), BlockSize.BLOCK_16X8: (28, 30),
+    BlockSize.BLOCK_16X16: (28, 28), BlockSize.BLOCK_16X32: (28, 24),
+    BlockSize.BLOCK_32X16: (24, 28), BlockSize.BLOCK_32X32: (24, 24),
+    BlockSize.BLOCK_32X64: (24, 16), BlockSize.BLOCK_64X32: (16, 24),
+    BlockSize.BLOCK_64X64: (16, 16), BlockSize.BLOCK_64X128: (16, 0),
+    BlockSize.BLOCK_128X64: (0, 16), BlockSize.BLOCK_128X128: (0, 0),
+    BlockSize.BLOCK_4X16: (31, 28), BlockSize.BLOCK_16X4: (28, 31),
+    BlockSize.BLOCK_8X32: (30, 24), BlockSize.BLOCK_32X8: (24, 30),
+    BlockSize.BLOCK_16X64: (28, 16), BlockSize.BLOCK_64X16: (16, 28),
+}
+
+# av1_ext_tx_ind / num sets (cabac_context_model.h:686, definitions.h:1769):
+# intra sets: eset 1 = DTT4_IDTX_1DDCT (7 syms), eset 2 = DTT4_IDTX (5 syms);
+# DCT_DCT codes as symbol 1 in both.
+EXT_TX_IND_INTRA = {
+    1: [1, 5, 6, 4, 0, 0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+    2: [1, 3, 4, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+}
+EXT_TX_NSYMS_INTRA = {1: 7, 2: 5}
+
+_SQR = np.array([0, 1, 2, 3, 4, 0, 0, 1, 1, 2, 2, 3, 3, 0, 0, 1, 1, 2, 2])
+_SQR_UP = np.array([0, 1, 2, 3, 4, 1, 1, 2, 2, 3, 3, 4, 4, 2, 2, 3, 3, 4, 4])
+
+
+def intra_ext_tx_set(tx_size: int) -> int:
+    """Intra ext-tx set index (0 = DCT only, no signaling)."""
+    if _SQR_UP[tx_size] >= 3:  # TX_32X32 and up
+        return 0
+    return 2 if _SQR[tx_size] == 2 else 1
+
+
+def _partition_subsize(bsize: BlockSize, part: PartitionType) -> BlockSize:
+    w, h = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+    if part == PartitionType.PARTITION_NONE:
+        return bsize
+    if part == PartitionType.PARTITION_SPLIT:
+        return _BSIZE_BY_WH[(w // 2, h // 2)]
+    if part == PartitionType.PARTITION_HORZ:
+        return _BSIZE_BY_WH[(w, h // 2)]
+    if part == PartitionType.PARTITION_VERT:
+        return _BSIZE_BY_WH[(w // 2, h)]
+    raise ValueError(part)
+
+
+def _cdf_prob(icdf, i):
+    prev = 32768 if i == 0 else int(icdf[i - 1])
+    return prev - int(icdf[i])
+
+
+def _gather_vert_alike(icdf, bsize):
+    p = 32768
+    for s in (PartitionType.PARTITION_VERT, PartitionType.PARTITION_SPLIT,
+              PartitionType.PARTITION_HORZ_A, PartitionType.PARTITION_VERT_A,
+              PartitionType.PARTITION_VERT_B):
+        p -= _cdf_prob(icdf, int(s))
+    if bsize != BlockSize.BLOCK_128X128:
+        p -= _cdf_prob(icdf, int(PartitionType.PARTITION_VERT_4))
+    return np.array([32768 - p, 0, 0], dtype=np.uint16)
+
+
+def _gather_horz_alike(icdf, bsize):
+    p = 32768
+    for s in (PartitionType.PARTITION_HORZ, PartitionType.PARTITION_SPLIT,
+              PartitionType.PARTITION_HORZ_A, PartitionType.PARTITION_HORZ_B,
+              PartitionType.PARTITION_VERT_A):
+        p -= _cdf_prob(icdf, int(s))
+    if bsize != BlockSize.BLOCK_128X128:
+        p -= _cdf_prob(icdf, int(PartitionType.PARTITION_HORZ_4))
+    return np.array([32768 - p, 0, 0], dtype=np.uint16)
+
+
+@dataclass
+class PlaneState:
+    recon: np.ndarray         # (aligned_h, aligned_w) uint16
+    above_ctx: np.ndarray     # per-4x4 entropy context
+    left_ctx: np.ndarray
+    width: int                # aligned plane dims
+    height: int
+
+
+class IntraFrameEncoder:
+    """Encodes one key frame; single tile v0 (tile loop lives in the caller)."""
+
+    def __init__(self, width, height, qindex, bd=8, monochrome=False,
+                 sharpness=0, disable_cdf_update=False,
+                 target_bsize=BlockSize.BLOCK_32X32,
+                 mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
+                                  PredictionMode.H_PRED, PredictionMode.SMOOTH_PRED,
+                                  PredictionMode.PAETH_PRED)):
+        # target_bsize: leaf block size when not forced smaller by frame edges
+        # (32x32 default: full coefficient coverage; TX_64 codes only the
+        # low-frequency 32x32 region). TX_MODE_LARGEST, so tx == block.
+        self.target_bsize = BlockSize(target_bsize)
+        self.w, self.h = width, height
+        self.bd = bd
+        self.mono = monochrome
+        self.qindex = qindex
+        self.sharpness = sharpness
+        self.mode_candidates = mode_candidates
+        self.mi_cols = 2 * ((width + 7) >> 3)
+        self.mi_rows = 2 * ((height + 7) >> 3)
+        self.aligned_w = self.mi_cols * 4
+        self.aligned_h = self.mi_rows * 4
+        self.sb_size = 64
+        self.fc = FrameContext(qindex, disable_cdf_update)
+        self.enc = RangeEncoder()
+        self.tables = get_tables()
+        nplanes = 1 if monochrome else 3
+        self.quant = [build_plane_quant(qindex, 0, 0, bd, sharpness, qindex)
+                      for _ in range(nplanes)]
+        # mi-grid state
+        self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.mi_skip = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.part_above = np.zeros(self.mi_cols, np.uint8)
+        self.part_left = np.zeros(self.mi_rows, np.uint8)
+        self.planes: list[PlaneState] = []
+
+    # ------------------------------------------------------------- planes
+    def _init_planes(self, y, u, v):
+        def pad(plane, pw, ph):
+            src = np.zeros((ph, pw), np.uint16)
+            h0, w0 = plane.shape
+            src[:h0, :w0] = plane
+            src[:h0, w0:] = plane[:, -1:]
+            src[h0:, :] = src[h0 - 1 : h0, :]
+            return src
+
+        # source is padded to SB-aligned extents: blocks whose top-left mi is
+        # in-frame may legally stick out past the mi-aligned area (recon
+        # writes stay clipped to the aligned dims, matching the decoder)
+        sb_w = -(-self.aligned_w // self.sb_size) * self.sb_size
+        sb_h = -(-self.aligned_h // self.sb_size) * self.sb_size
+        self.src = [pad(y.astype(np.uint16), sb_w, sb_h)]
+        self.planes = [PlaneState(
+            recon=np.zeros((self.aligned_h, self.aligned_w), np.uint16),
+            above_ctx=np.zeros(self.aligned_w >> 2, np.uint8),
+            left_ctx=np.zeros(self.aligned_h >> 2, np.uint8),
+            width=self.aligned_w, height=self.aligned_h)]
+        if not self.mono:
+            cw, ch = self.aligned_w >> 1, self.aligned_h >> 1
+            for p in (u, v):
+                self.src.append(pad(p.astype(np.uint16), sb_w >> 1, sb_h >> 1))
+                self.planes.append(PlaneState(
+                    recon=np.zeros((ch, cw), np.uint16),
+                    above_ctx=np.zeros(cw >> 2, np.uint8),
+                    left_ctx=np.zeros(ch >> 2, np.uint8),
+                    width=cw, height=ch))
+
+    # ------------------------------------------------------------ neighbors
+    def _gather_neighbors(self, plane, x0, y0, W, H):
+        ps = self.planes[plane]
+        have_above = y0 > 0
+        have_left = x0 > 0
+        base = 1 << (self.bd - 1)
+        maxx = ps.width - 1
+        if have_above:
+            cols = np.minimum(np.arange(x0, x0 + W), maxx)
+            above = ps.recon[y0 - 1, cols]
+        else:
+            above = None
+        if have_left:
+            rows = np.minimum(np.arange(y0, y0 + H), ps.height - 1)
+            left = ps.recon[rows, x0 - 1]
+        else:
+            left = None
+        if above is None and left is not None:
+            above = np.full(W, left[0], np.uint16)
+        elif above is None:
+            above = np.full(W, base - 1, np.uint16)
+        if left is None and have_above:
+            left = np.full(H, above[0], np.uint16)
+        elif left is None:
+            left = np.full(H, base + 1, np.uint16)
+        if have_above and have_left:
+            top_left = ps.recon[y0 - 1, x0 - 1]
+        elif have_above:
+            top_left = above[0]
+        elif have_left:
+            top_left = left[0]
+        else:
+            top_left = base
+        return above, left, np.array([top_left], np.uint16), have_above, have_left
+
+    # -------------------------------------------------------------- encode
+    def encode_frame(self, y, u=None, v=None) -> bytes:
+        """Returns the coded tile payload; recon available in self.planes."""
+        self._init_planes(y, u, v)
+        sb_mi = self.sb_size >> 2
+        for mi_row in range(0, self.mi_rows, sb_mi):
+            for mi_col in range(0, self.mi_cols, sb_mi):
+                self._walk_partition(mi_row, mi_col, BlockSize.BLOCK_64X64)
+        return self.enc.done()
+
+    @property
+    def recon_y(self):
+        return self.planes[0].recon[: self.h, : self.w]
+
+    def recon_plane(self, plane):
+        if plane == 0:
+            return self.recon_y
+        ch, cw = (self.h + 1) >> 1, (self.w + 1) >> 1
+        return self.planes[plane].recon[:ch, :cw]
+
+    # ------------------------------------------------------- partition walk
+    def _walk_partition(self, mi_row, mi_col, bsize):
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        bw4 = int(BLOCK_WIDTH[bsize]) >> 2
+        half = bw4 >> 1
+        has_rows = (mi_row + half) < self.mi_rows
+        has_cols = (mi_col + half) < self.mi_cols
+
+        if has_rows and has_cols:
+            if int(BLOCK_WIDTH[bsize]) > int(BLOCK_WIDTH[self.target_bsize]):
+                part = PartitionType.PARTITION_SPLIT
+            else:
+                part = PartitionType.PARTITION_NONE
+        elif has_cols:
+            part = PartitionType.PARTITION_HORZ
+        elif has_rows:
+            part = PartitionType.PARTITION_VERT
+        else:
+            part = PartitionType.PARTITION_SPLIT
+
+        if bsize >= BlockSize.BLOCK_8X8:
+            self._write_partition(mi_row, mi_col, bsize, part, has_rows, has_cols)
+
+        subsize = _partition_subsize(bsize, part)
+        if part == PartitionType.PARTITION_NONE:
+            self._encode_block(mi_row, mi_col, bsize)
+        elif part == PartitionType.PARTITION_HORZ:
+            self._encode_block(mi_row, mi_col, subsize)
+            if mi_row + half < self.mi_rows:
+                self._encode_block(mi_row + half, mi_col, subsize)
+        elif part == PartitionType.PARTITION_VERT:
+            self._encode_block(mi_row, mi_col, subsize)
+            if mi_col + half < self.mi_cols:
+                self._encode_block(mi_row, mi_col + half, subsize)
+        else:  # SPLIT
+            self._walk_partition(mi_row, mi_col, subsize)
+            self._walk_partition(mi_row, mi_col + half, subsize)
+            self._walk_partition(mi_row + half, mi_col, subsize)
+            self._walk_partition(mi_row + half, mi_col + half, subsize)
+
+        if part != PartitionType.PARTITION_SPLIT:
+            a, l = PARTITION_CTX_LOOKUP[subsize]
+            self.part_above[mi_col : mi_col + bw4] = a
+            self.part_left[mi_row : mi_row + bw4] = l
+
+    def _write_partition(self, mi_row, mi_col, bsize, part, has_rows, has_cols):
+        if not has_rows and not has_cols:
+            return  # implied SPLIT
+        # bsl is relative to the 8x8 minimum partition point (encode_partition_av1)
+        bsl = {8: 0, 16: 1, 32: 2, 64: 3, 128: 4}[int(BLOCK_WIDTH[bsize])]
+        above = (int(self.part_above[mi_col]) >> bsl) & 1
+        left = (int(self.part_left[mi_row]) >> bsl) & 1
+        ctx_index = (left * 2 + above) + bsl * 4
+        nsyms = 4 if bsize == BlockSize.BLOCK_8X8 else (8 if bsize == BlockSize.BLOCK_128X128 else 10)
+        row = self.fc.tables["partition"][ctx_index]
+        if has_rows and has_cols:
+            self.enc.encode_symbol(int(part), row, nsyms)
+            if not self.fc.disable_update:
+                update_cdf(row, int(part), nsyms)
+        elif has_cols:
+            cdf = _gather_vert_alike(row, bsize)
+            self.enc.encode_symbol(int(part == PartitionType.PARTITION_SPLIT), cdf, 2)
+        else:
+            cdf = _gather_horz_alike(row, bsize)
+            self.enc.encode_symbol(int(part == PartitionType.PARTITION_SPLIT), cdf, 2)
+
+    # ------------------------------------------------------------- block
+    def _encode_block(self, mi_row, mi_col, bsize):
+        W, H = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+        x0, y0 = mi_col * 4, mi_row * 4
+        bw4, bh4 = W >> 2, H >> 2
+
+        # ---- luma mode decision on recon neighbors
+        above, left, tl, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
+        src = self.src[0][y0 : y0 + H, x0 : x0 + W]
+        best_mode, best_pred, best_cost = None, None, None
+        for mode in self.mode_candidates:
+            pred = predict(int(mode), above[None], left[None], tl, have_a, have_l, self.bd)[0]
+            cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
+            if best_cost is None or cost < best_cost:
+                best_mode, best_pred, best_cost = mode, pred, cost
+        y_mode = best_mode
+        uv_mode = UVPredictionMode.UV_DC_PRED
+
+        # ---- transform all planes first (skip decision precedes mode syntax)
+        plane_jobs = []
+        has_uv = not self.mono
+        tx_y = MAX_TX_RECT[BlockSize(bsize)]
+        plane_jobs.append((0, x0, y0, W, H, tx_y, y_mode, best_pred))
+        if has_uv:
+            uv_bsize = _BSIZE_BY_WH[(max(W >> 1, 4), max(H >> 1, 4))]
+            tx_uv = MAX_TX_RECT[uv_bsize]
+            cw, ch = W >> 1, H >> 1
+            cx, cy = x0 >> 1, y0 >> 1
+            for plane in (1, 2):
+                plane_jobs.append((plane, cx, cy, cw, ch, tx_uv, uv_mode, None))
+
+        results = []
+        for plane, px, py, pw, ph, tx_size, mode, pred in plane_jobs:
+            if pred is None:
+                pa, pl, ptl, pha, phl = self._gather_neighbors(plane, px, py, pw, ph)
+                pred = predict(int(mode), pa[None], pl[None], ptl, pha, phl, self.bd)[0]
+            psrc = self.src[plane][py : py + ph, px : px + pw]
+            resid = psrc.astype(np.int16) - pred.astype(np.int16)
+            coeffs = forward_transform_2d(resid[None].astype(np.int32), int(tx_size), 0, self.bd)[0]
+            cw_t, ch_t = min(pw, 32), min(ph, 32)
+            flat = coeffs[:ch_t, :cw_t].reshape(1, -1)
+            scan = self.tables.scan(int(tx_size), 0)
+            qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size))
+            results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0])))
+
+        skip = all(r[9] == 0 for r in results)
+
+        # ---- syntax: skip flag, modes
+        self._write_skip(mi_row, mi_col, skip)
+        self._write_y_mode_kf(mi_row, mi_col, bsize, y_mode)
+        if has_uv:
+            cfl_allowed = W <= 32 and H <= 32
+            self.fc.write(self.enc, "uv_mode", (int(cfl_allowed), int(y_mode)),
+                          int(uv_mode), 14 if cfl_allowed else 13)
+            # UV_DC is non-directional: no uv angle delta
+        # tx_mode LARGEST: no tx size syntax
+
+        # ---- residual + recon
+        for plane, px, py, pw, ph, tx_size, pred, qc, dqc, eob in results:
+            ps = self.planes[plane]
+            xu, yu = px >> 2, py >> 2
+            wu = min(int(TX_WIDTH[tx_size]) >> 2, (ps.width - px) >> 2)
+            hu = min(int(TX_HEIGHT[tx_size]) >> 2, (ps.height - py) >> 2)
+            if not skip:
+                plane_type = int(plane > 0)
+                block_matches_tx = True  # TX covers the whole plane block
+                txb_skip_ctx, dc_sign_ctx = get_txb_ctx(
+                    plane_type, int(tx_size),
+                    ps.above_ctx[xu : xu + wu], ps.left_ctx[yu : yu + hu],
+                    block_matches_tx, False)
+                ttw = (lambda ts=tx_size, ym=y_mode: self._write_tx_type(ts, ym)) if plane == 0 else None
+                cul = write_coeffs_txb(self.fc, self.enc, qc, eob, int(tx_size), 0,
+                                       plane_type, txb_skip_ctx, dc_sign_ctx,
+                                       tx_type_writer=ttw)
+            else:
+                cul = 0
+            ps.above_ctx[xu : xu + wu] = cul
+            ps.left_ctx[yu : yu + hu] = cul
+            # recon (clipped to aligned plane bounds)
+            cw_t, ch_t = min(pw, 32), min(ph, 32)
+            full = np.zeros((ph, pw), np.int32)
+            full[:ch_t, :cw_t] = dqc.reshape(ch_t, cw_t)
+            recon = inverse_transform_add(full[None], pred[None].astype(np.uint16),
+                                          int(tx_size), 0, self.bd)[0]
+            wr = min(pw, ps.width - px)
+            hr = min(ph, ps.height - py)
+            ps.recon[py : py + hr, px : px + wr] = recon[:hr, :wr]
+
+        # ---- mi grid updates
+        r1 = min(mi_row + bh4, self.mi_rows)
+        c1 = min(mi_col + bw4, self.mi_cols)
+        self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
+        self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
+
+    def _write_skip(self, mi_row, mi_col, skip):
+        above = int(self.mi_skip[mi_row - 1, mi_col]) if mi_row > 0 else 0
+        left = int(self.mi_skip[mi_row, mi_col - 1]) if mi_col > 0 else 0
+        self.fc.write(self.enc, "skip", (above + left,), int(skip), 2)
+
+    def _write_y_mode_kf(self, mi_row, mi_col, bsize, mode):
+        above = int(self.mi_mode[mi_row - 1, mi_col]) if mi_row > 0 else 0
+        left = int(self.mi_mode[mi_row, mi_col - 1]) if mi_col > 0 else 0
+        actx = int(INTRA_MODE_CONTEXT[above]) if mi_row > 0 else 0
+        lctx = int(INTRA_MODE_CONTEXT[left]) if mi_col > 0 else 0
+        self.fc.write(self.enc, "kf_y_mode", (actx, lctx), int(mode), 13)
+        if bsize >= BlockSize.BLOCK_8X8 and 1 <= int(mode) <= 8:
+            # directional: angle_delta = 0 -> symbol 3
+            self.fc.write(self.enc, "angle_delta", (int(mode) - 1,), 3, 7)
+
+    def _write_tx_type(self, tx_size, y_mode):
+        eset = intra_ext_tx_set(int(tx_size))
+        if eset == 0 or self.qindex == 0:
+            return
+        sqr = int(_SQR[int(tx_size)])
+        sym = EXT_TX_IND_INTRA[eset][0]  # DCT_DCT
+        self.fc.write(self.enc, "intra_ext_tx", (eset, sqr, int(y_mode)),
+                      sym, EXT_TX_NSYMS_INTRA[eset])

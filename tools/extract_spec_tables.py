@@ -162,12 +162,33 @@ def extract_scans(tables: dict):
     print(f"Scan order map: {len(rows)} entries")
 
 
+def extract_nz_map_ctx_offsets(tables: dict):
+    """Per-position coeff_base context offsets (spec get_nz_map_ctx tables)."""
+    text = strip_comments((REF / "coefficients.h").read_text())
+    arrays = {}
+    decl = r"static\s+const\s+int8_t\s+(?P<name>eb_av1_nz_map_ctx_offset_\w+)\s*\[\s*(?P<len>\d+)\s*\]\s*=\s*\{"
+    for m in re.finditer(decl, text):
+        name, length = m.group("name"), int(m.group("len"))
+        start = text.index("{", m.end() - 1)
+        end = text.index("}", start)
+        vals = [int(v) for v in text[start + 1 : end].split(",") if v.strip()]
+        assert len(vals) == length, (name, len(vals), length)
+        arrays[name] = np.array(vals, dtype=np.int8)
+    m = re.search(r"eb_av1_nz_map_ctx_offset\[19\]\s*=\s*\{(.*?)\};", text, flags=re.S)
+    names = re.findall(r"(eb_av1_nz_map_ctx_offset_\w+)", m.group(1))
+    assert len(names) == 19, len(names)
+    for ts, name in enumerate(names):
+        tables[f"nzmap_ctx_offset_ts{ts}"] = arrays[name]
+    print(f"nz_map ctx offset tables: 19 (from {len(arrays)} arrays)")
+
+
 def main():
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     tables = {}
     extract_cdfs(tables)
     extract_qlookup(tables)
     extract_scans(tables)
+    extract_nz_map_ctx_offsets(tables)
     out = OUT_DIR / "av1_spec_tables.npz"
     np.savez_compressed(out, **tables)
     print(f"wrote {out} ({out.stat().st_size} bytes, {len(tables)} arrays)")
