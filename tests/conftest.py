@@ -8,6 +8,8 @@ This must run before any `import jax` anywhere in the test session.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# this jax build (axon plugin) honors the legacy variable, not JAX_PLATFORMS
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
