@@ -1,0 +1,140 @@
+"""Encode-session API (mirrors Source/API/EbSvtAv1Enc.h lifecycle:
+svt_av1_enc_init_handle/set_parameter/init/send_picture/get_packet/...).
+
+v0 supports the all-intra path (every frame a shown KEY frame; AVIF stills).
+The host pipeline (PD/ME/RC stage graph) replaces this direct loop as the
+inter path lands (SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .bitstream.obu import (
+    FrameParams,
+    SequenceParams,
+    frame_obu,
+    sequence_header_obu,
+    temporal_delimiter_obu,
+)
+from .codec.intra_encoder import IntraFrameEncoder
+from .config import EncoderConfig, RateControlMode, verify_settings
+from .errors import ErrorCode, SvtAv1Error
+
+
+@dataclass
+class Packet:
+    data: bytes
+    pts: int
+    frame_type: str = "key"
+    recon: Optional[tuple] = None
+
+
+def _crf_to_qindex(crf: float) -> int:
+    """CRF (0..70, quarter steps) -> base qindex. The reference maps CRF to
+    qindex*4 with extended-CRF offsets (rc_process.c:3421); v0 uses the
+    linear core mapping."""
+    return int(np.clip(round(crf * 4), 0, 255))
+
+
+class Encoder:
+    def __init__(self, config: EncoderConfig):
+        self.config = verify_settings(config)
+        self._initialized = False
+        self._packets: deque = deque()
+        self._frame_count = 0
+        self._seq: Optional[SequenceParams] = None
+        self._recon_last = None
+
+    # -------------------------------------------------------------- lifecycle
+    def init(self):
+        cfg = self.config
+        mono = cfg.color_format == 0
+        self._seq = SequenceParams(
+            cfg.width,
+            cfg.height,
+            still_picture=cfg.avif,
+            reduced_still_picture_header=cfg.avif,
+            monochrome=mono,
+            bit_depth=cfg.input_depth,
+            color_primaries=cfg.color_primaries,
+            transfer_characteristics=cfg.transfer_characteristics,
+            matrix_coefficients=cfg.matrix_coefficients,
+            color_range=cfg.color_range,
+            chroma_sample_position=cfg.chroma_sample_position,
+        )
+        self._initialized = True
+        return self
+
+    def stream_header(self) -> bytes:
+        """svt_av1_enc_stream_header: the sequence header OBU."""
+        self._check_init()
+        return sequence_header_obu(self._seq)
+
+    def send_picture(self, y: np.ndarray, u=None, v=None, pts: Optional[int] = None):
+        """Encode one picture (all-intra v0: synchronous)."""
+        self._check_init()
+        cfg = self.config
+        if cfg.avif and self._frame_count > 0:
+            # single-picture guard (enc_handle.c:5453)
+            raise SvtAv1Error(ErrorCode.ERROR_BAD_PARAMETER, "avif mode accepts one picture")
+        qindex = _crf_to_qindex(cfg.crf) if cfg.rate_control_mode == RateControlMode.CRF_CQP else 100
+        enc = IntraFrameEncoder(
+            cfg.width,
+            cfg.height,
+            qindex,
+            bd=cfg.input_depth,
+            monochrome=self._seq.monochrome,
+            sharpness=cfg.sharpness,
+        )
+        tile = enc.encode_frame(y, u, v)
+        fp = FrameParams(base_q_idx=qindex)
+        payload = temporal_delimiter_obu()
+        if self._frame_count == 0:
+            payload += sequence_header_obu(self._seq)
+        payload += frame_obu(self._seq, fp, [tile])
+        recon = None
+        if cfg.recon_enabled:
+            recon = tuple(enc.recon_plane(p) for p in range(1 if self._seq.monochrome else 3))
+            self._recon_last = recon
+        self._packets.append(Packet(payload, pts if pts is not None else self._frame_count,
+                                    recon=recon))
+        self._frame_count += 1
+
+    def get_packet(self) -> Optional[Packet]:
+        return self._packets.popleft() if self._packets else None
+
+    def get_recon(self):
+        """svt_av1_get_recon analog (requires recon_enabled)."""
+        if not self.config.recon_enabled:
+            raise SvtAv1Error(ErrorCode.ERROR_BAD_PARAMETER, "recon not enabled")
+        return self._recon_last
+
+    def encode_avif(self, y, u=None, v=None) -> bytes:
+        """One-shot AVIF still encode (the reference's --avif mode)."""
+        from .io.avif import write_avif
+
+        self._check_init()
+        self.send_picture(y, u, v)
+        pkt = self.get_packet()
+        seq = self.stream_header()
+        return write_avif(
+            pkt.data,
+            self.config.width,
+            self.config.height,
+            seq,
+            bit_depth=self.config.input_depth,
+            monochrome=self._seq.monochrome,
+        )
+
+    def deinit(self):
+        self._initialized = False
+        self._packets.clear()
+
+    def _check_init(self):
+        if not self._initialized:
+            raise SvtAv1Error(ErrorCode.ERROR_INVALID_COMPONENT, "encoder not initialized")

@@ -1,0 +1,112 @@
+"""SvtAv1EncApp-compatible CLI (reference: Source/App/app_main.c,
+app_config.c token tables). v0: all-intra y4m -> IVF, or single image -> AVIF.
+
+Usage:
+  python -m svt_av1_psy_tpu.app.cli -i in.y4m -b out.ivf --crf 35 [--param v]...
+  python -m svt_av1_psy_tpu.app.cli -i in.y4m --avif 1 -b out.avif
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from ..api import Encoder
+from ..config import EncoderConfig, parse_parameter
+from ..errors import SvtAv1Error
+from ..io.ivf import IVFWriter
+from ..io.y4m import Y4MReader
+from ..version import psy_version
+
+
+def _usage():
+    print(__doc__)
+    print("Any reference parameter token works via --<token> <value> "
+          "(see svt_av1_psy_tpu.config.parameter_names()).")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or "--help" in argv or "-h" in argv:
+        _usage()
+        return 0
+    if "--version" in argv:
+        print(f"svt-av1-psy-tpu {psy_version()}")
+        return 0
+
+    in_path = out_path = None
+    n_frames = -1
+    cfg = EncoderConfig()
+    i = 0
+    try:
+        while i < len(argv):
+            tok = argv[i]
+            if tok in ("-i", "--input"):
+                in_path = argv[i + 1]
+                i += 2
+            elif tok in ("-b", "--output"):
+                out_path = argv[i + 1]
+                i += 2
+            elif tok in ("-n", "--frames"):
+                n_frames = int(argv[i + 1])
+                i += 2
+            elif tok.startswith("--"):
+                parse_parameter(cfg, tok[2:], argv[i + 1])
+                i += 2
+            else:
+                print(f"unknown argument {tok!r}", file=sys.stderr)
+                return 2
+    except (IndexError, SvtAv1Error) as e:
+        print(f"argument error: {e}", file=sys.stderr)
+        return 2
+    if not in_path or not out_path:
+        print("need -i <in.y4m> and -b <out.ivf|out.avif>", file=sys.stderr)
+        return 2
+
+    with open(in_path, "rb") as f:
+        reader = Y4MReader(f)
+        hdr = reader.header
+        cfg.width, cfg.height = hdr.width, hdr.height
+        cfg.input_depth = hdr.bit_depth
+        cfg.fps_num, cfg.fps_denom = hdr.fps_num, hdr.fps_denom
+        if hdr.is_mono:
+            cfg.color_format = 0
+
+        enc = Encoder(cfg).init()
+        t0 = time.perf_counter()
+
+        if cfg.avif or (out_path.endswith(".avif")):
+            cfg.avif = True
+            y, u, v = next(reader.frames())
+            data = Encoder(cfg).init().encode_avif(y, u, v)
+            with open(out_path, "wb") as out:
+                out.write(data)
+            print(f"wrote {out_path} ({len(data)} bytes)")
+            return 0
+
+        with open(out_path, "wb") as out:
+            ivf = IVFWriter(out, cfg.width, cfg.height, cfg.fps_num, cfg.fps_denom)
+            count = 0
+            total = 0
+            for y, u, v in reader.frames():
+                if 0 <= n_frames <= count:
+                    break
+                enc.send_picture(y, u, v, pts=count)
+                pkt = enc.get_packet()
+                ivf.write_frame(pkt.data, pkt.pts)
+                total += len(pkt.data)
+                count += 1
+                if cfg.progress:
+                    el = time.perf_counter() - t0
+                    print(f"\rencoded {count} frames  {count/el:.2f} fps  "
+                          f"{total*8*hdr.fps_num/max(count,1)/hdr.fps_denom/1000:.0f} kbps",
+                          end="", file=sys.stderr)
+            ivf.finalize()
+        el = time.perf_counter() - t0
+        print(f"\n{count} frames in {el:.2f}s ({count/max(el,1e-9):.2f} fps) -> {out_path}",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
