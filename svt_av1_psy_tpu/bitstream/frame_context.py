@@ -29,12 +29,13 @@ class FrameContext:
                      "eob_multi512", "eob_multi1024"):
             self.tables[name] = self.tables[name][self.qctx].copy()
 
-    def write(self, enc: RangeEncoder, name: str, idx: tuple, symbol: int, nsyms: int):
+    def write(self, enc, name: str, idx: tuple, symbol: int, nsyms: int):
         cdf = self.tables[name]
         row = cdf[idx] if idx else cdf
-        enc.encode_symbol(symbol, row, nsyms)
-        if not self.disable_update:
-            update_cdf(row, symbol, nsyms)
+        if self.disable_update:
+            enc.encode_symbol(symbol, row, nsyms)
+        else:
+            enc.encode_symbol_adapt(symbol, row, nsyms)
 
     def row(self, name: str, idx: tuple):
         cdf = self.tables[name]

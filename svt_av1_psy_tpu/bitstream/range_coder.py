@@ -81,6 +81,11 @@ class RangeEncoder:
         fl = CDF_PROB_TOP if s == 0 else int(icdf[s - 1])
         self._encode_q15(fl, int(icdf[s]), s, nsyms)
 
+    def encode_symbol_adapt(self, s: int, icdf, nsyms: int):
+        """Encode + apply the normative CDF adaptation in place."""
+        self.encode_symbol(s, icdf, nsyms)
+        update_cdf(icdf, s, nsyms)
+
     def encode_bool(self, val: int, f: int):
         """Encode one binary value; f = P(val==1) in Q15, 0 < f < 32768.
 

@@ -230,6 +230,57 @@ def write_coeffs_txb(
     return cul_level
 
 
+def write_coeffs_txb_native(
+    fc: FrameContext,
+    enc,                          # NativeRangeEncoder
+    qcoeff: np.ndarray,
+    eob: int,
+    tx_size: int,
+    tx_type: int,
+    plane_type: int,
+    txb_skip_ctx: int,
+    dc_sign_ctx: int,
+    tx_type_writer=None,
+) -> int:
+    """One-call-per-txb C fast path; bit-identical to write_coeffs_txb."""
+    txs_ctx = int(TXS_CTX[tx_size])
+    skip_row = fc.tables["txb_skip"][txs_ctx, txb_skip_ctx]
+    if fc.disable_update:
+        enc.encode_symbol(int(eob == 0), skip_row, 2)
+    else:
+        enc.encode_symbol_adapt(int(eob == 0), skip_row, 2)
+    if eob == 0:
+        return 0
+    if tx_type_writer is not None:
+        tx_type_writer()
+
+    t = get_tables()
+    tx_class = int(TX_TYPE_CLASS[tx_type])
+    w, h, _ = txb_dims(tx_size)
+    scan = t.scan(tx_size, tx_type)
+    levels = init_levels(qcoeff, w, h)
+    coeff_ctxs = nz_map_contexts(levels, scan, eob, tx_size, tx_class).astype(np.int8)
+    brmap = br_ctx_map(levels, tx_size, tx_class).astype(np.int8)
+
+    eob_multi_size = int(TXSIZE_LOG2_MINUS4[tx_size])
+    eob_multi_ctx = 0 if tx_class == TX_CLASS_2D else 1
+    tb = fc.tables
+    return enc.write_coeffs_txb(
+        np.ascontiguousarray(qcoeff, np.int32), eob,
+        np.ascontiguousarray(scan, np.int16), coeff_ctxs, brmap,
+        0 if fc.disable_update else 1,
+        skip_row,
+        tb[_EOB_MULTI_TABLE[eob_multi_size]][plane_type, eob_multi_ctx],
+        eob_multi_size + 5,
+        tb["eob_extra"][txs_ctx, plane_type],
+        tb["coeff_base_eob_multi"][txs_ctx, plane_type],
+        tb["coeff_base_multi"][txs_ctx, plane_type],
+        tb["coeff_lps_multi"][min(txs_ctx, 3), plane_type],
+        tb["dc_sign"][plane_type, dc_sign_ctx],
+        include_skip=False,
+    )
+
+
 # --------------------------------------------------------------------------
 # txb skip / dc sign contexts from the per-4x4 entropy context arrays
 # (svt_aom_get_txb_ctx, entropy_coding.c:313-430)

@@ -16,12 +16,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..bitstream import ec_native
 from ..bitstream.frame_context import FrameContext
 from ..bitstream.range_coder import RangeEncoder, update_cdf
 from .coeff_coding import (
     COEFF_CONTEXT_MASK,
     get_txb_ctx,
     write_coeffs_txb,
+    write_coeffs_txb_native,
 )
 from .constants import (
     BLOCK_HEIGHT,
@@ -167,7 +169,8 @@ class IntraFrameEncoder:
         self.aligned_h = self.mi_rows * 4
         self.sb_size = 64
         self.fc = FrameContext(qindex, disable_cdf_update)
-        self.enc = RangeEncoder()
+        self.use_native_ec = ec_native.available()
+        self.enc = ec_native.NativeRangeEncoder() if self.use_native_ec else RangeEncoder()
         self.tables = get_tables()
         nplanes = 1 if monochrome else 3
         self.quant = [build_plane_quant(qindex, 0, 0, bd, sharpness, qindex)
@@ -322,9 +325,10 @@ class IntraFrameEncoder:
         nsyms = 4 if bsize == BlockSize.BLOCK_8X8 else (8 if bsize == BlockSize.BLOCK_128X128 else 10)
         row = self.fc.tables["partition"][ctx_index]
         if has_rows and has_cols:
-            self.enc.encode_symbol(int(part), row, nsyms)
-            if not self.fc.disable_update:
-                update_cdf(row, int(part), nsyms)
+            if self.fc.disable_update:
+                self.enc.encode_symbol(int(part), row, nsyms)
+            else:
+                self.enc.encode_symbol_adapt(int(part), row, nsyms)
         elif has_cols:
             cdf = _gather_vert_alike(row, bsize)
             self.enc.encode_symbol(int(part == PartitionType.PARTITION_SPLIT), cdf, 2)
@@ -403,9 +407,10 @@ class IntraFrameEncoder:
                     ps.above_ctx[xu : xu + wu], ps.left_ctx[yu : yu + hu],
                     block_matches_tx, False)
                 ttw = (lambda ts=tx_size, ym=y_mode: self._write_tx_type(ts, ym)) if plane == 0 else None
-                cul = write_coeffs_txb(self.fc, self.enc, qc, eob, int(tx_size), 0,
-                                       plane_type, txb_skip_ctx, dc_sign_ctx,
-                                       tx_type_writer=ttw)
+                writer = write_coeffs_txb_native if self.use_native_ec else write_coeffs_txb
+                cul = writer(self.fc, self.enc, qc, eob, int(tx_size), 0,
+                             plane_type, txb_skip_ctx, dc_sign_ctx,
+                             tx_type_writer=ttw)
             else:
                 cul = 0
             ps.above_ctx[xu : xu + wu] = cul

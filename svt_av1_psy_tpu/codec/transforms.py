@@ -81,40 +81,83 @@ def _clamp(x, bit):
     return np.clip(x, lo, hi)
 
 
+@functools.lru_cache(maxsize=None)
+def compiled_stages(name: str, cos_bit: int):
+    """Canonicalize each butterfly stage to lane-parallel gather form:
+       out[i] = sel(kind[i], wa[i]*cur[A[i]] + wb[i]*cur[B[i]])
+    kind 0 = passthrough, 1 = clamped add/sub (inverse), 2 = btf round_shift."""
+    g = _graphs()[name]
+    cospi = cospi_arr(cos_bit)
+    stages = []
+    for stage in g["stages"]:
+        n = len(stage)
+        A = np.zeros(n, np.int32)
+        B = np.zeros(n, np.int32)
+        wa = np.zeros(n, np.int64)
+        wb = np.zeros(n, np.int64)
+        kind = np.zeros(n, np.int8)
+        for i, op in enumerate(stage):
+            k = op[0]
+            if k in ("in", "cp"):
+                A[i], wa[i] = op[1], 1
+            elif k in ("inng", "ng"):
+                A[i], wa[i] = op[1], -1
+            elif k in ("addin", "add"):
+                A[i], B[i], wa[i], wb[i] = op[1], op[2], 1, 1
+                kind[i] = 1 if k == "add" else 0
+            elif k in ("subin", "sub"):
+                A[i], B[i], wa[i], wb[i] = op[1], op[2], 1, -1
+                kind[i] = 1 if k == "sub" else 0
+            else:
+                _, sa, ca, a, sb, cb, b = op
+                A[i], B[i] = a, b
+                wa[i], wb[i] = sa * cospi[ca], sb * cospi[cb]
+                kind[i] = 2
+        stages.append((A, B, wa, wb, kind == 2, kind == 1))
+    return stages
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_stages(name: str, cos_bit: int):
+    """Stage-major flattened arrays for the native evaluator."""
+    stages = compiled_stages(name, cos_bit)
+    A = np.ascontiguousarray(np.stack([s[0] for s in stages]), np.int32)
+    B = np.ascontiguousarray(np.stack([s[1] for s in stages]), np.int32)
+    wa = np.ascontiguousarray(np.stack([s[2] for s in stages]), np.int64)
+    wb = np.ascontiguousarray(np.stack([s[3] for s in stages]), np.int64)
+    kind = np.ascontiguousarray(
+        np.stack([s[4].astype(np.int8) * 2 + s[5].astype(np.int8) for s in stages]), np.int8)
+    return len(stages), A, B, wa, wb, kind
+
+
 def eval_graph(name: str, x: np.ndarray, cos_bit: int, clamp_bit):
     """Evaluate a butterfly graph over x of shape (batch, n) int64.
 
     clamp_bit: per-stage add/sub clamp (inverse path), or None (forward)."""
-    g = _graphs()[name]
-    cospi = cospi_arr(cos_bit)
-    cur = None
-    for stage in g["stages"]:
-        nxt = np.empty((x.shape[0], len(stage)), dtype=np.int64)
-        for i, op in enumerate(stage):
-            kind = op[0]
-            if kind == "in":
-                nxt[:, i] = x[:, op[1]]
-            elif kind == "inng":
-                nxt[:, i] = -x[:, op[1]]
-            elif kind == "addin":
-                nxt[:, i] = x[:, op[1]] + x[:, op[2]]
-            elif kind == "subin":
-                nxt[:, i] = x[:, op[1]] - x[:, op[2]]
-            elif kind == "cp":
-                nxt[:, i] = cur[:, op[1]]
-            elif kind == "ng":
-                nxt[:, i] = -cur[:, op[1]]
-            elif kind == "add":
-                nxt[:, i] = _clamp(cur[:, op[1]] + cur[:, op[2]], clamp_bit)
-            elif kind == "sub":
-                nxt[:, i] = _clamp(cur[:, op[1]] - cur[:, op[2]], clamp_bit)
-            elif kind == "btf":
-                _, sa, ca, a, sb, cb, b = op
-                acc = sa * cospi[ca] * cur[:, a] + sb * cospi[cb] * cur[:, b]
-                nxt[:, i] = round_shift(acc, cos_bit)
-            else:
-                raise ValueError(kind)
-        cur = nxt
+    from ..bitstream import ec_native
+
+    lib = ec_native._load()
+    if lib is not None:
+        n_stages, A, B, wa, wb, kind = _flat_stages(name, cos_bit)
+        xin = np.ascontiguousarray(x, np.int64)
+        batch, n = xin.shape
+        out = np.empty_like(xin)
+        lib.txfm_eval_graph(A.reshape(-1), B.reshape(-1), wa.reshape(-1),
+                            wb.reshape(-1), kind.reshape(-1), n_stages, n,
+                            xin.reshape(-1), batch, cos_bit,
+                            clamp_bit if clamp_bit is not None else 0,
+                            out.reshape(-1))
+        return out
+    cur = x
+    rnd = 1 << (cos_bit - 1)
+    for A, B, wa, wb, is_btf, is_clamp in compiled_stages(name, cos_bit):
+        acc = wa * cur[:, A] + wb * cur[:, B]
+        shifted = (acc + rnd) >> cos_bit
+        out = np.where(is_btf, shifted, acc)
+        if clamp_bit is not None:
+            lo, hi = -(1 << (clamp_bit - 1)), (1 << (clamp_bit - 1)) - 1
+            out = np.where(is_clamp, np.clip(acc, lo, hi), out)
+        cur = out
     return cur
 
 

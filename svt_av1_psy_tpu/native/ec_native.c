@@ -1,0 +1,319 @@
+/* Native entropy coder: daala/AV1 range encoder + CDF adaptation + the
+ * per-transform-block coefficient writer.
+ *
+ * The Python package svt_av1_psy_tpu.bitstream.range_coder is the reference
+ * implementation (oracle-tested); this module must produce bit-identical
+ * output (verified by tests/test_ec_native.py). Entropy coding is the
+ * serial host hot loop (SURVEY.md §7: "entropy coding on host CPU in C++"),
+ * everything else is batched device math.
+ *
+ * Build: tools/build_native.sh
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define CDF_PROB_TOP 32768
+#define EC_PROB_SHIFT 6
+#define EC_MIN_PROB 4
+
+typedef struct {
+    uint32_t low;
+    uint32_t rng;
+    int32_t cnt;
+    uint16_t *precarry;
+    size_t len, cap;
+} EcEnc;
+
+static void grow(EcEnc *e, size_t need) {
+    if (e->len + need > e->cap) {
+        e->cap = e->cap * 2 + need + 4096;
+        e->precarry = (uint16_t *)realloc(e->precarry, e->cap * sizeof(uint16_t));
+    }
+}
+
+EcEnc *ec_create(void) {
+    EcEnc *e = (EcEnc *)calloc(1, sizeof(EcEnc));
+    e->rng = 0x8000;
+    e->cnt = -9;
+    e->cap = 1 << 16;
+    e->precarry = (uint16_t *)malloc(e->cap * sizeof(uint16_t));
+    return e;
+}
+
+void ec_free(EcEnc *e) {
+    if (e) {
+        free(e->precarry);
+        free(e);
+    }
+}
+
+void ec_reset(EcEnc *e) {
+    e->low = 0;
+    e->rng = 0x8000;
+    e->cnt = -9;
+    e->len = 0;
+}
+
+static inline int ilog_nz(uint32_t x) { return 32 - __builtin_clz(x); }
+
+static void ec_normalize(EcEnc *e, uint32_t low, uint32_t rng) {
+    int d = 16 - ilog_nz(rng);
+    int s = e->cnt + d;
+    if (s >= 0) {
+        grow(e, 2);
+        int c = e->cnt + 16;
+        uint32_t m = (1u << c) - 1;
+        if (s >= 8) {
+            e->precarry[e->len++] = (uint16_t)(low >> c);
+            low &= m;
+            c -= 8;
+            m >>= 8;
+        }
+        e->precarry[e->len++] = (uint16_t)(low >> c);
+        s = c + d - 24;
+        low &= m;
+    }
+    e->low = low << d;
+    e->rng = rng << d;
+    e->cnt = s;
+}
+
+void ec_bool(EcEnc *e, int val, unsigned f) {
+    uint32_t l = e->low, r = e->rng;
+    uint32_t v = ((r >> 8) * (f >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB;
+    if (val) {
+        l += r - v;
+        r = v;
+    } else {
+        r -= v;
+    }
+    ec_normalize(e, l, r);
+}
+
+void ec_literal(EcEnc *e, uint32_t value, int bits) {
+    for (int i = bits - 1; i >= 0; i--) ec_bool(e, (value >> i) & 1, 16384);
+}
+
+static void update_cdf(uint16_t *icdf, int sym, int nsyms) {
+    static const int speeds[17] = {0, 0, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2};
+    int count = icdf[nsyms];
+    int rate = 3 + (count > 15) + (count > 31) + speeds[nsyms];
+    for (int i = 0; i < nsyms - 1; i++) {
+        if (i < sym)
+            icdf[i] += (CDF_PROB_TOP - icdf[i]) >> rate;
+        else
+            icdf[i] -= icdf[i] >> rate;
+    }
+    icdf[nsyms] = count + (count < 32);
+}
+
+void ec_symbol(EcEnc *e, int sym, uint16_t *icdf, int nsyms, int adapt) {
+    uint32_t fl = sym > 0 ? icdf[sym - 1] : CDF_PROB_TOP;
+    uint32_t fh = icdf[sym];
+    uint32_t l = e->low, r = e->rng;
+    int n = nsyms - 1;
+    if (fl < CDF_PROB_TOP) {
+        uint32_t u = ((r >> 8) * (fl >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT)) +
+                     EC_MIN_PROB * (n - (sym - 1));
+        uint32_t v = ((r >> 8) * (fh >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT)) +
+                     EC_MIN_PROB * (n - sym);
+        l += r - u;
+        r = u - v;
+    } else {
+        r -= ((r >> 8) * (fh >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB * (n - sym);
+    }
+    ec_normalize(e, l, r);
+    if (adapt) update_cdf(icdf, sym, nsyms);
+}
+
+/* no-adapt variant for gathered/temporary cdfs */
+void ec_symbol_noadapt(EcEnc *e, int sym, const uint16_t *icdf, int nsyms) {
+    ec_symbol(e, sym, (uint16_t *)icdf, nsyms, 0);
+}
+
+int64_t ec_tell(EcEnc *e) { return (int64_t)e->cnt + 10 + 8 * (int64_t)e->len; }
+
+/* Finalize into out (carry-propagated). Returns byte count. */
+int64_t ec_done(EcEnc *e, uint8_t *out, int64_t cap) {
+    uint32_t l = e->low;
+    int c = e->cnt;
+    int s = 10 + c;
+    uint32_t m = 0x3FFF;
+    uint32_t ev = ((l + m) & ~m) | (m + 1);
+    grow(e, 8);
+    size_t len = e->len;
+    uint16_t *buf = e->precarry;
+    if (s > 0) {
+        uint32_t n = (1u << (c + 16)) - 1;
+        do {
+            buf[len++] = (uint16_t)(ev >> (c + 16));
+            ev &= n;
+            s -= 8;
+            c -= 8;
+            n >>= 8;
+        } while (s > 0);
+    }
+    if ((int64_t)len > cap) return -1;
+    uint32_t carry = 0;
+    for (size_t i = len; i-- > 0;) {
+        carry += buf[i];
+        out[i] = (uint8_t)carry;
+        carry >>= 8;
+    }
+    return (int64_t)len;
+}
+
+/* ---------------------------------------------------------------------- */
+/* coefficient block writer (av1_write_coeffs_txb_1d equivalent)           */
+/* ---------------------------------------------------------------------- */
+
+#define NUM_BASE_LEVELS 2
+#define COEFF_BASE_RANGE 12
+#define BR_CDF_SIZE 4
+#define COEFF_CONTEXT_BITS 6
+#define COEFF_CONTEXT_MASK 63
+
+static const int16_t eob_group_start[12] = {0, 1, 2, 3, 5, 9, 17, 33, 65, 129, 257, 513};
+static const int16_t eob_offset_bits[12] = {0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9};
+static const uint8_t eob_to_pos_small[33] = {0, 1, 2, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 5, 5,
+                                             5, 5, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6,
+                                             6, 6, 6};
+static const uint8_t eob_to_pos_large[17] = {6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10,
+                                             10, 10, 10, 11};
+
+static void write_golomb(EcEnc *e, int level) {
+    int x = level + 1;
+    int length = 32 - __builtin_clz(x);
+    for (int i = 0; i < length - 1; i++) ec_bool(e, 0, 16384);
+    for (int i = length - 1; i >= 0; i--) ec_bool(e, (x >> i) & 1, 16384);
+}
+
+/* cdf row pointers/strides let Python hand us views into the FrameContext
+ * arrays so adaptation state stays shared. All cdf rows include the
+ * adaptation counter element. */
+int32_t ec_write_coeffs_txb(
+    EcEnc *e, const int32_t *qcoeff, int n, int eob, const int16_t *scan,
+    const int8_t *coeff_ctxs,      /* per scan index, len eob */
+    const int8_t *br_ctx_map,      /* per raster position, len n */
+    int adapt,
+    uint16_t *txb_skip_row,        /* 2-sym row */
+    uint16_t *eob_multi_row, int eob_multi_nsyms,
+    uint16_t *eob_extra_rows,      /* 22 rows x 3 (indexed by eob_pt) */
+    uint16_t *base_eob_rows,       /* 4 ctx rows x 4 */
+    uint16_t *base_rows,           /* 42 ctx rows x 5 */
+    uint16_t *br_rows,             /* 21 ctx rows x 5 */
+    uint16_t *dc_sign_row, int include_skip) {
+    if (include_skip) {
+        ec_symbol(e, eob == 0, txb_skip_row, 2, adapt);
+        if (eob == 0) return 0;
+    }
+
+    int eob_pt, eob_extra;
+    if (eob < 33) {
+        eob_pt = eob_to_pos_small[eob];
+    } else {
+        int i = (eob - 1) >> 5;
+        eob_pt = eob_to_pos_large[i > 16 ? 16 : i];
+    }
+    eob_extra = eob - eob_group_start[eob_pt];
+    ec_symbol(e, eob_pt - 1, eob_multi_row, eob_multi_nsyms, adapt);
+    int bits = eob_offset_bits[eob_pt];
+    if (bits > 0) {
+        int bit = (eob_extra >> (bits - 1)) & 1;
+        ec_symbol(e, bit, eob_extra_rows + 3 * eob_pt, 2, adapt);
+        for (int i = 1; i < bits; i++) ec_bool(e, (eob_extra >> (bits - 1 - i)) & 1, 16384);
+    }
+
+    for (int c = eob - 1; c >= 0; c--) {
+        int pos = scan[c];
+        int32_t v = qcoeff[pos];
+        int level = v < 0 ? -v : v;
+        int cctx = coeff_ctxs[c];
+        if (c == eob - 1) {
+            int s = (level < 3 ? level : 3) - 1;
+            ec_symbol(e, s, base_eob_rows + 4 * cctx, 3, adapt);
+        } else {
+            int s = level < 3 ? level : 3;
+            ec_symbol(e, s, base_rows + 5 * cctx, 4, adapt);
+        }
+        if (level > NUM_BASE_LEVELS) {
+            int base_range = level - 1 - NUM_BASE_LEVELS;
+            int brc = br_ctx_map[pos];
+            for (int idx = 0; idx < COEFF_BASE_RANGE; idx += BR_CDF_SIZE - 1) {
+                int k = base_range - idx;
+                if (k > BR_CDF_SIZE - 1) k = BR_CDF_SIZE - 1;
+                ec_symbol(e, k, br_rows + 5 * brc, BR_CDF_SIZE, adapt);
+                if (k < BR_CDF_SIZE - 1) break;
+            }
+        }
+    }
+
+    int cul_level = 0;
+    for (int c = 0; c < eob; c++) {
+        int pos = scan[c];
+        int32_t v = qcoeff[pos];
+        int level = v < 0 ? -v : v;
+        cul_level += level;
+        if (level) {
+            int sign = v < 0;
+            if (c == 0)
+                ec_symbol(e, sign, dc_sign_row, 2, adapt);
+            else
+                ec_bool(e, sign, 16384);
+            if (level > COEFF_BASE_RANGE + NUM_BASE_LEVELS)
+                write_golomb(e, level - COEFF_BASE_RANGE - 1 - NUM_BASE_LEVELS);
+        }
+    }
+    if (cul_level > COEFF_CONTEXT_MASK) cul_level = COEFF_CONTEXT_MASK;
+    if (qcoeff[0] < 0)
+        cul_level |= 1 << COEFF_CONTEXT_BITS;
+    else if (qcoeff[0] > 0)
+        cul_level += 2 << COEFF_CONTEXT_BITS;
+    return cul_level;
+}
+
+/* ---------------------------------------------------------------------- */
+/* generic butterfly-graph evaluator (1-D transform stages)                */
+/* ---------------------------------------------------------------------- */
+
+/* Stage-major flattened op arrays (see codec/transforms.compiled_stages):
+ * per output lane: acc = wa*cur[A] + wb*cur[B];
+ * kind 0 = passthrough, 1 = clamp(acc), 2 = round_shift(acc, cos_bit). */
+void txfm_eval_graph(const int32_t *A, const int32_t *B, const int64_t *wa,
+                     const int64_t *wb, const int8_t *kind, int n_stages, int n,
+                     const int64_t *x, int batch, int cos_bit, int clamp_bit,
+                     int64_t *out) {
+    int64_t bufa[64], bufb[64];
+    int64_t rnd = 1ll << (cos_bit - 1);
+    int64_t lo = 0, hi = 0;
+    if (clamp_bit > 0) {
+        lo = -(1ll << (clamp_bit - 1));
+        hi = (1ll << (clamp_bit - 1)) - 1;
+    }
+    for (int b = 0; b < batch; b++) {
+        const int64_t *src = x + (size_t)b * n;
+        int64_t *cur = bufa, *nxt = bufb;
+        memcpy(cur, src, n * sizeof(int64_t));
+        for (int s = 0; s < n_stages; s++) {
+            const int32_t *sA = A + (size_t)s * n;
+            const int32_t *sB = B + (size_t)s * n;
+            const int64_t *swa = wa + (size_t)s * n;
+            const int64_t *swb = wb + (size_t)s * n;
+            const int8_t *sk = kind + (size_t)s * n;
+            for (int i = 0; i < n; i++) {
+                int64_t acc = swa[i] * cur[sA[i]] + swb[i] * cur[sB[i]];
+                if (sk[i] == 2)
+                    acc = (acc + rnd) >> cos_bit;
+                else if (sk[i] == 1 && clamp_bit > 0)
+                    acc = acc < lo ? lo : (acc > hi ? hi : acc);
+                nxt[i] = acc;
+            }
+            int64_t *t = cur;
+            cur = nxt;
+            nxt = t;
+        }
+        memcpy(out + (size_t)b * n, cur, n * sizeof(int64_t));
+    }
+}

@@ -37,59 +37,19 @@ def _clamp(x, bit):
     return jnp.clip(x, -(1 << (bit - 1)), (1 << (bit - 1)) - 1)
 
 
-@functools.lru_cache(maxsize=None)
-def _compiled_stages(name: str, cos_bit: int):
-    """Canonicalize every stage to lane-parallel gather form:
-       out[i] = sel(kind[i],  wa[i]*cur[A[i]] + wb[i]*cur[B[i]])
-    kind: 0 = passthrough (copy/neg/add/sub without clamp — fwd path),
-          1 = clamp (inverse add/sub), 2 = round_shift by cos_bit (btf)."""
-    g = T._graphs()[name]
-    cospi = np.asarray(T.cospi_arr(cos_bit), np.int64)
-    stages = []
-    for stage in g["stages"]:
-        n = len(stage)
-        A = np.zeros(n, np.int32)
-        B = np.zeros(n, np.int32)
-        wa = np.zeros(n, np.int64)
-        wb = np.zeros(n, np.int64)
-        kind = np.zeros(n, np.int8)
-        for i, op in enumerate(stage):
-            k = op[0]
-            if k in ("in", "cp"):
-                A[i], wa[i] = op[1], 1
-            elif k in ("inng", "ng"):
-                A[i], wa[i] = op[1], -1
-            elif k in ("addin", "add"):
-                A[i], B[i], wa[i], wb[i] = op[1], op[2], 1, 1
-                kind[i] = 1 if k == "add" else 0
-            elif k in ("subin", "sub"):
-                A[i], B[i], wa[i], wb[i] = op[1], op[2], 1, -1
-                kind[i] = 1 if k == "sub" else 0
-            else:  # btf
-                _, sa, ca, a, sb, cb, b = op
-                A[i], B[i] = a, b
-                wa[i], wb[i] = sa * cospi[ca], sb * cospi[cb]
-                kind[i] = 2
-        first_is_input = stage[0][0] in ("in", "inng", "addin", "subin")
-        stages.append((first_is_input, A, B, wa, wb, kind))
-    return stages
-
-
 def _eval_graph_jnp(name: str, x, cos_bit: int, clamp_bit):
     """x: (batch, n) int. Returns (batch, n) int. Each stage is a handful of
     gathers + elementwise selects (VPU-friendly, small HLO)."""
-    stages = _compiled_stages(name, cos_bit)
+    stages = T.compiled_stages(name, cos_bit)
     dt = x.dtype
     cur = x
-    for _, A, B, wa, wb, kind in stages:
+    for A, B, wa, wb, is_btf, is_clamp in stages:
         va = jnp.take(cur, A, axis=1)
         vb = jnp.take(cur, B, axis=1)
         acc = jnp.asarray(wa, dt)[None, :] * va + jnp.asarray(wb, dt)[None, :] * vb
-        is_btf = (kind == 2)[None, :]
-        is_clamp = (kind == 1)[None, :]
         shifted = _round_shift(acc, cos_bit)
         clamped = _clamp(acc, clamp_bit) if clamp_bit is not None else acc
-        cur = jnp.where(is_btf, shifted, jnp.where(is_clamp, clamped, acc))
+        cur = jnp.where(is_btf[None, :], shifted, jnp.where(is_clamp[None, :], clamped, acc))
     return cur
 
 
