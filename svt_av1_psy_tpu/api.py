@@ -83,6 +83,20 @@ class Encoder:
             # single-picture guard (enc_handle.c:5453)
             raise SvtAv1Error(ErrorCode.ERROR_BAD_PARAMETER, "avif mode accepts one picture")
         qindex = _crf_to_qindex(cfg.crf) if cfg.rate_control_mode == RateControlMode.CRF_CQP else 100
+        sb_qindex_map = None
+        if cfg.enable_variance_boost and cfg.aq_mode == 2 and qindex > 1:
+            from .psy.variance_boost import sb_variances_8x8, variance_adjust_qp
+
+            ph = -(-cfg.height // 64) * 64
+            pw = -(-cfg.width // 64) * 64
+            padded = np.zeros((ph, pw), np.uint8)
+            padded[: cfg.height, : cfg.width] = y
+            padded[: cfg.height, cfg.width :] = y[:, -1:]
+            padded[cfg.height :, :] = padded[cfg.height - 1 : cfg.height, :]
+            variances = sb_variances_8x8(padded)
+            qindex, sb_qindex_map = variance_adjust_qp(
+                qindex, variances, cfg.variance_boost_strength, cfg.input_depth,
+                cfg.variance_octile, int(cfg.variance_boost_curve))
         enc = IntraFrameEncoder(
             cfg.width,
             cfg.height,
@@ -90,9 +104,10 @@ class Encoder:
             bd=cfg.input_depth,
             monochrome=self._seq.monochrome,
             sharpness=cfg.sharpness,
+            sb_qindex_map=sb_qindex_map,
         )
         tile = enc.encode_frame(y, u, v)
-        fp = FrameParams(base_q_idx=qindex)
+        fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None)
         payload = temporal_delimiter_obu()
         if self._frame_count == 0:
             payload += sequence_header_obu(self._seq)

@@ -77,6 +77,8 @@ class FrameParams:
     qm_y: int = 15
     qm_u: int = 15
     qm_v: int = 15
+    delta_q_present: bool = False
+    delta_q_res: int = 4
     filter_level: tuple = (0, 0)
     filter_level_uv: tuple = (0, 0)
     sharpness: int = 0
@@ -313,7 +315,11 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
     _write_quantization(w, sp, fp)
     w.f(0, 1)  # segmentation_enabled
     if fp.base_q_idx > 0:
-        w.f(0, 1)  # delta_q_present
+        w.f(int(fp.delta_q_present), 1)
+        if fp.delta_q_present:
+            w.f(fp.delta_q_res.bit_length() - 1, 2)  # log2(delta_q_res)
+            if not fp.allow_intrabc:
+                w.f(0, 1)  # delta_lf_present
     _write_loop_filter(w, sp, fp)
     if sp.enable_cdef and not fp.allow_intrabc:
         raise NotImplementedError("cdef params")

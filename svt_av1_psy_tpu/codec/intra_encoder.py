@@ -150,6 +150,7 @@ class IntraFrameEncoder:
     def __init__(self, width, height, qindex, bd=8, monochrome=False,
                  sharpness=0, disable_cdf_update=False,
                  target_bsize=BlockSize.BLOCK_32X32,
+                 sb_qindex_map=None, delta_q_res=4,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.SMOOTH_PRED,
                                   PredictionMode.PAETH_PRED)):
@@ -173,6 +174,15 @@ class IntraFrameEncoder:
         self.enc = ec_native.NativeRangeEncoder() if self.use_native_ec else RangeEncoder()
         self.tables = get_tables()
         nplanes = 1 if monochrome else 3
+        self.nplanes = nplanes
+        # per-SB delta-q (variance boost / AQ); entries must be
+        # qindex + k*delta_q_res (svt_variance_adjust_qp guarantees this)
+        self.sb_qindex_map = sb_qindex_map
+        self.delta_q_res = delta_q_res
+        self.delta_q_present = sb_qindex_map is not None
+        self._prev_qindex = qindex
+        self._sb_qindex = qindex
+        self._sb_delta_pending = False
         self.quant = [build_plane_quant(qindex, 0, 0, bd, sharpness, qindex)
                       for _ in range(nplanes)]
         # mi-grid state
@@ -255,6 +265,12 @@ class IntraFrameEncoder:
         sb_mi = self.sb_size >> 2
         for mi_row in range(0, self.mi_rows, sb_mi):
             for mi_col in range(0, self.mi_cols, sb_mi):
+                if self.delta_q_present:
+                    self._sb_qindex = int(self.sb_qindex_map[mi_row // sb_mi, mi_col // sb_mi])
+                    self._sb_delta_pending = True
+                    self.quant = [build_plane_quant(self._sb_qindex, 0, 0, self.bd,
+                                                    self.sharpness, self.qindex)
+                                  for _ in range(self.nplanes)]
                 self._walk_partition(mi_row, mi_col, BlockSize.BLOCK_64X64)
         return self.enc.done()
 
@@ -383,8 +399,11 @@ class IntraFrameEncoder:
 
         skip = all(r[9] == 0 for r in results)
 
-        # ---- syntax: skip flag, modes
+        # ---- syntax: skip flag, delta-q, modes
         self._write_skip(mi_row, mi_col, skip)
+        if (self._sb_delta_pending and (mi_row & 15) == 0 and (mi_col & 15) == 0
+                and (bsize != BlockSize.BLOCK_64X64 or not skip)):
+            self._write_delta_q_index()
         self._write_y_mode_kf(mi_row, mi_col, bsize, y_mode)
         if has_uv:
             cfl_allowed = W <= 32 and H <= 32
@@ -430,6 +449,22 @@ class IntraFrameEncoder:
         c1 = min(mi_col + bw4, self.mi_cols)
         self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
         self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
+
+    def _write_delta_q_index(self):
+        """av1_write_delta_q_index (entropy_coding.c): per-SB qindex delta."""
+        reduced = (self._sb_qindex - self._prev_qindex) // self.delta_q_res
+        self._prev_qindex = self._sb_qindex
+        self._sb_delta_pending = False
+        sign = 1 if reduced < 0 else 0
+        a = abs(reduced)
+        self.fc.write(self.enc, "delta_q", (), min(a, 3), 4)
+        if a >= 3:
+            rem_bits = (a - 1).bit_length() - 1
+            thr = (1 << rem_bits) + 1
+            self.enc.encode_literal(rem_bits - 1, 3)
+            self.enc.encode_literal(a - thr, rem_bits)
+        if a > 0:
+            self.enc.encode_bool(sign, 16384)
 
     def _write_skip(self, mi_row, mi_col, skip):
         above = int(self.mi_skip[mi_row - 1, mi_col]) if mi_row > 0 else 0
