@@ -32,6 +32,7 @@ class Packet:
     pts: int
     frame_type: str = "key"
     recon: Optional[tuple] = None
+    stats: Optional[dict] = None
 
 
 def _crf_to_qindex(crf: float) -> int:
@@ -89,9 +90,11 @@ class Encoder:
 
             ph = -(-cfg.height // 64) * 64
             pw = -(-cfg.width // 64) * 64
+            # PA variance statistics are 8-bit-domain (pic_analysis_process.c)
+            y8 = (np.asarray(y) >> (cfg.input_depth - 8)).astype(np.uint8)
             padded = np.zeros((ph, pw), np.uint8)
-            padded[: cfg.height, : cfg.width] = y
-            padded[: cfg.height, cfg.width :] = y[:, -1:]
+            padded[: cfg.height, : cfg.width] = y8
+            padded[: cfg.height, cfg.width :] = y8[:, -1:]
             padded[cfg.height :, :] = padded[cfg.height - 1 : cfg.height, :]
             variances = sb_variances_8x8(padded)
             qindex, sb_qindex_map = variance_adjust_qp(
@@ -106,18 +109,25 @@ class Encoder:
             sharpness=cfg.sharpness,
             sb_qindex_map=sb_qindex_map,
         )
-        tile = enc.encode_frame(y, u, v)
-        fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None)
+        tiles = enc.encode_tiles(y, u, v, cfg.tile_columns, cfg.tile_rows)
+        fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
+                         tile_cols_log2=cfg.tile_columns, tile_rows_log2=cfg.tile_rows)
         payload = temporal_delimiter_obu()
         if self._frame_count == 0:
             payload += sequence_header_obu(self._seq)
-        payload += frame_obu(self._seq, fp, [tile])
+        payload += frame_obu(self._seq, fp, tiles)
         recon = None
-        if cfg.recon_enabled:
+        if cfg.recon_enabled or cfg.stat_report:
             recon = tuple(enc.recon_plane(p) for p in range(1 if self._seq.monochrome else 3))
             self._recon_last = recon
+        stats = None
+        if cfg.stat_report:
+            from .codec.metrics import frame_stats
+
+            srcs = (y,) if self._seq.monochrome else (y, u, v)
+            stats = frame_stats(srcs, recon, cfg.input_depth)
         self._packets.append(Packet(payload, pts if pts is not None else self._frame_count,
-                                    recon=recon))
+                                    recon=recon if cfg.recon_enabled else None, stats=stats))
         self._frame_count += 1
 
     def get_packet(self) -> Optional[Packet]:

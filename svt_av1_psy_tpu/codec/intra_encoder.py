@@ -186,6 +186,7 @@ class IntraFrameEncoder:
         self.quant = [build_plane_quant(qindex, 0, 0, bd, sharpness, qindex)
                       for _ in range(nplanes)]
         # mi-grid state
+        self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.mi_skip = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.part_above = np.zeros(self.mi_cols, np.uint8)
@@ -226,8 +227,11 @@ class IntraFrameEncoder:
     # ------------------------------------------------------------ neighbors
     def _gather_neighbors(self, plane, x0, y0, W, H):
         ps = self.planes[plane]
-        have_above = y0 > 0
-        have_left = x0 > 0
+        ss = 0 if plane == 0 else 1
+        mi_r0, _, mi_c0, _ = self.tile_mi
+        # prediction never crosses tile boundaries
+        have_above = y0 > ((mi_r0 * 4) >> ss)
+        have_left = x0 > ((mi_c0 * 4) >> ss)
         base = 1 << (self.bd - 1)
         maxx = ps.width - 1
         if have_above:
@@ -260,11 +264,45 @@ class IntraFrameEncoder:
 
     # -------------------------------------------------------------- encode
     def encode_frame(self, y, u=None, v=None) -> bytes:
-        """Returns the coded tile payload; recon available in self.planes."""
+        """Single-tile encode; returns the coded tile payload."""
+        return self.encode_tiles(y, u, v)[0]
+
+    def encode_tiles(self, y, u=None, v=None, tile_cols_log2=0, tile_rows_log2=0) -> list:
+        """Encode with uniform tile spacing; returns per-tile payloads in
+        raster order. Tiles are fully independent (own CDFs, contexts,
+        prediction boundaries) — the frame-level parallelism axis."""
         self._init_planes(y, u, v)
         sb_mi = self.sb_size >> 2
-        for mi_row in range(0, self.mi_rows, sb_mi):
-            for mi_col in range(0, self.mi_cols, sb_mi):
+        sb_cols = -(-self.mi_cols // sb_mi)
+        sb_rows = -(-self.mi_rows // sb_mi)
+        tw = -(-sb_cols // (1 << tile_cols_log2))  # tile width in SBs
+        th = -(-sb_rows // (1 << tile_rows_log2))
+        col_starts = list(range(0, sb_cols, tw)) + [sb_cols]
+        row_starts = list(range(0, sb_rows, th)) + [sb_rows]
+        payloads = []
+        for tr in range(len(row_starts) - 1):
+            for tc in range(len(col_starts) - 1):
+                payloads.append(self._encode_tile(
+                    row_starts[tr] * sb_mi, min(row_starts[tr + 1] * sb_mi, self.mi_rows),
+                    col_starts[tc] * sb_mi, min(col_starts[tc + 1] * sb_mi, self.mi_cols)))
+        return payloads
+
+    def _encode_tile(self, mi_r0, mi_r1, mi_c0, mi_c1) -> bytes:
+        sb_mi = self.sb_size >> 2
+        # fresh per-tile coding state (tiles are independent)
+        self.fc = FrameContext(self.qindex, self.fc.disable_update)
+        self.enc = ec_native.NativeRangeEncoder() if self.use_native_ec else RangeEncoder()
+        self.tile_mi = (mi_r0, mi_r1, mi_c0, mi_c1)
+        self._prev_qindex = self.qindex
+        self.part_above[mi_c0:mi_c1] = 0
+        self.part_left[mi_r0:mi_r1] = 0
+        for plane, ps in enumerate(self.planes):
+            ss = 0 if plane == 0 else 1
+            # entropy ctx arrays are in plane 4x4 units: unit = (mi*4>>ss)>>2
+            ps.above_ctx[mi_c0 >> ss : mi_c1 >> ss] = 0
+            ps.left_ctx[mi_r0 >> ss : mi_r1 >> ss] = 0
+        for mi_row in range(mi_r0, mi_r1, sb_mi):
+            for mi_col in range(mi_c0, mi_c1, sb_mi):
                 if self.delta_q_present:
                     self._sb_qindex = int(self.sb_qindex_map[mi_row // sb_mi, mi_col // sb_mi])
                     self._sb_delta_pending = True
@@ -467,15 +505,17 @@ class IntraFrameEncoder:
             self.enc.encode_bool(sign, 16384)
 
     def _write_skip(self, mi_row, mi_col, skip):
-        above = int(self.mi_skip[mi_row - 1, mi_col]) if mi_row > 0 else 0
-        left = int(self.mi_skip[mi_row, mi_col - 1]) if mi_col > 0 else 0
+        mi_r0, _, mi_c0, _ = self.tile_mi
+        above = int(self.mi_skip[mi_row - 1, mi_col]) if mi_row > mi_r0 else 0
+        left = int(self.mi_skip[mi_row, mi_col - 1]) if mi_col > mi_c0 else 0
         self.fc.write(self.enc, "skip", (above + left,), int(skip), 2)
 
     def _write_y_mode_kf(self, mi_row, mi_col, bsize, mode):
-        above = int(self.mi_mode[mi_row - 1, mi_col]) if mi_row > 0 else 0
-        left = int(self.mi_mode[mi_row, mi_col - 1]) if mi_col > 0 else 0
-        actx = int(INTRA_MODE_CONTEXT[above]) if mi_row > 0 else 0
-        lctx = int(INTRA_MODE_CONTEXT[left]) if mi_col > 0 else 0
+        mi_r0, _, mi_c0, _ = self.tile_mi
+        above = int(self.mi_mode[mi_row - 1, mi_col]) if mi_row > mi_r0 else 0
+        left = int(self.mi_mode[mi_row, mi_col - 1]) if mi_col > mi_c0 else 0
+        actx = int(INTRA_MODE_CONTEXT[above]) if mi_row > mi_r0 else 0
+        lctx = int(INTRA_MODE_CONTEXT[left]) if mi_col > mi_c0 else 0
         self.fc.write(self.enc, "kf_y_mode", (actx, lctx), int(mode), 13)
         if bsize >= BlockSize.BLOCK_8X8 and 1 <= int(mode) <= 8:
             # directional: angle_delta = 0 -> symbol 3

@@ -1,0 +1,53 @@
+"""Quality metrics: PSNR and SSIM (the --enable-stat-report path;
+reference: packetization_process.c:639-740, svt_psnr.c, ssim kernels).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(src: np.ndarray, recon: np.ndarray, bd: int = 8) -> float:
+    peak = (1 << bd) - 1
+    mse = np.mean((src.astype(np.float64) - recon.astype(np.float64)) ** 2)
+    if mse <= 0:
+        return 100.0
+    return float(10 * np.log10(peak * peak / mse))
+
+
+def ssim(src: np.ndarray, recon: np.ndarray, bd: int = 8) -> float:
+    """8x8-windowed SSIM matching the reference's aom_ssim2-style grid
+    (8x8 blocks stepped by 4), constants from the SSIM paper."""
+    peak = (1 << bd) - 1
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    a = src.astype(np.float64)
+    b = recon.astype(np.float64)
+    H, W = a.shape
+    if H < 8 or W < 8:
+        return 1.0
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wa = sliding_window_view(a, (8, 8))[::4, ::4]
+    wb = sliding_window_view(b, (8, 8))[::4, ::4]
+    mu_a = wa.mean(axis=(2, 3))
+    mu_b = wb.mean(axis=(2, 3))
+    var_a = (wa * wa).mean(axis=(2, 3)) - mu_a * mu_a
+    var_b = (wb * wb).mean(axis=(2, 3)) - mu_b * mu_b
+    cov = (wa * wb).mean(axis=(2, 3)) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
+    )
+    return float(s.mean())
+
+
+def frame_stats(src_planes, recon_planes, bd: int = 8) -> dict:
+    """Per-frame stat-report record (luma + chroma PSNR/SSIM)."""
+    names = ["y", "u", "v"]
+    out = {}
+    for name, s, r in zip(names, src_planes, recon_planes):
+        if s is None or r is None:
+            continue
+        out[f"psnr_{name}"] = psnr(s, r, bd)
+        out[f"ssim_{name}"] = ssim(s, r, bd)
+    return out
