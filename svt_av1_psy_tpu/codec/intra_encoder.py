@@ -37,6 +37,7 @@ from .constants import (
     UVPredictionMode,
 )
 from .intra import predict
+from .intra_dir import dr_pred
 from .quant import build_plane_quant, quantize_b
 from .spec_tables import get_tables
 from .transforms import forward_transform_2d, inverse_transform_add
@@ -152,7 +153,11 @@ class IntraFrameEncoder:
                  target_bsize=BlockSize.BLOCK_32X32,
                  sb_qindex_map=None, delta_q_res=4,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
-                                  PredictionMode.H_PRED, PredictionMode.SMOOTH_PRED,
+                                  PredictionMode.H_PRED, PredictionMode.D45_PRED,
+                                  PredictionMode.D135_PRED, PredictionMode.D113_PRED,
+                                  PredictionMode.D157_PRED, PredictionMode.D203_PRED,
+                                  PredictionMode.D67_PRED, PredictionMode.SMOOTH_PRED,
+                                  PredictionMode.SMOOTH_V_PRED, PredictionMode.SMOOTH_H_PRED,
                                   PredictionMode.PAETH_PRED)):
         # target_bsize: leaf block size when not forced smaller by frame edges
         # (32x32 default: full coefficient coverage; TX_64 codes only the
@@ -208,12 +213,14 @@ class IntraFrameEncoder:
         # writes stay clipped to the aligned dims, matching the decoder)
         sb_w = -(-self.aligned_w // self.sb_size) * self.sb_size
         sb_h = -(-self.aligned_h // self.sb_size) * self.sb_size
+        self.decoded = []  # per-plane 4x4-unit decoded bitmap (spec BlockDecoded)
         self.src = [pad(y.astype(np.uint16), sb_w, sb_h)]
         self.planes = [PlaneState(
             recon=np.zeros((self.aligned_h, self.aligned_w), np.uint16),
             above_ctx=np.zeros(self.aligned_w >> 2, np.uint8),
             left_ctx=np.zeros(self.aligned_h >> 2, np.uint8),
             width=self.aligned_w, height=self.aligned_h)]
+        self.decoded.append(np.zeros((self.aligned_h >> 2, self.aligned_w >> 2), bool))
         if not self.mono:
             cw, ch = self.aligned_w >> 1, self.aligned_h >> 1
             for p in (u, v):
@@ -223,44 +230,81 @@ class IntraFrameEncoder:
                     above_ctx=np.zeros(cw >> 2, np.uint8),
                     left_ctx=np.zeros(ch >> 2, np.uint8),
                     width=cw, height=ch))
+                self.decoded.append(np.zeros((ch >> 2, cw >> 2), bool))
 
     # ------------------------------------------------------------ neighbors
+    def _have_above_right(self, plane, xu, yu, wu):
+        """Spec BlockDecoded semantics: the row above the SB is available only
+        within the SB's own columns; inside the SB, the decoded bitmap."""
+        ps = self.planes[plane]
+        ss = 0 if plane == 0 else 1
+        _, _, mi_c0, mi_c1 = self.tile_mi
+        tile_right_u = (mi_c1 >> ss)
+        if xu + wu >= min(tile_right_u, ps.width >> 2):
+            return False
+        sb_u = self.sb_size >> (2 + ss)
+        if yu % sb_u == 0:  # block at SB top: target row is above the SB
+            sb_right_u = (xu // sb_u + 1) * sb_u
+            return xu + wu < sb_right_u
+        return bool(self.decoded[plane][yu - 1, xu + wu])
+
+    def _have_below_left(self, plane, xu, yu, hu):
+        ps = self.planes[plane]
+        ss = 0 if plane == 0 else 1
+        _, mi_r1, _, _ = self.tile_mi
+        tile_bottom_u = (mi_r1 >> ss)
+        if yu + hu >= min(tile_bottom_u, ps.height >> 2):
+            return False
+        sb_u = self.sb_size >> (2 + ss)
+        if xu % sb_u == 0:  # block at SB left: target col is left of the SB
+            sb_bottom_u = (yu // sb_u + 1) * sb_u
+            return yu + hu < sb_bottom_u
+        return bool(self.decoded[plane][yu + hu, xu - 1])
+
     def _gather_neighbors(self, plane, x0, y0, W, H):
+        """Returns (above_buf, left_buf, have_above, have_left) with the spec
+        substitutions/extensions applied. Buffers are length 1+W+H with the
+        top-left corner at [0] (the layout dr prediction needs)."""
         ps = self.planes[plane]
         ss = 0 if plane == 0 else 1
         mi_r0, _, mi_c0, _ = self.tile_mi
-        # prediction never crosses tile boundaries
         have_above = y0 > ((mi_r0 * 4) >> ss)
         have_left = x0 > ((mi_c0 * 4) >> ss)
         base = 1 << (self.bd - 1)
         maxx = ps.width - 1
+        maxy = ps.height - 1
+        n = W + H
+        above = np.empty(n, np.uint16)
+        left = np.empty(n, np.uint16)
         if have_above:
-            cols = np.minimum(np.arange(x0, x0 + W), maxx)
-            above = ps.recon[y0 - 1, cols]
-        else:
-            above = None
+            have_ar = self._have_above_right(plane, x0 >> 2, y0 >> 2, W >> 2)
+            span = n if have_ar else W
+            cols = np.minimum(np.arange(x0, x0 + span), maxx)
+            above[:span] = ps.recon[y0 - 1, cols]
+            if not have_ar:
+                above[W:] = above[W - 1]
         if have_left:
-            rows = np.minimum(np.arange(y0, y0 + H), ps.height - 1)
-            left = ps.recon[rows, x0 - 1]
-        else:
-            left = None
-        if above is None and left is not None:
-            above = np.full(W, left[0], np.uint16)
-        elif above is None:
-            above = np.full(W, base - 1, np.uint16)
-        if left is None and have_above:
-            left = np.full(H, above[0], np.uint16)
-        elif left is None:
-            left = np.full(H, base + 1, np.uint16)
+            have_bl = self._have_below_left(plane, x0 >> 2, y0 >> 2, H >> 2)
+            span = n if have_bl else H
+            rows = np.minimum(np.arange(y0, y0 + span), maxy)
+            left[:span] = ps.recon[rows, x0 - 1]
+            if not have_bl:
+                left[H:] = left[H - 1]
+        if not have_above:
+            above[:] = left[0] if have_left else base - 1
+        if not have_left:
+            left[:] = above[0] if have_above else base + 1
         if have_above and have_left:
-            top_left = ps.recon[y0 - 1, x0 - 1]
+            corner = ps.recon[y0 - 1, x0 - 1]
         elif have_above:
-            top_left = above[0]
+            corner = above[0]
         elif have_left:
-            top_left = left[0]
+            corner = left[0]
         else:
-            top_left = base
-        return above, left, np.array([top_left], np.uint16), have_above, have_left
+            corner = base
+        above_buf = np.concatenate(([corner], above)).astype(np.uint16)
+        left_buf = np.concatenate(([corner], left)).astype(np.uint16)
+        return above_buf, left_buf, have_above, have_left
 
     # -------------------------------------------------------------- encode
     def encode_frame(self, y, u=None, v=None) -> bytes:
@@ -397,11 +441,12 @@ class IntraFrameEncoder:
         bw4, bh4 = W >> 2, H >> 2
 
         # ---- luma mode decision on recon neighbors
-        above, left, tl, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
+        above_buf, left_buf, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
         src = self.src[0][y0 : y0 + H, x0 : x0 + W]
+        candidates = self._prune_modes(src)
         best_mode, best_pred, best_cost = None, None, None
-        for mode in self.mode_candidates:
-            pred = predict(int(mode), above[None], left[None], tl, have_a, have_l, self.bd)[0]
+        for mode in candidates:
+            pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
             cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
             if best_cost is None or cost < best_cost:
                 best_mode, best_pred, best_cost = mode, pred, cost
@@ -424,8 +469,8 @@ class IntraFrameEncoder:
         results = []
         for plane, px, py, pw, ph, tx_size, mode, pred in plane_jobs:
             if pred is None:
-                pa, pl, ptl, pha, phl = self._gather_neighbors(plane, px, py, pw, ph)
-                pred = predict(int(mode), pa[None], pl[None], ptl, pha, phl, self.bd)[0]
+                pa, pl, pha, phl = self._gather_neighbors(plane, px, py, pw, ph)
+                pred = self._predict(int(mode), pa, pl, pha, phl, pw, ph)
             psrc = self.src[plane][py : py + ph, px : px + pw]
             resid = psrc.astype(np.int16) - pred.astype(np.int16)
             coeffs = forward_transform_2d(resid[None].astype(np.int32), int(tx_size), 0, self.bd)[0]
@@ -481,12 +526,49 @@ class IntraFrameEncoder:
             wr = min(pw, ps.width - px)
             hr = min(ph, ps.height - py)
             ps.recon[py : py + hr, px : px + wr] = recon[:hr, :wr]
+            self.decoded[plane][py >> 2 : (py + hr) >> 2, px >> 2 : (px + wr) >> 2] = True
 
         # ---- mi grid updates
         r1 = min(mi_row + bh4, self.mi_rows)
         c1 = min(mi_col + bw4, self.mi_cols)
         self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
         self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
+
+    # per-directional-mode edge unit vectors (mode angle degrees)
+    _DIR_MODES = (PredictionMode.V_PRED, PredictionMode.H_PRED, PredictionMode.D45_PRED,
+                  PredictionMode.D135_PRED, PredictionMode.D113_PRED,
+                  PredictionMode.D157_PRED, PredictionMode.D203_PRED, PredictionMode.D67_PRED)
+    # image y points down: edge line direction for AV1 angle a is (cos a, -sin a)
+    _DIR_VECS = np.array([
+        (np.cos(np.deg2rad(a)), -np.sin(np.deg2rad(a)))
+        for a in (90, 180, 45, 135, 113, 157, 203, 67)
+    ])
+
+    def _prune_modes(self, src):
+        """Gradient-orientation pruning (the reference's intra-search gradient
+        histogram analog, enc_mode_config/md): always try the smooth family,
+        plus the 2 directional modes best aligned with the block's edges."""
+        if len(self.mode_candidates) <= 6:
+            return self.mode_candidates
+        s = src.astype(np.int32)
+        gx = (s[:, 1:] - s[:, :-1])[:-1, :].ravel()
+        gy = (s[1:, :] - s[:-1, :])[:, :-1].ravel()
+        energy = float(np.abs(gx).sum() + np.abs(gy).sum())
+        base = (PredictionMode.DC_PRED, PredictionMode.SMOOTH_PRED, PredictionMode.PAETH_PRED)
+        if energy < src.size:  # near-flat: directional modes won't win
+            return base + (PredictionMode.V_PRED, PredictionMode.H_PRED)
+        # edge direction e(theta): gradients perpendicular to the edge score low
+        g = np.stack([gx, gy])
+        proj = np.abs(self._DIR_VECS @ g).sum(axis=1)  # alignment penalty per mode
+        order = np.argsort(proj)
+        picks = tuple(self._DIR_MODES[i] for i in order[:3])
+        return base + picks
+
+    def _predict(self, mode, above_buf, left_buf, have_a, have_l, W, H):
+        if 1 <= mode <= 8:  # directional (incl. V/H as angle 90/180)
+            return dr_pred(mode, 0, above_buf, left_buf, W, H, self.bd)
+        return predict(mode, above_buf[1 : 1 + W][None], left_buf[1 : 1 + H][None],
+                       above_buf[0:1], have_a, have_l, self.bd)[0]
 
     def _write_delta_q_index(self):
         """av1_write_delta_q_index (entropy_coding.c): per-SB qindex delta."""
