@@ -110,8 +110,20 @@ class Encoder:
             sb_qindex_map=sb_qindex_map,
         )
         tiles = enc.encode_tiles(y, u, v, cfg.tile_columns, cfg.tile_rows)
+        lvl_y = lvl_uv = 0
+        if cfg.enable_dlf_flag:
+            from .codec.deblock import pick_filter_level
+
+            lvl = pick_filter_level(qindex, cfg.input_depth, is_key=True)
+            # PSY sharpness raises/lowers deblock strength bias
+            lvl_y = int(np.clip(lvl - cfg.sharpness, 0, 63))
+            lvl_uv = int(np.clip(lvl_y, 0, 63))
+            enc.apply_loop_filter((lvl_y, lvl_y), lvl_uv,
+                                  sharpness=max(cfg.sharpness, 0))
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
-                         tile_cols_log2=cfg.tile_columns, tile_rows_log2=cfg.tile_rows)
+                         tile_cols_log2=cfg.tile_columns, tile_rows_log2=cfg.tile_rows,
+                         filter_level=(lvl_y, lvl_y), filter_level_uv=(lvl_uv, lvl_uv),
+                         sharpness=max(cfg.sharpness, 0))
         payload = temporal_delimiter_obu()
         if self._frame_count == 0:
             payload += sequence_header_obu(self._seq)

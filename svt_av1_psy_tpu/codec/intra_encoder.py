@@ -40,6 +40,7 @@ from .intra import predict
 from .intra_dir import dr_pred
 from .quant import build_plane_quant, quantize_b
 from .spec_tables import get_tables
+from .deblock import DeblockMaps, deblock_plane
 from .transforms import forward_transform_2d, inverse_transform_add
 
 # largest rect tx fitting each block size (definitions.h max_txsize_rect)
@@ -221,6 +222,7 @@ class IntraFrameEncoder:
             left_ctx=np.zeros(self.aligned_h >> 2, np.uint8),
             width=self.aligned_w, height=self.aligned_h)]
         self.decoded.append(np.zeros((self.aligned_h >> 2, self.aligned_w >> 2), bool))
+        self.dlf_maps = [DeblockMaps(self.aligned_h >> 2, self.aligned_w >> 2)]
         if not self.mono:
             cw, ch = self.aligned_w >> 1, self.aligned_h >> 1
             for p in (u, v):
@@ -231,6 +233,7 @@ class IntraFrameEncoder:
                     left_ctx=np.zeros(ch >> 2, np.uint8),
                     width=cw, height=ch))
                 self.decoded.append(np.zeros((ch >> 2, cw >> 2), bool))
+                self.dlf_maps.append(DeblockMaps(ch >> 2, cw >> 2))
 
     # ------------------------------------------------------------ neighbors
     def _have_above_right(self, plane, xu, yu, wu):
@@ -527,6 +530,14 @@ class IntraFrameEncoder:
             hr = min(ph, ps.height - py)
             ps.recon[py : py + hr, px : px + wr] = recon[:hr, :wr]
             self.decoded[plane][py >> 2 : (py + hr) >> 2, px >> 2 : (px + wr) >> 2] = True
+            m = self.dlf_maps[plane]
+            yu0, yu1 = py >> 2, (py + hr) >> 2
+            xu0, xu1 = px >> 2, (px + wr) >> 2
+            m.txw[yu0:yu1, xu0:xu1] = min(int(TX_WIDTH[tx_size]), 255)
+            m.txh[yu0:yu1, xu0:xu1] = min(int(TX_HEIGHT[tx_size]), 255)
+            m.skip[yu0:yu1, xu0:xu1] = skip
+            m.bedge_v[yu0:yu1, xu0] = True
+            m.bedge_h[yu0, xu0:xu1] = True
 
         # ---- mi grid updates
         r1 = min(mi_row + bh4, self.mi_rows)
@@ -611,3 +622,11 @@ class IntraFrameEncoder:
         sym = EXT_TX_IND_INTRA[eset][0]  # DCT_DCT
         self.fc.write(self.enc, "intra_ext_tx", (eset, sqr, int(y_mode)),
                       sym, EXT_TX_NSYMS_INTRA[eset])
+
+    def apply_loop_filter(self, level_y, level_uv, sharpness=0):
+        """Normative post-frame deblocking (decoder mirror). Call after
+        encode_tiles; updates self.planes[..].recon in place."""
+        for plane, ps in enumerate(self.planes):
+            lv = level_y if plane == 0 else (level_uv, level_uv)
+            deblock_plane(ps.recon, self.dlf_maps[plane], plane,
+                          lv[0], lv[1], sharpness, self.bd, ps.width, ps.height)
