@@ -67,6 +67,7 @@ class Encoder:
             matrix_coefficients=cfg.matrix_coefficients,
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
+            enable_cdef=cfg.cdef_level != 0,
         )
         self._initialized = True
         return self
@@ -120,10 +121,24 @@ class Encoder:
             lvl_uv = int(np.clip(lvl_y, 0, 63))
             enc.apply_loop_filter((lvl_y, lvl_y), lvl_uv,
                                   sharpness=max(cfg.sharpness, 0))
+        cdef_y = cdef_uv = (0, 0)
+        cdef_damping = 3
+        if self._seq.enable_cdef:
+            from .codec.cdef import cdef_frame, pick_cdef_strengths
+
+            pri, sec, cdef_damping = pick_cdef_strengths(
+                np.asarray(y), enc.planes[0].recon, enc.mi_skip, qindex, cfg.input_depth)
+            cdef_y = cdef_uv = (pri, min(sec, 3))
+            rec = [ps.recon for ps in enc.planes] + [None] * (3 - len(enc.planes))
+            cdef_frame(rec[:3], enc.mi_skip, qindex, pri, min(sec, 3), pri,
+                       min(sec, 3), cdef_damping, cfg.input_depth)
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
                          tile_cols_log2=cfg.tile_columns, tile_rows_log2=cfg.tile_rows,
                          filter_level=(lvl_y, lvl_y), filter_level_uv=(lvl_uv, lvl_uv),
-                         sharpness=max(cfg.sharpness, 0))
+                         sharpness=max(cfg.sharpness, 0),
+                         cdef_damping=cdef_damping, cdef_bits=0,
+                         cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
+                         cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),))
         payload = temporal_delimiter_obu()
         if self._frame_count == 0:
             payload += sequence_header_obu(self._seq)

@@ -77,6 +77,10 @@ class FrameParams:
     qm_y: int = 15
     qm_u: int = 15
     qm_v: int = 15
+    cdef_damping: int = 3
+    cdef_bits: int = 0
+    cdef_y_strengths: tuple = ((0, 0),)    # (pri, sec-coded) per index
+    cdef_uv_strengths: tuple = ((0, 0),)
     delta_q_present: bool = False
     delta_q_res: int = 4
     filter_level: tuple = (0, 0)
@@ -322,7 +326,16 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
                 w.f(0, 1)  # delta_lf_present
     _write_loop_filter(w, sp, fp)
     if sp.enable_cdef and not fp.allow_intrabc:
-        raise NotImplementedError("cdef params")
+        w.f(fp.cdef_damping - 3, 2)
+        w.f(fp.cdef_bits, 2)
+        for i in range(1 << fp.cdef_bits):
+            pri, sec = fp.cdef_y_strengths[i]
+            w.f(pri, 4)
+            w.f(sec, 2)
+            if not sp.monochrome:
+                pri, sec = fp.cdef_uv_strengths[i]
+                w.f(pri, 4)
+                w.f(sec, 2)
     if sp.enable_restoration and not fp.allow_intrabc:
         raise NotImplementedError("lr params")
     w.f(int(fp.tx_mode_select), 1)

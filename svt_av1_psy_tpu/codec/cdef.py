@@ -1,0 +1,184 @@
+"""CDEF (constrained directional enhancement filter), normative (spec §7.15).
+
+Behavior reference: cdef.c (svt_aom_cdef_find_dir_c :150, adjust_strength
+:130, svt_cdef_filter_block_c :253, svt_cdef_filter_fb; damping policy
+cdef_process.c:139). Vectorized over batches of 8x8 blocks; the decoder
+recomputes directions from the deblocked recon, so all of this is
+conformance-critical and dav1d-verified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CDEF_VERY_LARGE = 0x7F7F
+_DIV = np.array([0, 840, 420, 280, 210, 168, 140, 120, 105], np.int64)
+
+# Cdef_Directions as (dy, dx) per direction, k in {0,1}
+_DIRS = np.array([
+    [(-1, 1), (-2, 2)], [(0, 1), (-1, 2)], [(0, 1), (0, 2)], [(0, 1), (1, 2)],
+    [(1, 1), (2, 2)], [(1, 0), (2, 1)], [(1, 0), (2, 0)], [(1, 0), (2, -1)],
+], np.int32)
+_PRI_TAPS = np.array([[4, 2], [3, 3]], np.int32)
+_SEC_TAPS = np.array([[2, 1], [2, 1]], np.int32)
+
+
+def find_dir_blocks(blocks: np.ndarray, coeff_shift: int = 0):
+    """blocks (N, 8, 8) -> (dirs (N,), var (N,)). Port of cdef_find_dir."""
+    x = (blocks.astype(np.int64) >> coeff_shift) - 128
+    N = x.shape[0]
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    idx = [i + j, i + j // 2, np.broadcast_to(i, (8, 8)), 3 + i - j // 2,
+           7 + i - j, 3 - i // 2 + j, np.broadcast_to(j, (8, 8)), i // 2 + j]
+    partial = np.zeros((N, 8, 15), np.int64)
+    for d in range(8):
+        flat = idx[d].ravel()
+        for k in range(15):
+            m = flat == k
+            if m.any():
+                partial[:, d, k] = x.reshape(N, 64)[:, m].sum(axis=1)
+    cost = np.zeros((N, 8), np.int64)
+    cost[:, 2] = (partial[:, 2, :8] ** 2).sum(axis=1) * _DIV[8]
+    cost[:, 6] = (partial[:, 6, :8] ** 2).sum(axis=1) * _DIV[8]
+    for d in (0, 4):
+        for i_ in range(7):
+            cost[:, d] += (partial[:, d, i_] ** 2 + partial[:, d, 14 - i_] ** 2) * _DIV[i_ + 1]
+        cost[:, d] += partial[:, d, 7] ** 2 * _DIV[8]
+    for d in range(1, 8, 2):
+        cost[:, d] = (partial[:, d, 3:8] ** 2).sum(axis=1) * _DIV[8]
+        for j_ in range(3):
+            cost[:, d] += (partial[:, d, j_] ** 2 + partial[:, d, 10 - j_] ** 2) * _DIV[2 * j_ + 2]
+    best = np.argmax(cost, axis=1)
+    best_cost = cost[np.arange(N), best]
+    var = (best_cost - cost[np.arange(N), (best + 4) & 7]) >> 10
+    return best.astype(np.int32), var.astype(np.int64)
+
+
+def adjust_strength(strength: int, var: np.ndarray) -> np.ndarray:
+    i = np.where(var >> 6 != 0,
+                 np.minimum(np.int64(np.log2(np.maximum(var >> 6, 1))), 12), 0)
+    return np.where(var != 0, (strength * (4 + i) + 8) >> 4, 0)
+
+
+def _constrain(diff, threshold: int, damping: int):
+    if threshold == 0:
+        return np.zeros_like(diff)
+    shift = max(0, damping - int(threshold).bit_length() + 1)
+    a = np.abs(diff)
+    return np.sign(diff) * np.minimum(a, np.maximum(0, threshold - (a >> shift)))
+
+
+def filter_blocks(nb: np.ndarray, dirs: np.ndarray, pri_strength, sec_strength: int,
+                  pri_damping: int, sec_damping: int, bw: int, bh: int, bd: int):
+    """nb: (N, bh+4, bw+4) int32 neighborhoods (2-pixel border, VERY_LARGE
+    where unavailable). pri_strength: (N,) per-block (variance-adjusted luma)
+    or scalar. Returns filtered (N, bh, bw)."""
+    N = nb.shape[0]
+    x = nb[:, 2 : 2 + bh, 2 : 2 + bw]
+    pri = np.broadcast_to(np.asarray(pri_strength, np.int32), (N,))
+    tap_idx = (pri >> (bd - 8)) & 1
+    sum_ = np.zeros((N, bh, bw), np.int32)
+    mx = x.copy()
+    mn = x.copy()
+    rows = np.arange(bh)[None, :, None] + 2
+    cols = np.arange(bw)[None, None, :] + 2
+    bi = np.arange(N)[:, None, None]
+
+    def at(dy, dx):
+        return nb[bi, rows + dy[:, None, None], cols + dx[:, None, None]]
+
+    for k in range(2):
+        ptap = _PRI_TAPS[tap_idx, k][:, None, None]
+        stap0 = _SEC_TAPS[tap_idx, k][:, None, None]
+        dy, dx = _DIRS[dirs, k, 0], _DIRS[dirs, k, 1]
+        for sgn in (1, -1):
+            p = at(sgn * dy, sgn * dx)
+            # per-lane pri strength: constrain needs scalar threshold; loop lanes
+            d = p - x
+            th = pri[:, None, None]
+            msb = np.int32(np.floor(np.log2(np.maximum(th, 1))))
+            shift = np.maximum(0, pri_damping - msb)
+            ad = np.abs(d)
+            con = np.sign(d) * np.minimum(ad, np.maximum(0, th - (ad >> shift)))
+            con = np.where(th == 0, 0, con)
+            sum_ += ptap * con
+            mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
+            mn = np.minimum(mn, p)
+        for delta in (2, -2):
+            d2 = (dirs + delta) & 7
+            sdy, sdx = _DIRS[d2, k, 0], _DIRS[d2, k, 1]
+            for sgn in (1, -1):
+                s = at(sgn * sdy, sgn * sdx)
+                con = _constrain(s - x, sec_strength, sec_damping)
+                sum_ += stap0 * con
+                mx = np.maximum(mx, np.where(s == CDEF_VERY_LARGE, mx, s))
+                mn = np.minimum(mn, s)
+    y = x + ((8 + sum_ - (sum_ < 0)) >> 4)
+    return np.clip(y, mn, mx)
+
+
+def cdef_frame(planes, mi_skip: np.ndarray, base_q_idx: int, y_pri: int, y_sec: int,
+               uv_pri: int, uv_sec: int, cdef_damping: int, bd: int = 8):
+    """Apply CDEF in place to [y, (u, v)] aligned recon planes.
+
+    mi_skip: luma mi-grid skip flags (4x4 units). Strength values are the
+    coded ones (sec 3 means 4 per spec)."""
+    coeff_shift = bd - 8
+    y_sec += y_sec == 3
+    uv_sec += uv_sec == 3
+    damping = cdef_damping + coeff_shift
+
+    luma = planes[0]
+    H, W = luma.shape
+    nb8_r, nb8_c = H // 8, W // 8
+    # 8x8 skipped iff all four covering 4x4 mi units are skip
+    sk = mi_skip[: nb8_r * 2, : nb8_c * 2].astype(bool)
+    blk_skip = (sk[0::2, 0::2] & sk[1::2, 0::2] & sk[0::2, 1::2] & sk[1::2, 1::2])
+    by, bx = np.nonzero(~blk_skip)
+    if len(by) == 0:
+        return
+    # directions from the pre-CDEF luma
+    blocks = np.stack([luma[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] for r, c in zip(by, bx)])
+    dirs, var = find_dir_blocks(blocks, coeff_shift)
+
+    for plane, img in enumerate(planes):
+        if img is None:
+            continue
+        pri = (y_pri if plane == 0 else uv_pri) << coeff_shift
+        sec = (y_sec if plane == 0 else uv_sec) << coeff_shift
+        if pri == 0 and sec == 0:
+            continue
+        ss = 0 if plane == 0 else 1
+        bw = bh = 8 >> ss
+        pdamp = damping - (plane != 0)
+        sdamp = damping - (plane != 0)
+        pad = np.full((img.shape[0] + 4, img.shape[1] + 4), CDEF_VERY_LARGE, np.int32)
+        pad[2:-2, 2:-2] = img
+        nbs = np.stack([pad[r * bh : r * bh + bh + 4, c * bw : c * bw + bw + 4]
+                        for r, c in zip(by, bx)])
+        if plane == 0:
+            pstr = adjust_strength(pri, var).astype(np.int32)
+        else:
+            pstr = np.full(len(by), pri, np.int32)
+        d_used = dirs if pri > 0 else np.zeros_like(dirs)
+        out = filter_blocks(nbs, d_used, pstr, sec, pdamp, sdamp, bw, bh, bd)
+        for i, (r, c) in enumerate(zip(by, bx)):
+            img[r * bh : r * bh + bh, c * bw : c * bw + bw] = out[i].astype(img.dtype)
+
+
+def pick_cdef_strengths(y_src, recon_y_aligned, mi_skip, base_q_idx, bd=8):
+    """Encoder search (cdef_bits=0): single (pri, sec) for the frame,
+    minimizing luma MSE vs source. Used for both luma and chroma strengths."""
+    damping = 3 + (base_q_idx >> 6)
+    h, w = y_src.shape
+    ys = y_src.astype(np.int64)
+    best = (0, 0, 1e30)
+    for pri in (0, 1, 2, 4):
+        for sec in (0, 2):
+            trial = [recon_y_aligned.copy(), None, None]
+            cdef_frame(trial, mi_skip, base_q_idx, pri, sec, 0, 0, damping, bd)
+            mse = float(np.mean((trial[0][:h, :w].astype(np.int64) - ys) ** 2))
+            if mse < best[2]:
+                best = (pri, sec, mse)
+    return best[0], best[1], damping
