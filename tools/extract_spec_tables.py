@@ -182,6 +182,19 @@ def extract_nz_map_ctx_offsets(tables: dict):
     print(f"nz_map ctx offset tables: 19 (from {len(arrays)} arrays)")
 
 
+def extract_interp_filters(tables: dict):
+    """Subpel interpolation kernels (spec §7.11.3.3 constants)."""
+    text = strip_comments((REF / "inter_prediction.c").read_text())
+    decl = r"DECLARE_ALIGNED\(256,\s*const\s+InterpKernel,\s*(?P<name>\w+)\[SUBPEL_SHIFTS\]\)\s*=\s*\{"
+    count = 0
+    for name, _, body in grab_tables(text, decl):
+        arr = to_array(parse_braced(body), name)
+        assert arr.shape == (16, 8), (name, arr.shape)
+        tables[f"interp_{name}"] = arr.astype(np.int16)
+        count += 1
+    print(f"Interp filter kernels: {count}")
+
+
 def main():
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     tables = {}
@@ -189,6 +202,7 @@ def main():
     extract_qlookup(tables)
     extract_scans(tables)
     extract_nz_map_ctx_offsets(tables)
+    extract_interp_filters(tables)
     out = OUT_DIR / "av1_spec_tables.npz"
     np.savez_compressed(out, **tables)
     print(f"wrote {out} ({out.stat().st_size} bytes, {len(tables)} arrays)")
