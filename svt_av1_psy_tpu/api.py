@@ -50,6 +50,7 @@ class Encoder:
         self._frame_count = 0
         self._seq: Optional[SequenceParams] = None
         self._recon_last = None
+        self._ref_planes = None
 
     # -------------------------------------------------------------- lifecycle
     def init(self):
@@ -101,15 +102,19 @@ class Encoder:
             qindex, sb_qindex_map = variance_adjust_qp(
                 qindex, variances, cfg.variance_boost_strength, cfg.input_depth,
                 cfg.variance_octile, int(cfg.variance_boost_curve))
-        enc = IntraFrameEncoder(
-            cfg.width,
-            cfg.height,
-            qindex,
-            bd=cfg.input_depth,
-            monochrome=self._seq.monochrome,
-            sharpness=cfg.sharpness,
-            sb_qindex_map=sb_qindex_map,
-        )
+        # GoP: key frame at start and every intra_period+1 frames (IPP low-delay)
+        ip = cfg.intra_period_length
+        is_key = (self._frame_count == 0 or self._ref_planes is None
+                  or (ip >= 0 and self._frame_count % (ip + 1) == 0))
+        common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
+                      sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map)
+        if is_key:
+            enc = IntraFrameEncoder(cfg.width, cfg.height, qindex, **common)
+        else:
+            from .codec.inter_encoder import InterFrameEncoder
+
+            enc = InterFrameEncoder(cfg.width, cfg.height, qindex,
+                                    self._ref_planes, **common)
         tiles = enc.encode_tiles(y, u, v, cfg.tile_columns, cfg.tile_rows)
         lvl_y = lvl_uv = 0
         if cfg.enable_dlf_flag:
@@ -132,13 +137,18 @@ class Encoder:
             rec = [ps.recon for ps in enc.planes] + [None] * (3 - len(enc.planes))
             cdef_frame(rec[:3], enc.mi_skip, qindex, pri, min(sec, 3), pri,
                        min(sec, 3), cdef_damping, cfg.input_depth)
+        from .codec.constants import FrameType
+
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
+                         frame_type=FrameType.KEY_FRAME if is_key else FrameType.INTER_FRAME,
                          tile_cols_log2=cfg.tile_columns, tile_rows_log2=cfg.tile_rows,
                          filter_level=(lvl_y, lvl_y), filter_level_uv=(lvl_uv, lvl_uv),
                          sharpness=max(cfg.sharpness, 0),
                          cdef_damping=cdef_damping, cdef_bits=0,
                          cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),))
+        # reference state: final (post-filter) recon planes, aligned dims
+        self._ref_planes = [ps.recon.copy() for ps in enc.planes]
         payload = temporal_delimiter_obu()
         if self._frame_count == 0:
             payload += sequence_header_obu(self._seq)

@@ -21,6 +21,7 @@ class FrameContext:
         for name in t.names():
             if name.startswith("cdf_"):
                 self.tables[name[4:]] = np.array(t._raw[name], dtype=np.uint16, copy=True)
+        self._add_nmv_tables()
         self.qctx = _coeff_qctx(base_qindex)
         # pre-slice the quantizer-context dimension of the coefficient CDFs
         for name in ("txb_skip", "eob_extra", "dc_sign", "coeff_base_multi",
@@ -28,6 +29,35 @@ class FrameContext:
                      "eob_multi32", "eob_multi64", "eob_multi128", "eob_multi256",
                      "eob_multi512", "eob_multi1024"):
             self.tables[name] = self.tables[name][self.qctx].copy()
+
+    def _add_nmv_tables(self):
+        """default_nmv_context (cabac_context_model.c:677) as icdf arrays.
+
+        Keys are per-component where applicable (dim 0 = vertical/horizontal,
+        identical defaults)."""
+
+        def icdf(probs, n):
+            row = np.zeros(n + 1, np.uint16)
+            row[: n - 1] = 32768 - np.asarray(probs, np.uint32)
+            return row
+
+        t = self.tables
+        t["nmv_joints"] = icdf((4096, 11264, 19328), 4)
+        comp = {
+            "nmv_classes": icdf((28672, 30976, 31858, 32320, 32551, 32656,
+                                 32740, 32757, 32762, 32767), 11),
+            "nmv_class0_fp0": icdf((16384, 24576, 26624), 4),
+            "nmv_class0_fp1": icdf((12288, 21248, 24128), 4),
+            "nmv_fp": icdf((8192, 17408, 21248), 4),
+            "nmv_sign": icdf((128 * 128,), 2),
+            "nmv_class0_hp": icdf((160 * 128,), 2),
+            "nmv_hp": icdf((128 * 128,), 2),
+            "nmv_class0": icdf((216 * 128,), 2),
+            "nmv_bits": np.stack([icdf((128 * v,), 2) for v in
+                                  (136, 140, 148, 160, 176, 192, 224, 234, 234, 240)]),
+        }
+        for key, arr in comp.items():
+            t[key] = np.stack([arr.copy(), arr.copy()])
 
     def write(self, enc, name: str, idx: tuple, symbol: int, nsyms: int):
         cdf = self.tables[name]

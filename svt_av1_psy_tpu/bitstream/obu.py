@@ -93,6 +93,13 @@ class FrameParams:
     tile_rows_log2: int = 0
     refresh_frame_flags: int = 0xFF
     order_hint: int = 0
+    # inter-frame fields (single-ref v0 path)
+    primary_ref_frame: int = 7            # PRIMARY_REF_NONE: CDFs reset per frame
+    ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
+    allow_high_precision_mv: bool = True
+    interpolation_filter_switchable: bool = False
+    interpolation_filter: int = 0         # EIGHTTAP_REGULAR
+    is_motion_mode_switchable: bool = False
 
 
 def write_obu(obu_type: ObuType, payload: bytes, has_size: bool = True) -> bytes:
@@ -285,8 +292,8 @@ def _write_loop_filter(w: BitWriter, sp: SequenceParams, fp: FrameParams):
 
 
 def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
-    """Uncompressed header for a KEY frame (intra-only v0 path)."""
-    assert fp.frame_type == FrameType.KEY_FRAME
+    """Uncompressed header: KEY frames and single-ref INTER frames."""
+    is_intra = fp.frame_type in (FrameType.KEY_FRAME, FrameType.INTRA_ONLY_FRAME)
     w = BitWriter()
     if not sp.reduced_still_picture_header:
         w.f(0, 1)  # show_existing_frame
@@ -295,7 +302,7 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         if not fp.show_frame:
             w.f(int(fp.showable_frame), 1)
         # error_resilient_mode implied for shown key frames
-        if not fp.show_frame:
+        if not (fp.frame_type == FrameType.KEY_FRAME and fp.show_frame):
             w.f(int(fp.error_resilient_mode), 1)
     w.f(int(fp.disable_cdf_update), 1)
     if sp.seq_force_screen_content_tools == 2:
@@ -304,14 +311,35 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         w.f(0, 1)  # frame_size_override_flag
         if sp.enable_order_hint:
             w.f(fp.order_hint, sp.order_hint_bits)
-        if not fp.show_frame:
+        if not fp.error_resilient_mode and not is_intra:
+            w.f(fp.primary_ref_frame, 3)
+        if fp.frame_type == FrameType.KEY_FRAME:
+            if not fp.show_frame:
+                w.f(fp.refresh_frame_flags, 8)
+        else:
             w.f(fp.refresh_frame_flags, 8)
-    # frame_size (override 0 -> max dims), superres disabled, render==frame
-    if sp.enable_superres:
-        w.f(0, 1)  # use_superres
-    w.f(0, 1)  # render_and_frame_size_different
-    if fp.allow_screen_content_tools:
-        w.f(int(fp.allow_intrabc), 1)
+    if not is_intra:
+        # ref_frame_idx for LAST..ALTREF (no short signaling without order hints)
+        for i in range(7):
+            w.f(fp.ref_frame_idx[i], 3)
+        # frame_size (override 0)
+        if sp.enable_superres:
+            w.f(0, 1)
+        w.f(0, 1)  # render_and_frame_size_different
+        if sp.seq_force_integer_mv == 2 and fp.allow_screen_content_tools:
+            pass  # force_integer_mv bit handled earlier per spec ordering
+        w.f(int(fp.allow_high_precision_mv), 1)
+        w.f(int(fp.interpolation_filter_switchable), 1)
+        if not fp.interpolation_filter_switchable:
+            w.f(fp.interpolation_filter, 2)
+        w.f(int(fp.is_motion_mode_switchable), 1)
+        # use_ref_frame_mvs requires seq enable_ref_frame_mvs (off)
+    else:
+        if sp.enable_superres:
+            w.f(0, 1)  # use_superres
+        w.f(0, 1)  # render_and_frame_size_different
+        if fp.allow_screen_content_tools:
+            w.f(int(fp.allow_intrabc), 1)
     might_bwd_adapt = (not sp.reduced_still_picture_header) and (not fp.disable_cdf_update)
     if might_bwd_adapt:
         w.f(0, 1)  # refresh_frame_context: 0 = backward adaptation enabled
@@ -339,7 +367,14 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
     if sp.enable_restoration and not fp.allow_intrabc:
         raise NotImplementedError("lr params")
     w.f(int(fp.tx_mode_select), 1)
+    if not is_intra:
+        w.f(0, 1)  # reference_select: single reference mode only
+    # skip_mode_params: never allowed without order hints
+    # allow_warped_motion: seq enable_warped_motion off -> no bit
     w.f(int(fp.reduced_tx_set), 1)
+    if not is_intra:
+        for _ in range(7):  # global_motion_params: is_global per ref
+            w.f(0, 1)
     if sp.film_grain_params_present and fp.show_frame:
         w.f(0, 1)  # apply_grain
     return w  # caller appends trailing bits or tile data alignment

@@ -1,0 +1,358 @@
+"""Inter (P) frame encoder: single reference (LAST), NEWMV/GLOBALMV modes,
+intra fallback per block. Extends the intra encoder's tile/partition walk.
+
+Behavioral references: write_modes_b inter branch (entropy_coding.c:5058+),
+write_inter_mode (:1426), write_drl_idx (:1447), svt_av1_encode_mv (:1525),
+write_ref_frames (:2086) with neighbor ref counts (:1896), MV prediction via
+codec/mv_pred.py (normative stack), MC via codec/convolve.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import BLOCK_HEIGHT, BLOCK_WIDTH, BlockSize, PredictionMode
+from .convolve import convolve_2d_sr
+from .coeff_coding import get_txb_ctx, write_coeffs_txb, write_coeffs_txb_native
+from .intra_encoder import (
+    EXT_TX_IND_INTRA,
+    IntraFrameEncoder,
+    MAX_TX_RECT,
+    _BSIZE_BY_WH,
+    _SQR,
+    _SQR_UP,
+)
+from .me import MotionEstimator
+from .mv_pred import GLOBALMV, LAST_FRAME, MiGrid, NEWMV, REF_CAT_LEVEL, setup_ref_mv_list
+from .quant import quantize_b
+from .transforms import forward_transform_2d, inverse_transform_add
+
+# size_group_lookup (definitions.h) for the non-kf y-mode cdf
+SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3]
+
+# inter ext-tx: eset via ext_tx_set_index[1][set_type] (definitions.h:1808):
+# DCT_IDTX -> 3, DTT9_IDTX_1DDCT -> 2, ALL16 -> 1; DCT_DCT symbol per
+# av1_ext_tx_ind rows (cabac_context_model.h:686)
+EXT_TX_IND_INTER = {3: 1, 2: 3, 1: 7}     # eset -> symbol for DCT_DCT
+EXT_TX_NSYMS_INTER = {3: 2, 2: 12, 1: 16}
+
+
+def inter_ext_tx_set(tx_size: int) -> int:
+    if _SQR_UP[tx_size] > 3:
+        return 0  # DCT only, no signaling
+    if _SQR_UP[tx_size] == 3:
+        return 3  # EXT_TX_SET_DCT_IDTX
+    if _SQR[tx_size] == 2:
+        return 2  # EXT_TX_SET_DTT9_IDTX_1DDCT
+    return 1      # EXT_TX_SET_ALL16
+
+
+def _mv_class(z: int):
+    c = 10 if z >= 2 * 4096 else max((z >> 3).bit_length() - 1, 0)
+    base = (2 << (c + 2)) if c else 0
+    return c, z - base
+
+
+class InterFrameEncoder(IntraFrameEncoder):
+    def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
+                 sharpness=0, sb_qindex_map=None, **kw):
+        super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
+                         sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
+        # references: final (post-filter) recon planes. The decoder clamps MC
+        # reads to the VISIBLE frame dims (RefUpscaledWidth, spec 7.11.3.2),
+        # so pad from the visible crop, not the mi-aligned extent.
+        self.pad = 96
+        self.refs = []
+        for plane, p in enumerate(ref_planes):
+            ss = 0 if plane == 0 else 1
+            vh = (height + ss) >> ss
+            vw = (width + ss) >> ss
+            crop = p[:vh, :vw].astype(np.int32)
+            ah, aw = p.shape
+            self.refs.append(np.pad(
+                crop,
+                ((self.pad, self.pad + ah - vh), (self.pad, self.pad + aw - vw)),
+                mode="edge"))
+        self.me = MotionEstimator(np.asarray(
+            self.refs[0][self.pad:-self.pad or None, self.pad:-self.pad or None]))
+        self.grid = MiGrid(self.mi_rows, self.mi_cols)
+
+    # -------------------------------------------------------------- helpers
+    def _mc_pred(self, plane, px, py, pw, ph, mv):
+        """Motion-compensated prediction (spec chroma 1/16-pel rules)."""
+        ref = self.refs[plane]
+        ss = 0 if plane == 0 else 1
+        if ss == 0:
+            ipart_y, frac_y = mv[0] >> 3, (mv[0] & 7) << 1
+            ipart_x, frac_x = mv[1] >> 3, (mv[1] & 7) << 1
+        else:
+            ipart_y, frac_y = mv[0] >> 4, mv[0] & 15
+            ipart_x, frac_x = mv[1] >> 4, mv[1] & 15
+        y0 = py + ipart_y + self.pad
+        x0 = px + ipart_x + self.pad
+        patch = ref[y0 - 3 : y0 + ph + 4, x0 - 3 : x0 + pw + 4]
+        return convolve_2d_sr(patch[None], pw, ph, frac_x, frac_y, bd=self.bd)[0]
+
+    def _neighbors_mi(self, mi_row, mi_col):
+        """(above_is_inter, left_is_inter, availability) within tile."""
+        r0, _, c0, _ = self.tile_mi
+        has_a = mi_row > r0
+        has_l = mi_col > c0
+        a_inter = bool(self.grid.ref_frame[mi_row - 1, mi_col] > 0) if has_a else False
+        l_inter = bool(self.grid.ref_frame[mi_row, mi_col - 1] > 0) if has_l else False
+        return has_a, has_l, a_inter, l_inter
+
+    # --------------------------------------------------------------- block
+    def _encode_block(self, mi_row, mi_col, bsize):
+        W, H = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+        x0, y0 = mi_col * 4, mi_row * 4
+        bw4, bh4 = W >> 2, H >> 2
+        n8_w, n8_h = bw4, bh4
+
+        # ---- intra candidate
+        above_buf, left_buf, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
+        src = self.src[0][y0 : y0 + H, x0 : x0 + W]
+        best_imode, best_ipred, best_icost = None, None, None
+        for mode in self._prune_modes(src):
+            pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
+            cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
+            if best_icost is None or cost < best_icost:
+                best_imode, best_ipred, best_icost = mode, pred, cost
+
+        # ---- inter candidates: ME NEWMV + GLOBALMV(0,0)
+        t_r0, t_r1, t_c0, t_c1 = self.tile_mi
+        stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
+            self.grid, mi_row, mi_col, n8_w, n8_h, LAST_FRAME,
+            (t_r0, t_r1, t_c0, t_c1))
+        me_res = self.me.search_block(self.src[0], x0, y0, W, H, subpel=True)
+        cand = []
+        pred_new = self._mc_pred(0, x0, y0, W, H, me_res.mv)
+        cost_new = int(np.sum((src.astype(np.int64) - pred_new) ** 2))
+        cand.append((NEWMV, me_res.mv, pred_new, cost_new))
+        pred_zero = self._mc_pred(0, x0, y0, W, H, (0, 0))
+        cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
+        cand.append((GLOBALMV, (0, 0), pred_zero, cost_zero))
+        inter_mode, inter_mv, inter_pred, inter_cost = min(cand, key=lambda c: c[3])
+        if inter_mode == NEWMV and tuple(inter_mv) == tuple(stack[0]):
+            # NEWMV with zero mvd is legal but wasteful; prefer the stack mode
+            pass
+
+        use_inter = inter_cost <= best_icost
+        if use_inter:
+            y_mode, y_pred = inter_mode, inter_pred
+            mv = inter_mv
+        else:
+            y_mode, y_pred = best_imode, best_ipred
+            mv = (0, 0)
+        uv_mode = 0  # UV_DC for intra blocks
+
+        # ---- transforms for all planes
+        tx_y = MAX_TX_RECT[BlockSize(bsize)]
+        plane_jobs = [(0, x0, y0, W, H, tx_y, y_pred)]
+        if not self.mono:
+            uv_bsize = _BSIZE_BY_WH[(max(W >> 1, 4), max(H >> 1, 4))]
+            tx_uv = MAX_TX_RECT[uv_bsize]
+            for plane in (1, 2):
+                cx, cy, cw, ch = x0 >> 1, y0 >> 1, W >> 1, H >> 1
+                if use_inter:
+                    pred = self._mc_pred(plane, cx, cy, cw, ch, mv)
+                else:
+                    pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
+                    pred = self._predict(0, pa, pl, pha, phl, cw, ch)
+                plane_jobs.append((plane, cx, cy, cw, ch, tx_uv, pred))
+
+        results = []
+        for plane, px, py, pw, ph, tx_size, pred in plane_jobs:
+            psrc = self.src[plane][py : py + ph, px : px + pw]
+            resid = psrc.astype(np.int16) - pred.astype(np.int16)
+            coeffs = forward_transform_2d(resid[None].astype(np.int32), int(tx_size), 0, self.bd)[0]
+            cw_t, ch_t = min(pw, 32), min(ph, 32)
+            flat = coeffs[:ch_t, :cw_t].reshape(1, -1)
+            scan = self.tables.scan(int(tx_size), 0)
+            qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size))
+            results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0])))
+        skip = all(r[9] == 0 for r in results)
+
+        # ---- syntax
+        self._write_skip(mi_row, mi_col, skip)
+        if (self._sb_delta_pending and (mi_row & 15) == 0 and (mi_col & 15) == 0
+                and (bsize != BlockSize.BLOCK_64X64 or not skip)):
+            self._write_delta_q_index()
+        self._write_is_inter(mi_row, mi_col, use_inter)
+        if use_inter:
+            self._write_ref_frames(mi_row, mi_col)
+            self._write_inter_mode(y_mode, mode_ctx)
+            if y_mode == NEWMV:
+                self._write_drl(stack, weights, refmv_count)
+                self._write_mv(mv, stack[0])
+            # frame-level interpolation filter: no per-block syntax
+        else:
+            self._write_y_mode_inter(bsize, y_mode)
+            if not self.mono:
+                cfl_allowed = W <= 32 and H <= 32
+                self.fc.write(self.enc, "uv_mode", (int(cfl_allowed), int(y_mode)),
+                              int(uv_mode), 14 if cfl_allowed else 13)
+
+        # ---- residual + recon (+ maps) — mirrors the intra tail
+        for plane, px, py, pw, ph, tx_size, pred, qc, dqc, eob in results:
+            ps = self.planes[plane]
+            xu, yu = px >> 2, py >> 2
+            from .constants import TX_HEIGHT, TX_WIDTH
+
+            wu = min(int(TX_WIDTH[tx_size]) >> 2, (ps.width - px) >> 2)
+            hu = min(int(TX_HEIGHT[tx_size]) >> 2, (ps.height - py) >> 2)
+            if not skip:
+                plane_type = int(plane > 0)
+                txb_skip_ctx, dc_sign_ctx = get_txb_ctx(
+                    plane_type, int(tx_size),
+                    ps.above_ctx[xu : xu + wu], ps.left_ctx[yu : yu + hu],
+                    True, False)
+                ttw = None
+                if plane == 0:
+                    ttw = (lambda ts=tx_size: self._write_tx_type_any(ts, y_mode, use_inter))
+                writer = write_coeffs_txb_native if self.use_native_ec else write_coeffs_txb
+                cul = writer(self.fc, self.enc, qc, eob, int(tx_size), 0,
+                             plane_type, txb_skip_ctx, dc_sign_ctx, tx_type_writer=ttw)
+            else:
+                cul = 0
+            ps.above_ctx[xu : xu + wu] = cul
+            ps.left_ctx[yu : yu + hu] = cul
+            cw_t, ch_t = min(pw, 32), min(ph, 32)
+            full = np.zeros((ph, pw), np.int32)
+            full[:ch_t, :cw_t] = dqc.reshape(ch_t, cw_t)
+            recon = inverse_transform_add(full[None], pred[None].astype(np.uint16),
+                                          int(tx_size), 0, self.bd)[0]
+            wr = min(pw, ps.width - px)
+            hr = min(ph, ps.height - py)
+            ps.recon[py : py + hr, px : px + wr] = recon[:hr, :wr]
+            self.decoded[plane][py >> 2 : (py + hr) >> 2, px >> 2 : (px + wr) >> 2] = True
+            from .constants import TX_HEIGHT as _TH, TX_WIDTH as _TW
+
+            m = self.dlf_maps[plane]
+            yu0, yu1 = py >> 2, (py + hr) >> 2
+            xu0, xu1 = px >> 2, (px + wr) >> 2
+            m.txw[yu0:yu1, xu0:xu1] = min(int(_TW[tx_size]), 255)
+            m.txh[yu0:yu1, xu0:xu1] = min(int(_TH[tx_size]), 255)
+            m.skip[yu0:yu1, xu0:xu1] = skip
+            m.bedge_v[yu0:yu1, xu0] = True
+            m.bedge_h[yu0, xu0:xu1] = True
+
+        # ---- mi state
+        r1 = min(mi_row + bh4, self.mi_rows)
+        c1 = min(mi_col + bw4, self.mi_cols)
+        self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
+        if use_inter:
+            self.mi_mode[mi_row:r1, mi_col:c1] = 0  # DC for intra ctx purposes
+            self.grid.set_block(mi_row, mi_col, bw4, bh4, LAST_FRAME, mv, y_mode)
+        else:
+            self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
+            self.grid.set_block(mi_row, mi_col, bw4, bh4, 0, (0, 0), int(y_mode))
+
+    # ------------------------------------------------------------ syntax
+    def _write_is_inter(self, mi_row, mi_col, is_inter):
+        has_a, has_l, a_inter, l_inter = self._neighbors_mi(mi_row, mi_col)
+        if has_a and has_l:
+            ctx = 3 if (not a_inter and not l_inter) else int(not a_inter or not l_inter)
+        elif has_a or has_l:
+            ctx = 2 * int(not (a_inter if has_a else l_inter))
+        else:
+            ctx = 0
+        self.fc.write(self.enc, "intra_inter", (ctx,), int(is_inter), 2)
+
+    def _write_ref_frames(self, mi_row, mi_col):
+        """Single ref LAST: p1=0, p3=0, p4=0 with neighbor-count contexts."""
+        counts = np.zeros(8, np.int32)
+        has_a, has_l, a_inter, l_inter = self._neighbors_mi(mi_row, mi_col)
+        if has_a and a_inter:
+            counts[self.grid.ref_frame[mi_row - 1, mi_col]] += 1
+        if has_l and l_inter:
+            counts[self.grid.ref_frame[mi_row, mi_col - 1]] += 1
+        fwd = int(counts[1] + counts[2] + counts[3] + counts[4])
+        bwd = int(counts[5] + counts[6] + counts[7])
+        ctx_p1 = 1 if fwd == bwd else (0 if fwd < bwd else 2)
+        self.fc.write(self.enc, "single_ref", (ctx_p1, 0), 0, 2)  # forward group
+        ll2 = int(counts[1] + counts[2])
+        l3g = int(counts[3] + counts[4])
+        ctx_p3 = 1 if ll2 == l3g else (0 if ll2 < l3g else 2)
+        self.fc.write(self.enc, "single_ref", (ctx_p3, 2), 0, 2)  # LAST/LAST2 group
+        ctx_p4 = 1 if counts[1] == counts[2] else (0 if counts[1] < counts[2] else 2)
+        self.fc.write(self.enc, "single_ref", (ctx_p4, 3), 0, 2)  # LAST
+
+    def _write_inter_mode(self, mode, mode_ctx):
+        newmv_ctx = mode_ctx & 7
+        self.fc.write(self.enc, "newmv", (newmv_ctx,), int(mode != NEWMV), 2)
+        if mode != NEWMV:
+            zeromv_ctx = (mode_ctx >> 3) & 1
+            self.fc.write(self.enc, "zeromv", (zeromv_ctx,), int(mode != GLOBALMV), 2)
+            if mode != GLOBALMV:
+                refmv_ctx = (mode_ctx >> 4) & 15
+                self.fc.write(self.enc, "refmv", (refmv_ctx,), int(mode != 13), 2)
+
+    def _write_drl(self, stack, weights, refmv_count):
+        """drl_index = 0 always (write_drl_idx NEWMV branch)."""
+        for idx in range(2):
+            if refmv_count > idx + 1:
+                w0 = weights[idx] if idx < len(weights) else 0
+                w1 = weights[idx + 1] if idx + 1 < len(weights) else 0
+                if w0 >= REF_CAT_LEVEL and w1 >= REF_CAT_LEVEL:
+                    ctx = 0
+                elif w0 >= REF_CAT_LEVEL and w1 < REF_CAT_LEVEL:
+                    ctx = 1
+                else:
+                    ctx = 2
+                self.fc.write(self.enc, "drl", (ctx,), int(0 != idx), 2)
+                if idx == 0:
+                    return
+
+    def _write_mv(self, mv, ref_mv):
+        diff = (mv[0] - ref_mv[0], mv[1] - ref_mv[1])
+        joint = (2 if diff[1] else 0) | (1 if diff[0] else 0)
+        # MV_JOINT: ZERO=0, HNZVZ=1(col only), HZVNZ=2(row only), HNZVNZ=3
+        joint = (0 if diff[0] == 0 and diff[1] == 0 else
+                 1 if diff[0] == 0 else 2 if diff[1] == 0 else 3)
+        self.fc.write(self.enc, "nmv_joints", (), joint, 4)
+        for comp in range(2):
+            d = diff[comp]
+            if d == 0:
+                continue
+            sign = int(d < 0)
+            mag = -d if sign else d
+            cls, offset = _mv_class(mag - 1)
+            di = offset >> 3
+            fr = (offset >> 1) & 3
+            hp = offset & 1
+            self.fc.write(self.enc, "nmv_sign", (comp,), sign, 2)
+            self.fc.write(self.enc, "nmv_classes", (comp,), cls, 11)
+            if cls == 0:
+                self.fc.write(self.enc, "nmv_class0", (comp,), di, 2)
+            else:
+                for i in range(cls + 0):
+                    self.fc.write(self.enc, "nmv_bits", (comp, i), (di >> i) & 1, 2)
+            # precision: allow_high_precision_mv=1, force_integer=0
+            if cls == 0:
+                self.fc.write(self.enc, f"nmv_class0_fp{di}", (comp,), fr, 4)
+            else:
+                self.fc.write(self.enc, "nmv_fp", (comp,), fr, 4)
+            if cls == 0:
+                self.fc.write(self.enc, "nmv_class0_hp", (comp,), hp, 2)
+            else:
+                self.fc.write(self.enc, "nmv_hp", (comp,), hp, 2)
+
+    def _write_y_mode_inter(self, bsize, mode):
+        """Intra y mode in inter frames: y_mode_cdf[size_group]."""
+        grp = SIZE_GROUP[int(bsize)]
+        self.fc.write(self.enc, "if_y_mode", (grp,), int(mode), 13)
+        if bsize >= BlockSize.BLOCK_8X8 and 1 <= int(mode) <= 8:
+            self.fc.write(self.enc, "angle_delta", (int(mode) - 1,), 3, 7)
+
+    def _write_tx_type_any(self, tx_size, y_mode, is_inter):
+        if self.qindex == 0:
+            return
+        if is_inter:
+            eset = inter_ext_tx_set(int(tx_size))
+            if eset == 0:
+                return
+            self.fc.write(self.enc, "inter_ext_tx", (eset, int(_SQR[int(tx_size)])),
+                          EXT_TX_IND_INTER[eset], EXT_TX_NSYMS_INTER[eset])
+        else:
+            self._write_tx_type(tx_size, y_mode)

@@ -167,3 +167,61 @@ int dav1d_shim_decode(const uint8_t *obus, size_t len, uint8_t *out_y,
     dav1d_close(&ctx);
     return 0;
 }
+
+/* Decode a whole stream (many TUs); copy picture number `want` (0-based).
+ * Returns 0 on success, -1000-err on decode error, -2000 if not enough
+ * pictures. */
+int dav1d_shim_decode_seq(const uint8_t *obus, size_t len, int want,
+                          uint8_t *out_y, uint8_t *out_u, uint8_t *out_v,
+                          int32_t *out_meta) {
+    Dav1dSettings s;
+    Dav1dContext *ctx = NULL;
+    Dav1dData data;
+    int res, got = 0, found = 0;
+
+    dav1d_default_settings(&s);
+    s.n_threads = 1;
+    res = dav1d_open(&ctx, &s);
+    if (res < 0) return -1000 + res;
+    memset(&data, 0, sizeof(data));
+    res = dav1d_data_wrap(&data, obus, len, free_cb, NULL);
+    if (res < 0) { dav1d_close(&ctx); return -1000 + res; }
+
+    while (1) {
+        if (data.sz) {
+            res = dav1d_send_data(ctx, &data);
+            if (res < 0 && res != -11) { dav1d_close(&ctx); return -1000 + res; }
+        }
+        Dav1dPicture pic;
+        memset(&pic, 0, sizeof(pic));
+        res = dav1d_get_picture(ctx, &pic);
+        if (res == -11 /*EAGAIN*/) {
+            if (!data.sz) break;
+            continue;
+        }
+        if (res < 0) { dav1d_close(&ctx); return -1000 + res; }
+        if (got == want) {
+            int w = pic.p.w, h = pic.p.h, layout = pic.p.layout, bpc = pic.p.bpc;
+            out_meta[0] = w; out_meta[1] = h; out_meta[2] = layout; out_meta[3] = bpc;
+            int bytes = bpc > 8 ? 2 : 1;
+            for (int r = 0; r < h; r++)
+                memcpy(out_y + (size_t)r * w * bytes,
+                       (uint8_t *)pic.data[0] + r * pic.stride[0], (size_t)w * bytes);
+            if (layout != 0 && out_u && out_v) {
+                int ss_x = layout != 3, ss_y = layout == 1;
+                int cw = (w + ss_x) >> ss_x, ch = (h + ss_y) >> ss_y;
+                for (int r = 0; r < ch; r++) {
+                    memcpy(out_u + (size_t)r * cw * bytes,
+                           (uint8_t *)pic.data[1] + r * pic.stride[1], (size_t)cw * bytes);
+                    memcpy(out_v + (size_t)r * cw * bytes,
+                           (uint8_t *)pic.data[2] + r * pic.stride[1], (size_t)cw * bytes);
+                }
+            }
+            found = 1;
+        }
+        got++;
+        dav1d_picture_unref(&pic);
+    }
+    dav1d_close(&ctx);
+    return found ? 0 : -2000;
+}
