@@ -44,16 +44,17 @@ def test_crf_mapping_range():
 def test_video_packets_decode():
     cfg = EncoderConfig(width=96, height=72)
     enc = Encoder(cfg).init()
-    seq = enc.stream_header()
     for i in range(3):
         enc.send_picture(*_frame(96, 72, seed=i), pts=i)
+    stream = b""
     for i in range(3):
         pkt = enc.get_packet()
         assert pkt.pts == i
-        tu = pkt.data if i == 0 else seq + pkt.data
-        y, u, v = dav1d.decode(tu, 96, 72)
-        assert y.shape == (72, 96)
+        stream += pkt.data
     assert enc.get_packet() is None
+    for i in range(3):
+        y, u, v = dav1d.decode_nth(stream, i, 96, 72)
+        assert y.shape == (72, 96)
 
 
 @requires_dav1d
