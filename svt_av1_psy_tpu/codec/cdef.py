@@ -167,18 +167,44 @@ def cdef_frame(planes, mi_skip: np.ndarray, base_q_idx: int, y_pri: int, y_sec: 
             img[r * bh : r * bh + bh, c * bw : c * bw + bw] = out[i].astype(img.dtype)
 
 
-def pick_cdef_strengths(y_src, recon_y_aligned, mi_skip, base_q_idx, bd=8):
+def pick_cdef_strengths(y_src, recon_y_aligned, mi_skip, base_q_idx, bd=8,
+                        max_blocks=192):
     """Encoder search (cdef_bits=0): single (pri, sec) for the frame,
-    minimizing luma MSE vs source. Used for both luma and chroma strengths."""
+    minimizing luma MSE vs source over a sample of non-skip 8x8 blocks
+    (the reference's cdef_seg_search samples similarly)."""
     damping = 3 + (base_q_idx >> 6)
+    coeff_shift = bd - 8
     h, w = y_src.shape
-    ys = y_src.astype(np.int64)
+    luma = recon_y_aligned
+    nb8_r, nb8_c = min(h, luma.shape[0]) // 8, min(w, luma.shape[1]) // 8
+    sk = mi_skip[: nb8_r * 2, : nb8_c * 2].astype(bool)
+    blk_skip = (sk[0::2, 0::2] & sk[1::2, 0::2] & sk[0::2, 1::2] & sk[1::2, 1::2])
+    by, bx = np.nonzero(~blk_skip)
+    if len(by) == 0:
+        return 0, 0, damping
+    if len(by) > max_blocks:
+        sel = np.linspace(0, len(by) - 1, max_blocks).astype(int)
+        by, bx = by[sel], bx[sel]
+    blocks = np.stack([luma[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] for r, c in zip(by, bx)])
+    dirs, var = find_dir_blocks(blocks, coeff_shift)
+    pad = np.full((luma.shape[0] + 4, luma.shape[1] + 4), CDEF_VERY_LARGE, np.int32)
+    pad[2:-2, 2:-2] = luma
+    nbs = np.stack([pad[r * 8 : r * 8 + 12, c * 8 : c * 8 + 12] for r, c in zip(by, bx)])
+    srcs = np.stack([np.asarray(y_src)[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+                     for r, c in zip(by, bx)]).astype(np.int64)
     best = (0, 0, 1e30)
     for pri in (0, 1, 2, 4):
         for sec in (0, 2):
-            trial = [recon_y_aligned.copy(), None, None]
-            cdef_frame(trial, mi_skip, base_q_idx, pri, sec, 0, 0, damping, bd)
-            mse = float(np.mean((trial[0][:h, :w].astype(np.int64) - ys) ** 2))
+            p = pri << coeff_shift
+            s = (sec + (sec == 3)) << coeff_shift
+            if p == 0 and s == 0:
+                out = nbs[:, 2:10, 2:10]
+            else:
+                pstr = adjust_strength(p, var).astype(np.int32)
+                d_used = dirs if p > 0 else np.zeros_like(dirs)
+                out = filter_blocks(nbs, d_used, pstr, s, damping + coeff_shift,
+                                    damping + coeff_shift, 8, 8, bd)
+            mse = float(np.mean((out.astype(np.int64) - srcs) ** 2))
             if mse < best[2]:
                 best = (pri, sec, mse)
     return best[0], best[1], damping

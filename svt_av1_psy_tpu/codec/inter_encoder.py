@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from .constants import BLOCK_HEIGHT, BLOCK_WIDTH, BlockSize, PredictionMode
-from .convolve import convolve_2d_sr
+from . import mc_native
 from .coeff_coding import get_txb_ctx, write_coeffs_txb, write_coeffs_txb_native
 from .intra_encoder import (
     EXT_TX_IND_INTRA,
@@ -91,7 +91,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         y0 = py + ipart_y + self.pad
         x0 = px + ipart_x + self.pad
         patch = ref[y0 - 3 : y0 + ph + 4, x0 - 3 : x0 + pw + 4]
-        return convolve_2d_sr(patch[None], pw, ph, frac_x, frac_y, bd=self.bd)[0]
+        return mc_native.convolve_block(patch, pw, ph, frac_x, frac_y, bd=self.bd)
 
     def _neighbors_mi(self, mi_row, mi_col):
         """(above_is_inter, left_is_inter, availability) within tile."""

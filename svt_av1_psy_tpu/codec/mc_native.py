@@ -1,0 +1,143 @@
+"""ctypes wrapper for native MC/ME kernels (native/mc_native.c).
+
+Bit-identical to codec/convolve.convolve_2d_sr (verified by
+tests/test_convolve.py); falls back to the numpy path when the toolchain
+is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .convolve import convolve_2d_sr, get_filter_kernel
+
+_NATIVE = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE / "build" / "libmcnative.so"
+
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_U16P = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+_I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_lib = None
+_tried = False
+
+_ZERO8 = np.zeros(8, np.int32)
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.is_file():
+        try:
+            _LIB_PATH.parent.mkdir(exist_ok=True)
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH),
+                 str(_NATIVE / "mc_native.c")],
+                check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.mc_convolve_2d_sr.argtypes = [
+        _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _I32P, _I32P,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _U16P]
+    lib.mc_subpel_sad.argtypes = [
+        _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _I32P, _I32P,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _I32P]
+    lib.mc_subpel_sad.restype = ctypes.c_int64
+    lib.me_sad_grid.argtypes = [
+        _I32P, ctypes.c_int, ctypes.c_int, _I32P, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _I64P]
+    lib.me_search_block.argtypes = [
+        _I32P, ctypes.c_int, ctypes.c_int,
+        _I32P, ctypes.c_int, ctypes.c_int,
+        _I32P, ctypes.c_int, ctypes.c_int,
+        _I32P, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _I32P, ctypes.c_int, ctypes.c_int, _I64P]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _kernels(w, h, sx, sy, interp_x, interp_y):
+    fx = get_filter_kernel(interp_x, sx, w) if sx else _ZERO8
+    fy = get_filter_kernel(interp_y, sy, h) if sy else _ZERO8
+    return np.ascontiguousarray(fx, np.int32), np.ascontiguousarray(fy, np.int32)
+
+
+def convolve_block(patch: np.ndarray, w: int, h: int, sx: int, sy: int,
+                   interp_x: int = 0, interp_y: int = 0, bd: int = 8) -> np.ndarray:
+    """Single-block convolve: patch (h+7, w+7) -> (h, w) uint16."""
+    lib = _load()
+    if lib is None or w > 128 or h > 128:
+        return convolve_2d_sr(patch[None], w, h, sx, sy, interp_x, interp_y, bd)[0]
+    src = np.ascontiguousarray(patch, np.int32)
+    fx, fy = _kernels(w, h, sx, sy, interp_x, interp_y)
+    out = np.empty((h, w), np.uint16)
+    lib.mc_convolve_2d_sr(src, src.shape[1], w, h, fx, fy,
+                          int(sx != 0), int(sy != 0), bd, out)
+    return out
+
+
+def subpel_sad(patch: np.ndarray, cur: np.ndarray, w: int, h: int, sx: int,
+               sy: int, bd: int = 8) -> int:
+    lib = _load()
+    if lib is None or w > 128 or h > 128:
+        pred = convolve_2d_sr(patch[None], w, h, sx, sy, bd=bd)[0].astype(np.int32)
+        return int(np.abs(cur - pred).sum())
+    src = np.ascontiguousarray(patch, np.int32)
+    fx, fy = _kernels(w, h, sx, sy, 0, 0)
+    c = np.ascontiguousarray(cur, np.int32)
+    return int(lib.mc_subpel_sad(src, src.shape[1], w, h, fx, fy,
+                                 int(sx != 0), int(sy != 0), bd, c))
+
+
+def sad_grid(cur: np.ndarray, ref: np.ndarray, y0: int, y1: int, x0: int,
+             x1: int, step: int = 1):
+    """argmin SAD over ref windows at offsets [y0,y1) x [x0,x1).
+    Returns (dy, dx, sad). Caller guarantees windows in bounds."""
+    lib = _load()
+    c = np.ascontiguousarray(cur, np.int32)
+    r = np.ascontiguousarray(ref, np.int32)
+    if lib is None:
+        from numpy.lib.stride_tricks import sliding_window_view
+        h, w = c.shape
+        wins = sliding_window_view(r[y0:, x0:], (h, w))[: y1 - y0 : step, : x1 - x0 : step]
+        sads = np.abs(wins.astype(np.int64) - c).sum(axis=(2, 3))
+        idx = np.unravel_index(np.argmin(sads), sads.shape)
+        return (y0 + idx[0] * step, x0 + idx[1] * step, int(sads[idx]))
+    best = np.empty(3, np.int64)
+    lib.me_sad_grid(c, c.shape[1], c.shape[0], r, r.shape[1],
+                    y0, y1, x0, x1, step, best)
+    return (int(best[0]), int(best[1]), int(best[2]))
+
+
+def search_block(cur, ref, curq, refq, x0, y0, search_range, filters,
+                 bd=8, subpel=True):
+    """Whole-block ME (HME + full-pel + subpel diamond) in one native call.
+    Returns (mv_row, mv_col, sad) with the MV in 1/8-pel units, or None when
+    the native library is unavailable (caller falls back to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(cur, np.int32)
+    cq = np.ascontiguousarray(curq, np.int32)
+    out = np.empty(3, np.int64)
+    lib.me_search_block(c, c.shape[1], c.shape[0],
+                        ref, ref.shape[0], ref.shape[1],
+                        cq, cq.shape[1], cq.shape[0],
+                        refq, refq.shape[0], refq.shape[1],
+                        x0, y0, search_range, filters, bd, int(subpel), out)
+    return int(out[0]), int(out[1]), int(out[2])

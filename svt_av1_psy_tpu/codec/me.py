@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .convolve import convolve_2d_sr
+from . import mc_native
 
 
 def decimate(plane: np.ndarray, times: int) -> np.ndarray:
@@ -29,23 +29,18 @@ def decimate(plane: np.ndarray, times: int) -> np.ndarray:
 def _sad_grid(cur: np.ndarray, ref: np.ndarray, cy: int, cx: int, rad: int,
               step: int = 1):
     """SAD of `cur` (h, w) against ref windows centered at (cy+dy, cx+dx),
-    dy/dx in [-rad, rad]. Returns (best_dy, best_dx, best_sad)."""
+    dy/dx in [-rad, rad]. C kernel with early-exit rows (the device analog
+    is ops/analysis.sad_grid). Returns (best_dy, best_dx, best_sad)."""
     h, w = cur.shape
     H, W = ref.shape
-    best = (0, 0, 1 << 60)
-    c64 = cur.astype(np.int32)
-    for dy in range(-rad, rad + 1, step):
-        y0 = cy + dy
-        if y0 < 0 or y0 + h > H:
-            continue
-        for dx in range(-rad, rad + 1, step):
-            x0 = cx + dx
-            if x0 < 0 or x0 + w > W:
-                continue
-            sad = int(np.abs(c64 - ref[y0 : y0 + h, x0 : x0 + w]).sum())
-            if sad < best[2]:
-                best = (dy, dx, sad)
-    return best
+    y0 = max(cy - rad, 0)
+    y1 = min(cy + rad + h, H) - h + 1
+    x0 = max(cx - rad, 0)
+    x1 = min(cx + rad + w, W) - w + 1
+    if y1 <= y0 or x1 <= x0:
+        return (0, 0, 1 << 60)
+    dy, dx, sad = mc_native.sad_grid(cur, ref, y0, y1, x0, x1, step)
+    return (dy - cy, dx - cx, sad)
 
 
 @dataclass
@@ -58,15 +53,23 @@ class MotionEstimator:
     """Per-frame ME against one reference plane (luma)."""
 
     def __init__(self, ref_luma: np.ndarray, search_range: int = 64):
-        self.ref = ref_luma.astype(np.int32)
-        self.ref_q = decimate(ref_luma, 2).astype(np.int32)   # 1/4
+        self.ref = np.ascontiguousarray(ref_luma, np.int32)
+        self.ref_q = np.ascontiguousarray(decimate(ref_luma, 2), np.int32)  # 1/4
         self.range = search_range
+        from .spec_tables import get_tables
+        self._filters = np.ascontiguousarray(
+            get_tables()._raw["interp_sub_pel_filters_8"], np.int32)
 
     def search_block(self, cur_luma: np.ndarray, x0: int, y0: int, w: int, h: int,
                      subpel: bool = True) -> MeResult:
         cur = cur_luma[y0 : y0 + h, x0 : x0 + w].astype(np.int32)
-        # HME on the 1/4 pyramid
         cq = decimate(cur_luma[y0 : y0 + h, x0 : x0 + w], 2).astype(np.int32)
+        if w > 4 and h > 4:
+            r = mc_native.search_block(cur, self.ref, cq, self.ref_q, x0, y0,
+                                       self.range, self._filters, subpel=subpel)
+            if r is not None:
+                return MeResult((r[0], r[1]), r[2])
+        # numpy fallback: HME on the 1/4 pyramid
         qy, qx = y0 >> 2, x0 >> 2
         rad_q = max(2, self.range >> 2)
         dy_q, dx_q, _ = _sad_grid(cq, self.ref_q, qy, qx, rad_q)
@@ -75,19 +78,20 @@ class MotionEstimator:
         fy, fx = dy_q * 4 + dy, dx_q * 4 + dx
         if not subpel:
             return MeResult((fy * 8, fx * 8), sad)
-        # subpel refinement: half -> quarter -> eighth diamond around best
+        # subpel refinement: one diamond pass per precision (half/quarter/eighth)
         best_mv = (fy * 8, fx * 8)
         best_sad = sad
-        for step in (4, 2, 1):
-            improved = True
-            while improved:
-                improved = False
-                for dmy, dmx in ((-step, 0), (step, 0), (0, -step), (0, step)):
-                    mv = (best_mv[0] + dmy, best_mv[1] + dmx)
-                    s = self._subpel_sad(cur, x0, y0, w, h, mv)
-                    if s is not None and s < best_sad:
-                        best_sad, best_mv = s, mv
-                        improved = True
+        if best_sad > (w * h) // 2:  # skip refinement for near-perfect matches
+            for step in (4, 2, 1):
+                for _ in range(2):  # two descent iterations per precision
+                    base = best_mv
+                    for dmy, dmx in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                        mv = (base[0] + dmy, base[1] + dmx)
+                        s = self._subpel_sad(cur, x0, y0, w, h, mv)
+                        if s is not None and s < best_sad:
+                            best_sad, best_mv = s, mv
+                    if best_mv == base:
+                        break
         return MeResult(best_mv, best_sad)
 
     def _subpel_sad(self, cur, x0, y0, w, h, mv):
@@ -98,5 +102,4 @@ class MotionEstimator:
         if py - 3 < 0 or px - 3 < 0 or py + h + 4 > self.ref.shape[0] or px + w + 4 > self.ref.shape[1]:
             return None
         patch = self.ref[py - 3 : py + h + 4, px - 3 : px + w + 4]
-        pred = convolve_2d_sr(patch[None], w, h, sx, sy)[0].astype(np.int32)
-        return int(np.abs(cur - pred).sum())
+        return mc_native.subpel_sad(patch, cur, w, h, sx, sy)

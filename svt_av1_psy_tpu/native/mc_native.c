@@ -1,0 +1,218 @@
+/* Native motion-compensation + motion-estimation kernels.
+ *
+ * Behavior reference: svt_av1_convolve_2d_sr_c and the x/y/copy
+ * specializations (inter_prediction.c:311) plus the SAD loops of
+ * motion_estimation.c. Bit-identical to codec/convolve.py (verified by
+ * tests/test_convolve.py); the ME helpers are encoder-side only.
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define FILTER_BITS 7
+
+/* Convolve one (h+7, w+7) int32 patch into (h, w) uint16 out.
+ * fx / fy: 8-tap kernels (int32). subpel flags select the rounding mode.
+ * Matches convolve.py convolve_2d_sr exactly. */
+void mc_convolve_2d_sr(const int32_t *src, int src_stride, int w, int h,
+                       const int32_t *fx, const int32_t *fy,
+                       int subpel_x, int subpel_y, int bd, uint16_t *out) {
+    const int round_0 = 3, round_1 = 11;
+    const int peak = (1 << bd) - 1;
+    if (!subpel_x && !subpel_y) {
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++)
+                out[r * w + c] = (uint16_t)src[(r + 3) * src_stride + c + 3];
+        return;
+    }
+    if (subpel_x && subpel_y) {
+        int32_t im[(128 + 7) * 128];
+        const int off = 1 << (bd + FILTER_BITS - 1);
+        for (int r = 0; r < h + 7; r++) {
+            const int32_t *s = src + r * src_stride;
+            for (int c = 0; c < w; c++) {
+                int32_t acc = off + (1 << (round_0 - 1));
+                for (int k = 0; k < 8; k++) acc += fx[k] * s[c + k];
+                im[r * w + c] = acc >> round_0;
+            }
+        }
+        const int offset_bits = bd + 2 * FILTER_BITS - round_0;
+        const int bits = 2 * FILTER_BITS - round_0 - round_1;
+        const int32_t sub = (1 << (offset_bits - round_1)) +
+                            (1 << (offset_bits - round_1 - 1));
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int32_t acc = (1 << offset_bits) + (1 << (round_1 - 1));
+                for (int k = 0; k < 8; k++) acc += fy[k] * im[(r + k) * w + c];
+                int32_t v = (acc >> round_1) - sub;
+                if (bits > 0) v = (v + (1 << (bits - 1))) >> bits;
+                if (v < 0) v = 0;
+                if (v > peak) v = peak;
+                out[r * w + c] = (uint16_t)v;
+            }
+        return;
+    }
+    if (subpel_x) {
+        const int bits = FILTER_BITS - round_0;
+        for (int r = 0; r < h; r++) {
+            const int32_t *s = src + (r + 3) * src_stride;
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int k = 0; k < 8; k++) acc += fx[k] * s[c + k];
+                acc = (acc + (1 << (round_0 - 1))) >> round_0;
+                acc = (acc + (1 << (bits - 1))) >> bits;
+                if (acc < 0) acc = 0;
+                if (acc > peak) acc = peak;
+                out[r * w + c] = (uint16_t)acc;
+            }
+        }
+        return;
+    }
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++) {
+            int32_t acc = 1 << (FILTER_BITS - 1);
+            for (int k = 0; k < 8; k++)
+                acc += fy[k] * src[(r + k) * src_stride + c + 3];
+            acc >>= FILTER_BITS;
+            if (acc < 0) acc = 0;
+            if (acc > peak) acc = peak;
+            out[r * w + c] = (uint16_t)acc;
+        }
+}
+
+/* Convolve + SAD against cur in one pass (no output buffer round-trip).
+ * src points at the (h+7, w+7) window; cur is (h, w) int32. */
+int64_t mc_subpel_sad(const int32_t *src, int src_stride, int w, int h,
+                      const int32_t *fx, const int32_t *fy,
+                      int subpel_x, int subpel_y, int bd,
+                      const int32_t *cur) {
+    uint16_t buf[128 * 128];
+    mc_convolve_2d_sr(src, src_stride, w, h, fx, fy, subpel_x, subpel_y, bd, buf);
+    int64_t sad = 0;
+    for (int i = 0; i < w * h; i++) {
+        int32_t d = (int32_t)buf[i] - cur[i];
+        sad += d < 0 ? -d : d;
+    }
+    return sad;
+}
+
+/* Full-pel SAD grid over offsets dy in [y0, y1), dx in [x0, x1) (relative to
+ * ref top-left). cur: (h, w) int32; ref: int32 with stride. Writes argmin to
+ * best[3] = {dy, dx, sad}. Caller guarantees all windows are in bounds. */
+void me_sad_grid(const int32_t *cur, int w, int h,
+                 const int32_t *ref, int ref_stride,
+                 int y0, int y1, int x0, int x1, int step,
+                 int64_t *best) {
+    int64_t best_sad = INT64_MAX;
+    int best_dy = y0, best_dx = x0;
+    for (int dy = y0; dy < y1; dy += step) {
+        for (int dx = x0; dx < x1; dx += step) {
+            int64_t sad = 0;
+            for (int r = 0; r < h; r++) {
+                const int32_t *rp = ref + (dy + r) * ref_stride + dx;
+                const int32_t *cp = cur + r * w;
+                for (int c = 0; c < w; c++) {
+                    int32_t d = rp[c] - cp[c];
+                    sad += d < 0 ? -d : d;
+                }
+                if (sad >= best_sad) break;
+            }
+            if (sad < best_sad) {
+                best_sad = sad;
+                best_dy = dy;
+                best_dx = dx;
+            }
+        }
+    }
+    best[0] = best_dy;
+    best[1] = best_dx;
+    best[2] = best_sad;
+}
+
+/* Whole-block ME search: HME on the 1/4 pyramid, full-pel refine, then a
+ * half/quarter/eighth-pel diamond (two descent iterations per step).
+ * Mirrors codec/me.py search_block. filters: 16x8 int32 subpel kernel table
+ * (regular 8-tap). out[3] = {mv_row, mv_col, sad}, MV in 1/8-pel units. */
+static int64_t subpel_try(const int32_t *cur, int w, int h,
+                          const int32_t *ref, int refH, int refW,
+                          const int32_t *filters, int bd,
+                          int x0, int y0, int mvy, int mvx) {
+    int py = y0 + (mvy >> 3), px = x0 + (mvx >> 3);
+    int sy = (mvy & 7) << 1, sx = (mvx & 7) << 1;
+    if (py - 3 < 0 || px - 3 < 0 || py + h + 4 > refH || px + w + 4 > refW)
+        return INT64_MAX;
+    return mc_subpel_sad(ref + (py - 3) * refW + (px - 3), refW, w, h,
+                         filters + 8 * sx, filters + 8 * sy, sx != 0, sy != 0,
+                         bd, cur);
+}
+
+static void sad_grid_clamped(const int32_t *cur, int w, int h,
+                             const int32_t *ref, int refH, int refW,
+                             int cy, int cx, int rad, int64_t *best) {
+    int y0 = cy - rad, x0 = cx - rad;
+    int y1 = cy + rad + 1, x1 = cx + rad + 1;
+    if (y0 < 0) y0 = 0;
+    if (x0 < 0) x0 = 0;
+    if (y1 > refH - h + 1) y1 = refH - h + 1;
+    if (x1 > refW - w + 1) x1 = refW - w + 1;
+    if (y1 <= y0 || x1 <= x0) {
+        best[0] = cy; best[1] = cx; best[2] = INT64_MAX;
+        return;
+    }
+    me_sad_grid(cur, w, h, ref, refW, y0, y1, x0, x1, 1, best);
+}
+
+void me_search_block(const int32_t *cur, int w, int h,
+                     const int32_t *ref, int refH, int refW,
+                     const int32_t *curq, int qw, int qh,
+                     const int32_t *refq, int qH, int qW,
+                     int x0, int y0, int range,
+                     const int32_t *filters, int bd, int subpel,
+                     int64_t *out) {
+    int64_t b[3];
+    /* HME on the 1/4 pyramid */
+    int rad_q = range >> 2;
+    if (rad_q < 2) rad_q = 2;
+    sad_grid_clamped(curq, qw, qh, refq, qH, qW, y0 >> 2, x0 >> 2, rad_q, b);
+    int dyq = b[2] == INT64_MAX ? 0 : (int)b[0] - (y0 >> 2);
+    int dxq = b[2] == INT64_MAX ? 0 : (int)b[1] - (x0 >> 2);
+    /* full-pel refine around the scaled HME candidate */
+    sad_grid_clamped(cur, w, h, ref, refH, refW, y0 + dyq * 4, x0 + dxq * 4, 7, b);
+    int fy, fx;
+    int64_t sad;
+    if (b[2] == INT64_MAX) {
+        fy = fx = 0;
+        sad = 1;   /* degenerate frame edge: keep zero MV, skip subpel */
+        int64_t s = 0;
+        for (int r = 0; r < h && y0 + r < refH; r++)
+            for (int c = 0; c < w && x0 + c < refW; c++) {
+                int32_t d = ref[(y0 + r) * refW + x0 + c] - cur[r * w + c];
+                s += d < 0 ? -d : d;
+            }
+        sad = s;
+    } else {
+        fy = (int)b[0] - y0;
+        fx = (int)b[1] - x0;
+        sad = b[2];
+    }
+    int mvy = fy * 8, mvx = fx * 8;
+    if (subpel && sad > (int64_t)(w * h) / 2) {
+        for (int step = 4; step >= 1; step >>= 1) {
+            for (int it = 0; it < 2; it++) {
+                int by = mvy, bx = mvx;
+                static const int dmy[4] = {-1, 1, 0, 0};
+                static const int dmx[4] = {0, 0, -1, 1};
+                for (int d = 0; d < 4; d++) {
+                    int ty = by + dmy[d] * step, tx = bx + dmx[d] * step;
+                    int64_t s = subpel_try(cur, w, h, ref, refH, refW,
+                                           filters, bd, x0, y0, ty, tx);
+                    if (s < sad) { sad = s; mvy = ty; mvx = tx; }
+                }
+                if (mvy == by && mvx == bx) break;
+            }
+        }
+    }
+    out[0] = mvy;
+    out[1] = mvx;
+    out[2] = sad;
+}

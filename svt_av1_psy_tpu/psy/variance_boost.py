@@ -35,22 +35,32 @@ def sb_variances_8x8(luma: np.ndarray, sb_size: int = 64) -> np.ndarray:
     return v.reshape(H // sb_size, W // sb_size, n * n).astype(np.uint16)
 
 
+_Q_FP8_CACHE: dict = {}
+
+
+def _q_fp8_table(bd: int) -> np.ndarray:
+    tab = _Q_FP8_CACHE.get(bd)
+    if tab is None:
+        shift = {8: 6, 10: 4, 12: 3}[bd]
+        tab = np.array([ac_quant_qtx(i, 0, bd) << shift for i in range(256)], np.int64)
+        _Q_FP8_CACHE[bd] = tab
+    return tab
+
+
 def _convert_qindex_to_q_fp8(qindex: int, bd: int) -> int:
-    shift = {8: 6, 10: 4, 12: 3}[bd]
-    return ac_quant_qtx(qindex, 0, bd) << shift
+    return int(_q_fp8_table(bd)[qindex])
+
+
+def _first_q_index_at_least(q_fp8: int, bd: int) -> int:
+    # reference loops i in [1, 254] and keeps the last i if never reached
+    tab = _q_fp8_table(bd)
+    i = int(np.searchsorted(tab[1:255], q_fp8)) + 1
+    return min(i, 254)
 
 
 def _compute_qdelta_fp(qstart_fp8: int, qtarget_fp8: int, bd: int) -> int:
-    start_index = target_index = 255
-    for i in range(1, 255):
-        start_index = i
-        if _convert_qindex_to_q_fp8(i, bd) >= qstart_fp8:
-            break
-    for i in range(1, 255):
-        target_index = i
-        if _convert_qindex_to_q_fp8(i, bd) >= qtarget_fp8:
-            break
-    return target_index - start_index
+    return (_first_q_index_at_least(qtarget_fp8, bd)
+            - _first_q_index_at_least(qstart_fp8, bd))
 
 
 def deltaq_sb_variance_boost(base_q_idx: int, variances: np.ndarray, strength: int,
