@@ -106,8 +106,12 @@ class Encoder:
         ip = cfg.intra_period_length
         is_key = (self._frame_count == 0 or self._ref_planes is None
                   or (ip >= 0 and self._frame_count % (ip + 1) == 0))
+        from .codec.qm import frame_qm_levels
+
+        qm_levels = frame_qm_levels(cfg, qindex)
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
-                      sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map)
+                      sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
+                      qm_levels=qm_levels)
         if is_key:
             enc = IntraFrameEncoder(cfg.width, cfg.height, qindex, **common)
         else:
@@ -140,6 +144,10 @@ class Encoder:
         from .codec.constants import FrameType
 
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
+                         using_qmatrix=qm_levels is not None,
+                         qm_y=qm_levels[0] if qm_levels else 15,
+                         qm_u=qm_levels[1] if qm_levels else 15,
+                         qm_v=qm_levels[2] if qm_levels else 15,
                          frame_type=FrameType.KEY_FRAME if is_key else FrameType.INTER_FRAME,
                          tile_cols_log2=cfg.tile_columns, tile_rows_log2=cfg.tile_rows,
                          filter_level=(lvl_y, lvl_y), filter_level_uv=(lvl_uv, lvl_uv),

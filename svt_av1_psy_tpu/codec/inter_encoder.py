@@ -169,7 +169,9 @@ class InterFrameEncoder(IntraFrameEncoder):
             cw_t, ch_t = min(pw, 32), min(ph, 32)
             flat = coeffs[:ch_t, :cw_t].reshape(1, -1)
             scan = self.tables.scan(int(tx_size), 0)
-            qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size))
+            qm, iqm = self._get_qm(plane, int(tx_size))
+            qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
+                                      qm=qm, iqm=iqm)
             results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0])))
         skip = all(r[9] == 0 for r in results)
 

@@ -152,7 +152,7 @@ class IntraFrameEncoder:
     def __init__(self, width, height, qindex, bd=8, monochrome=False,
                  sharpness=0, disable_cdf_update=False,
                  target_bsize=BlockSize.BLOCK_32X32,
-                 sb_qindex_map=None, delta_q_res=4,
+                 sb_qindex_map=None, delta_q_res=4, qm_levels=None,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -191,6 +191,10 @@ class IntraFrameEncoder:
         self._sb_delta_pending = False
         self.quant = [build_plane_quant(qindex, 0, 0, bd, sharpness, qindex)
                       for _ in range(nplanes)]
+        # quantizer matrices (spec §9.5): per-frame (qm_y, qm_u, qm_v) levels
+        # or None for flat; applied to 2D transforms only (full_loop.c:1365)
+        self.qm_levels = qm_levels
+        self._qm_cache: dict = {}
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
@@ -198,6 +202,19 @@ class IntraFrameEncoder:
         self.part_above = np.zeros(self.mi_cols, np.uint8)
         self.part_left = np.zeros(self.mi_rows, np.uint8)
         self.planes: list[PlaneState] = []
+
+    def _get_qm(self, plane: int, tx_size: int, tx_type: int = 0):
+        """(qm, iqm) for this plane/tx, or (None, None) when QM is off or the
+        transform is 1D/identity (IS_2D_TRANSFORM gate, full_loop.c:1365)."""
+        if self.qm_levels is None or tx_type >= 10:  # IDTX and up are 1D
+            return None, None
+        key = (plane, int(tx_size))
+        got = self._qm_cache.get(key)
+        if got is None:
+            from .qm import get_qm
+            got = get_qm(self.qm_levels[plane], plane > 0, int(tx_size))
+            self._qm_cache[key] = got
+        return got
 
     # ------------------------------------------------------------- planes
     def _init_planes(self, y, u, v):
@@ -480,7 +497,9 @@ class IntraFrameEncoder:
             cw_t, ch_t = min(pw, 32), min(ph, 32)
             flat = coeffs[:ch_t, :cw_t].reshape(1, -1)
             scan = self.tables.scan(int(tx_size), 0)
-            qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size))
+            qm, iqm = self._get_qm(plane, int(tx_size))
+            qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
+                                      qm=qm, iqm=iqm)
             results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0])))
 
         skip = all(r[9] == 0 for r in results)

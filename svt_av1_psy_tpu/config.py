@@ -580,6 +580,11 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     _check(0.0 <= cfg.qp_scale_compress_strength <= 3.0, "qp-scale-compress in [0,3]")
     _check(0 <= cfg.noise_norm_strength <= 4, "noise-norm-strength in [0,4]")
     _check(0 <= cfg.tile_columns <= 4 and 0 <= cfg.tile_rows <= 4, "tile log2 in [0,4]")
+    for nm in ("min_qm_level", "max_qm_level", "min_chroma_qm_level", "max_chroma_qm_level"):
+        _check(0 <= getattr(cfg, nm) <= 15, f"{nm} in [0,15]")
+    _check(cfg.min_qm_level <= cfg.max_qm_level, "qm-min must be <= qm-max")
+    _check(cfg.min_chroma_qm_level <= cfg.max_chroma_qm_level,
+           "chroma-qm-min must be <= chroma-qm-max")
     _check(0 <= cfg.luminance_qp_bias <= 100, "frame-luma-bias in [0,100]")
     _check(cfg.min_qp_allowed >= 1 and cfg.max_qp_allowed <= 63
            and cfg.min_qp_allowed <= cfg.max_qp_allowed, "bad qp bounds")
