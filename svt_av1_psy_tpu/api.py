@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -70,6 +71,22 @@ class Encoder:
             chroma_sample_position=cfg.chroma_sample_position,
             enable_cdef=cfg.cdef_level != 0,
         )
+        # film grain: explicit table takes precedence over the photon-noise
+        # model driven by --film-grain (app_config.c:2869 precedence warning)
+        self._film_grain = None
+        if cfg.fgs_table_path:
+            from .codec.film_grain import parse_fgs_table
+
+            entries = parse_fgs_table(Path(cfg.fgs_table_path).read_text())
+            if entries:
+                self._film_grain = entries[0][2]
+                self._film_grain.bit_depth = cfg.input_depth
+        elif cfg.film_grain_denoise_strength > 0:
+            from .codec.film_grain import photon_noise_params
+
+            self._film_grain = photon_noise_params(
+                cfg.film_grain_denoise_strength, cfg.input_depth)
+        self._seq.film_grain_params_present = self._film_grain is not None
         self._initialized = True
         return self
 
@@ -143,7 +160,15 @@ class Encoder:
                        min(sec, 3), cdef_damping, cfg.input_depth)
         from .codec.constants import FrameType
 
+        fg = None
+        if self._film_grain is not None:
+            import copy
+
+            fg = copy.copy(self._film_grain)
+            # decorrelate grain across frames (each frame re-codes its seed)
+            fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
+                         film_grain=fg,
                          using_qmatrix=qm_levels is not None,
                          qm_y=qm_levels[0] if qm_levels else 15,
                          qm_u=qm_levels[1] if qm_levels else 15,

@@ -88,6 +88,7 @@ class FrameParams:
     sharpness: int = 0
     tx_mode_select: bool = False     # False = TX_MODE_LARGEST
     reduced_tx_set: bool = False
+    film_grain: object = None        # FilmGrainParams or None
     allow_intrabc: bool = False
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -376,8 +377,68 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         for _ in range(7):  # global_motion_params: is_global per ref
             w.f(0, 1)
     if sp.film_grain_params_present and fp.show_frame:
-        w.f(0, 1)  # apply_grain
+        _write_film_grain(w, sp, fp)
     return w  # caller appends trailing bits or tile data alignment
+
+
+def _write_film_grain(w: BitWriter, sp: SequenceParams, fp: FrameParams):
+    """film_grain_params() (spec 5.9.30; entropy_coding.c:3054). Parameters
+    are always re-coded (update_parameters=1) — single-ref IPP keeps the
+    syntax simple and every decoder state self-contained."""
+    fg = fp.film_grain
+    if fg is None or not fg.apply_grain:
+        w.f(0, 1)  # apply_grain
+        return
+    w.f(1, 1)
+    w.f(fg.random_seed, 16)
+    if fp.frame_type == FrameType.INTER_FRAME:
+        w.f(1, 1)           # update_parameters
+    w.f(fg.num_y_points, 4)
+    for x, v in fg.scaling_points_y:
+        w.f(x, 8)
+        w.f(v, 8)
+    if not sp.monochrome:
+        w.f(int(fg.chroma_scaling_from_luma), 1)
+    csfl = int(fg.chroma_scaling_from_luma) if not sp.monochrome else 0
+    # 4:2:0 chroma-points suppression rule (spec: mono / csfl / subsampled
+    # with no luma points -> chroma point counts are not coded, i.e. zero)
+    suppress_chroma = sp.monochrome or csfl or fg.num_y_points == 0
+    num_cb = 0 if suppress_chroma else fg.num_cb_points
+    num_cr = 0 if suppress_chroma else fg.num_cr_points
+    if not suppress_chroma:
+        w.f(num_cb, 4)
+        for x, v in fg.scaling_points_cb:
+            w.f(x, 8)
+            w.f(v, 8)
+        w.f(num_cr, 4)
+        for x, v in fg.scaling_points_cr:
+            w.f(x, 8)
+            w.f(v, 8)
+    w.f(fg.scaling_shift - 8, 2)
+    w.f(fg.ar_coeff_lag, 2)
+    num_pos = 2 * fg.ar_coeff_lag * (fg.ar_coeff_lag + 1)
+    n_c = num_pos + (1 if fg.num_y_points else 0)
+    if fg.num_y_points:
+        for i in range(num_pos):
+            w.f((fg.ar_coeffs_y[i] if i < len(fg.ar_coeffs_y) else 0) + 128, 8)
+    if num_cb or csfl:
+        for i in range(n_c):
+            w.f((fg.ar_coeffs_cb[i] if i < len(fg.ar_coeffs_cb) else 0) + 128, 8)
+    if num_cr or csfl:
+        for i in range(n_c):
+            w.f((fg.ar_coeffs_cr[i] if i < len(fg.ar_coeffs_cr) else 0) + 128, 8)
+    w.f(fg.ar_coeff_shift - 6, 2)
+    w.f(fg.grain_scale_shift, 2)
+    if num_cb:
+        w.f(fg.cb_mult, 8)
+        w.f(fg.cb_luma_mult, 8)
+        w.f(fg.cb_offset, 9)
+    if num_cr:
+        w.f(fg.cr_mult, 8)
+        w.f(fg.cr_luma_mult, 8)
+        w.f(fg.cr_offset, 9)
+    w.f(int(fg.overlap_flag), 1)
+    w.f(int(fg.clip_to_restricted_range), 1)
 
 
 def frame_obu(sp: SequenceParams, fp: FrameParams, tile_payloads: list) -> bytes:
