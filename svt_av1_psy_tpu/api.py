@@ -128,7 +128,7 @@ class Encoder:
         qm_levels = frame_qm_levels(cfg, qindex)
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
-                      qm_levels=qm_levels)
+                      qm_levels=qm_levels, psy_rd=cfg.psy_rd)
         if is_key:
             enc = IntraFrameEncoder(cfg.width, cfg.height, qindex, **common)
         else:

@@ -116,6 +116,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         for mode in self._prune_modes(src):
             pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
             cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
+            cost += self._psy_cost(src, pred)
             if best_icost is None or cost < best_icost:
                 best_imode, best_ipred, best_icost = mode, pred, cost
 
@@ -128,10 +129,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         cand = []
         pred_new = self._mc_pred(0, x0, y0, W, H, me_res.mv)
         cost_new = int(np.sum((src.astype(np.int64) - pred_new) ** 2))
-        cand.append((NEWMV, me_res.mv, pred_new, cost_new))
+        cand.append((NEWMV, me_res.mv, pred_new,
+                     cost_new + self._psy_cost(src, pred_new)))
         pred_zero = self._mc_pred(0, x0, y0, W, H, (0, 0))
         cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
-        cand.append((GLOBALMV, (0, 0), pred_zero, cost_zero))
+        cand.append((GLOBALMV, (0, 0), pred_zero,
+                     cost_zero + self._psy_cost(src, pred_zero)))
         inter_mode, inter_mv, inter_pred, inter_cost = min(cand, key=lambda c: c[3])
         if inter_mode == NEWMV and tuple(inter_mv) == tuple(stack[0]):
             # NEWMV with zero mvd is legal but wasteful; prefer the stack mode

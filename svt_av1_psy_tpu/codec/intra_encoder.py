@@ -152,7 +152,7 @@ class IntraFrameEncoder:
     def __init__(self, width, height, qindex, bd=8, monochrome=False,
                  sharpness=0, disable_cdf_update=False,
                  target_bsize=BlockSize.BLOCK_32X32,
-                 sb_qindex_map=None, delta_q_res=4, qm_levels=None,
+                 sb_qindex_map=None, delta_q_res=4, qm_levels=None, psy_rd=0.0,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -195,6 +195,8 @@ class IntraFrameEncoder:
         # or None for flat; applied to 2D transforms only (full_loop.c:1365)
         self.qm_levels = qm_levels
         self._qm_cache: dict = {}
+        # psy-rd strength: energy-preserving bias in mode decision (psy_rd.c)
+        self.psy_rd = float(psy_rd)
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
@@ -202,6 +204,14 @@ class IntraFrameEncoder:
         self.part_above = np.zeros(self.mi_cols, np.uint8)
         self.part_left = np.zeros(self.mi_rows, np.uint8)
         self.planes: list[PlaneState] = []
+
+    def _psy_cost(self, src: np.ndarray, pred: np.ndarray) -> int:
+        """psy-rd bias for a mode candidate (product_coding_loop.c:1024)."""
+        if self.psy_rd <= 0:
+            return 0
+        from ..psy.psy_rd import psy_full_dist
+
+        return psy_full_dist(src, pred, self.psy_rd, self.bd)
 
     def _get_qm(self, plane: int, tx_size: int, tx_type: int = 0):
         """(qm, iqm) for this plane/tx, or (None, None) when QM is off or the
@@ -468,6 +478,7 @@ class IntraFrameEncoder:
         for mode in candidates:
             pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
             cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
+            cost += self._psy_cost(src, pred)
             if best_cost is None or cost < best_cost:
                 best_mode, best_pred, best_cost = mode, pred, cost
         y_mode = best_mode
