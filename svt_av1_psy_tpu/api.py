@@ -52,6 +52,9 @@ class Encoder:
         self._seq: Optional[SequenceParams] = None
         self._recon_last = None
         self._ref_planes = None
+        self._rc = None
+        self._prev_src_y = None
+        self._frames_since_key = 0
 
     # -------------------------------------------------------------- lifecycle
     def init(self):
@@ -102,7 +105,37 @@ class Encoder:
         if cfg.avif and self._frame_count > 0:
             # single-picture guard (enc_handle.c:5453)
             raise SvtAv1Error(ErrorCode.ERROR_BAD_PARAMETER, "avif mode accepts one picture")
-        qindex = _crf_to_qindex(cfg.crf) if cfg.rate_control_mode == RateControlMode.CRF_CQP else 100
+        # GoP: key frame at start, every intra_period+1 frames, and on scene
+        # changes (pd_process.c scene_change analog)
+        ip = cfg.intra_period_length
+        is_key = (self._frame_count == 0 or self._ref_planes is None
+                  or (ip >= 0 and self._frames_since_key > ip))
+        if not is_key and cfg.scene_change_detection:
+            from .codec.scene_change import detect_scene_change
+
+            if detect_scene_change(self._prev_src_y, np.asarray(y), cfg.input_depth):
+                is_key = True
+        self._prev_src_y = np.asarray(y).copy()
+        # rate control: CRF mapping (+ PSY qp-scale-compress) or 1-pass VBR/CBR
+        if cfg.rate_control_mode == RateControlMode.CRF_CQP:
+            qindex = _crf_to_qindex(cfg.crf)
+            if cfg.qp_scale_compress_strength > 0:
+                from .rc.rate_control import qp_scale_compress_qindex
+
+                qindex = qp_scale_compress_qindex(
+                    qindex, cfg.qp_scale_compress_strength, cfg.input_depth, is_key)
+        else:
+            if self._rc is None:
+                from .rc.rate_control import RateControl
+
+                self._rc = RateControl(
+                    target_bit_rate=cfg.target_bit_rate,
+                    fps=cfg.fps_num / max(cfg.fps_denom, 1),
+                    width=cfg.width, height=cfg.height, bd=cfg.input_depth,
+                    cbr=cfg.rate_control_mode == RateControlMode.CBR,
+                    undershoot_pct=cfg.undershoot_pct,
+                    overshoot_pct=cfg.overshoot_pct, buf_sz_ms=cfg.buf_sz)
+            qindex = self._rc.frame_qindex(is_key)
         sb_qindex_map = None
         if cfg.enable_variance_boost and cfg.aq_mode == 2 and qindex > 1:
             from .psy.variance_boost import sb_variances_8x8, variance_adjust_qp
@@ -119,10 +152,6 @@ class Encoder:
             qindex, sb_qindex_map = variance_adjust_qp(
                 qindex, variances, cfg.variance_boost_strength, cfg.input_depth,
                 cfg.variance_octile, int(cfg.variance_boost_curve))
-        # GoP: key frame at start and every intra_period+1 frames (IPP low-delay)
-        ip = cfg.intra_period_length
-        is_key = (self._frame_count == 0 or self._ref_planes is None
-                  or (ip >= 0 and self._frame_count % (ip + 1) == 0))
         from .codec.qm import frame_qm_levels
 
         qm_levels = frame_qm_levels(cfg, qindex)
@@ -198,6 +227,9 @@ class Encoder:
             stats = frame_stats(srcs, recon, cfg.input_depth)
         self._packets.append(Packet(payload, pts if pts is not None else self._frame_count,
                                     recon=recon if cfg.recon_enabled else None, stats=stats))
+        if self._rc is not None:
+            self._rc.update(is_key, qindex, len(payload))
+        self._frames_since_key = 1 if is_key else self._frames_since_key + 1
         self._frame_count += 1
 
     def get_packet(self) -> Optional[Packet]:

@@ -568,6 +568,8 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
            f"preset {cfg.preset} out of range [{MIN_PRESET}, {MAX_PRESET}]")
     _check(0 <= cfg.qp <= MAX_CRF, f"qp/crf {cfg.qp} out of range [0, {MAX_CRF}]")
     _check(cfg.rate_control_mode in (0, 1, 2), "bad rc mode")
+    if cfg.rate_control_mode != 0:
+        _check(cfg.target_bit_rate > 0, "VBR/CBR require target-bit-rate > 0")
     _check(int(cfg.tune) in (0, 1, 2, 3, 4), "bad tune")
     _check(cfg.fps_num > 0 and cfg.fps_denom > 0, "bad frame rate")
     _check(cfg.color_format in (ColorFormat.YUV420, ColorFormat.YUV400),
