@@ -55,6 +55,9 @@ class Encoder:
         self._rc = None
         self._prev_src_y = None
         self._frames_since_key = 0
+        self._la_queue: deque = deque()   # TF lookahead (y, u, v, pts)
+        self._tf_past: list = []          # last original sources for TF
+        self._submitted = 0
 
     # -------------------------------------------------------------- lifecycle
     def init(self):
@@ -99,8 +102,46 @@ class Encoder:
         return sequence_header_obu(self._seq)
 
     def send_picture(self, y: np.ndarray, u=None, v=None, pts: Optional[int] = None):
-        """Encode one picture (all-intra v0: synchronous)."""
+        """Submit one picture. Synchronous (packet available immediately)
+        unless temporal filtering with lookahead is active, in which case
+        pictures buffer until their TF window fills — call flush() at EOS."""
         self._check_init()
+        cfg = self.config
+        la = cfg.look_ahead_distance
+        if cfg.enable_tf and la is not None and la > 0 and not cfg.avif:
+            self._la_queue.append((np.asarray(y), u, v,
+                                   pts if pts is not None else self._submitted))
+            self._submitted += 1
+            while len(self._la_queue) > min(la, 3):
+                self._tf_encode_head()
+            return
+        self._submitted += 1
+        return self._encode_frame(y, u, v, pts)
+
+    def flush(self):
+        """Drain the lookahead queue (EOS). No-op when TF is inactive."""
+        while self._la_queue:
+            self._tf_encode_head()
+
+    def _tf_encode_head(self):
+        from .codec.temporal_filter import temporal_filter
+
+        cfg = self.config
+        y, u, v, pts = self._la_queue.popleft()
+        # predicted frame type picks the PSY strength (kf vs inter TF)
+        ip = cfg.intra_period_length
+        will_key = (self._frame_count == 0 or self._ref_planes is None
+                    or (ip >= 0 and self._frames_since_key > ip))
+        strength = cfg.kf_tf_strength if will_key else cfg.tf_strength
+        neighbors = list(self._tf_past) + [(f[0], f[1], f[2])
+                                           for f in list(self._la_queue)[:3]]
+        fy, fu, fv = temporal_filter((y, u, v), neighbors, strength, cfg.input_depth)
+        self._tf_past.append((y, u, v))
+        if len(self._tf_past) > 2:
+            self._tf_past.pop(0)
+        self._encode_frame(fy, fu, fv, pts)
+
+    def _encode_frame(self, y: np.ndarray, u=None, v=None, pts: Optional[int] = None):
         cfg = self.config
         if cfg.avif and self._frame_count > 0:
             # single-picture guard (enc_handle.c:5453)

@@ -88,19 +88,31 @@ def main(argv=None) -> int:
             ivf = IVFWriter(out, cfg.width, cfg.height, cfg.fps_num, cfg.fps_denom)
             count = 0
             total = 0
+            sent = 0
+
+            def drain():
+                nonlocal count, total
+                while True:
+                    pkt = enc.get_packet()
+                    if pkt is None:
+                        return
+                    ivf.write_frame(pkt.data, pkt.pts)
+                    total += len(pkt.data)
+                    count += 1
+                    if cfg.progress:
+                        el = time.perf_counter() - t0
+                        print(f"\rencoded {count} frames  {count/el:.2f} fps  "
+                              f"{total*8*hdr.fps_num/max(count,1)/hdr.fps_denom/1000:.0f} kbps",
+                              end="", file=sys.stderr)
+
             for y, u, v in reader.frames():
-                if 0 <= n_frames <= count:
+                if 0 <= n_frames <= sent:
                     break
-                enc.send_picture(y, u, v, pts=count)
-                pkt = enc.get_packet()
-                ivf.write_frame(pkt.data, pkt.pts)
-                total += len(pkt.data)
-                count += 1
-                if cfg.progress:
-                    el = time.perf_counter() - t0
-                    print(f"\rencoded {count} frames  {count/el:.2f} fps  "
-                          f"{total*8*hdr.fps_num/max(count,1)/hdr.fps_denom/1000:.0f} kbps",
-                          end="", file=sys.stderr)
+                enc.send_picture(y, u, v, pts=sent)
+                sent += 1
+                drain()
+            enc.flush()
+            drain()
             ivf.finalize()
         el = time.perf_counter() - t0
         print(f"\n{count} frames in {el:.2f}s ({count/max(el,1e-9):.2f} fps) -> {out_path}",

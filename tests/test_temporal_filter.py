@@ -1,0 +1,92 @@
+"""Temporal filtering: denoising effect, lookahead API, conformance."""
+
+import numpy as np
+import pytest
+
+from svt_av1_psy_tpu.api import Encoder
+from svt_av1_psy_tpu.codec.temporal_filter import temporal_filter
+from svt_av1_psy_tpu.config import EncoderConfig
+from svt_av1_psy_tpu.io import dav1d
+
+requires_dav1d = pytest.mark.skipif(not dav1d.available(), reason="dav1d shim unavailable")
+
+
+def _noisy_scene(n, W, H, sigma=6, seed=0):
+    rng = np.random.default_rng(seed)
+    clean = (np.cumsum(rng.normal(0, 4, (H, W)), axis=1) + 128).clip(20, 235).astype(np.float64)
+    frames = []
+    for _ in range(n):
+        noisy = (clean + rng.normal(0, sigma, (H, W))).clip(0, 255).astype(np.uint8)
+        frames.append(noisy)
+    return clean, frames
+
+
+def test_tf_denoises_static_scene():
+    clean, frames = _noisy_scene(5, 128, 96)
+    u = np.full((48, 64), 120, np.uint8)
+    center = (frames[2], u, u.copy())
+    neighbors = [(f, u, u.copy()) for f in (frames[0], frames[1], frames[3], frames[4])]
+    fy, fu, fv = temporal_filter(center, neighbors, strength=3)
+    err_before = float(np.mean((frames[2].astype(np.float64) - clean) ** 2))
+    err_after = float(np.mean((fy.astype(np.float64) - clean) ** 2))
+    assert err_after < err_before * 0.6, (err_before, err_after)
+
+
+def test_tf_strength_zero_is_identity():
+    _, frames = _noisy_scene(3, 64, 64)
+    out = temporal_filter((frames[1], None, None),
+                          [(frames[0], None, None)], strength=0)
+    assert np.array_equal(out[0], frames[1])
+
+
+def test_tf_rejects_mismatched_scene():
+    """Blocks that do not match anywhere in the neighbor must keep ~center."""
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    b = rng.integers(0, 256, (64, 64)).astype(np.uint8)  # unrelated noise
+    fy, _, _ = temporal_filter((a, None, None), [(b, None, None)], strength=1)
+    # weight ~0 -> output equals center
+    assert float(np.mean(np.abs(fy.astype(int) - a.astype(int)))) < 1.0
+
+
+@requires_dav1d
+def test_tf_lookahead_stream_conformant():
+    W, H = 96, 64
+    _, frames = _noisy_scene(6, W, H, seed=3)
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+                        enable_tf=1, look_ahead_distance=2, tf_strength=2,
+                        kf_tf_strength=2)
+    cfg.qp = 40
+    enc = Encoder(cfg).init()
+    for i, f in enumerate(frames):
+        enc.send_picture(f, u, u.copy(), pts=i)
+    enc.flush()
+    stream = b""
+    recons = []
+    pts = []
+    while (pkt := enc.get_packet()) is not None:
+        stream += pkt.data
+        recons.append(pkt.recon)
+        pts.append(pkt.pts)
+    assert pts == list(range(6))
+    for i in (0, 3, 5):
+        dy, du, dv = dav1d.decode_nth(stream, i, W, H)
+        assert np.array_equal(dy, recons[i][0]), f"frame {i}"
+
+
+def test_tf_queue_buffers_until_window():
+    cfg = EncoderConfig(width=64, height=64, enable_tf=1, look_ahead_distance=3)
+    enc = Encoder(cfg).init()
+    u = np.full((32, 32), 120, np.uint8)
+    y = np.full((64, 64), 100, np.uint8)
+    enc.send_picture(y, u, u.copy())
+    assert enc.get_packet() is None          # buffered, window not filled
+    for _ in range(3):
+        enc.send_picture(y, u, u.copy())
+    assert enc.get_packet() is not None      # head encoded once window full
+    enc.flush()
+    n = 0
+    while enc.get_packet() is not None:
+        n += 1
+    assert n == 3
