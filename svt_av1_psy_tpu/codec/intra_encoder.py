@@ -197,6 +197,7 @@ class IntraFrameEncoder:
         self._qm_cache: dict = {}
         # psy-rd strength: energy-preserving bias in mode decision (psy_rd.c)
         self.psy_rd = float(psy_rd)
+        self.enable_cfl = True   # chroma-from-luma candidate in uv decision
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
@@ -204,6 +205,53 @@ class IntraFrameEncoder:
         self.part_above = np.zeros(self.mi_cols, np.uint8)
         self.part_left = np.zeros(self.mi_rows, np.uint8)
         self.planes: list[PlaneState] = []
+
+    # ---------------------------------------------------------------- CFL
+    @staticmethod
+    def _cfl_ac(luma_recon: np.ndarray, cw: int, ch: int) -> np.ndarray:
+        """Chroma-from-luma AC contributions (spec 7.11.5; 4:2:0 subsample
+        svt_cfl_luma_subsampling_420 :420 then svt_subtract_average :448)."""
+        l = luma_recon[: 2 * ch, : 2 * cw].astype(np.int32)
+        sub_q3 = (l[0::2, 0::2] + l[0::2, 1::2] + l[1::2, 0::2] + l[1::2, 1::2]) << 1
+        npel_log2 = (cw * ch).bit_length() - 1
+        avg_q3 = (int(sub_q3.sum()) + (1 << (npel_log2 - 1))) >> npel_log2
+        return sub_q3 - avg_q3
+
+    def _cfl_search(self, ac: np.ndarray, dc_preds: list, cx, cy, cw, ch):
+        """Best alpha_q3 per plane by SSE; returns ((a_u, a_v), preds, gain)
+        where gain is the SSE improvement over plain DC."""
+        peak = (1 << self.bd) - 1
+        alphas = np.arange(-16, 17)
+        scaled = alphas[:, None, None] * ac[None]
+        scaled = np.where(scaled < 0, -((-scaled + 32) >> 6), (scaled + 32) >> 6)
+        best = []
+        preds = []
+        gain = 0
+        for plane in (1, 2):
+            dc = dc_preds[plane - 1].astype(np.int32)
+            cand = np.clip(dc[None] + scaled, 0, peak)
+            srcp = self.src[plane][cy : cy + ch, cx : cx + cw].astype(np.int64)
+            sse = ((cand - srcp) ** 2).sum(axis=(1, 2))
+            k = int(np.argmin(sse))
+            best.append(int(alphas[k]))
+            preds.append(cand[k].astype(np.uint16))
+            gain += int(sse[16] - sse[k])    # alpha 0 == plain DC
+        return tuple(best), preds, gain
+
+    def _write_cfl_alphas(self, alpha_u: int, alpha_v: int):
+        """cfl_alpha_signs + per-plane alpha indices (definitions.h:1078-1094)."""
+        def sign(a):
+            return 0 if a == 0 else (1 if a < 0 else 2)   # ZERO, NEG, POS
+
+        su, sv = sign(alpha_u), sign(alpha_v)
+        joint = su * 3 + sv - 1
+        self.fc.write(self.enc, "cfl_sign", (), joint, 8)
+        if su != 0:
+            ctx_u = joint - 2                              # CFL_CONTEXT_U
+            self.fc.write(self.enc, "cfl_alpha", (ctx_u,), abs(alpha_u) - 1, 16)
+        if sv != 0:
+            ctx_v = sv * 3 + su - 3                        # CFL_CONTEXT_V
+            self.fc.write(self.enc, "cfl_alpha", (ctx_v,), abs(alpha_v) - 1, 16)
 
     def _psy_cost(self, src: np.ndarray, pred: np.ndarray) -> int:
         """psy-rd bias for a mode candidate (product_coding_loop.c:1024)."""
@@ -483,25 +531,9 @@ class IntraFrameEncoder:
                 best_mode, best_pred, best_cost = mode, pred, cost
         y_mode = best_mode
         uv_mode = UVPredictionMode.UV_DC_PRED
+        cfl_alphas = None   # (alpha_u_q3, alpha_v_q3) when uv_mode is CFL
 
-        # ---- transform all planes first (skip decision precedes mode syntax)
-        plane_jobs = []
-        has_uv = not self.mono
-        tx_y = MAX_TX_RECT[BlockSize(bsize)]
-        plane_jobs.append((0, x0, y0, W, H, tx_y, y_mode, best_pred))
-        if has_uv:
-            uv_bsize = _BSIZE_BY_WH[(max(W >> 1, 4), max(H >> 1, 4))]
-            tx_uv = MAX_TX_RECT[uv_bsize]
-            cw, ch = W >> 1, H >> 1
-            cx, cy = x0 >> 1, y0 >> 1
-            for plane in (1, 2):
-                plane_jobs.append((plane, cx, cy, cw, ch, tx_uv, uv_mode, None))
-
-        results = []
-        for plane, px, py, pw, ph, tx_size, mode, pred in plane_jobs:
-            if pred is None:
-                pa, pl, pha, phl = self._gather_neighbors(plane, px, py, pw, ph)
-                pred = self._predict(int(mode), pa, pl, pha, phl, pw, ph)
+        def run_plane(plane, px, py, pw, ph, tx_size, pred):
             psrc = self.src[plane][py : py + ph, px : px + pw]
             resid = psrc.astype(np.int16) - pred.astype(np.int16)
             coeffs = forward_transform_2d(resid[None].astype(np.int32), int(tx_size), 0, self.bd)[0]
@@ -511,7 +543,45 @@ class IntraFrameEncoder:
             qm, iqm = self._get_qm(plane, int(tx_size))
             qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
                                       qm=qm, iqm=iqm)
-            results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0])))
+            return (plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0]))
+
+        # ---- luma first (its recon feeds CFL); skip decision precedes syntax
+        has_uv = not self.mono
+        tx_y = MAX_TX_RECT[BlockSize(bsize)]
+        results = [run_plane(0, x0, y0, W, H, tx_y, best_pred)]
+        cfl_allowed = W <= 32 and H <= 32
+        if has_uv:
+            _, _, _, _, _, _, _, _, dqc_y, _ = results[0]
+            cw_t, ch_t = min(W, 32), min(H, 32)
+            full = np.zeros((H, W), np.int32)
+            full[:ch_t, :cw_t] = dqc_y.reshape(ch_t, cw_t)
+            luma_recon = inverse_transform_add(
+                full[None], best_pred[None].astype(np.uint16), int(tx_y), 0, self.bd)[0]
+            uv_bsize = _BSIZE_BY_WH[(max(W >> 1, 4), max(H >> 1, 4))]
+            tx_uv = MAX_TX_RECT[uv_bsize]
+            cw, ch = W >> 1, H >> 1
+            cx, cy = x0 >> 1, y0 >> 1
+            # CFL candidate: AC from this block's luma recon (the decoder's
+            # view), alpha searched per plane (intra_prediction.c:420-464)
+            in_frame = (x0 + W <= self.planes[0].width
+                        and y0 + H <= self.planes[0].height)
+            dc_preds = []
+            for plane in (1, 2):
+                pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
+                dc_preds.append(self._predict(0, pa, pl, pha, phl, cw, ch))
+            if cfl_allowed and in_frame and self.enable_cfl:
+                ac = self._cfl_ac(luma_recon, cw, ch)
+                alphas, cfl_preds, gain = self._cfl_search(ac, dc_preds, cx, cy, cw, ch)
+                if gain > 0 and alphas != (0, 0):
+                    uv_mode = UVPredictionMode.UV_CFL_PRED
+                    cfl_alphas = alphas
+                    for plane in (1, 2):
+                        results.append(run_plane(plane, cx, cy, cw, ch, tx_uv,
+                                                 cfl_preds[plane - 1]))
+            if uv_mode != UVPredictionMode.UV_CFL_PRED:
+                for plane in (1, 2):
+                    results.append(run_plane(plane, cx, cy, cw, ch, tx_uv,
+                                             dc_preds[plane - 1]))
 
         skip = all(r[9] == 0 for r in results)
 
@@ -522,10 +592,11 @@ class IntraFrameEncoder:
             self._write_delta_q_index()
         self._write_y_mode_kf(mi_row, mi_col, bsize, y_mode)
         if has_uv:
-            cfl_allowed = W <= 32 and H <= 32
             self.fc.write(self.enc, "uv_mode", (int(cfl_allowed), int(y_mode)),
                           int(uv_mode), 14 if cfl_allowed else 13)
-            # UV_DC is non-directional: no uv angle delta
+            if uv_mode == UVPredictionMode.UV_CFL_PRED:
+                self._write_cfl_alphas(*cfl_alphas)
+            # UV_DC / CFL are non-directional: no uv angle delta
         # tx_mode LARGEST: no tx size syntax
 
         # ---- residual + recon
