@@ -76,6 +76,8 @@ class Encoder:
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
             enable_cdef=cfg.cdef_level != 0,
+            enable_restoration=(cfg.enable_restoration_filtering > 0
+                                and cfg.tile_columns == 0 and cfg.tile_rows == 0),
         )
         # film grain: explicit table takes precedence over the photon-noise
         # model driven by --film-grain (app_config.c:2869 precedence warning)
@@ -199,35 +201,65 @@ class Encoder:
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd)
-        if is_key:
-            enc = IntraFrameEncoder(cfg.width, cfg.height, qindex, **common)
-        else:
+        def make_enc():
+            if is_key:
+                return IntraFrameEncoder(cfg.width, cfg.height, qindex, **common)
             from .codec.inter_encoder import InterFrameEncoder
 
-            enc = InterFrameEncoder(cfg.width, cfg.height, qindex,
-                                    self._ref_planes, **common)
+            return InterFrameEncoder(cfg.width, cfg.height, qindex,
+                                     self._ref_planes, **common)
+
+        def run_filters(enc):
+            """DLF + CDEF on the encoder's recon; returns the post-DLF copy
+            (LR boundary source) and the cdef parameters used."""
+            lvl_y = lvl_uv = 0
+            if cfg.enable_dlf_flag:
+                from .codec.deblock import pick_filter_level
+
+                lvl = pick_filter_level(qindex, cfg.input_depth, is_key=True)
+                # PSY sharpness raises/lowers deblock strength bias
+                lvl_y = int(np.clip(lvl - cfg.sharpness, 0, 63))
+                lvl_uv = int(np.clip(lvl_y, 0, 63))
+                enc.apply_loop_filter((lvl_y, lvl_y), lvl_uv,
+                                      sharpness=max(cfg.sharpness, 0))
+            deblocked = [ps.recon.copy() for ps in enc.planes]
+            cdef_y = cdef_uv = (0, 0)
+            cdef_damping = 3
+            if self._seq.enable_cdef:
+                from .codec.cdef import cdef_frame, pick_cdef_strengths
+
+                pri, sec, cdef_damping = pick_cdef_strengths(
+                    np.asarray(y), enc.planes[0].recon, enc.mi_skip, qindex,
+                    cfg.input_depth)
+                cdef_y = cdef_uv = (pri, min(sec, 3))
+                rec = [ps.recon for ps in enc.planes] + [None] * (3 - len(enc.planes))
+                cdef_frame(rec[:3], enc.mi_skip, qindex, pri, min(sec, 3), pri,
+                           min(sec, 3), cdef_damping, cfg.input_depth)
+            return deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping
+
+        enc = make_enc()
         tiles = enc.encode_tiles(y, u, v, cfg.tile_columns, cfg.tile_rows)
-        lvl_y = lvl_uv = 0
-        if cfg.enable_dlf_flag:
-            from .codec.deblock import pick_filter_level
+        deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
+        lr_types = (0, 0, 0)
+        if self._seq.enable_restoration:
+            from .codec.restoration import RESTORE_NONE, apply_restoration, pick_wiener
 
-            lvl = pick_filter_level(qindex, cfg.input_depth, is_key=True)
-            # PSY sharpness raises/lowers deblock strength bias
-            lvl_y = int(np.clip(lvl - cfg.sharpness, 0, 63))
-            lvl_uv = int(np.clip(lvl_y, 0, 63))
-            enc.apply_loop_filter((lvl_y, lvl_y), lvl_uv,
-                                  sharpness=max(cfg.sharpness, 0))
-        cdef_y = cdef_uv = (0, 0)
-        cdef_damping = 3
-        if self._seq.enable_cdef:
-            from .codec.cdef import cdef_frame, pick_cdef_strengths
-
-            pri, sec, cdef_damping = pick_cdef_strengths(
-                np.asarray(y), enc.planes[0].recon, enc.mi_skip, qindex, cfg.input_depth)
-            cdef_y = cdef_uv = (pri, min(sec, 3))
-            rec = [ps.recon for ps in enc.planes] + [None] * (3 - len(enc.planes))
-            cdef_frame(rec[:3], enc.mi_skip, qindex, pri, min(sec, 3), pri,
-                       min(sec, 3), cdef_damping, cfg.input_depth)
+            # round-1 scope: luma Wiener only; chroma stays RESTORE_NONE
+            rsts = [None] * len(enc.planes)
+            rsts[0] = pick_wiener(np.asarray(y), enc.planes[0].recon, deblocked[0],
+                                  cfg.width, cfg.height, 0, cfg.input_depth)
+            if rsts[0].frame_type != RESTORE_NONE:
+                # LR syntax is coded per SB, so re-encode the tiles with the
+                # chosen units (the reference's EncDec/EC split; decisions are
+                # deterministic, pass 2 reproduces the identical recon)
+                enc = make_enc()
+                enc.rsts = rsts
+                tiles = enc.encode_tiles(y, u, v, cfg.tile_columns, cfg.tile_rows)
+                deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
+                apply_restoration([ps.recon for ps in enc.planes], deblocked,
+                                  rsts, cfg.input_depth)
+                lr_types = tuple((1 if r is not None and r.frame_type else 0)
+                                 for r in rsts) + (0,) * (3 - len(rsts))
         from .codec.constants import FrameType
 
         fg = None
@@ -238,7 +270,7 @@ class Encoder:
             # decorrelate grain across frames (each frame re-codes its seed)
             fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
-                         film_grain=fg,
+                         film_grain=fg, lr_types=lr_types,
                          using_qmatrix=qm_levels is not None,
                          qm_y=qm_levels[0] if qm_levels else 15,
                          qm_u=qm_levels[1] if qm_levels else 15,

@@ -89,6 +89,9 @@ class FrameParams:
     tx_mode_select: bool = False     # False = TX_MODE_LARGEST
     reduced_tx_set: bool = False
     film_grain: object = None        # FilmGrainParams or None
+    lr_types: tuple = (0, 0, 0)      # RestorationType per plane
+    lr_unit_size: int = 64
+    lr_uv_unit_size: int = 64
     allow_intrabc: bool = False
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -282,6 +285,30 @@ def _write_quantization(w: BitWriter, sp: SequenceParams, fp: FrameParams):
             w.f(fp.qm_v, 4)
 
 
+def _write_lr_params(w: BitWriter, sp: SequenceParams, fp: FrameParams):
+    """lr_params (spec 5.9.20; entropy_coding.c:2168). lr_types: per-plane
+    RestorationType (0 NONE, 1 WIENER, 2 SGRPROJ, 3 SWITCHABLE)."""
+    bits = {0: (0, 0), 1: (1, 0), 2: (1, 1), 3: (0, 1)}
+    nplanes = 1 if sp.monochrome else 3
+    all_none = True
+    chroma_none = True
+    for p in range(nplanes):
+        t = fp.lr_types[p]
+        b0, b1 = bits[t]
+        w.f(b0, 1)
+        w.f(b1, 1)
+        if t != 0:
+            all_none = False
+            if p > 0:
+                chroma_none = False
+    if not all_none:
+        w.f(int(fp.lr_unit_size > 64), 1)     # sb size 64
+        if fp.lr_unit_size > 64:
+            w.f(int(fp.lr_unit_size > 128), 1)
+    if not chroma_none:
+        w.f(int(fp.lr_uv_unit_size != fp.lr_unit_size), 1)
+
+
 def _write_loop_filter(w: BitWriter, sp: SequenceParams, fp: FrameParams):
     w.f(fp.filter_level[0], 6)
     w.f(fp.filter_level[1], 6)
@@ -366,7 +393,7 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
                 w.f(pri, 4)
                 w.f(sec, 2)
     if sp.enable_restoration and not fp.allow_intrabc:
-        raise NotImplementedError("lr params")
+        _write_lr_params(w, sp, fp)
     w.f(int(fp.tx_mode_select), 1)
     if not is_intra:
         w.f(0, 1)  # reference_select: single reference mode only

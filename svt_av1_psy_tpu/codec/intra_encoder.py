@@ -415,6 +415,12 @@ class IntraFrameEncoder:
         self.fc = FrameContext(self.qindex, self.fc.disable_update)
         self.enc = ec_native.NativeRangeEncoder() if self.use_native_ec else RangeEncoder()
         self.tile_mi = (mi_r0, mi_r1, mi_c0, mi_c1)
+        # per-tile LR coefficient references (set_default_wiener,
+        # entropy_coding.c:3930)
+        from .restoration import DEFAULT_TAPS
+
+        self._lr_refs = [{"h": list(DEFAULT_TAPS), "v": list(DEFAULT_TAPS)}
+                         for _ in range(3)]
         self._prev_qindex = self.qindex
         self.part_above[mi_c0:mi_c1] = 0
         self.part_left[mi_r0:mi_r1] = 0
@@ -431,8 +437,23 @@ class IntraFrameEncoder:
                     self.quant = [build_plane_quant(self._sb_qindex, 0, 0, self.bd,
                                                     self.sharpness, self.qindex)
                                   for _ in range(self.nplanes)]
+                self._write_lr_for_sb(mi_row, mi_col)
                 self._walk_partition(mi_row, mi_col, BlockSize.BLOCK_64X64)
         return self.enc.done()
+
+    def _write_lr_for_sb(self, mi_row, mi_col):
+        """LR unit info for units whose top-left is in this SB (coded before
+        the SB's partition symbol; entropy_coding.c:5333)."""
+        if not getattr(self, "rsts", None):
+            return
+        from .restoration import RESTORE_NONE, lr_units_in_sb, write_wiener_unit
+
+        for plane, pr in enumerate(self.rsts):
+            if pr is None or pr.frame_type == RESTORE_NONE:
+                continue
+            for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, self.sb_size >> 2):
+                write_wiener_unit(self.fc, self.enc, pr.unit_info[r][c],
+                                  self._lr_refs[plane], plane > 0)
 
     @property
     def recon_y(self):
