@@ -43,7 +43,9 @@ def _load():
     lib.ec_reset.argtypes = [ctypes.c_void_p]
     lib.ec_bool.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_uint]
     lib.ec_literal.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int]
-    lib.ec_symbol.argtypes = [ctypes.c_void_p, ctypes.c_int, _U16P, ctypes.c_int, ctypes.c_int]
+    # cdf passed as a raw pointer: ndpointer validation costs ~4us per call
+    # and this is the hottest ctypes crossing in the encoder
+    lib.ec_symbol.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.ec_tell.argtypes = [ctypes.c_void_p]
     lib.ec_tell.restype = ctypes.c_int64
     lib.ec_done.argtypes = [ctypes.c_void_p,
@@ -65,10 +67,12 @@ def _load():
     _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     _I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     _I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    # raw pointers: this is called 4x per transform block and ndpointer
+    # validation dominates the crossing cost
     lib.txfm_eval_graph.argtypes = [
-        _I32P, _I32P, _I64P, _I64P, _I8P,
-        ctypes.c_int, ctypes.c_int, _I64P, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, _I64P,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
     ]
     lib.txfm_eval_graph.restype = None
     _lib = lib
@@ -98,11 +102,12 @@ class NativeRangeEncoder:
 
     def encode_symbol(self, s: int, icdf, nsyms: int):
         # no adaptation here (mirror of the pure-Python encoder's contract)
-        self._lib.ec_symbol(self._h, s, np.ascontiguousarray(icdf, np.uint16), nsyms, 0)
+        icdf = np.ascontiguousarray(icdf, np.uint16)
+        self._lib.ec_symbol(self._h, s, icdf.ctypes.data, nsyms, 0)
 
     def encode_symbol_adapt(self, s: int, icdf: np.ndarray, nsyms: int):
         """icdf must be a C-contiguous uint16 view into the FrameContext."""
-        self._lib.ec_symbol(self._h, s, icdf, nsyms, 1)
+        self._lib.ec_symbol(self._h, s, icdf.ctypes.data, nsyms, 1)
 
     def encode_bool(self, val: int, f: int):
         self._lib.ec_bool(self._h, val, f)

@@ -254,12 +254,18 @@ class IntraFrameEncoder:
             self.fc.write(self.enc, "cfl_alpha", (ctx_v,), abs(alpha_v) - 1, 16)
 
     def _psy_cost(self, src: np.ndarray, pred: np.ndarray) -> int:
-        """psy-rd bias for a mode candidate (product_coding_loop.c:1024)."""
+        """psy-rd bias for a mode candidate (product_coding_loop.c:1024).
+        The source-side energy is cached per block (candidate-invariant)."""
         if self.psy_rd <= 0:
             return 0
-        from ..psy.psy_rd import psy_full_dist
+        from ..psy.psy_rd import block_energy, psy_full_dist
 
-        return psy_full_dist(src, pred, self.psy_rd, self.bd)
+        key = (src.__array_interface__["data"][0], src.shape)
+        if getattr(self, "_psy_src_key", None) != key:
+            self._psy_src_key = key
+            self._psy_src_energy = block_energy(src)
+        return psy_full_dist(src, pred, self.psy_rd, self.bd,
+                             src_energy=self._psy_src_energy)
 
     def _get_qm(self, plane: int, tx_size: int, tx_type: int = 0):
         """(qm, iqm) for this plane/tx, or (None, None) when QM is off or the

@@ -56,21 +56,31 @@ class MotionEstimator:
         self.ref = np.ascontiguousarray(ref_luma, np.int32)
         self.ref_q = np.ascontiguousarray(decimate(ref_luma, 2), np.int32)  # 1/4
         self.range = search_range
+        self._cur_id = None
+        self._cur_q = None
         from .spec_tables import get_tables
         self._filters = np.ascontiguousarray(
             get_tables()._raw["interp_sub_pel_filters_8"], np.int32)
 
+    def _cur_pyramid(self, cur_luma: np.ndarray) -> np.ndarray:
+        """1/4-res decimation of the current frame, computed once per frame."""
+        if self._cur_id != id(cur_luma):
+            self._cur_q = np.ascontiguousarray(decimate(cur_luma, 2), np.int32)
+            self._cur_id = id(cur_luma)
+        return self._cur_q
+
     def search_block(self, cur_luma: np.ndarray, x0: int, y0: int, w: int, h: int,
                      subpel: bool = True) -> MeResult:
-        cur = cur_luma[y0 : y0 + h, x0 : x0 + w].astype(np.int32)
-        cq = decimate(cur_luma[y0 : y0 + h, x0 : x0 + w], 2).astype(np.int32)
+        cur = np.ascontiguousarray(cur_luma[y0 : y0 + h, x0 : x0 + w], np.int32)
+        curq = self._cur_pyramid(cur_luma)
+        qy, qx = y0 >> 2, x0 >> 2
+        cq = np.ascontiguousarray(curq[qy : qy + (h >> 2), qx : qx + (w >> 2)])
         if w > 4 and h > 4:
             r = mc_native.search_block(cur, self.ref, cq, self.ref_q, x0, y0,
                                        self.range, self._filters, subpel=subpel)
             if r is not None:
                 return MeResult((r[0], r[1]), r[2])
         # numpy fallback: HME on the 1/4 pyramid
-        qy, qx = y0 >> 2, x0 >> 2
         rad_q = max(2, self.range >> 2)
         dy_q, dx_q, _ = _sad_grid(cq, self.ref_q, qy, qx, rad_q)
         # full-pel refine around the scaled HME candidate

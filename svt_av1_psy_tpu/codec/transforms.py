@@ -127,7 +127,11 @@ def _flat_stages(name: str, cos_bit: int):
     wb = np.ascontiguousarray(np.stack([s[3] for s in stages]), np.int64)
     kind = np.ascontiguousarray(
         np.stack([s[4].astype(np.int8) * 2 + s[5].astype(np.int8) for s in stages]), np.int8)
-    return len(stages), A, B, wa, wb, kind
+    # raw data pointers stay valid for the process lifetime (lru_cache holds
+    # the arrays); passing them avoids per-call ndpointer marshalling
+    ptrs = (A.ctypes.data, B.ctypes.data, wa.ctypes.data, wb.ctypes.data,
+            kind.ctypes.data)
+    return len(stages), A, B, wa, wb, kind, ptrs
 
 
 def eval_graph(name: str, x: np.ndarray, cos_bit: int, clamp_bit):
@@ -138,15 +142,14 @@ def eval_graph(name: str, x: np.ndarray, cos_bit: int, clamp_bit):
 
     lib = ec_native._load()
     if lib is not None:
-        n_stages, A, B, wa, wb, kind = _flat_stages(name, cos_bit)
+        n_stages, A, B, wa, wb, kind, ptrs = _flat_stages(name, cos_bit)
         xin = np.ascontiguousarray(x, np.int64)
         batch, n = xin.shape
         out = np.empty_like(xin)
-        lib.txfm_eval_graph(A.reshape(-1), B.reshape(-1), wa.reshape(-1),
-                            wb.reshape(-1), kind.reshape(-1), n_stages, n,
-                            xin.reshape(-1), batch, cos_bit,
+        lib.txfm_eval_graph(ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
+                            n_stages, n, xin.ctypes.data, batch, cos_bit,
                             clamp_bit if clamp_bit is not None else 0,
-                            out.reshape(-1))
+                            out.ctypes.data)
         return out
     cur = x
     rnd = 1 << (cos_bit - 1)

@@ -50,19 +50,29 @@ def _energy(x: np.ndarray, t: int) -> np.ndarray:
     return txd - (sad >> 2)
 
 
-def psy_distortion(src: np.ndarray, recon: np.ndarray, bd: int = 8) -> int:
+def block_energy(x: np.ndarray) -> np.ndarray:
+    """Per-tile energy vector of a block (cacheable across candidates)."""
+    h, w = x.shape
+    t = 8 if (w >= 8 and h >= 8) else 4
+    return _energy(x, t)
+
+
+def psy_distortion(src: np.ndarray, recon: np.ndarray, bd: int = 8,
+                   src_energy: np.ndarray | None = None) -> int:
     """svt_psy_distortion(_hbd): energy-difference distortion for one block.
-    src/recon: (h, w) pixel arrays (any uint dtype)."""
+    src/recon: (h, w) pixel arrays (any uint dtype). src_energy: optional
+    precomputed block_energy(src) (the source side is candidate-invariant)."""
     h, w = src.shape
     t = 8 if (w >= 8 and h >= 8) else 4
-    d = int(np.abs(_energy(src, t) - _energy(recon, t)).sum())
+    es = _energy(src, t) if src_energy is None else src_energy
+    d = int(np.abs(es - _energy(recon, t)).sum())
     # 8-bit scaled to 1/8th of HBD scaling so strengths are comparable
     return (d >> 1) if bd == 8 else (d << 2)
 
 
 def psy_full_dist(src: np.ndarray, recon: np.ndarray, psy_rd: float,
-                  bd: int = 8) -> int:
+                  bd: int = 8, src_energy: np.ndarray | None = None) -> int:
     """get_svt_psy_full_dist (psy_rd.c:277): strength-scaled psy distortion."""
     if psy_rd <= 0:
         return 0
-    return int(psy_distortion(src, recon, bd) * psy_rd)
+    return int(psy_distortion(src, recon, bd, src_energy) * psy_rd)
