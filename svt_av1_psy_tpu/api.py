@@ -53,6 +53,7 @@ class Encoder:
         self._recon_last = None
         self._ref_planes = None
         self._rc = None
+        self._tpl = None
         self._prev_src_y = None
         self._frames_since_key = 0
         self._la_queue: deque = deque()   # TF lookahead (y, u, v, pts)
@@ -110,7 +111,8 @@ class Encoder:
         self._check_init()
         cfg = self.config
         la = cfg.look_ahead_distance
-        if cfg.enable_tf and la is not None and la > 0 and not cfg.avif:
+        if ((cfg.enable_tf or cfg.enable_tpl_la) and la is not None and la > 0
+                and not cfg.avif):
             self._la_queue.append((np.asarray(y), u, v,
                                    pts if pts is not None else self._submitted))
             self._submitted += 1
@@ -134,9 +136,16 @@ class Encoder:
         ip = cfg.intra_period_length
         will_key = (self._frame_count == 0 or self._ref_planes is None
                     or (ip >= 0 and self._frames_since_key > ip))
-        strength = cfg.kf_tf_strength if will_key else cfg.tf_strength
+        strength = (cfg.kf_tf_strength if will_key else cfg.tf_strength) \
+            if cfg.enable_tf else 0
         neighbors = list(self._tf_past) + [(f[0], f[1], f[2])
                                            for f in list(self._la_queue)[:3]]
+        if (will_key and cfg.enable_tpl_la and self._la_queue
+                and cfg.rate_control_mode == RateControlMode.CRF_CQP):
+            from .rc.tpl import tpl_analysis
+
+            group = [y] + [f[0] for f in list(self._la_queue)[:3]]
+            self._tpl = tpl_analysis(group, cfg.input_depth)
         fy, fu, fv = temporal_filter((y, u, v), neighbors, strength, cfg.input_depth)
         self._tf_past.append((y, u, v))
         if len(self._tf_past) > 2:
@@ -162,7 +171,16 @@ class Encoder:
         # rate control: CRF mapping (+ PSY qp-scale-compress) or 1-pass VBR/CBR
         if cfg.rate_control_mode == RateControlMode.CRF_CQP:
             qindex = _crf_to_qindex(cfg.crf)
-            if cfg.qp_scale_compress_strength > 0:
+            if self._tpl is not None and is_key:
+                # TPL-driven keyframe boost (rc_process.c:872) supersedes the
+                # fixed qp-scale-compress curve when lookahead stats exist
+                from .rc.rate_control import QP_SCALE_COMPRESS_WEIGHT
+                from .rc.tpl import tpl_qindex
+
+                w = QP_SCALE_COMPRESS_WEIGHT[
+                    int(min(max(cfg.qp_scale_compress_strength, 0), 3))]
+                qindex = tpl_qindex(qindex, self._tpl[0], cfg.input_depth, w)
+            elif cfg.qp_scale_compress_strength > 0:
                 from .rc.rate_control import qp_scale_compress_qindex
 
                 qindex = qp_scale_compress_qindex(
@@ -180,6 +198,18 @@ class Encoder:
                     overshoot_pct=cfg.overshoot_pct, buf_sz_ms=cfg.buf_sz)
             qindex = self._rc.frame_qindex(is_key)
         sb_qindex_map = None
+        if (self._tpl is not None and is_key and qindex > 1
+                and not (cfg.enable_variance_boost and cfg.aq_mode == 2)):
+            from .rc.tpl import tpl_sb_qindex_map
+
+            sb_rows = -(-cfg.height // 64)
+            sb_cols = -(-cfg.width // 64)
+            sb_qindex_map = tpl_sb_qindex_map(qindex, self._tpl[1], sb_rows,
+                                              sb_cols, cfg.input_depth)
+            if np.all(sb_qindex_map == qindex):
+                sb_qindex_map = None
+        if self._tpl is not None:
+            self._tpl = None
         if cfg.enable_variance_boost and cfg.aq_mode == 2 and qindex > 1:
             from .psy.variance_boost import sb_variances_8x8, variance_adjust_qp
 

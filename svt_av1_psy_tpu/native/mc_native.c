@@ -176,8 +176,19 @@ void me_search_block(const int32_t *cur, int w, int h,
     sad_grid_clamped(curq, qw, qh, refq, qH, qW, y0 >> 2, x0 >> 2, rad_q, b);
     int dyq = b[2] == INT64_MAX ? 0 : (int)b[0] - (y0 >> 2);
     int dxq = b[2] == INT64_MAX ? 0 : (int)b[1] - (x0 >> 2);
-    /* full-pel refine around the scaled HME candidate */
+    /* full-pel refine around the scaled HME candidate; when HME moved away
+     * from zero also check the zero-MV neighborhood (HME can miss sub-pel
+     * pans at quarter resolution) and keep the better region */
     sad_grid_clamped(cur, w, h, ref, refH, refW, y0 + dyq * 4, x0 + dxq * 4, 7, b);
+    if (dyq != 0 || dxq != 0) {
+        int64_t b2[3];
+        sad_grid_clamped(cur, w, h, ref, refH, refW, y0, x0, 7, b2);
+        if (b2[2] < b[2]) {
+            b[0] = b2[0];
+            b[1] = b2[1];
+            b[2] = b2[2];
+        }
+    }
     int fy, fx;
     int64_t sad;
     if (b[2] == INT64_MAX) {
