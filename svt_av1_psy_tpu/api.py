@@ -231,13 +231,21 @@ class Encoder:
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd)
+        gm_mv = (0, 0)
+        if not is_key and cfg.enable_global_motion:
+            from .codec.global_motion import estimate_global_translation
+
+            vh, vw = cfg.height, cfg.width
+            gm_mv = estimate_global_translation(
+                self._ref_planes[0][:vh, :vw], np.asarray(y), cfg.input_depth)
+
         def make_enc():
             if is_key:
                 return IntraFrameEncoder(cfg.width, cfg.height, qindex, **common)
             from .codec.inter_encoder import InterFrameEncoder
 
             return InterFrameEncoder(cfg.width, cfg.height, qindex,
-                                     self._ref_planes, **common)
+                                     self._ref_planes, gm_mv=gm_mv, **common)
 
         def run_filters(enc):
             """DLF + CDEF on the encoder's recon; returns the post-DLF copy
@@ -301,6 +309,8 @@ class Encoder:
             fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
                          film_grain=fg, lr_types=lr_types,
+                         gm_trans=((gm_mv, None, None, None, None, None, None)
+                                   if gm_mv != (0, 0) else None),
                          using_qmatrix=qm_levels is not None,
                          qm_y=qm_levels[0] if qm_levels else 15,
                          qm_u=qm_levels[1] if qm_levels else 15,

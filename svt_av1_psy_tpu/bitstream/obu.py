@@ -92,6 +92,7 @@ class FrameParams:
     lr_types: tuple = (0, 0, 0)      # RestorationType per plane
     lr_unit_size: int = 64
     lr_uv_unit_size: int = 64
+    gm_trans: tuple = None           # per-ref (row_q3, col_q3) or None
     allow_intrabc: bool = False
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -285,6 +286,76 @@ def _write_quantization(w: BitWriter, sp: SequenceParams, fp: FrameParams):
             w.f(fp.qm_v, 4)
 
 
+def _wb_write_subexpfin(w: BitWriter, n: int, k: int, v: int):
+    """Finite subexponential code on the bit writer (entropy_coding.c:2882)."""
+    i = mk = 0
+    while True:
+        b = k + i - 1 if i else k
+        a = 1 << b
+        if n <= mk + 3 * a:
+            # quasi-uniform tail
+            nn, vv = n - mk, v - mk
+            if nn > 1:
+                l = (nn - 1).bit_length()
+                m = (1 << l) - nn
+                if vv < m:
+                    w.f(vv, l - 1)
+                else:
+                    w.f(m + ((vv - m) >> 1), l - 1)
+                    w.f((vv - m) & 1, 1)
+            break
+        t = int(v >= mk + a)
+        w.f(t, 1)
+        if t:
+            i += 1
+            mk += a
+        else:
+            w.f(v - mk, b)
+            break
+
+
+def _wb_write_signed_refsubexpfin(w: BitWriter, n: int, k: int, ref: int, v: int):
+    """svt_aom_wb_write_signed_primitive_refsubexpfin (entropy_coding.c:2941)."""
+    ref += n - 1
+    v += n - 1
+    scaled_n = (n << 1) - 1
+
+    def recenter(r, x):
+        if x > 2 * r:
+            return x
+        if x >= r:
+            return (x - r) << 1
+        return ((r - x) << 1) - 1
+
+    if 2 * ref <= scaled_n:
+        rec = recenter(ref, v)
+    else:
+        rec = recenter(scaled_n - 1 - ref, scaled_n - 1 - v)
+    _wb_write_subexpfin(w, scaled_n, k, rec)
+
+
+def _write_global_motion(w: BitWriter, fp: FrameParams):
+    """global_motion_params per ref (entropy_coding.c:2953/3021): IDENTITY
+    or TRANSLATION only (round-1 scope). fp.gm_trans: list of 7 entries,
+    each None or (row_q3, col_q3) in 1/8-pel units (primary_ref NONE, so
+    the coding reference is the default identity params)."""
+    gm = fp.gm_trans or (None,) * 7
+    allow_hp = bool(fp.allow_high_precision_mv)
+    trans_bits = 9 - (not allow_hp)       # GM_ABS_TRANS_ONLY_BITS - !hp
+    prec_diff = 13 + (not allow_hp)       # GM_TRANS_ONLY_PREC_DIFF + !hp
+    for i in range(7):
+        t = gm[i]
+        w.f(int(t is not None), 1)        # is_global
+        if t is None:
+            continue
+        w.f(0, 1)                         # not ROTZOOM
+        w.f(1, 1)                         # TRANSLATION
+        for comp in t:                    # wmmat[0] (row), wmmat[1] (col)
+            wmmat = int(comp) << 13       # q3 -> WARPEDMODEL_PREC_BITS
+            _wb_write_signed_refsubexpfin(w, (1 << trans_bits) + 1, 3,
+                                          0, wmmat >> prec_diff)
+
+
 def _write_lr_params(w: BitWriter, sp: SequenceParams, fp: FrameParams):
     """lr_params (spec 5.9.20; entropy_coding.c:2168). lr_types: per-plane
     RestorationType (0 NONE, 1 WIENER, 2 SGRPROJ, 3 SWITCHABLE)."""
@@ -401,8 +472,7 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
     # allow_warped_motion: seq enable_warped_motion off -> no bit
     w.f(int(fp.reduced_tx_set), 1)
     if not is_intra:
-        for _ in range(7):  # global_motion_params: is_global per ref
-            w.f(0, 1)
+        _write_global_motion(w, fp)
     if sp.film_grain_params_present and fp.show_frame:
         _write_film_grain(w, sp, fp)
     return w  # caller appends trailing bits or tile data alignment

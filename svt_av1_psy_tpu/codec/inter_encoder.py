@@ -55,9 +55,12 @@ def _mv_class(z: int):
 
 class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
-                 sharpness=0, sb_qindex_map=None, **kw):
+                 sharpness=0, sb_qindex_map=None, gm_mv=(0, 0), **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
+        # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
+        # (0, 0) = IDENTITY. GLOBALMV blocks and ref-MV stack padding use it.
+        self.gm_mv = tuple(int(v) for v in gm_mv)
         # references: final (post-filter) recon planes. The decoder clamps MC
         # reads to the VISIBLE frame dims (RefUpscaledWidth, spec 7.11.3.2),
         # so pad from the visible crop, not the mi-aligned extent.
@@ -124,16 +127,16 @@ class InterFrameEncoder(IntraFrameEncoder):
         t_r0, t_r1, t_c0, t_c1 = self.tile_mi
         stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
             self.grid, mi_row, mi_col, n8_w, n8_h, LAST_FRAME,
-            (t_r0, t_r1, t_c0, t_c1))
+            (t_r0, t_r1, t_c0, t_c1), gm_mv=self.gm_mv)
         me_res = self.me.search_block(self.src[0], x0, y0, W, H, subpel=True)
         cand = []
         pred_new = self._mc_pred(0, x0, y0, W, H, me_res.mv)
         cost_new = int(np.sum((src.astype(np.int64) - pred_new) ** 2))
         cand.append((NEWMV, me_res.mv, pred_new,
                      cost_new + self._psy_cost(src, pred_new)))
-        pred_zero = self._mc_pred(0, x0, y0, W, H, (0, 0))
+        pred_zero = self._mc_pred(0, x0, y0, W, H, self.gm_mv)
         cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
-        cand.append((GLOBALMV, (0, 0), pred_zero,
+        cand.append((GLOBALMV, self.gm_mv, pred_zero,
                      cost_zero + self._psy_cost(src, pred_zero)))
         inter_mode, inter_mv, inter_pred, inter_cost = min(cand, key=lambda c: c[3])
         if inter_mode == NEWMV and tuple(inter_mv) == tuple(stack[0]):

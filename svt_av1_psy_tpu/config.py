@@ -230,6 +230,7 @@ class EncoderConfig:
     enable_dlf_flag: int = 1             # 0 off, 1 on, 2 quality mode
     cdef_level: int = -1                 # -1 auto
     enable_restoration_filtering: int = -1
+    enable_global_motion: bool = True
     enable_mfmv: int = -1
     enable_overlays: bool = False
     enable_paeth: int = -1
@@ -461,6 +462,7 @@ _SIMPLE_PARAMS = {
     "enable-dlf": ("enable_dlf_flag", _to_int),
     "enable-cdef": ("cdef_level", _to_int),
     "enable-restoration": ("enable_restoration_filtering", _to_int),
+    "enable-global-motion": ("enable_global_motion", _to_bool),
     "enable-mfmv": ("enable_mfmv", _to_int),
     "enable-overlays": ("enable_overlays", _to_bool),
     "scm": ("screen_content_mode", _to_int),
