@@ -210,8 +210,8 @@ class Encoder:
                 sb_qindex_map = None
         if self._tpl is not None:
             self._tpl = None
-        if cfg.enable_variance_boost and cfg.aq_mode == 2 and qindex > 1:
-            from .psy.variance_boost import sb_variances_8x8, variance_adjust_qp
+        def frame_variances():
+            from .psy.variance_boost import sb_variances_8x8
 
             ph = -(-cfg.height // 64) * 64
             pw = -(-cfg.width // 64) * 64
@@ -221,16 +221,27 @@ class Encoder:
             padded[: cfg.height, : cfg.width] = y8
             padded[: cfg.height, cfg.width :] = y8[:, -1:]
             padded[cfg.height :, :] = padded[cfg.height - 1 : cfg.height, :]
-            variances = sb_variances_8x8(padded)
+            return sb_variances_8x8(padded)
+
+        seg_params = sb_seg_map = None
+        if cfg.aq_mode == 1 and qindex > 1:
+            from .codec.segmentation import assign_segments_by_variance
+
+            seg_params, sb_seg_map = assign_segments_by_variance(frame_variances())
+        if cfg.enable_variance_boost and cfg.aq_mode == 2 and qindex > 1:
+            from .psy.variance_boost import variance_adjust_qp
+
             qindex, sb_qindex_map = variance_adjust_qp(
-                qindex, variances, cfg.variance_boost_strength, cfg.input_depth,
-                cfg.variance_octile, int(cfg.variance_boost_curve))
+                qindex, frame_variances(), cfg.variance_boost_strength,
+                cfg.input_depth, cfg.variance_octile,
+                int(cfg.variance_boost_curve))
         from .codec.qm import frame_qm_levels
 
         qm_levels = frame_qm_levels(cfg, qindex)
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
-                      qm_levels=qm_levels, psy_rd=cfg.psy_rd)
+                      qm_levels=qm_levels, psy_rd=cfg.psy_rd,
+                      seg_params=seg_params, sb_seg_map=sb_seg_map)
         gm_mv = (0, 0)
         if not is_key and cfg.enable_global_motion:
             from .codec.global_motion import estimate_global_translation
@@ -309,6 +320,7 @@ class Encoder:
             fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
                          film_grain=fg, lr_types=lr_types,
+                         segmentation=seg_params,
                          gm_trans=((gm_mv, None, None, None, None, None, None)
                                    if gm_mv != (0, 0) else None),
                          using_qmatrix=qm_levels is not None,

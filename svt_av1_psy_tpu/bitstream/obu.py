@@ -93,6 +93,7 @@ class FrameParams:
     lr_unit_size: int = 64
     lr_uv_unit_size: int = 64
     gm_trans: tuple = None           # per-ref (row_q3, col_q3) or None
+    segmentation: object = None      # codec.segmentation.SegmentationParams
     allow_intrabc: bool = False
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -356,6 +357,29 @@ def _write_global_motion(w: BitWriter, fp: FrameParams):
                                           0, wmmat >> prec_diff)
 
 
+def _write_segmentation(w: BitWriter, fp: FrameParams):
+    """segmentation_params (spec 5.9.14; entropy_coding.c:2241). With
+    primary_ref NONE the update flags are implied (map=1, temporal=0,
+    data=1) and only the feature table is coded."""
+    seg = fp.segmentation
+    if seg is None or not seg.enabled:
+        w.f(0, 1)
+        return
+    from ..codec.segmentation import FEATURE_BITS, FEATURE_SIGNED, SEG_LVL_MAX
+
+    w.f(1, 1)  # segmentation_enabled (update bits implied for primary_ref NONE)
+    for s in range(8):
+        for j in range(SEG_LVL_MAX):
+            v = seg.feature_data[s][j]
+            w.f(int(v is not None), 1)
+            if v is not None:
+                bits = FEATURE_BITS[j]
+                if FEATURE_SIGNED[j]:
+                    w.su(int(v), bits + 1)   # su(1 + bits)
+                else:
+                    w.f(int(v), bits)
+
+
 def _write_lr_params(w: BitWriter, sp: SequenceParams, fp: FrameParams):
     """lr_params (spec 5.9.20; entropy_coding.c:2168). lr_types: per-plane
     RestorationType (0 NONE, 1 WIENER, 2 SGRPROJ, 3 SWITCHABLE)."""
@@ -444,7 +468,7 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         w.f(0, 1)  # refresh_frame_context: 0 = backward adaptation enabled
     _write_tile_info(w, sp, fp)
     _write_quantization(w, sp, fp)
-    w.f(0, 1)  # segmentation_enabled
+    _write_segmentation(w, fp)
     if fp.base_q_idx > 0:
         w.f(int(fp.delta_q_present), 1)
         if fp.delta_q_present:

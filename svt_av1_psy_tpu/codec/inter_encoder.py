@@ -111,6 +111,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         x0, y0 = mi_col * 4, mi_row * 4
         bw4, bh4 = W >> 2, H >> 2
         n8_w, n8_h = bw4, bh4
+        seg = self._block_segment(mi_row, mi_col)
 
         # ---- intra candidate
         above_buf, left_buf, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
@@ -183,6 +184,7 @@ class InterFrameEncoder(IntraFrameEncoder):
 
         # ---- syntax
         self._write_skip(mi_row, mi_col, skip)
+        self._write_segment_id(mi_row, mi_col, bsize, seg, skip)
         if (self._sb_delta_pending and (mi_row & 15) == 0 and (mi_col & 15) == 0
                 and (bsize != BlockSize.BLOCK_64X64 or not skip)):
             self._write_delta_q_index()

@@ -153,6 +153,7 @@ class IntraFrameEncoder:
                  sharpness=0, disable_cdf_update=False,
                  target_bsize=BlockSize.BLOCK_32X32,
                  sb_qindex_map=None, delta_q_res=4, qm_levels=None, psy_rd=0.0,
+                 seg_params=None, sb_seg_map=None,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -198,6 +199,11 @@ class IntraFrameEncoder:
         # psy-rd strength: energy-preserving bias in mode decision (psy_rd.c)
         self.psy_rd = float(psy_rd)
         self.enable_cfl = True   # chroma-from-luma candidate in uv decision
+        # segmentation (SEG_LVL_ALT_Q): per-SB intended segments + 4x4 map
+        self.seg_params = seg_params
+        self.sb_seg_map = sb_seg_map
+        self.seg_map = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self._seg_quant = {}
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
@@ -205,6 +211,41 @@ class IntraFrameEncoder:
         self.part_above = np.zeros(self.mi_cols, np.uint8)
         self.part_left = np.zeros(self.mi_rows, np.uint8)
         self.planes: list[PlaneState] = []
+
+    # ------------------------------------------------------------ segments
+    def _block_segment(self, mi_row, mi_col) -> int:
+        """Intended segment for this block (per-SB assignment) and the
+        matching quantizer tables (SEG_LVL_ALT_Q offsets the qindex)."""
+        if self.seg_params is None:
+            return 0
+        seg = int(self.sb_seg_map[min(mi_row >> 4, self.sb_seg_map.shape[0] - 1),
+                                  min(mi_col >> 4, self.sb_seg_map.shape[1] - 1)])
+        if seg not in self._seg_quant:
+            q = self.seg_params.seg_qindex(self.qindex, seg)
+            self._seg_quant[seg] = [
+                build_plane_quant(q, 0, 0, self.bd, self.sharpness, self.qindex)
+                for _ in range(self.nplanes)]
+        self.quant = self._seg_quant[seg]
+        return seg
+
+    def _write_segment_id(self, mi_row, mi_col, bsize, seg, skip):
+        """Coded after the skip flag (seg_id_pre_skip = 0; entropy_coding.c
+        :4838-4842). Skip blocks inherit the spatial prediction."""
+        if self.seg_params is None:
+            return
+        from .segmentation import neg_interleave, spatial_seg_pred
+
+        pred, ctx = spatial_seg_pred(self.seg_map, mi_row, mi_col, self.tile_mi)
+        h4, w4 = int(BLOCK_HEIGHT[bsize]) >> 2, int(BLOCK_WIDTH[bsize]) >> 2
+        r1 = min(mi_row + h4, self.mi_rows)
+        c1 = min(mi_col + w4, self.mi_cols)
+        if skip:
+            self.seg_map[mi_row:r1, mi_col:c1] = pred
+            return
+        coded = neg_interleave(seg, pred,
+                               self.seg_params.last_active_seg_id + 1)
+        self.fc.write(self.enc, "spatial_pred_seg_tree", (ctx,), coded, 8)
+        self.seg_map[mi_row:r1, mi_col:c1] = seg
 
     # ---------------------------------------------------------------- CFL
     @staticmethod
@@ -544,6 +585,7 @@ class IntraFrameEncoder:
         W, H = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
         x0, y0 = mi_col * 4, mi_row * 4
         bw4, bh4 = W >> 2, H >> 2
+        seg = self._block_segment(mi_row, mi_col)
 
         # ---- luma mode decision on recon neighbors
         above_buf, left_buf, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
@@ -612,8 +654,9 @@ class IntraFrameEncoder:
 
         skip = all(r[9] == 0 for r in results)
 
-        # ---- syntax: skip flag, delta-q, modes
+        # ---- syntax: skip flag, segment id, delta-q, modes
         self._write_skip(mi_row, mi_col, skip)
+        self._write_segment_id(mi_row, mi_col, bsize, seg, skip)
         if (self._sb_delta_pending and (mi_row & 15) == 0 and (mi_col & 15) == 0
                 and (bsize != BlockSize.BLOCK_64X64 or not skip)):
             self._write_delta_q_index()

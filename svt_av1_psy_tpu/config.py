@@ -584,6 +584,7 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     _check(0.0 <= cfg.qp_scale_compress_strength <= 3.0, "qp-scale-compress in [0,3]")
     _check(0 <= cfg.noise_norm_strength <= 4, "noise-norm-strength in [0,4]")
     _check(0 <= cfg.tile_columns <= 4 and 0 <= cfg.tile_rows <= 4, "tile log2 in [0,4]")
+    _check(cfg.aq_mode in (0, 1, 2), "aq-mode in [0,2]")
     for nm in ("min_qm_level", "max_qm_level", "min_chroma_qm_level", "max_chroma_qm_level"):
         _check(0 <= getattr(cfg, nm) <= 15, f"{nm} in [0,15]")
     _check(cfg.min_qm_level <= cfg.max_qm_level, "qm-min must be <= qm-max")
