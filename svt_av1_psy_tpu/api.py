@@ -241,7 +241,8 @@ class Encoder:
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd,
-                      seg_params=seg_params, sb_seg_map=sb_seg_map)
+                      seg_params=seg_params, sb_seg_map=sb_seg_map,
+                      noise_norm=cfg.noise_norm_strength)
         gm_mv = (0, 0)
         if not is_key and cfg.enable_global_motion:
             from .codec.global_motion import estimate_global_translation

@@ -179,7 +179,14 @@ class InterFrameEncoder(IntraFrameEncoder):
             qm, iqm = self._get_qm(plane, int(tx_size))
             qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
                                       qm=qm, iqm=iqm)
-            results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0])))
+            eob0 = int(eob[0])
+            if self.noise_norm and plane == 0:
+                from .quant import noise_normalize
+
+                eob0 = noise_normalize(flat[0], qc[0], dqc[0], eob0, scan,
+                                       self.quant[plane], int(tx_size),
+                                       self.noise_norm, iqm=iqm)
+            results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], eob0))
         skip = all(r[9] == 0 for r in results)
 
         # ---- syntax

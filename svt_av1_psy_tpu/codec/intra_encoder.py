@@ -153,7 +153,7 @@ class IntraFrameEncoder:
                  sharpness=0, disable_cdf_update=False,
                  target_bsize=BlockSize.BLOCK_32X32,
                  sb_qindex_map=None, delta_q_res=4, qm_levels=None, psy_rd=0.0,
-                 seg_params=None, sb_seg_map=None,
+                 seg_params=None, sb_seg_map=None, noise_norm=0,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -204,6 +204,8 @@ class IntraFrameEncoder:
         self.sb_seg_map = sb_seg_map
         self.seg_map = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         self._seg_quant = {}
+        # PSY noise normalization strength (0 off; quant.noise_normalize)
+        self.noise_norm = int(noise_norm)
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
@@ -612,7 +614,14 @@ class IntraFrameEncoder:
             qm, iqm = self._get_qm(plane, int(tx_size))
             qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
                                       qm=qm, iqm=iqm)
-            return (plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], int(eob[0]))
+            eob0 = int(eob[0])
+            if self.noise_norm and plane == 0:
+                from .quant import noise_normalize
+
+                eob0 = noise_normalize(flat[0], qc[0], dqc[0], eob0, scan,
+                                       self.quant[plane], int(tx_size),
+                                       self.noise_norm, iqm=iqm)
+            return (plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], eob0)
 
         # ---- luma first (its recon feeds CFL); skip decision precedes syntax
         has_uv = not self.mono

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .constants import TxSize
+from .constants import TX_HEIGHT, TX_WIDTH, TxSize
 from .spec_tables import get_tables
 
 AOM_QM_BITS = 5
@@ -162,3 +162,84 @@ def dequant_coeffs(qcoeff: np.ndarray, pq: PlaneQuant, tx_size: int,
     q = qcoeff.astype(np.int64)
     abs_dq = (np.abs(q) * dequant) >> log_scale
     return np.where(q < 0, -abs_dq, abs_dq).astype(np.int32)
+
+
+NOISE_NORM_THRESH = {1: 9, 2: 8, 3: 6, 4: 4}
+
+
+def noise_normalize(coeffs, qcoeff, dqcoeff, eob, scan, pq: PlaneQuant,
+                    tx_size: int, strength: int,
+                    iqm: np.ndarray | None = None) -> int:
+    """PSY noise normalization (svt_av1_perform_noise_normalization,
+    full_loop.c:1466): boost or revive one AC coefficient whose quantized
+    value lost disproportionate energy, preserving perceived noise texture.
+    Mutates qcoeff/dqcoeff flat raster arrays in place; returns new eob."""
+    if strength < 1 or eob < 1:
+        return eob
+    w = min(int(TX_WIDTH[tx_size]), 32)
+    h = min(int(TX_HEIGHT[tx_size]), 32)
+    if w == 4 and h == 4:
+        return eob
+    log_scale = int(TX_SCALE[int(tx_size)])
+    thresh = NOISE_NORM_THRESH.get(int(strength), 4)
+
+    def dqv(ci):
+        d = pq.dequant[1 if ci else 0]
+        if iqm is not None:
+            d = (d * int(iqm[ci]) + (1 << (AOM_QM_BITS - 1))) >> AOM_QM_BITS
+        return d
+
+    best_si = -1
+    best_gap = 1 << 62
+    best_qc = best_dqc = 0
+    if eob > 1:
+        # textured: boost the last qualifying rounded-down AC coefficient
+        for si in range(1, eob):
+            ci = int(scan[si])
+            tqc, qc, dqc = int(coeffs[ci]), int(qcoeff[ci]), int(dqcoeff[ci])
+            if dqc == 0 or abs(tqc) - abs(dqc) <= 0:
+                continue
+            sign = 1 if tqc < 0 else 0
+            abs_low = abs(qc) + 1
+            d = dqv(ci)
+            dqc_low = (abs_low * d) >> log_scale
+            if sign:
+                dqc_low = -dqc_low
+            gap = abs(dqc_low - tqc)
+            step = abs(dqc_low - dqc)
+            if step == 0:
+                continue
+            ratio = ((step - gap) << 4) // step
+            if ratio >= thresh:
+                best_si = si
+                best_qc = -abs_low if sign else abs_low
+                best_dqc = dqc_low
+    else:
+        # flat: revive the zeroed AC coefficient with the smallest gap
+        for si in range(1, (w * h) // 16):
+            ci = int(scan[si])
+            tqc, dqc = int(coeffs[ci]), int(dqcoeff[ci])
+            if dqc != 0 or tqc == 0:
+                continue
+            sign = 1 if tqc < 0 else 0
+            d = dqv(ci)
+            dqc_low = d >> log_scale
+            if sign:
+                dqc_low = -dqc_low
+            gap = abs(dqc_low - tqc)
+            step = abs(dqc_low - dqc)
+            if step == 0:
+                continue
+            ratio = ((step - gap) << 4) // step
+            if ratio >= thresh and gap < best_gap:
+                best_gap = gap
+                best_si = si
+                best_qc = -1 if sign else 1
+                best_dqc = dqc_low
+    if best_si > 0:
+        ci = int(scan[best_si])
+        qcoeff[ci] = best_qc
+        dqcoeff[ci] = best_dqc
+        if best_si >= eob:
+            eob = best_si + 1
+    return eob

@@ -97,3 +97,24 @@ def test_psy_rd_flips_mode_decision():
     cost_flat = sse_flat + psy_full_dist(src, flat, s)
     cost_tex = sse_tex + psy_full_dist(src, textured, s)
     assert cost_tex < cost_flat  # psy-rd flips the decision
+
+
+def test_noise_normalize_revives_flat_block():
+    from svt_av1_psy_tpu.codec.quant import (build_plane_quant, noise_normalize,
+                                             quantize_b)
+    from svt_av1_psy_tpu.codec.spec_tables import get_tables
+
+    t = get_tables()
+    pq = build_plane_quant(200, 0, 0, 8, 0, 200)
+    scan = t.scan(1, 0)  # TX_8X8 DCT
+    coeffs = np.zeros((1, 64), np.int64)
+    coeffs[0, 0] = 4000
+    coeffs[0, 1] = int(pq.dequant[1] * 0.6)  # quantizes to zero
+    qc, dqc, eob = quantize_b(coeffs.copy(), scan, pq, 1)
+    assert int(eob[0]) == 1 and qc[0, 1] == 0
+    e2 = noise_normalize(coeffs[0], qc[0], dqc[0], int(eob[0]), scan, pq, 1, 4)
+    assert e2 == 2 and qc[0, 1] == 1 and dqc[0, 1] > 0
+    # strength 0 is a no-op
+    qc2, dqc2, eob2 = quantize_b(coeffs.copy(), scan, pq, 1)
+    assert noise_normalize(coeffs[0], qc2[0], dqc2[0], int(eob2[0]), scan,
+                           pq, 1, 0) == 1
