@@ -77,6 +77,7 @@ class Encoder:
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
             enable_cdef=cfg.cdef_level != 0,
+            enable_filter_intra=True,
             enable_restoration=(cfg.enable_restoration_filtering > 0
                                 and cfg.tile_columns == 0 and cfg.tile_rows == 0),
         )
@@ -242,7 +243,8 @@ class Encoder:
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd,
                       seg_params=seg_params, sb_seg_map=sb_seg_map,
-                      noise_norm=cfg.noise_norm_strength)
+                      noise_norm=cfg.noise_norm_strength,
+                      enable_filter_intra=True)
         gm_mv = (0, 0)
         if not is_key and cfg.enable_global_motion:
             from .codec.global_motion import estimate_global_translation

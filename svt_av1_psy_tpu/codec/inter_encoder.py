@@ -209,6 +209,10 @@ class InterFrameEncoder(IntraFrameEncoder):
                 cfl_allowed = W <= 32 and H <= 32
                 self.fc.write(self.enc, "uv_mode", (int(cfl_allowed), int(y_mode)),
                               int(uv_mode), 14 if cfl_allowed else 13)
+            # filter_intra_mode_info: coded for DC intra blocks (unused here)
+            if (self.enable_filter_intra and int(y_mode) == 0
+                    and W <= 32 and H <= 32):
+                self.fc.write(self.enc, "filter_intra", (int(bsize),), 0, 2)
 
         # ---- residual + recon (+ maps) — mirrors the intra tail
         for plane, px, py, pw, ph, tx_size, pred, qc, dqc, eob in results:

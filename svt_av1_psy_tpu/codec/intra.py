@@ -150,3 +150,43 @@ def predict(mode: int, above, left, above_left, have_above: bool, have_left: boo
     if mode == PredictionMode.PAETH_PRED:
         return paeth_pred(above, left, above_left)
     raise NotImplementedError(f"mode {mode.name} lives in intra_dir.py")
+
+
+_FI_TAPS = None
+
+
+def _filter_intra_taps():
+    global _FI_TAPS
+    if _FI_TAPS is None:
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent / "tables" / "av1_filter_intra.npz"
+        _FI_TAPS = np.load(path)["filter_intra_taps"].astype(np.int32)
+    return _FI_TAPS
+
+
+# fimode_to_intradir: tx-type context mode substitution (definitions.h)
+FIMODE_TO_INTRADIR = (0, 1, 2, 7, 12)  # DC, V, H, D157, PAETH
+
+
+def filter_intra_predict(above_buf, left_buf, w: int, h: int, mode: int,
+                         bd: int = 8) -> np.ndarray:
+    """Filter-intra prediction (spec 7.11.2.3; filterintra_c.c:70): recursive
+    4x2 patches, 7 taps each. above_buf/left_buf follow _gather_neighbors
+    layout ([0] = top-left corner)."""
+    taps = _filter_intra_taps()[mode]
+    peak = (1 << bd) - 1
+    buf = np.zeros((h + 1, w + 1), np.int32)
+    buf[0, : w + 1] = above_buf[: w + 1]
+    buf[1:, 0] = left_buf[1 : h + 1]
+    for r in range(1, h + 1, 2):
+        for c in range(1, w + 1, 4):
+            p = np.array([buf[r - 1, c - 1], buf[r - 1, c], buf[r - 1, c + 1],
+                          buf[r - 1, c + 2], buf[r - 1, c + 3], buf[r, c - 1],
+                          buf[r + 1, c - 1]], np.int32)
+            acc = taps[:, :7] @ p                      # (8,) signed sums
+            out = np.where(acc < 0, -((-acc + 8) >> 4), (acc + 8) >> 4)
+            out = np.clip(out, 0, peak)
+            for k in range(8):
+                buf[r + (k >> 2), c + (k & 3)] = out[k]
+    return buf[1 : h + 1, 1 : w + 1].astype(np.uint16)

@@ -154,6 +154,7 @@ class IntraFrameEncoder:
                  target_bsize=BlockSize.BLOCK_32X32,
                  sb_qindex_map=None, delta_q_res=4, qm_levels=None, psy_rd=0.0,
                  seg_params=None, sb_seg_map=None, noise_norm=0,
+                 enable_filter_intra=False,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -206,6 +207,9 @@ class IntraFrameEncoder:
         self._seg_quant = {}
         # PSY noise normalization strength (0 off; quant.noise_normalize)
         self.noise_norm = int(noise_norm)
+        # filter intra (recursive 7-tap modes; must match the sequence
+        # header's enable_filter_intra bit)
+        self.enable_filter_intra = bool(enable_filter_intra)
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
@@ -370,9 +374,12 @@ class IntraFrameEncoder:
         if xu + wu >= min(tile_right_u, ps.width >> 2):
             return False
         sb_u = self.sb_size >> (2 + ss)
-        if yu % sb_u == 0:  # block at SB top: target row is above the SB
-            sb_right_u = (xu // sb_u + 1) * sb_u
-            return xu + wu < sb_right_u
+        if yu % sb_u == 0:
+            # block at SB top: the row above belongs to the previous SB row,
+            # which is fully decoded — above-right is available up to the
+            # frame/tile edge (checked above), matching dav1d/libaom
+            # has_top_right for mask_row == 0
+            return True
         return bool(self.decoded[plane][yu - 1, xu + wu])
 
     def _have_below_left(self, plane, xu, yu, hu):
@@ -600,6 +607,18 @@ class IntraFrameEncoder:
             cost += self._psy_cost(src, pred)
             if best_cost is None or cost < best_cost:
                 best_mode, best_pred, best_cost = mode, pred, cost
+        fi_mode = None
+        if self.enable_filter_intra and W <= 32 and H <= 32:
+            from .intra import filter_intra_predict
+
+            for fi in range(5):
+                pred = filter_intra_predict(above_buf, left_buf, W, H, fi, self.bd)
+                cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
+                cost += self._psy_cost(src, pred)
+                if cost < best_cost:
+                    best_mode = PredictionMode.DC_PRED
+                    best_pred, best_cost = pred, cost
+                    fi_mode = fi
         y_mode = best_mode
         uv_mode = UVPredictionMode.UV_DC_PRED
         cfl_alphas = None   # (alpha_u_q3, alpha_v_q3) when uv_mode is CFL
@@ -676,6 +695,13 @@ class IntraFrameEncoder:
             if uv_mode == UVPredictionMode.UV_CFL_PRED:
                 self._write_cfl_alphas(*cfl_alphas)
             # UV_DC / CFL are non-directional: no uv angle delta
+        # filter_intra_mode_info (spec 5.11.10 tail; after uv/palette)
+        if (self.enable_filter_intra and int(y_mode) == int(PredictionMode.DC_PRED)
+                and W <= 32 and H <= 32):
+            self.fc.write(self.enc, "filter_intra", (int(bsize),),
+                          int(fi_mode is not None), 2)
+            if fi_mode is not None:
+                self.fc.write(self.enc, "filter_intra_mode", (), fi_mode, 5)
         # tx_mode LARGEST: no tx size syntax
 
         # ---- residual + recon
@@ -691,7 +717,13 @@ class IntraFrameEncoder:
                     plane_type, int(tx_size),
                     ps.above_ctx[xu : xu + wu], ps.left_ctx[yu : yu + hu],
                     block_matches_tx, False)
-                ttw = (lambda ts=tx_size, ym=y_mode: self._write_tx_type(ts, ym)) if plane == 0 else None
+                # tx-type cdf context uses the filter-intra equivalent dir
+                eff_mode = y_mode
+                if fi_mode is not None:
+                    from .intra import FIMODE_TO_INTRADIR
+
+                    eff_mode = FIMODE_TO_INTRADIR[fi_mode]
+                ttw = (lambda ts=tx_size, ym=eff_mode: self._write_tx_type(ts, ym)) if plane == 0 else None
                 writer = write_coeffs_txb_native if self.use_native_ec else write_coeffs_txb
                 cul = writer(self.fc, self.enc, qc, eob, int(tx_size), 0,
                              plane_type, txb_skip_ctx, dc_sign_ctx,
