@@ -36,6 +36,24 @@ class Packet:
     stats: Optional[dict] = None
 
 
+def _chroma_qindex_delta(base_q: int, tune: int, color_primaries: int) -> int:
+    """Tune-specific chroma qindex offset (rc_process.c:3436-3473): tunes
+    2/3/4 boost chroma with qindex-dependent ramps; BT.2020 primaries get an
+    extra boost. Returned delta is the coded u/v dc+ac delta q."""
+    adj = base_q
+    chroma_q = base_q
+    if tune == 2:
+        a2 = max(0, adj - 48)
+        chroma_q -= int(np.clip(round(a2 ** 1.4 / 9.0), 0, 16))
+    elif tune == 3:
+        chroma_q += -round(adj / 8.0)
+    elif tune == 4:
+        chroma_q -= int(np.clip(adj // 2 - 14, 0, 16))
+    if color_primaries == 9:  # BT.2020
+        chroma_q -= int(np.clip(adj // 2 - 8, 0, 16))
+    return int(np.clip(chroma_q - base_q, -64, 63))
+
+
 def _crf_to_qindex(crf: float) -> int:
     """CRF (0..70, quarter steps) -> base qindex. The reference maps CRF to
     qindex*4 with extended-CRF offsets (rc_process.c:3421); v0 uses the
@@ -238,13 +256,15 @@ class Encoder:
                 int(cfg.variance_boost_curve))
         from .codec.qm import frame_qm_levels
 
-        qm_levels = frame_qm_levels(cfg, qindex)
+        chroma_delta = _chroma_qindex_delta(qindex, int(cfg.tune),
+                                            cfg.color_primaries)
+        qm_levels = frame_qm_levels(cfg, qindex, chroma_delta, chroma_delta)
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd,
                       seg_params=seg_params, sb_seg_map=sb_seg_map,
                       noise_norm=cfg.noise_norm_strength,
-                      enable_filter_intra=True)
+                      enable_filter_intra=True, chroma_delta=chroma_delta)
         gm_mv = (0, 0)
         if not is_key and cfg.enable_global_motion:
             from .codec.global_motion import estimate_global_translation
@@ -322,6 +342,8 @@ class Encoder:
             # decorrelate grain across frames (each frame re-codes its seed)
             fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
+                         u_dc_delta_q=chroma_delta, u_ac_delta_q=chroma_delta,
+                         v_dc_delta_q=chroma_delta, v_ac_delta_q=chroma_delta,
                          film_grain=fg, lr_types=lr_types,
                          segmentation=seg_params,
                          gm_trans=((gm_mv, None, None, None, None, None, None)

@@ -154,7 +154,7 @@ class IntraFrameEncoder:
                  target_bsize=BlockSize.BLOCK_32X32,
                  sb_qindex_map=None, delta_q_res=4, qm_levels=None, psy_rd=0.0,
                  seg_params=None, sb_seg_map=None, noise_norm=0,
-                 enable_filter_intra=False,
+                 enable_filter_intra=False, chroma_delta=0,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -191,8 +191,10 @@ class IntraFrameEncoder:
         self._prev_qindex = qindex
         self._sb_qindex = qindex
         self._sb_delta_pending = False
-        self.quant = [build_plane_quant(qindex, 0, 0, bd, sharpness, qindex)
-                      for _ in range(nplanes)]
+        # chroma planes quantize at base + chroma_delta (tune-specific
+        # chroma boost, rc_process.c:3444-3473; signaled as u/v delta q)
+        self.chroma_delta = int(chroma_delta)
+        self.quant = self._build_quants(qindex)
         # quantizer matrices (spec §9.5): per-frame (qm_y, qm_u, qm_v) levels
         # or None for flat; applied to 2D transforms only (full_loop.c:1365)
         self.qm_levels = qm_levels
@@ -219,6 +221,12 @@ class IntraFrameEncoder:
         self.planes: list[PlaneState] = []
 
     # ------------------------------------------------------------ segments
+    def _build_quants(self, qindex):
+        d = self.chroma_delta
+        return [build_plane_quant(qindex, 0 if p == 0 else d, 0 if p == 0 else d,
+                                  self.bd, self.sharpness, self.qindex)
+                for p in range(self.nplanes)]
+
     def _block_segment(self, mi_row, mi_col) -> int:
         """Intended segment for this block (per-SB assignment) and the
         matching quantizer tables (SEG_LVL_ALT_Q offsets the qindex)."""
@@ -228,9 +236,7 @@ class IntraFrameEncoder:
                                   min(mi_col >> 4, self.sb_seg_map.shape[1] - 1)])
         if seg not in self._seg_quant:
             q = self.seg_params.seg_qindex(self.qindex, seg)
-            self._seg_quant[seg] = [
-                build_plane_quant(q, 0, 0, self.bd, self.sharpness, self.qindex)
-                for _ in range(self.nplanes)]
+            self._seg_quant[seg] = self._build_quants(q)
         self.quant = self._seg_quant[seg]
         return seg
 
@@ -490,9 +496,7 @@ class IntraFrameEncoder:
                 if self.delta_q_present:
                     self._sb_qindex = int(self.sb_qindex_map[mi_row // sb_mi, mi_col // sb_mi])
                     self._sb_delta_pending = True
-                    self.quant = [build_plane_quant(self._sb_qindex, 0, 0, self.bd,
-                                                    self.sharpness, self.qindex)
-                                  for _ in range(self.nplanes)]
+                    self.quant = self._build_quants(self._sb_qindex)
                 self._write_lr_for_sb(mi_row, mi_col)
                 self._walk_partition(mi_row, mi_col, BlockSize.BLOCK_64X64)
         return self.enc.done()

@@ -85,3 +85,21 @@ def test_qm_changes_bitstream():
 def test_frame_qm_levels_disabled():
     cfg = EncoderConfig(width=64, height=64, enable_qm=False)
     assert frame_qm_levels(cfg, 120) is None
+
+
+def test_chroma_qindex_delta_curves():
+    from svt_av1_psy_tpu.api import _chroma_qindex_delta
+
+    # tune 2 chroma boost ramps with qindex, capped at 16
+    assert _chroma_qindex_delta(40, 2, 1) == 0       # below the 48 knee
+    assert _chroma_qindex_delta(140, 2, 1) == -16
+    assert _chroma_qindex_delta(255, 2, 1) == -16    # capped
+    # tune 3: linear adj/8 boost
+    assert _chroma_qindex_delta(140, 3, 1) == -18
+    # tune 0: no boost, but BT.2020 primaries still get one
+    assert _chroma_qindex_delta(140, 0, 1) == 0
+    assert _chroma_qindex_delta(140, 0, 9) == -16
+    # always within the coded delta range
+    for q in range(1, 256, 17):
+        for t in (0, 2, 3, 4):
+            assert -64 <= _chroma_qindex_delta(q, t, 9) <= 63
