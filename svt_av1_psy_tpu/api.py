@@ -115,8 +115,28 @@ class Encoder:
             self._film_grain = photon_noise_params(
                 cfg.film_grain_denoise_strength, cfg.input_depth)
         self._seq.film_grain_params_present = self._film_grain is not None
+        # two-pass: pass 1 collects stats only; pass >= 2 loads budgets
+        self._firstpass = None
+        self._budgets = None
+        self._spent_bits = 0
+        if cfg.pass_num == 1:
+            from .rc.firstpass import FirstPassWriter
+
+            self._firstpass = FirstPassWriter()
+        elif cfg.pass_num >= 2 and cfg.stats_file:
+            from .rc.firstpass import parse_stats, second_pass_budgets
+
+            stats = parse_stats(Path(cfg.stats_file).read_bytes())
+            self._budgets = second_pass_budgets(
+                stats, cfg.target_bit_rate, cfg.fps_num / max(cfg.fps_denom, 1))
         self._initialized = True
         return self
+
+    def first_pass_data(self) -> bytes:
+        """Serialized first-pass statistics (--pass 1 output)."""
+        if self._firstpass is None:
+            raise SvtAv1Error(ErrorCode.ERROR_BAD_PARAMETER, "not in pass 1")
+        return self._firstpass.serialize()
 
     def stream_header(self) -> bytes:
         """svt_av1_enc_stream_header: the sequence header OBU."""
@@ -129,6 +149,10 @@ class Encoder:
         pictures buffer until their TF window fills — call flush() at EOS."""
         self._check_init()
         cfg = self.config
+        if self._firstpass is not None:
+            self._firstpass.push(np.asarray(y), cfg.input_depth)
+            self._submitted += 1
+            return
         la = cfg.look_ahead_distance
         if ((cfg.enable_tf or cfg.enable_tpl_la) and la is not None and la > 0
                 and not cfg.avif):
@@ -215,7 +239,20 @@ class Encoder:
                     cbr=cfg.rate_control_mode == RateControlMode.CBR,
                     undershoot_pct=cfg.undershoot_pct,
                     overshoot_pct=cfg.overshoot_pct, buf_sz_ms=cfg.buf_sz)
-            qindex = self._rc.frame_qindex(is_key)
+            target = None
+            if self._budgets is not None and self._frame_count < len(self._budgets):
+                # rescale the remaining plan by the remaining allowance so
+                # the aggregate converges to the target even when the
+                # correction factor lags complexity jumps
+                i = self._frame_count
+                remaining_plan = sum(self._budgets[i:])
+                total_plan = sum(self._budgets)
+                allowance = total_plan - self._spent_bits
+                scale = 1.0
+                if remaining_plan > 0:
+                    scale = min(max(allowance / remaining_plan, 0.2), 3.0)
+                target = self._budgets[i] * scale
+            qindex = self._rc.frame_qindex(is_key, target_bits=target)
         sb_qindex_map = None
         if (self._tpl is not None and is_key and qindex > 1
                 and not (cfg.enable_variance_boost and cfg.aq_mode == 2)):
@@ -379,6 +416,7 @@ class Encoder:
                                     recon=recon if cfg.recon_enabled else None, stats=stats))
         if self._rc is not None:
             self._rc.update(is_key, qindex, len(payload))
+        self._spent_bits += len(payload) * 8
         self._frames_since_key = 1 if is_key else self._frames_since_key + 1
         self._frame_count += 1
 

@@ -84,6 +84,20 @@ def main(argv=None) -> int:
             print(f"wrote {out_path} ({len(data)} bytes)")
             return 0
 
+        if cfg.pass_num == 1:
+            # first pass: stats only, no bitstream
+            count = 0
+            for y, u, v in reader.frames():
+                if 0 <= n_frames <= count:
+                    break
+                enc.send_picture(y, u, v, pts=count)
+                count += 1
+            stats_path = cfg.stats_file or (out_path + ".stats")
+            with open(stats_path, "wb") as sf:
+                sf.write(enc.first_pass_data())
+            print(f"pass 1: {count} frames analyzed -> {stats_path}", file=sys.stderr)
+            return 0
+
         with open(out_path, "wb") as out:
             ivf = IVFWriter(out, cfg.width, cfg.height, cfg.fps_num, cfg.fps_denom)
             count = 0

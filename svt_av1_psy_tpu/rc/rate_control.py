@@ -118,8 +118,14 @@ class RateControl:
 
     BPER_MB_NORMBITS = 9  # rc_process.c:1753
 
-    def frame_qindex(self, is_key: bool) -> int:
-        desired_bpmb = (int(self._target_bits(is_key)) << self.BPER_MB_NORMBITS) // self.mbs
+    def frame_qindex(self, is_key: bool, target_bits: float | None = None) -> int:
+        """target_bits: explicit per-frame budget (two-pass), else the
+        1-pass schedule."""
+        if target_bits is None:
+            target_bits = self._target_bits(is_key)
+        else:
+            target_bits = max(target_bits, self.bits_per_frame * 0.1)
+        desired_bpmb = (int(target_bits) << self.BPER_MB_NORMBITS) // self.mbs
         q = find_qindex_by_rate(max(desired_bpmb, 1), self.bd, is_key,
                                 self.correction[is_key], cbr=self.cbr,
                                 best_q=self.min_q, worst_q=self.max_q)
