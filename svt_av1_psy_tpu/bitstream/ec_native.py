@@ -29,7 +29,7 @@ def _load():
         try:
             _LIB_PATH.parent.mkdir(exist_ok=True)
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH),
+                ["gcc", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", str(_LIB_PATH),
                  str(_NATIVE / "ec_native.c")],
                 check=True, capture_output=True)
         except Exception:

@@ -36,7 +36,7 @@ def _load():
         try:
             _LIB_PATH.parent.mkdir(exist_ok=True)
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH),
+                ["gcc", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", str(_LIB_PATH),
                  str(_NATIVE / "mc_native.c")],
                 check=True, capture_output=True)
         except Exception:
@@ -56,6 +56,14 @@ def _load():
         _I32P, ctypes.c_int, ctypes.c_int, _I32P, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         _I64P]
+    lib.quantize_txb.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.quantize_txb.restype = ctypes.c_int
     lib.me_search_block.argtypes = [
         _I32P, ctypes.c_int, ctypes.c_int,
         _I32P, ctypes.c_int, ctypes.c_int,
@@ -141,3 +149,31 @@ def search_block(cur, ref, curq, refq, x0, y0, search_range, filters,
                         refq, refq.shape[0], refq.shape[1],
                         x0, y0, search_range, filters, bd, int(subpel), out)
     return int(out[0]), int(out[1]), int(out[2])
+
+
+def quantize_txb(coeff_flat, scan, pq, log_scale, qm=None, iqm=None):
+    """C quantize for one txb (bit-identical to quant.quantize_b on a
+    single block). coeff_flat: (n,) int64 raster; returns
+    (qcoeff, dqcoeff, eob) or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(coeff_flat, np.int64)
+    n = c.shape[0]
+    qcoeff = np.empty(n, np.int32)
+    dqcoeff = np.empty(n, np.int32)
+    scan16 = np.ascontiguousarray(scan, np.int16)
+    # keep converted qm arrays referenced until the call returns (a bare
+    # `ascontiguousarray(...).ctypes.data` can be freed mid-call)
+    qm8 = np.ascontiguousarray(qm, np.uint8) if qm is not None else None
+    iqm16 = np.ascontiguousarray(iqm, np.uint16) if iqm is not None else None
+    eob = lib.quantize_txb(
+        c.ctypes.data, n, scan16.ctypes.data,
+        int(pq.zbin[0]), int(pq.zbin[1]), int(pq.round[0]), int(pq.round[1]),
+        int(pq.quant[0]), int(pq.quant[1]),
+        int(pq.quant_shift[0]), int(pq.quant_shift[1]),
+        int(pq.dequant[0]), int(pq.dequant[1]), int(log_scale),
+        (qm8.ctypes.data if qm8 is not None else None),
+        (iqm16.ctypes.data if iqm16 is not None else None),
+        qcoeff.ctypes.data, dqcoeff.ctypes.data)
+    return qcoeff, dqcoeff, int(eob)

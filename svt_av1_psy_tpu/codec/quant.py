@@ -111,6 +111,14 @@ def quantize_b(
     Matches svt_aom_highbd_quantize_b_c bit-exactly (verified vs oracle)."""
     B, n = coeffs.shape
     log_scale = int(TX_SCALE[int(tx_size)])
+    if B == 1:
+        # single-txb fast path through the C kernel (bit-identical)
+        from . import mc_native
+
+        r = mc_native.quantize_txb(coeffs[0], scan, pq, log_scale, qm, iqm)
+        if r is not None:
+            qc, dqc, eob = r
+            return qc[None], dqc[None], np.array([eob], np.int32)
     is_ac = (np.arange(n) != 0).astype(np.int64)  # raster position 0 is DC
 
     # ROUND_POWER_OF_TWO(x, log_scale) applied to zbin/round per dc/ac:

@@ -227,3 +227,49 @@ void me_search_block(const int32_t *cur, int w, int h,
     out[1] = mvx;
     out[2] = sad;
 }
+
+/* Quantize one txb (mirror of codec/quant.quantize_b: highbd semantics,
+ * optional quantizer-matrix weights). Raster-order arrays of n coeffs;
+ * scan gives raster positions in scan order for the eob computation.
+ * Returns eob. */
+int quantize_txb(const int64_t *coeff, int n,
+                 const int16_t *scan,
+                 int zbin_dc, int zbin_ac, int rnd_dc, int rnd_ac,
+                 int quant_dc, int quant_ac, int qshift_dc, int qshift_ac,
+                 int deq_dc, int deq_ac, int log_scale,
+                 const uint8_t *qm, const uint16_t *iqm,
+                 int32_t *qcoeff, int32_t *dqcoeff) {
+    if (log_scale) {                /* ROUND_POWER_OF_TWO(zbin/round, log2) */
+        zbin_dc = (zbin_dc + (1 << (log_scale - 1))) >> log_scale;
+        zbin_ac = (zbin_ac + (1 << (log_scale - 1))) >> log_scale;
+        rnd_dc = (rnd_dc + (1 << (log_scale - 1))) >> log_scale;
+        rnd_ac = (rnd_ac + (1 << (log_scale - 1))) >> log_scale;
+    }
+    for (int i = 0; i < n; i++) {
+        int64_t c = coeff[i];
+        int sign = c < 0;
+        int64_t a = sign ? -c : c;
+        int64_t wt = qm ? qm[i] : 32;
+        int64_t iwt = iqm ? iqm[i] : 32;
+        int zbin = i ? zbin_ac : zbin_dc;
+        int64_t abs_q = 0;
+        if (a * wt >= ((int64_t)zbin << 5)) {
+            int64_t tmpw = (a + (i ? rnd_ac : rnd_dc)) * wt;
+            int64_t q = i ? quant_ac : quant_dc;
+            int64_t qs = i ? qshift_ac : qshift_dc;
+            abs_q = ((((tmpw * q) >> 16) + tmpw) * qs) >> (16 - log_scale + 5);
+        }
+        int64_t dequant = (((int64_t)(i ? deq_ac : deq_dc)) * iwt + 16) >> 5;
+        int64_t abs_dq = (abs_q * dequant) >> log_scale;
+        qcoeff[i] = (int32_t)(sign ? -abs_q : abs_q);
+        dqcoeff[i] = (int32_t)(sign ? -abs_dq : abs_dq);
+    }
+    int eob = 0;
+    for (int si = n - 1; si >= 0; si--) {
+        if (qcoeff[scan[si]] != 0) {
+            eob = si + 1;
+            break;
+        }
+    }
+    return eob;
+}

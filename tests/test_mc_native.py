@@ -47,3 +47,34 @@ def test_sad_grid_matches_bruteforce():
             if s < best[2]:
                 best = (yy, xx, s)
     assert (dy, dx, sad) == best
+
+
+@requires_native
+def test_quantize_txb_matches_python():
+    from svt_av1_psy_tpu.codec import quant as Q
+    from svt_av1_psy_tpu.codec.qm import get_qm
+    from svt_av1_psy_tpu.codec.spec_tables import get_tables
+
+    t = get_tables()
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        tx = int(rng.integers(0, 19))
+        n = min(int(Q.TX_WIDTH[tx]), 32) * min(int(Q.TX_HEIGHT[tx]), 32)
+        scan = t.scan(tx, 0)
+        q = int(rng.integers(1, 256))
+        pq = Q.build_plane_quant(q, int(rng.integers(-10, 10)),
+                                 int(rng.integers(-10, 10)), 8,
+                                 int(rng.integers(-7, 8)), q)
+        coeffs = rng.normal(0, 3000, (1, n)).astype(np.int64)
+        qm = iqm = None
+        if trial % 3 == 0:
+            qm, iqm = get_qm(int(rng.integers(0, 15)), trial % 2 == 0, tx)
+        # batch of 2 bypasses the single-txb C fast path -> pure python ref
+        c2 = np.vstack([coeffs, coeffs])
+        qc_py, dqc_py, eob_py = Q.quantize_b(c2, scan, pq, tx, qm=qm, iqm=iqm)
+        r = mc_native.quantize_txb(coeffs[0], scan, pq, int(Q.TX_SCALE[tx]),
+                                   qm, iqm)
+        qc_c, dqc_c, eob_c = r
+        assert np.array_equal(qc_py[0], qc_c), (trial, tx)
+        assert np.array_equal(dqc_py[0], dqc_c)
+        assert int(eob_py[0]) == eob_c
