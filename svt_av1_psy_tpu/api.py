@@ -353,11 +353,16 @@ class Encoder:
         if self._seq.enable_restoration:
             from .codec.restoration import RESTORE_NONE, apply_restoration, pick_wiener
 
-            # round-1 scope: luma Wiener only; chroma stays RESTORE_NONE
             rsts = [None] * len(enc.planes)
             rsts[0] = pick_wiener(np.asarray(y), enc.planes[0].recon, deblocked[0],
                                   cfg.width, cfg.height, 0, cfg.input_depth)
-            if rsts[0].frame_type != RESTORE_NONE:
+            if len(enc.planes) > 1:
+                cw, ch = (cfg.width + 1) >> 1, (cfg.height + 1) >> 1
+                for plane, srcp in ((1, u), (2, v)):
+                    rsts[plane] = pick_wiener(
+                        np.asarray(srcp), enc.planes[plane].recon,
+                        deblocked[plane], cw, ch, 1, cfg.input_depth)
+            if any(r is not None and r.frame_type != RESTORE_NONE for r in rsts):
                 # LR syntax is coded per SB, so re-encode the tiles with the
                 # chosen units (the reference's EncDec/EC split; decisions are
                 # deterministic, pass 2 reproduces the identical recon)
@@ -382,6 +387,7 @@ class Encoder:
                          u_dc_delta_q=chroma_delta, u_ac_delta_q=chroma_delta,
                          v_dc_delta_q=chroma_delta, v_ac_delta_q=chroma_delta,
                          film_grain=fg, lr_types=lr_types,
+                         lr_unit_size=64, lr_uv_unit_size=32,
                          segmentation=seg_params,
                          gm_trans=((gm_mv, None, None, None, None, None, None)
                                    if gm_mv != (0, 0) else None),

@@ -7,10 +7,11 @@ boundary saving :1522-1700), convolve.c (svt_av1_wiener_convolve_add_src_c
 (tap ranges :130-153), entropy_coding.c (frame header :2168, per-SB unit
 coeffs :4010, subexp primitives :2805-2934).
 
-Round-1 scope: RESTORE_WIENER / RESTORE_NONE per plane, unit size 64,
-single-LR-tile layout (the reference also treats the whole frame as one LR
-tile, restoration.c:1444). SGRPROJ is future work. The filter path is
-dav1d-verified bit-exact including stripe-boundary substitution.
+Round-1 scope: RESTORE_WIENER / RESTORE_NONE per plane (7-tap luma,
+5-tap chroma), unit size 64 (chroma 32), single-LR-tile layout (the
+reference also treats the whole frame as one LR tile, restoration.c:1444).
+SGRPROJ is future work. The filter path is dav1d-verified bit-exact
+including stripe-boundary substitution.
 """
 
 from __future__ import annotations
@@ -198,15 +199,17 @@ def apply_restoration(cdef_planes, deblock_planes, rsts, bd: int = 8):
 
 # ------------------------------------------------------------------ search
 
-def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2):
+def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2,
+                chroma: bool = False):
     """Alternating least squares for the separable Wiener taps on one unit.
     dgd_ext: (h + 6, w + 6). Approximates the pipeline as pure linear
-    filtering (the exact filter is used for the final SSE decision)."""
+    filtering (the exact filter is used for the final SSE decision).
+    chroma: 5-tap window (tap0 constrained to 0)."""
     h, w = src.shape
     d = dgd_ext.astype(np.float64)
     s = src.astype(np.float64)
-    taps_h = list(DEFAULT_TAPS)
-    taps_v = list(DEFAULT_TAPS)
+    taps_h = [0, DEFAULT_TAPS[1], DEFAULT_TAPS[2]] if chroma else list(DEFAULT_TAPS)
+    taps_v = list(taps_h)
 
     def conv_h(x, taps):
         k = _kernel(taps).astype(np.float64)
@@ -230,10 +233,16 @@ def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2):
         for i in range(3):
             cols.append((inter[i : i + h] + inter[6 - i : 6 - i + h]
                          - 2.0 * inter[3 : 3 + h]).ravel())
-        X = np.stack(cols, axis=1)
-        r = (128.0 * 128.0 * s - base).ravel()
-        t, *_ = np.linalg.lstsq(X, r, rcond=None)
-        taps_v = [int(np.clip(round(t[i]), TAPS[i][0], TAPS[i][1])) for i in range(3)]
+        if chroma:
+            t, *_ = np.linalg.lstsq(np.stack(cols[1:], axis=1),
+                                    (128.0 * 128.0 * s - base).ravel(), rcond=None)
+            taps_v = [0] + [int(np.clip(round(t[i]), TAPS[i + 1][0], TAPS[i + 1][1]))
+                            for i in range(2)]
+        else:
+            X = np.stack(cols, axis=1)
+            r = (128.0 * 128.0 * s - base).ravel()
+            t, *_ = np.linalg.lstsq(X, r, rcond=None)
+            taps_v = [int(np.clip(round(t[i]), TAPS[i][0], TAPS[i][1])) for i in range(3)]
         # fix v, solve h
         interv = conv_v(d, taps_v)              # (h, w+6)
         base = 128.0 * interv[:, 3 : 3 + w]
@@ -241,10 +250,16 @@ def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2):
         for i in range(3):
             cols.append((interv[:, i : i + w] + interv[:, 6 - i : 6 - i + w]
                          - 2.0 * interv[:, 3 : 3 + w]).ravel())
-        X = np.stack(cols, axis=1)
-        r = (128.0 * 128.0 * s - base).ravel()
-        t, *_ = np.linalg.lstsq(X, r, rcond=None)
-        taps_h = [int(np.clip(round(t[i]), TAPS[i][0], TAPS[i][1])) for i in range(3)]
+        if chroma:
+            t, *_ = np.linalg.lstsq(np.stack(cols[1:], axis=1),
+                                    (128.0 * 128.0 * s - base).ravel(), rcond=None)
+            taps_h = [0] + [int(np.clip(round(t[i]), TAPS[i + 1][0], TAPS[i + 1][1]))
+                            for i in range(2)]
+        else:
+            X = np.stack(cols, axis=1)
+            r = (128.0 * 128.0 * s - base).ravel()
+            t, *_ = np.linalg.lstsq(X, r, rcond=None)
+            taps_h = [int(np.clip(round(t[i]), TAPS[i][0], TAPS[i][1])) for i in range(3)]
     return tuple(taps_h), tuple(taps_v)
 
 
@@ -264,7 +279,7 @@ def pick_wiener(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
             v0, v1, h0, h1 = pr.unit_limits(ui, uj)
             s = src[v0:v1, h0:h1]
             base_sse = int(((crop[v0:v1, h0:h1] - s) ** 2).sum())
-            taps = _solve_taps(ext[v0 : v1 + 6, h0 : h1 + 6], s)
+            taps = _solve_taps(ext[v0 : v1 + 6, h0 : h1 + 6], s, chroma=ss > 0)
             filt = filter_unit(ext, pr, above, below, v0, v1, h0, h1, taps, bd)
             sse = int(((filt - s) ** 2).sum())
             # small margin so near-ties do not pay the coefficient cost

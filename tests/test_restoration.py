@@ -114,3 +114,25 @@ def test_pick_wiener_skips_clean_unit():
     src = rng.integers(0, 256, (64, 64)).astype(np.uint8)
     pr = pick_wiener(src, src, src, 64, 64, 0)
     assert pr.frame_type == 0
+
+
+@requires_dav1d
+def test_chroma_lr_conformant():
+    """5-tap chroma Wiener units (tap0 fixed 0) on noisy chroma."""
+    rng = np.random.default_rng(5)
+    W, H = 128, 96
+    y = (np.cumsum(rng.normal(0, 5, (H, W)), axis=1) + 128
+         + rng.normal(0, 5, (H, W))).clip(0, 255).astype(np.uint8)
+    u = ((np.cumsum(rng.normal(0, 6, (48, 64)), axis=0) + 128)
+         + rng.normal(0, 6, (48, 64))).clip(0, 255).astype(np.uint8)
+    v = u[::-1].copy()
+    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+                        enable_restoration_filtering=1)
+    cfg.qp = 48
+    enc = Encoder(cfg).init()
+    enc.send_picture(y, u, v)
+    pkt = enc.get_packet()
+    dy, du, dv = dav1d.decode(pkt.data, W, H)
+    assert np.array_equal(dy, pkt.recon[0])
+    assert np.array_equal(du, pkt.recon[1])
+    assert np.array_equal(dv, pkt.recon[2])
