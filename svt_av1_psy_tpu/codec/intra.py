@@ -175,6 +175,14 @@ def filter_intra_predict(above_buf, left_buf, w: int, h: int, mode: int,
     4x2 patches, 7 taps each. above_buf/left_buf follow _gather_neighbors
     layout ([0] = top-left corner)."""
     taps = _filter_intra_taps()[mode]
+    if w <= 32 and h <= 32:
+        from . import mc_native
+
+        above32 = np.ascontiguousarray(above_buf[: w + 1], np.int32)
+        left32 = np.ascontiguousarray(left_buf[: h + 1], np.int32)
+        out = mc_native.filter_intra_pred(above32, left32, w, h, taps, bd)
+        if out is not None:
+            return out
     peak = (1 << bd) - 1
     buf = np.zeros((h + 1, w + 1), np.int32)
     buf[0, : w + 1] = above_buf[: w + 1]

@@ -71,6 +71,9 @@ def _load():
         _I32P, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         _I32P, ctypes.c_int, ctypes.c_int, _I64P]
+    lib.filter_intra_pred.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -149,6 +152,19 @@ def search_block(cur, ref, curq, refq, x0, y0, search_range, filters,
                         refq, refq.shape[0], refq.shape[1],
                         x0, y0, search_range, filters, bd, int(subpel), out)
     return int(out[0]), int(out[1]), int(out[2])
+
+
+def filter_intra_pred(above32, left32, w, h, taps32, bd):
+    """C filter-intra recursion for one block (w,h <= 32). above32/left32:
+    contiguous int32 neighbor buffers ([0] = corner); taps32: (8,8) int32
+    for one mode. Returns (h, w) uint16 or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((h, w), np.uint16)
+    lib.filter_intra_pred(above32.ctypes.data, left32.ctypes.data, w, h,
+                          taps32.ctypes.data, bd, out.ctypes.data)
+    return out
 
 
 def quantize_txb(coeff_flat, scan, pq, log_scale, qm=None, iqm=None):

@@ -273,3 +273,40 @@ int quantize_txb(const int64_t *coeff, int n,
     }
     return eob;
 }
+
+/* Filter-intra prediction (spec 7.11.2.3; reference filterintra_c.c:70):
+ * recursive 4x2 patches, 7 taps each. above/left are the substituted
+ * neighbor rows ([0] = top-left corner); taps is the (8,8) int32 table for
+ * one mode (only the first 7 columns are used). w,h <= 32. */
+void filter_intra_pred(const int32_t *above, const int32_t *left,
+                       int w, int h, const int32_t *taps, int bd,
+                       uint16_t *out) {
+    int32_t buf[33 * 33];
+    const int st = w + 1;
+    const int peak = (1 << bd) - 1;
+    for (int c = 0; c <= w; c++) buf[c] = above[c];
+    for (int r = 1; r <= h; r++) buf[r * st] = left[r];
+    for (int r = 1; r <= h; r += 2) {
+        for (int c = 1; c <= w; c += 4) {
+            const int32_t p0 = buf[(r - 1) * st + c - 1];
+            const int32_t p1 = buf[(r - 1) * st + c];
+            const int32_t p2 = buf[(r - 1) * st + c + 1];
+            const int32_t p3 = buf[(r - 1) * st + c + 2];
+            const int32_t p4 = buf[(r - 1) * st + c + 3];
+            const int32_t p5 = buf[r * st + c - 1];
+            const int32_t p6 = buf[(r + 1) * st + c - 1];
+            for (int k = 0; k < 8; k++) {
+                const int32_t *t = taps + k * 8;
+                int32_t acc = t[0] * p0 + t[1] * p1 + t[2] * p2 + t[3] * p3
+                            + t[4] * p4 + t[5] * p5 + t[6] * p6;
+                int32_t v = acc < 0 ? -((-acc + 8) >> 4) : (acc + 8) >> 4;
+                if (v < 0) v = 0;
+                if (v > peak) v = peak;
+                buf[(r + (k >> 2)) * st + c + (k & 3)] = v;
+            }
+        }
+    }
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++)
+            out[r * w + c] = (uint16_t)buf[(r + 1) * st + c + 1];
+}
