@@ -129,6 +129,8 @@ def cdef_frame(planes, mi_skip: np.ndarray, base_q_idx: int, y_pri: int, y_sec: 
     uv_sec += uv_sec == 3
     damping = cdef_damping + coeff_shift
 
+    from . import mc_native
+
     luma = planes[0]
     H, W = luma.shape
     nb8_r, nb8_c = H // 8, W // 8
@@ -138,9 +140,17 @@ def cdef_frame(planes, mi_skip: np.ndarray, base_q_idx: int, y_pri: int, y_sec: 
     by, bx = np.nonzero(~blk_skip)
     if len(by) == 0:
         return
+    by32 = np.ascontiguousarray(by, np.int32)
+    bx32 = np.ascontiguousarray(bx, np.int32)
     # directions from the pre-CDEF luma
-    blocks = np.stack([luma[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] for r, c in zip(by, bx)])
-    dirs, var = find_dir_blocks(blocks, coeff_shift)
+    luma32 = np.ascontiguousarray(luma, np.int32)
+    nat = mc_native.cdef_find_dir_blocks(luma32, by32, bx32, coeff_shift)
+    if nat is not None:
+        dirs, var = nat
+    else:
+        blocks = np.stack([luma[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+                           for r, c in zip(by, bx)])
+        dirs, var = find_dir_blocks(blocks, coeff_shift)
 
     for plane, img in enumerate(planes):
         if img is None:
@@ -155,13 +165,20 @@ def cdef_frame(planes, mi_skip: np.ndarray, base_q_idx: int, y_pri: int, y_sec: 
         sdamp = damping - (plane != 0)
         pad = np.full((img.shape[0] + 4, img.shape[1] + 4), CDEF_VERY_LARGE, np.int32)
         pad[2:-2, 2:-2] = img
-        nbs = np.stack([pad[r * bh : r * bh + bh + 4, c * bw : c * bw + bw + 4]
-                        for r, c in zip(by, bx)])
         if plane == 0:
             pstr = adjust_strength(pri, var).astype(np.int32)
         else:
             pstr = np.full(len(by), pri, np.int32)
         d_used = dirs if pri > 0 else np.zeros_like(dirs)
+        d32 = np.ascontiguousarray(d_used, np.int32)
+        p32 = np.ascontiguousarray(pstr, np.int32)
+        dst = np.ascontiguousarray(img, np.int32)
+        if mc_native.cdef_filter_blocks(pad, dst, by32, bx32, d32, p32,
+                                        int(sec), pdamp, sdamp, bw, bh, bd):
+            img[:] = dst.astype(img.dtype)
+            continue
+        nbs = np.stack([pad[r * bh : r * bh + bh + 4, c * bw : c * bw + bw + 4]
+                        for r, c in zip(by, bx)])
         out = filter_blocks(nbs, d_used, pstr, sec, pdamp, sdamp, bw, bh, bd)
         for i, (r, c) in enumerate(zip(by, bx)):
             img[r * bh : r * bh + bh, c * bw : c * bw + bw] = out[i].astype(img.dtype)
@@ -185,25 +202,45 @@ def pick_cdef_strengths(y_src, recon_y_aligned, mi_skip, base_q_idx, bd=8,
     if len(by) > max_blocks:
         sel = np.linspace(0, len(by) - 1, max_blocks).astype(int)
         by, bx = by[sel], bx[sel]
-    blocks = np.stack([luma[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] for r, c in zip(by, bx)])
-    dirs, var = find_dir_blocks(blocks, coeff_shift)
+    from . import mc_native
+
+    by32 = np.ascontiguousarray(by, np.int32)
+    bx32 = np.ascontiguousarray(bx, np.int32)
+    luma32 = np.ascontiguousarray(luma, np.int32)
+    nat = mc_native.cdef_find_dir_blocks(luma32, by32, bx32, coeff_shift)
+    if nat is not None:
+        dirs, var = nat
+    else:
+        blocks = np.stack([luma[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+                           for r, c in zip(by, bx)])
+        dirs, var = find_dir_blocks(blocks, coeff_shift)
     pad = np.full((luma.shape[0] + 4, luma.shape[1] + 4), CDEF_VERY_LARGE, np.int32)
     pad[2:-2, 2:-2] = luma
-    nbs = np.stack([pad[r * 8 : r * 8 + 12, c * 8 : c * 8 + 12] for r, c in zip(by, bx)])
-    srcs = np.stack([np.asarray(y_src)[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
-                     for r, c in zip(by, bx)]).astype(np.int64)
+    rows = by[:, None, None] * 8 + np.arange(8)[None, :, None]
+    cols = bx[:, None, None] * 8 + np.arange(8)[None, None, :]
+    srcs = np.asarray(y_src).astype(np.int64)[rows, cols]
+    nbs = None
     best = (0, 0, 1e30)
     for pri in (0, 1, 2, 4):
         for sec in (0, 2):
             p = pri << coeff_shift
             s = (sec + (sec == 3)) << coeff_shift
             if p == 0 and s == 0:
-                out = nbs[:, 2:10, 2:10]
+                out = luma32[rows, cols]
             else:
                 pstr = adjust_strength(p, var).astype(np.int32)
-                d_used = dirs if p > 0 else np.zeros_like(dirs)
-                out = filter_blocks(nbs, d_used, pstr, s, damping + coeff_shift,
-                                    damping + coeff_shift, 8, 8, bd)
+                d_used = np.ascontiguousarray(dirs if p > 0 else np.zeros_like(dirs), np.int32)
+                dst = luma32.copy()
+                if mc_native.cdef_filter_blocks(pad, dst, by32, bx32, d_used,
+                                                pstr, int(s), damping + coeff_shift,
+                                                damping + coeff_shift, 8, 8, bd):
+                    out = dst[rows, cols]
+                else:
+                    if nbs is None:
+                        nbs = np.stack([pad[r * 8 : r * 8 + 12, c * 8 : c * 8 + 12]
+                                        for r, c in zip(by, bx)])
+                    out = filter_blocks(nbs, d_used, pstr, s, damping + coeff_shift,
+                                        damping + coeff_shift, 8, 8, bd)
             mse = float(np.mean((out.astype(np.int64) - srcs) ** 2))
             if mse < best[2]:
                 best = (pri, sec, mse)

@@ -74,6 +74,21 @@ def _load():
     lib.filter_intra_pred.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.psy_block_energy.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p]
+    lib.psy_distortion_sum.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p]
+    lib.psy_distortion_sum.restype = ctypes.c_int64
+    lib.cdef_find_dir_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    lib.cdef_filter_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -152,6 +167,61 @@ def search_block(cur, ref, curq, refq, x0, y0, search_range, filters,
                         refq, refq.shape[0], refq.shape[1],
                         x0, y0, search_range, filters, bd, int(subpel), out)
     return int(out[0]), int(out[1]), int(out[2])
+
+
+def psy_block_energy(x: np.ndarray, t: int):
+    """Per-tile psy energy (SA8D/SATD4 - SAD/4) in raster tile order, or
+    None without the library. x: (h, w) any int/uint array."""
+    lib = _load()
+    if lib is None:
+        return None
+    x32 = np.ascontiguousarray(x, np.int32)
+    h, w = x32.shape
+    out = np.empty(((h // t) * (w // t),), np.int64)
+    lib.psy_block_energy(x32.ctypes.data, w, h, w, t, out.ctypes.data)
+    return out
+
+
+def psy_distortion_sum(recon: np.ndarray, t: int, src_energy: np.ndarray):
+    """sum |src_energy - energy(recon tiles)| or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    r32 = np.ascontiguousarray(recon, np.int32)
+    h, w = r32.shape
+    es = np.ascontiguousarray(src_energy, np.int64)
+    return int(lib.psy_distortion_sum(r32.ctypes.data, w, h, w, t,
+                                      es.ctypes.data))
+
+
+def cdef_find_dir_blocks(img32, by32, bx32, coeff_shift):
+    """Directions + variances for 8x8 blocks at (by, bx) of img32 (int32
+    contiguous). Returns (dirs, var) or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(by32)
+    dirs = np.empty(n, np.int32)
+    var = np.empty(n, np.int64)
+    lib.cdef_find_dir_blocks(img32.ctypes.data, img32.shape[1],
+                             by32.ctypes.data, bx32.ctypes.data, n,
+                             coeff_shift, dirs.ctypes.data, var.ctypes.data)
+    return dirs, var
+
+
+def cdef_filter_blocks(pad32, dst32, by32, bx32, dirs32, pri32, sec, pdamp,
+                       sdamp, bw, bh, bd):
+    """Filter the listed blocks from padded plane pad32 into dst32 (both
+    int32 contiguous). Returns True, or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    lib.cdef_filter_blocks(pad32.ctypes.data, pad32.shape[1],
+                           dst32.ctypes.data, dst32.shape[1],
+                           by32.ctypes.data, bx32.ctypes.data, len(by32),
+                           dirs32.ctypes.data, pri32.ctypes.data,
+                           sec, pdamp, sdamp, bw, bh, bd)
+    return True
 
 
 def filter_intra_pred(above32, left32, w, h, taps32, bd):

@@ -310,3 +310,205 @@ void filter_intra_pred(const int32_t *above, const int32_t *left,
         for (int c = 0; c < w; c++)
             out[r * w + c] = (uint16_t)buf[(r + 1) * st + c + 1];
 }
+
+/* psy-rd energy kernels (reference psy_rd.c:65,99,135): SA8D / 4x4 SATD via
+ * fast Walsh-Hadamard butterflies. abs-sum is invariant under the WHT's
+ * coefficient permutation, so butterflies match the H @ b @ H^T form. */
+static void wht8(int32_t *v) {
+    for (int s = 1; s < 8; s <<= 1)
+        for (int i = 0; i < 8; i += s << 1)
+            for (int j = i; j < i + s; j++) {
+                int32_t a = v[j], b = v[j + s];
+                v[j] = a + b;
+                v[j + s] = a - b;
+            }
+}
+
+static int64_t sa8d_8x8(const int32_t *x, int stride) {
+    int32_t m[8][8];
+    for (int r = 0; r < 8; r++) {
+        for (int c = 0; c < 8; c++) m[r][c] = x[r * stride + c];
+        wht8(m[r]);
+    }
+    int64_t sum = 0;
+    for (int c = 0; c < 8; c++) {
+        int32_t col[8];
+        for (int r = 0; r < 8; r++) col[r] = m[r][c];
+        wht8(col);
+        for (int r = 0; r < 8; r++) sum += col[r] < 0 ? -col[r] : col[r];
+    }
+    return (sum + 2) >> 2;
+}
+
+static int64_t satd_4x4(const int32_t *x, int stride) {
+    int32_t m[4][4];
+    for (int r = 0; r < 4; r++) {
+        int32_t a = x[r * stride], b = x[r * stride + 1];
+        int32_t c = x[r * stride + 2], d = x[r * stride + 3];
+        int32_t s0 = a + b, d0 = a - b, s1 = c + d, d1 = c - d;
+        m[r][0] = s0 + s1; m[r][1] = d0 + d1; m[r][2] = s0 - s1; m[r][3] = d0 - d1;
+    }
+    int64_t sum = 0;
+    for (int c = 0; c < 4; c++) {
+        int32_t a = m[0][c], b = m[1][c], cc = m[2][c], d = m[3][c];
+        int32_t s0 = a + b, d0 = a - b, s1 = cc + d, d1 = cc - d;
+        int32_t o[4] = {s0 + s1, d0 + d1, s0 - s1, d0 - d1};
+        for (int k = 0; k < 4; k++) sum += o[k] < 0 ? -o[k] : o[k];
+    }
+    return sum >> 1;
+}
+
+/* Per-tile energy = SA8D (or SATD4) - SAD/4, raster tile order. t in {4,8};
+ * trailing partial tiles are dropped (matches the numpy tiler). */
+void psy_block_energy(const int32_t *x, int stride, int h, int w, int t,
+                      int64_t *out) {
+    int n = 0;
+    for (int ty = 0; ty + t <= h; ty += t)
+        for (int tx = 0; tx + t <= w; tx += t) {
+            const int32_t *p = x + ty * stride + tx;
+            int64_t sad = 0;
+            for (int r = 0; r < t; r++)
+                for (int c = 0; c < t; c++) {
+                    int32_t v = p[r * stride + c];
+                    sad += v < 0 ? -v : v;
+                }
+            int64_t txd = t == 8 ? sa8d_8x8(p, stride) : satd_4x4(p, stride);
+            out[n++] = txd - (sad >> 2);
+        }
+}
+
+/* sum |src_energy[i] - energy(recon tile i)| */
+int64_t psy_distortion_sum(const int32_t *recon, int stride, int h, int w,
+                           int t, const int64_t *src_energy) {
+    int64_t total = 0;
+    int n = 0;
+    for (int ty = 0; ty + t <= h; ty += t)
+        for (int tx = 0; tx + t <= w; tx += t) {
+            const int32_t *p = recon + ty * stride + tx;
+            int64_t sad = 0;
+            for (int r = 0; r < t; r++)
+                for (int c = 0; c < t; c++) {
+                    int32_t v = p[r * stride + c];
+                    sad += v < 0 ? -v : v;
+                }
+            int64_t txd = t == 8 ? sa8d_8x8(p, stride) : satd_4x4(p, stride);
+            int64_t d = src_energy[n++] - (txd - (sad >> 2));
+            total += d < 0 ? -d : d;
+        }
+    return total;
+}
+
+/* ---- CDEF (spec 7.15; reference cdef.c svt_aom_cdef_find_dir_c:150,
+ * svt_cdef_filter_block_c:253). Bit-identical to codec/cdef.py. ---- */
+
+#define CDEF_VERY_LARGE 0x7F7F
+
+static const int cdef_dirs[8][2][2] = { /* [dir][k][dy,dx] */
+    {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}}, {{0, 1}, {1, 2}},
+    {{1, 1}, {2, 2}},   {{1, 0}, {2, 1}},  {{1, 0}, {2, 0}}, {{1, 0}, {2, -1}},
+};
+static const int cdef_pri_taps[2][2] = {{4, 2}, {3, 3}};
+static const int cdef_sec_taps[2][2] = {{2, 1}, {2, 1}};
+static const int64_t cdef_div[9] = {0, 840, 420, 280, 210, 168, 140, 120, 105};
+
+static int32_t cdef_constrain(int32_t diff, int threshold, int damping) {
+    if (!threshold) return 0;
+    int shift = damping - (31 - __builtin_clz((unsigned)threshold));
+    if (shift < 0) shift = 0;
+    int32_t a = diff < 0 ? -diff : diff;
+    int32_t v = threshold - (a >> shift);
+    if (v < 0) v = 0;
+    if (a < v) v = a;
+    return diff < 0 ? -v : v;
+}
+
+/* Direction + variance for nblk 8x8 blocks of img (int32, unpadded). */
+void cdef_find_dir_blocks(const int32_t *img, int stride, const int32_t *by,
+                          const int32_t *bx, int nblk, int coeff_shift,
+                          int32_t *dirs, int64_t *var) {
+    for (int n = 0; n < nblk; n++) {
+        const int32_t *p = img + by[n] * 8 * stride + bx[n] * 8;
+        int64_t partial[8][15];
+        memset(partial, 0, sizeof(partial));
+        for (int i = 0; i < 8; i++)
+            for (int j = 0; j < 8; j++) {
+                int64_t x = (p[i * stride + j] >> coeff_shift) - 128;
+                partial[0][i + j] += x;
+                partial[1][i + j / 2] += x;
+                partial[2][i] += x;
+                partial[3][3 + i - j / 2] += x;
+                partial[4][7 + i - j] += x;
+                partial[5][3 - i / 2 + j] += x;
+                partial[6][j] += x;
+                partial[7][i / 2 + j] += x;
+            }
+        int64_t cost[8] = {0};
+        for (int i = 0; i < 8; i++) {
+            cost[2] += partial[2][i] * partial[2][i] * cdef_div[8];
+            cost[6] += partial[6][i] * partial[6][i] * cdef_div[8];
+        }
+        for (int d = 0; d < 8; d += 4) {
+            for (int i = 0; i < 7; i++)
+                cost[d] += (partial[d][i] * partial[d][i]
+                          + partial[d][14 - i] * partial[d][14 - i]) * cdef_div[i + 1];
+            cost[d] += partial[d][7] * partial[d][7] * cdef_div[8];
+        }
+        for (int d = 1; d < 8; d += 2) {
+            for (int i = 3; i < 8; i++)
+                cost[d] += partial[d][i] * partial[d][i] * cdef_div[8];
+            for (int j = 0; j < 3; j++)
+                cost[d] += (partial[d][j] * partial[d][j]
+                          + partial[d][10 - j] * partial[d][10 - j]) * cdef_div[2 * j + 2];
+        }
+        int best = 0;
+        for (int d = 1; d < 8; d++)
+            if (cost[d] > cost[best]) best = d;
+        dirs[n] = best;
+        var[n] = (cost[best] - cost[(best + 4) & 7]) >> 10;
+    }
+}
+
+/* Filter nblk blocks. pad: padded plane (2px border, CDEF_VERY_LARGE
+ * outside); dst: int32 plane (no border) filtered blocks are written to.
+ * Block n covers dst[by*bh .. +bh, bx*bw .. +bw]. */
+void cdef_filter_blocks(const int32_t *pad, int pstride, int32_t *dst,
+                        int dstride, const int32_t *by, const int32_t *bx,
+                        int nblk, const int32_t *dirs, const int32_t *pri_str,
+                        int sec_str, int pri_damp, int sec_damp, int bw,
+                        int bh, int bd) {
+    for (int n = 0; n < nblk; n++) {
+        const int dir = dirs[n];
+        const int pri = pri_str[n];
+        const int ti = (pri >> (bd - 8)) & 1;
+        const int y0 = by[n] * bh, x0 = bx[n] * bw;
+        for (int r = 0; r < bh; r++)
+            for (int c = 0; c < bw; c++) {
+                const int32_t *px = pad + (y0 + r + 2) * pstride + x0 + c + 2;
+                int32_t x = *px;
+                int32_t sum = 0, mx = x, mn = x;
+                for (int k = 0; k < 2; k++) {
+                    int dy = cdef_dirs[dir][k][0], dx = cdef_dirs[dir][k][1];
+                    for (int sgn = 1; sgn >= -1; sgn -= 2) {
+                        int32_t p = px[sgn * dy * pstride + sgn * dx];
+                        sum += cdef_pri_taps[ti][k] * cdef_constrain(p - x, pri, pri_damp);
+                        if (p != CDEF_VERY_LARGE && p > mx) mx = p;
+                        if (p < mn) mn = p;
+                    }
+                    for (int delta = 2; delta >= -2; delta -= 4) {
+                        int d2 = (dir + delta) & 7;
+                        int sdy = cdef_dirs[d2][k][0], sdx = cdef_dirs[d2][k][1];
+                        for (int sgn = 1; sgn >= -1; sgn -= 2) {
+                            int32_t s = px[sgn * sdy * pstride + sgn * sdx];
+                            sum += cdef_sec_taps[ti][k] * cdef_constrain(s - x, sec_str, sec_damp);
+                            if (s != CDEF_VERY_LARGE && s > mx) mx = s;
+                            if (s < mn) mn = s;
+                        }
+                    }
+                }
+                int32_t y = x + ((8 + sum - (sum < 0)) >> 4);
+                if (y < mn) y = mn;
+                if (y > mx) y = mx;
+                dst[(y0 + r) * dstride + x0 + c] = y;
+            }
+    }
+}

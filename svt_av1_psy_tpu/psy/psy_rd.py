@@ -54,7 +54,10 @@ def block_energy(x: np.ndarray) -> np.ndarray:
     """Per-tile energy vector of a block (cacheable across candidates)."""
     h, w = x.shape
     t = 8 if (w >= 8 and h >= 8) else 4
-    return _energy(x, t)
+    from ..codec import mc_native
+
+    out = mc_native.psy_block_energy(x, t)
+    return _energy(x, t) if out is None else out
 
 
 def psy_distortion(src: np.ndarray, recon: np.ndarray, bd: int = 8,
@@ -64,8 +67,13 @@ def psy_distortion(src: np.ndarray, recon: np.ndarray, bd: int = 8,
     precomputed block_energy(src) (the source side is candidate-invariant)."""
     h, w = src.shape
     t = 8 if (w >= 8 and h >= 8) else 4
-    es = _energy(src, t) if src_energy is None else src_energy
-    d = int(np.abs(es - _energy(recon, t)).sum())
+    from ..codec import mc_native
+
+    if src_energy is None:
+        src_energy = block_energy(src)
+    d = mc_native.psy_distortion_sum(recon, t, src_energy)
+    if d is None:
+        d = int(np.abs(src_energy - _energy(recon, t)).sum())
     # 8-bit scaled to 1/8th of HBD scaling so strengths are comparable
     return (d >> 1) if bd == 8 else (d << 2)
 
