@@ -52,15 +52,19 @@ def _load():
                             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
                             ctypes.c_int64]
     lib.ec_done.restype = ctypes.c_int64
+    # all raw pointers: this is the hottest crossing after ec_symbol and
+    # ndpointer validation costs ~4us per arg (callers guarantee contiguity)
     lib.ec_write_coeffs_txb.argtypes = [
         ctypes.c_void_p,
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),  # qcoeff
+        ctypes.c_void_p,                                          # qcoeff i32
         ctypes.c_int, ctypes.c_int,                               # n, eob
-        np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),   # scan
-        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),    # coeff_ctxs
-        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),    # br_ctx_map
+        ctypes.c_void_p,                                          # scan i16
+        ctypes.c_void_p,                                          # coeff_ctxs i8
+        ctypes.c_void_p,                                          # br_ctx_map i8
         ctypes.c_int,                                             # adapt
-        _U16P, _U16P, ctypes.c_int, _U16P, _U16P, _U16P, _U16P, _U16P,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int,
     ]
     lib.ec_write_coeffs_txb.restype = ctypes.c_int32
@@ -75,6 +79,19 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
     ]
     lib.txfm_eval_graph.restype = None
+    _V, _I = ctypes.c_void_p, ctypes.c_int
+    lib.txfm2d_fwd.argtypes = (
+        [_V, _I, _I, _I]
+        + [_I] + [_V] * 5 + [_I] * 2          # col 1d spec
+        + [_I] + [_V] * 5 + [_I] * 2          # row 1d spec
+        + [_I] * 6 + [_V])
+    lib.txfm2d_fwd.restype = None
+    lib.txfm2d_inv_add.argtypes = (
+        [_V, _V, _I, _I, _I]
+        + [_I] + [_V] * 5 + [_I] * 2          # row 1d spec
+        + [_I] + [_V] * 5 + [_I] * 2          # col 1d spec
+        + [_I] * 8 + [_V])
+    lib.txfm2d_inv_add.restype = None
     _lib = lib
     return lib
 
@@ -129,8 +146,13 @@ class NativeRangeEncoder:
                          txb_skip_row, eob_multi_row, eob_multi_nsyms,
                          eob_extra_rows, base_eob_rows, base_rows, br_rows,
                          dc_sign_row, include_skip=True) -> int:
+        # args hold references for the duration of the call, so the raw
+        # .ctypes.data pointers stay valid; callers guarantee contiguity
         return int(self._lib.ec_write_coeffs_txb(
-            self._h, qcoeff, len(qcoeff), eob, scan, coeff_ctxs, br_ctx_map,
-            adapt, txb_skip_row, eob_multi_row, eob_multi_nsyms,
-            eob_extra_rows, base_eob_rows, base_rows, br_rows, dc_sign_row,
+            self._h, qcoeff.ctypes.data, len(qcoeff), eob, scan.ctypes.data,
+            coeff_ctxs.ctypes.data, br_ctx_map.ctypes.data,
+            adapt, txb_skip_row.ctypes.data, eob_multi_row.ctypes.data,
+            eob_multi_nsyms, eob_extra_rows.ctypes.data,
+            base_eob_rows.ctypes.data, base_rows.ctypes.data,
+            br_rows.ctypes.data, dc_sign_row.ctypes.data,
             int(include_skip)))

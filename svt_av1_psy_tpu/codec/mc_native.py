@@ -45,17 +45,21 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    # raw pointers throughout: ndpointer validation costs ~4us/arg on these
+    # hot crossings; wrappers bind arrays to locals for the call's lifetime
     lib.mc_convolve_2d_sr.argtypes = [
-        _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _I32P, _I32P,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, _U16P]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
     lib.mc_subpel_sad.argtypes = [
-        _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _I32P, _I32P,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, _I32P]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
     lib.mc_subpel_sad.restype = ctypes.c_int64
     lib.me_sad_grid.argtypes = [
-        _I32P, ctypes.c_int, ctypes.c_int, _I32P, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        _I64P]
+        ctypes.c_int, ctypes.c_void_p]
     lib.quantize_txb.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -65,12 +69,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p]
     lib.quantize_txb.restype = ctypes.c_int
     lib.me_search_block.argtypes = [
-        _I32P, ctypes.c_int, ctypes.c_int,
-        _I32P, ctypes.c_int, ctypes.c_int,
-        _I32P, ctypes.c_int, ctypes.c_int,
-        _I32P, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        _I32P, ctypes.c_int, ctypes.c_int, _I64P]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
     lib.filter_intra_pred.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
@@ -112,8 +116,9 @@ def convolve_block(patch: np.ndarray, w: int, h: int, sx: int, sy: int,
     src = np.ascontiguousarray(patch, np.int32)
     fx, fy = _kernels(w, h, sx, sy, interp_x, interp_y)
     out = np.empty((h, w), np.uint16)
-    lib.mc_convolve_2d_sr(src, src.shape[1], w, h, fx, fy,
-                          int(sx != 0), int(sy != 0), bd, out)
+    lib.mc_convolve_2d_sr(src.ctypes.data, src.shape[1], w, h,
+                          fx.ctypes.data, fy.ctypes.data,
+                          int(sx != 0), int(sy != 0), bd, out.ctypes.data)
     return out
 
 
@@ -126,8 +131,10 @@ def subpel_sad(patch: np.ndarray, cur: np.ndarray, w: int, h: int, sx: int,
     src = np.ascontiguousarray(patch, np.int32)
     fx, fy = _kernels(w, h, sx, sy, 0, 0)
     c = np.ascontiguousarray(cur, np.int32)
-    return int(lib.mc_subpel_sad(src, src.shape[1], w, h, fx, fy,
-                                 int(sx != 0), int(sy != 0), bd, c))
+    return int(lib.mc_subpel_sad(src.ctypes.data, src.shape[1], w, h,
+                                 fx.ctypes.data, fy.ctypes.data,
+                                 int(sx != 0), int(sy != 0), bd,
+                                 c.ctypes.data))
 
 
 def sad_grid(cur: np.ndarray, ref: np.ndarray, y0: int, y1: int, x0: int,
@@ -145,8 +152,8 @@ def sad_grid(cur: np.ndarray, ref: np.ndarray, y0: int, y1: int, x0: int,
         idx = np.unravel_index(np.argmin(sads), sads.shape)
         return (y0 + idx[0] * step, x0 + idx[1] * step, int(sads[idx]))
     best = np.empty(3, np.int64)
-    lib.me_sad_grid(c, c.shape[1], c.shape[0], r, r.shape[1],
-                    y0, y1, x0, x1, step, best)
+    lib.me_sad_grid(c.ctypes.data, c.shape[1], c.shape[0], r.ctypes.data,
+                    r.shape[1], y0, y1, x0, x1, step, best.ctypes.data)
     return (int(best[0]), int(best[1]), int(best[2]))
 
 
@@ -161,11 +168,12 @@ def search_block(cur, ref, curq, refq, x0, y0, search_range, filters,
     c = np.ascontiguousarray(cur, np.int32)
     cq = np.ascontiguousarray(curq, np.int32)
     out = np.empty(3, np.int64)
-    lib.me_search_block(c, c.shape[1], c.shape[0],
-                        ref, ref.shape[0], ref.shape[1],
-                        cq, cq.shape[1], cq.shape[0],
-                        refq, refq.shape[0], refq.shape[1],
-                        x0, y0, search_range, filters, bd, int(subpel), out)
+    lib.me_search_block(c.ctypes.data, c.shape[1], c.shape[0],
+                        ref.ctypes.data, ref.shape[0], ref.shape[1],
+                        cq.ctypes.data, cq.shape[1], cq.shape[0],
+                        refq.ctypes.data, refq.shape[0], refq.shape[1],
+                        x0, y0, search_range, filters.ctypes.data, bd,
+                        int(subpel), out.ctypes.data)
     return int(out[0]), int(out[1]), int(out[2])
 
 

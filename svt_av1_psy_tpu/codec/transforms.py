@@ -267,6 +267,21 @@ FWD_COS_BIT_ROW = [
 ]
 
 
+@functools.lru_cache(maxsize=None)
+def _tx1d_native_spec(kind: TxType1D, n: int, cos_bit: int, inverse: bool):
+    """(kind1d, A, B, wa, wb, kindarr, nstages) raw pointers for the C 2-D
+    drivers. kind1d: 0 graph, 1 fadst4, 2 iadst4, 3 identity. Pointers stay
+    valid for the process lifetime (_flat_stages lru_cache)."""
+    if kind == TxType1D.IDTX:
+        return (3, None, None, None, None, None, 0)
+    if kind in (TxType1D.ADST, TxType1D.FLIPADST) and n == 4:
+        return (2 if inverse else 1, None, None, None, None, None, 0)
+    is_adst = kind in (TxType1D.ADST, TxType1D.FLIPADST)
+    name = f"{'i' if inverse else 'f'}{'adst' if is_adst else 'dct'}{n}"
+    n_stages, A, B, wa, wb, kd, ptrs = _flat_stages(name, cos_bit)
+    return (0, *ptrs, n_stages)
+
+
 def _rect_log_ratio(w: int, h: int) -> int:
     if w > h:
         return int(math.log2(w // h))
@@ -295,6 +310,23 @@ def forward_transform_2d(residual: np.ndarray, tx_size: int, tx_type: int, bd: i
     cos_bit_row = FWD_COS_BIT_ROW[w_idx][h_idx]
     vtype, htype = TX_TYPE_1D[TxType(tx_type)]
     ud_flip, lr_flip = _flips(tx_type)
+
+    from ..bitstream import ec_native
+
+    lib = ec_native._load()
+    if lib is not None:
+        res32 = np.ascontiguousarray(residual, np.int32)
+        out = np.empty((B, H, W), np.int32)
+        ck = _tx1d_native_spec(vtype, H, cos_bit_col, False)
+        rk = _tx1d_native_spec(htype, W, cos_bit_row, False)
+        rect = 1 if abs(_rect_log_ratio(W, H)) == 1 else 0
+        lib.txfm2d_fwd(
+            res32.ctypes.data, B, H, W,
+            ck[0], ck[1], ck[2], ck[3], ck[4], ck[5], ck[6], cos_bit_col,
+            rk[0], rk[1], rk[2], rk[3], rk[4], rk[5], rk[6], cos_bit_row,
+            int(shift[0]), int(shift[1]), int(shift[2]),
+            int(ud_flip), int(lr_flip), rect, out.ctypes.data)
+        return out
 
     x = residual.astype(np.int64)
     if ud_flip:
@@ -339,6 +371,24 @@ def inverse_transform_add(
         range_row, range_col = 18, 16
     else:
         range_row, range_col = 20, 18
+
+    from ..bitstream import ec_native
+
+    lib = ec_native._load()
+    if lib is not None:
+        c32 = np.ascontiguousarray(coeffs, np.int32)
+        p16 = np.ascontiguousarray(pred, np.uint16)
+        out = np.empty((B, H, W), np.uint16)
+        rk = _tx1d_native_spec(htype, W, INV_COS_BIT, True)
+        ck = _tx1d_native_spec(vtype, H, INV_COS_BIT, True)
+        rect = 1 if abs(_rect_log_ratio(W, H)) == 1 else 0
+        lib.txfm2d_inv_add(
+            c32.ctypes.data, p16.ctypes.data, B, H, W,
+            rk[0], rk[1], rk[2], rk[3], rk[4], rk[5], rk[6], range_row,
+            ck[0], ck[1], ck[2], ck[3], ck[4], ck[5], ck[6], range_col,
+            int(shift[0]), int(shift[1]), bd + 8, max(bd + 6, 16),
+            int(ud_flip), int(lr_flip), rect, bd, out.ctypes.data)
+        return out
 
     x = coeffs.astype(np.int64)
     if W == 64:

@@ -317,3 +317,202 @@ void txfm_eval_graph(const int32_t *A, const int32_t *B, const int64_t *wa,
         memcpy(out + (size_t)b * n, cur, n * sizeof(int64_t));
     }
 }
+
+/* ---- Whole-2D transform drivers (transforms.py forward_transform_2d /
+ * inverse_transform_add; behavior ref transforms.c + inv_transforms.c).
+ * The 1-D butterfly graphs are the same flattened stage arrays used by
+ * txfm_eval_graph; ADST4 (sinpi form) and IDTX are hand-coded. ---- */
+
+static const int64_t tx_sinpi[7][5] = { /* [cos_bit-10][j]; spec constants */
+    {0, 330, 621, 836, 951},      {0, 660, 1241, 1672, 1901},
+    {0, 1321, 2482, 3344, 3803},  {0, 2642, 4964, 6689, 7606},
+    {0, 5283, 9929, 13377, 15212},{0, 10566, 19858, 26755, 30424},
+    {0, 21133, 39716, 53510, 60849},
+};
+
+static inline int64_t rshift(int64_t x, int bit) {
+    if (bit == 0) return x;
+    if (bit > 0) return (x + (1ll << (bit - 1))) >> bit;
+    return x << (-bit);
+}
+
+/* kind1d: 0 = butterfly graph, 1 = forward ADST4, 2 = inverse ADST4,
+ * 3 = identity. */
+typedef struct {
+    int kind1d;
+    const int32_t *A, *B;
+    const int64_t *wa, *wb;
+    const int8_t *k;
+    int nstages, cos_bit, clamp_bit;
+} tx1d_t;
+
+static void tx1d_vec(int64_t *v, int n, const tx1d_t *t) {
+    if (t->kind1d == 3) { /* identity */
+        for (int i = 0; i < n; i++) {
+            switch (n) {
+            case 4:  v[i] = rshift(v[i] * 5793, 12); break;
+            case 8:  v[i] = v[i] * 2; break;
+            case 16: v[i] = rshift(v[i] * 2 * 5793, 12); break;
+            case 32: v[i] = v[i] * 4; break;
+            default: v[i] = rshift(v[i] * 4 * 5793, 12); break;
+            }
+        }
+        return;
+    }
+    if (t->kind1d == 1 || t->kind1d == 2) { /* ADST4 */
+        const int64_t *sp = tx_sinpi[t->cos_bit - 10];
+        int64_t x0 = v[0], x1 = v[1], x2 = v[2], x3 = v[3];
+        int64_t o0, o1, o2, o3;
+        if (t->kind1d == 2) { /* inverse */
+            int64_t s0 = sp[1] * x0 + sp[4] * x2 + sp[2] * x3;
+            int64_t s1 = sp[2] * x0 - sp[1] * x2 - sp[4] * x3;
+            int64_t s2 = sp[3] * ((x0 - x2) + x3);
+            int64_t s3 = sp[3] * x1;
+            o0 = s0 + s3;
+            o1 = s1 + s3;
+            o2 = s2;
+            o3 = (s0 + s1) - s3;
+        } else {
+            int64_t a0 = sp[1] * x0 + sp[2] * x1 + sp[4] * x3;
+            int64_t a1 = sp[3] * ((x0 + x1) - x3);
+            int64_t a2 = sp[4] * x0 - sp[1] * x1 + sp[2] * x3;
+            int64_t a3 = sp[3] * x2;
+            o0 = a0 + a3;
+            o1 = a1;
+            o2 = a2 - a3;
+            o3 = (a2 - a0) + a3;
+        }
+        v[0] = rshift(o0, t->cos_bit);
+        v[1] = rshift(o1, t->cos_bit);
+        v[2] = rshift(o2, t->cos_bit);
+        v[3] = rshift(o3, t->cos_bit);
+        return;
+    }
+    int64_t bufa[64], bufb[64];
+    int64_t rnd = 1ll << (t->cos_bit - 1);
+    int64_t lo = 0, hi = 0;
+    if (t->clamp_bit > 0) {
+        lo = -(1ll << (t->clamp_bit - 1));
+        hi = (1ll << (t->clamp_bit - 1)) - 1;
+    }
+    int64_t *cur = bufa, *nxt = bufb;
+    memcpy(cur, v, n * sizeof(int64_t));
+    for (int s = 0; s < t->nstages; s++) {
+        const int32_t *sA = t->A + (size_t)s * n;
+        const int32_t *sB = t->B + (size_t)s * n;
+        const int64_t *swa = t->wa + (size_t)s * n;
+        const int64_t *swb = t->wb + (size_t)s * n;
+        const int8_t *sk = t->k + (size_t)s * n;
+        for (int i = 0; i < n; i++) {
+            int64_t acc = swa[i] * cur[sA[i]] + swb[i] * cur[sB[i]];
+            if (sk[i] == 2)
+                acc = (acc + rnd) >> t->cos_bit;
+            else if (sk[i] == 1 && t->clamp_bit > 0)
+                acc = acc < lo ? lo : (acc > hi ? hi : acc);
+            nxt[i] = acc;
+        }
+        int64_t *tmp = cur; cur = nxt; nxt = tmp;
+    }
+    memcpy(v, cur, n * sizeof(int64_t));
+}
+
+/* Apply a 1-D transform to nvec vectors of length len inside buf, where
+ * vector v's element e lives at buf[v*vstride + e*estride]. */
+static void tx1d_apply(int64_t *buf, int nvec, int len, int vstride,
+                       int estride, const tx1d_t *t, int post_shift) {
+    int64_t vec[64];
+    for (int v = 0; v < nvec; v++) {
+        int64_t *base = buf + (size_t)v * vstride;
+        for (int e = 0; e < len; e++) vec[e] = base[(size_t)e * estride];
+        tx1d_vec(vec, len, t);
+        for (int e = 0; e < len; e++)
+            base[(size_t)e * estride] = rshift(vec[e], post_shift);
+    }
+}
+
+void txfm2d_fwd(const int32_t *res, int nblk, int H, int W,
+                int ck, const void *cA, const void *cB, const void *cwa,
+                const void *cwb, const void *ckd, int cns, int cbit,
+                int rk, const void *rA, const void *rB, const void *rwa,
+                const void *rwb, const void *rkd, int rns, int rbit,
+                int s0, int s1, int s2, int ud, int lr, int rect,
+                int32_t *out) {
+    tx1d_t col = {ck, cA, cB, cwa, cwb, ckd, cns, cbit, 0};
+    tx1d_t row = {rk, rA, rB, rwa, rwb, rkd, rns, rbit, 0};
+    int64_t buf[64 * 64];
+    for (int b = 0; b < nblk; b++) {
+        const int32_t *src = res + (size_t)b * H * W;
+        for (int r = 0; r < H; r++) {
+            const int32_t *sr = src + (size_t)(ud ? H - 1 - r : r) * W;
+            for (int c = 0; c < W; c++)
+                buf[r * W + c] = rshift((int64_t)sr[c], -s0);
+        }
+        /* columns: length H, stride W */
+        tx1d_apply(buf, W, H, 1, W, &col, -s1);
+        if (lr)
+            for (int r = 0; r < H; r++)
+                for (int c = 0; c < W / 2; c++) {
+                    int64_t t = buf[r * W + c];
+                    buf[r * W + c] = buf[r * W + W - 1 - c];
+                    buf[r * W + W - 1 - c] = t;
+                }
+        /* rows: length W, contiguous */
+        tx1d_apply(buf, H, W, W, 1, &row, -s2);
+        int32_t *dst = out + (size_t)b * H * W;
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                int64_t x = buf[r * W + c];
+                if (rect) x = rshift(x * 5793, 12);
+                if ((W == 64 && c >= 32) || (H == 64 && r >= 32)) x = 0;
+                dst[r * W + c] = (int32_t)x;
+            }
+    }
+}
+
+void txfm2d_inv_add(const int32_t *coeff, const uint16_t *pred, int nblk,
+                    int H, int W,
+                    int rk, const void *rA, const void *rB, const void *rwa,
+                    const void *rwb, const void *rkd, int rns, int rclamp,
+                    int ck, const void *cA, const void *cB, const void *cwa,
+                    const void *cwb, const void *ckd, int cns, int cclamp,
+                    int s0, int s1, int clamp_in, int clamp_mid, int ud,
+                    int lr, int rect, int bd, uint16_t *out) {
+    tx1d_t row = {rk, rA, rB, rwa, rwb, rkd, rns, 12, rclamp};
+    tx1d_t col = {ck, cA, cB, cwa, cwb, ckd, cns, 12, cclamp};
+    int64_t buf[64 * 64];
+    const int64_t ilo = -(1ll << (clamp_in - 1)), ihi = (1ll << (clamp_in - 1)) - 1;
+    const int64_t mlo = -(1ll << (clamp_mid - 1)), mhi = (1ll << (clamp_mid - 1)) - 1;
+    const int peak = (1 << bd) - 1;
+    for (int b = 0; b < nblk; b++) {
+        const int32_t *src = coeff + (size_t)b * H * W;
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                int64_t x = ((W == 64 && c >= 32) || (H == 64 && r >= 32))
+                            ? 0 : src[r * W + c];
+                if (rect) x = rshift(x * 2896, 12);
+                buf[r * W + c] = x < ilo ? ilo : (x > ihi ? ihi : x);
+            }
+        /* rows: length W */
+        tx1d_apply(buf, H, W, W, 1, &row, -s0);
+        if (lr)
+            for (int r = 0; r < H; r++)
+                for (int c = 0; c < W / 2; c++) {
+                    int64_t t = buf[r * W + c];
+                    buf[r * W + c] = buf[r * W + W - 1 - c];
+                    buf[r * W + W - 1 - c] = t;
+                }
+        for (int i = 0; i < H * W; i++)
+            buf[i] = buf[i] < mlo ? mlo : (buf[i] > mhi ? mhi : buf[i]);
+        /* columns: length H */
+        tx1d_apply(buf, W, H, 1, W, &col, -s1);
+        const uint16_t *pr = pred + (size_t)b * H * W;
+        uint16_t *dst = out + (size_t)b * H * W;
+        for (int r = 0; r < H; r++) {
+            const int64_t *br = buf + (size_t)(ud ? H - 1 - r : r) * W;
+            for (int c = 0; c < W; c++) {
+                int64_t y = (int64_t)pr[r * W + c] + br[c];
+                dst[r * W + c] = (uint16_t)(y < 0 ? 0 : (y > peak ? peak : y));
+            }
+        }
+    }
+}
