@@ -79,6 +79,15 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
     ]
     lib.txfm_eval_graph.restype = None
+    lib.ec_write_coeffs_txb_full.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,                         # enc, qcoeff
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,                 # w, h, eob
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,           # scan, class, off2d
+        ctypes.c_int,                                             # adapt
+        ctypes.c_void_p, ctypes.c_int,                            # eob_multi
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.ec_write_coeffs_txb_full.restype = ctypes.c_int32
     _V, _I = ctypes.c_void_p, ctypes.c_int
     lib.txfm2d_fwd.argtypes = (
         [_V, _I, _I, _I]
@@ -141,6 +150,20 @@ class NativeRangeEncoder:
         n = int(self._lib.ec_done(self._h, out, cap))
         assert n >= 0
         return out[:n].tobytes()
+
+    def write_coeffs_txb_full(self, qcoeff, w, h, eob, scan, tx_class, off2d,
+                              adapt, eob_multi_row, eob_multi_nsyms,
+                              eob_extra_rows, base_eob_rows, base_rows,
+                              br_rows, dc_sign_row) -> int:
+        """C writer that derives base/BR contexts internally. off2d: int8
+        nz-map offset table for TX_CLASS_2D (anything for 1-D classes)."""
+        return int(self._lib.ec_write_coeffs_txb_full(
+            self._h, qcoeff.ctypes.data, w, h, eob, scan.ctypes.data,
+            tx_class, (off2d.ctypes.data if off2d is not None else None),
+            adapt, eob_multi_row.ctypes.data, eob_multi_nsyms,
+            eob_extra_rows.ctypes.data, base_eob_rows.ctypes.data,
+            base_rows.ctypes.data, br_rows.ctypes.data,
+            dc_sign_row.ctypes.data))
 
     def write_coeffs_txb(self, qcoeff, eob, scan, coeff_ctxs, br_ctx_map, adapt,
                          txb_skip_row, eob_multi_row, eob_multi_nsyms,

@@ -10,6 +10,8 @@ symbol emission (range coder + CDF adaptation) is sequential.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..bitstream.frame_context import FrameContext
@@ -254,22 +256,17 @@ def write_coeffs_txb_native(
     if tx_type_writer is not None:
         tx_type_writer()
 
-    t = get_tables()
     tx_class = int(TX_TYPE_CLASS[tx_type])
     w, h, _ = txb_dims(tx_size)
-    scan = t.scan(tx_size, tx_type)
-    levels = init_levels(qcoeff, w, h)
-    coeff_ctxs = nz_map_contexts(levels, scan, eob, tx_size, tx_class).astype(np.int8)
-    brmap = br_ctx_map(levels, tx_size, tx_class).astype(np.int8)
+    scan, off2d = _scan_and_off2d(tx_size, tx_type, tx_class)
 
     eob_multi_size = int(TXSIZE_LOG2_MINUS4[tx_size])
     eob_multi_ctx = 0 if tx_class == TX_CLASS_2D else 1
     tb = fc.tables
-    return enc.write_coeffs_txb(
-        np.ascontiguousarray(qcoeff, np.int32), eob,
-        np.ascontiguousarray(scan, np.int16), coeff_ctxs, brmap,
+    q32 = np.ascontiguousarray(qcoeff, np.int32)
+    return enc.write_coeffs_txb_full(
+        q32, w, h, eob, scan, tx_class, off2d,
         0 if fc.disable_update else 1,
-        skip_row,
         tb[_EOB_MULTI_TABLE[eob_multi_size]][plane_type, eob_multi_ctx],
         eob_multi_size + 5,
         tb["eob_extra"][txs_ctx, plane_type],
@@ -277,8 +274,20 @@ def write_coeffs_txb_native(
         tb["coeff_base_multi"][txs_ctx, plane_type],
         tb["coeff_lps_multi"][min(txs_ctx, 3), plane_type],
         tb["dc_sign"][plane_type, dc_sign_ctx],
-        include_skip=False,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_and_off2d(tx_size: int, tx_type: int, tx_class: int):
+    """Cached (scan int16 contiguous, nz 2-D offset table int8 or None)."""
+    t = get_tables()
+    scan = np.ascontiguousarray(t.scan(tx_size, tx_type), np.int16)
+    if tx_class != TX_CLASS_2D:
+        return scan, None
+    w, h, _ = txb_dims(tx_size)
+    off = np.ascontiguousarray(
+        t._raw[f"nzmap_ctx_offset_ts{int(tx_size)}"][: w * h], np.int8)
+    return scan, off
 
 
 # --------------------------------------------------------------------------

@@ -128,6 +128,15 @@ def paeth_pred(above, left, above_left):
     return out.astype(np.uint16)
 
 
+# PredictionMode -> C intra_pred_block mode index
+_NATIVE_MODE = {
+    PredictionMode.DC_PRED: 0, PredictionMode.V_PRED: 1,
+    PredictionMode.H_PRED: 2, PredictionMode.SMOOTH_PRED: 3,
+    PredictionMode.SMOOTH_V_PRED: 4, PredictionMode.SMOOTH_H_PRED: 5,
+    PredictionMode.PAETH_PRED: 6,
+}
+
+
 def predict(mode: int, above, left, above_left, have_above: bool, have_left: bool, bd: int = 8):
     """Dispatch for the non-directional intra modes.
 
@@ -135,6 +144,18 @@ def predict(mode: int, above, left, above_left, have_above: bool, have_left: boo
     pre-fill `above`/`left` with the substituted rows (see recon loop);
     DC handles availability itself."""
     mode = PredictionMode(mode)
+    nm = _NATIVE_MODE.get(mode)
+    if nm is not None and above.shape[0] == 1:
+        from . import mc_native
+
+        a32 = np.ascontiguousarray(above[0], np.int32)
+        l32 = np.ascontiguousarray(left[0], np.int32)
+        corner = int(above_left[0]) if above_left is not None else 0
+        out = mc_native.intra_pred_block(nm, a32, l32, corner, have_above,
+                                         have_left, a32.shape[0],
+                                         l32.shape[0], bd)
+        if out is not None:
+            return out[None]
     if mode == PredictionMode.DC_PRED:
         return dc_pred(above, left, have_above, have_left, bd)
     if mode == PredictionMode.V_PRED:

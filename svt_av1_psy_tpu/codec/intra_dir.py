@@ -112,6 +112,15 @@ def dr_pred(mode: int, angle_delta: int, above_buf: np.ndarray, left_buf: np.nda
         return np.broadcast_to(above_buf[1 : 1 + W], (H, W)).astype(np.uint16)
     if angle == 180:
         return np.broadcast_to(left_buf[1 : 1 + H][:, None], (H, W)).astype(np.uint16)
+    from . import mc_native
+
+    zone = 1 if angle < 90 else (2 if angle < 180 else 3)
+    a32 = np.ascontiguousarray(above_buf, np.int32)
+    l32 = np.ascontiguousarray(left_buf, np.int32)
+    out = mc_native.intra_dr_pred(a32, l32, W, H, get_dx(angle),
+                                  get_dy(angle), zone, bd)
+    if out is not None:
+        return out
     if angle < 90:
         return _z1(above_buf, W, H, get_dx(angle), bd)
     if angle < 180:

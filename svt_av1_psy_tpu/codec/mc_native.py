@@ -78,6 +78,14 @@ def _load():
     lib.filter_intra_pred.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.intra_pred_block.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p]
+    lib.intra_dr_pred.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p]
     lib.psy_block_energy.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p]
@@ -230,6 +238,33 @@ def cdef_filter_blocks(pad32, dst32, by32, bx32, dirs32, pri32, sec, pdamp,
                            dirs32.ctypes.data, pri32.ctypes.data,
                            sec, pdamp, sdamp, bw, bh, bd)
     return True
+
+
+def intra_pred_block(mode, above32, left32, corner, have_above, have_left,
+                     W, H, bd):
+    """Non-directional intra predictor for one block (mode: 0 DC, 1 V, 2 H,
+    3 SMOOTH, 4 SMOOTH_V, 5 SMOOTH_H, 6 PAETH). Returns (H, W) uint16 or
+    None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((H, W), np.uint16)
+    lib.intra_pred_block(mode, above32.ctypes.data, left32.ctypes.data,
+                         corner, int(have_above), int(have_left), W, H, bd,
+                         out.ctypes.data)
+    return out
+
+
+def intra_dr_pred(above32, left32, W, H, dx, dy, zone, bd):
+    """Directional (zone 1/2/3) predictor. above32/left32: contiguous int32
+    of length 1+W+H with the corner at [0]. Returns (H, W) uint16 or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((H, W), np.uint16)
+    lib.intra_dr_pred(above32.ctypes.data, left32.ctypes.data, W, H, dx, dy,
+                      zone, bd, out.ctypes.data)
+    return out
 
 
 def filter_intra_pred(above32, left32, w, h, taps32, bd):

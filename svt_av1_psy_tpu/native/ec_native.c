@@ -516,3 +516,74 @@ void txfm2d_inv_add(const int32_t *coeff, const uint16_t *pred, int nblk,
         }
     }
 }
+
+/* Coefficient writer that derives the base/BR contexts internally
+ * (get_nz_map_ctx / get_br_ctx, encode_txb_ref_c.c) instead of receiving
+ * numpy-computed maps. Bit-identical to coeff_coding.write_coeffs_txb.
+ * nz_off2d: w*h int8 offset table for TX_CLASS_2D (unused for 1-D classes).
+ * The skip symbol is written by the caller (include_skip equivalent 0). */
+int32_t ec_write_coeffs_txb_full(
+    EcEnc *e, const int32_t *qcoeff, int w, int h, int eob,
+    const int16_t *scan, int tx_class, const int8_t *nz_off2d, int adapt,
+    uint16_t *eob_multi_row, int eob_multi_nsyms,
+    uint16_t *eob_extra_rows, uint16_t *base_eob_rows, uint16_t *base_rows,
+    uint16_t *br_rows, uint16_t *dc_sign_row) {
+    const int st = w + 4;
+    uint8_t lv[36 * 36];
+    memset(lv, 0, (size_t)st * (h + 4));
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++) {
+            int32_t v = qcoeff[r * w + c];
+            int a = v < 0 ? -v : v;
+            lv[r * st + c] = (uint8_t)(a > 127 ? 127 : a);
+        }
+    int bwl = 0;
+    while ((1 << bwl) < w) bwl++;
+    int8_t cctx[1024];
+    int8_t brm[1024];
+#define C3(x) ((x) > 3 ? 3 : (x))
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        int row = pos >> bwl, col = pos & (w - 1);
+        const uint8_t *p = lv + row * st + col;
+        int mag, base;
+        if (tx_class == 0)
+            mag = C3(p[1]) + C3(p[st]) + C3(p[st + 1]) + C3(p[2]) + C3(p[2 * st]);
+        else if (tx_class == 2)
+            mag = C3(p[1]) + C3(p[st]) + C3(p[2 * st]) + C3(p[3 * st]) + C3(p[4 * st]);
+        else
+            mag = C3(p[1]) + C3(p[st]) + C3(p[2]) + C3(p[3]) + C3(p[4]);
+        int ctx = (mag + 1) >> 1;
+        if (ctx > 4) ctx = 4;
+        if (tx_class == 0)
+            base = pos == 0 ? 0 : ctx + nz_off2d[pos];
+        else {
+            int axis = tx_class == 1 ? col : row;
+            base = ctx + (axis == 0 ? 0 : (axis == 1 ? 5 : 10));
+        }
+        if (si == eob - 1)
+            base = si == 0 ? 0 : (si <= (w * h) / 8 ? 1 : (si <= (w * h) / 4 ? 2 : 3));
+        cctx[si] = (int8_t)base;
+        int32_t v = qcoeff[pos];
+        int level = v < 0 ? -v : v;
+        if (level > NUM_BASE_LEVELS) { /* br ctx needed only for these */
+            int m = p[1] + p[st];
+            if (tx_class == 0) m += p[st + 1];
+            else if (tx_class == 1) m += p[2];
+            else m += p[2 * st];
+            m = (m + 1) >> 1;
+            if (m > 6) m = 6;
+            int off;
+            if (pos == 0) off = 0;
+            else if (tx_class == 0) off = (row < 2 && col < 2) ? 7 : 14;
+            else if (tx_class == 1) off = col == 0 ? 7 : 14;
+            else off = row == 0 ? 7 : 14;
+            brm[pos] = (int8_t)(m + off);
+        }
+    }
+#undef C3
+    return ec_write_coeffs_txb(e, qcoeff, w * h, eob, scan, cctx, brm, adapt,
+                               0, eob_multi_row, eob_multi_nsyms,
+                               eob_extra_rows, base_eob_rows, base_rows,
+                               br_rows, dc_sign_row, 0);
+}

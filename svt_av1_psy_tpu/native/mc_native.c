@@ -512,3 +512,189 @@ void cdef_filter_blocks(const int32_t *pad, int pstride, int32_t *dst,
             }
     }
 }
+
+/* ---- Intra predictors (spec 7.11.2; reference intra_prediction.c
+ * dc/v/h/smooth/paeth :1094-1160 and dr z1/z2/z3 :314-440). Bit-identical
+ * to codec/intra.py + codec/intra_dir.py. ---- */
+
+static const uint16_t sm_w4[4] = {255, 149, 85, 64};
+static const uint16_t sm_w8[8] = {255, 197, 146, 105, 73, 50, 37, 32};
+static const uint16_t sm_w16[16] = {255, 225, 196, 170, 145, 123, 102, 84,
+                                    68, 54, 43, 33, 26, 20, 17, 16};
+static const uint16_t sm_w32[32] = {255, 240, 225, 210, 196, 182, 169, 157,
+                                    145, 133, 122, 111, 101, 92, 83, 74, 66,
+                                    59, 52, 45, 39, 34, 29, 25, 21, 17, 14,
+                                    12, 10, 9, 8, 8};
+static const uint16_t sm_w64[64] = {255, 248, 240, 233, 225, 218, 210, 203,
+    196, 189, 182, 176, 169, 163, 156, 150, 144, 138, 133, 127, 121, 116,
+    111, 106, 101, 96, 91, 86, 82, 77, 73, 69, 65, 61, 57, 54, 50, 47, 44,
+    41, 38, 35, 32, 29, 27, 25, 22, 20, 18, 16, 15, 13, 12, 10, 9, 8, 7, 6,
+    6, 5, 5, 4, 4, 4};
+
+static const uint16_t *sm_weights(int n) {
+    switch (n) {
+    case 4: return sm_w4;
+    case 8: return sm_w8;
+    case 16: return sm_w16;
+    case 32: return sm_w32;
+    default: return sm_w64;
+    }
+}
+
+/* mode: 0 DC, 1 V, 2 H, 3 SMOOTH, 4 SMOOTH_V, 5 SMOOTH_H, 6 PAETH */
+void intra_pred_block(int mode, const int32_t *above, const int32_t *left,
+                      int32_t corner, int have_above, int have_left,
+                      int W, int H, int bd, uint16_t *out) {
+    if (mode == 0) { /* DC */
+        int64_t dc;
+        if (have_above && have_left) {
+            int64_t s = 0;
+            for (int i = 0; i < W; i++) s += above[i];
+            for (int i = 0; i < H; i++) s += left[i];
+            dc = (s + ((W + H) >> 1)) / (W + H);
+        } else if (have_above) {
+            int64_t s = 0;
+            for (int i = 0; i < W; i++) s += above[i];
+            int lg = 0; while ((1 << lg) < W) lg++;
+            dc = (s + (W >> 1)) >> lg;
+        } else if (have_left) {
+            int64_t s = 0;
+            for (int i = 0; i < H; i++) s += left[i];
+            int lg = 0; while ((1 << lg) < H) lg++;
+            dc = (s + (H >> 1)) >> lg;
+        } else {
+            dc = 1 << (bd - 1);
+        }
+        for (int i = 0; i < H * W; i++) out[i] = (uint16_t)dc;
+        return;
+    }
+    if (mode == 1) { /* V */
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) out[r * W + c] = (uint16_t)above[c];
+        return;
+    }
+    if (mode == 2) { /* H */
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) out[r * W + c] = (uint16_t)left[r];
+        return;
+    }
+    if (mode == 6) { /* PAETH */
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                int32_t t = above[c], l = left[r], tl = corner;
+                int32_t base = t + l - tl;
+                int32_t pl = base - l; if (pl < 0) pl = -pl;
+                int32_t pt = base - t; if (pt < 0) pt = -pt;
+                int32_t ptl = base - tl; if (ptl < 0) ptl = -ptl;
+                out[r * W + c] = (uint16_t)(
+                    (pl <= pt && pl <= ptl) ? l : (pt <= ptl ? t : tl));
+            }
+        return;
+    }
+    const uint16_t *ww = sm_weights(W);
+    const uint16_t *wh = sm_weights(H);
+    const int scale = 256;
+    if (mode == 3) { /* SMOOTH */
+        int32_t below = left[H - 1], right = above[W - 1];
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                uint32_t p = (uint32_t)wh[r] * above[c]
+                           + (uint32_t)(scale - wh[r]) * below
+                           + (uint32_t)ww[c] * left[r]
+                           + (uint32_t)(scale - ww[c]) * right;
+                out[r * W + c] = (uint16_t)((p + 256) >> 9);
+            }
+        return;
+    }
+    if (mode == 4) { /* SMOOTH_V */
+        int32_t below = left[H - 1];
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                uint32_t p = (uint32_t)wh[r] * above[c]
+                           + (uint32_t)(scale - wh[r]) * below;
+                out[r * W + c] = (uint16_t)((p + 128) >> 8);
+            }
+        return;
+    }
+    /* SMOOTH_H */
+    int32_t right = above[W - 1];
+    for (int r = 0; r < H; r++)
+        for (int c = 0; c < W; c++) {
+            uint32_t p = (uint32_t)ww[c] * left[r]
+                       + (uint32_t)(scale - ww[c]) * right;
+            out[r * W + c] = (uint16_t)((p + 128) >> 8);
+        }
+}
+
+/* Directional zones. above_buf/left_buf: 1+W+H entries, [0] = corner. */
+void intra_dr_pred(const int32_t *above_buf, const int32_t *left_buf,
+                   int W, int H, int dx, int dy, int zone, int bd,
+                   uint16_t *out) {
+    const int peak = (1 << bd) - 1;
+    if (zone == 1) {
+        const int32_t *a = above_buf + 1;
+        const int maxb = W + H - 1;
+        for (int r = 0; r < H; r++) {
+            int x = (r + 1) * dx;
+            for (int c = 0; c < W; c++) {
+                int base = (x >> 6) + c;
+                int shift = (x & 0x3F) >> 1;
+                int32_t v;
+                if (base >= maxb) v = a[maxb];
+                else {
+                    int b1 = base + 1 > maxb ? maxb : base + 1;
+                    v = (a[base] * (32 - shift) + a[b1] * shift + 16) >> 5;
+                }
+                if (v < 0) v = 0;
+                if (v > peak) v = peak;
+                out[r * W + c] = (uint16_t)v;
+            }
+        }
+        return;
+    }
+    if (zone == 3) {
+        const int32_t *l = left_buf + 1;
+        const int maxb = W + H - 1;
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                int y = (c + 1) * dy;
+                int base = (y >> 6) + r;
+                int shift = (y & 0x3F) >> 1;
+                int32_t v;
+                if (base >= maxb) v = l[maxb];
+                else {
+                    int b1 = base + 1 > maxb ? maxb : base + 1;
+                    v = (l[base] * (32 - shift) + l[b1] * shift + 16) >> 5;
+                }
+                if (v < 0) v = 0;
+                if (v > peak) v = peak;
+                out[r * W + c] = (uint16_t)v;
+            }
+        return;
+    }
+    /* zone 2 */
+    const int la = 1 + W + H;
+    for (int r = 0; r < H; r++)
+        for (int c = 0; c < W; c++) {
+            int x = -(r + 1) * dx + (c << 6);
+            int base1 = x >> 6;
+            int32_t v;
+            if (base1 >= -1) {
+                int shift = (x & 0x3F) >> 1;
+                int i1 = base1 + 1;
+                if (i1 < 0) i1 = 0;
+                if (i1 > la - 2) i1 = la - 2;
+                v = (above_buf[i1] * (32 - shift) + above_buf[i1 + 1] * shift + 16) >> 5;
+            } else {
+                int y = (r << 6) - (c + 1) * dy;
+                int shift = (y & 0x3F) >> 1;
+                int i2 = (y >> 6) + 1;
+                if (i2 < 0) i2 = 0;
+                if (i2 > la - 2) i2 = la - 2;
+                v = (left_buf[i2] * (32 - shift) + left_buf[i2 + 1] * shift + 16) >> 5;
+            }
+            if (v < 0) v = 0;
+            if (v > peak) v = peak;
+            out[r * W + c] = (uint16_t)v;
+        }
+}
