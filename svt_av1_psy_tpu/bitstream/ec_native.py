@@ -101,6 +101,13 @@ def _load():
         + [_I] + [_V] * 5 + [_I] * 2          # col 1d spec
         + [_I] * 8 + [_V])
     lib.txfm2d_inv_add.restype = None
+    lib.txfm2d_fwd_p.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int, ctypes.c_void_p]
+    lib.txfm2d_fwd_p.restype = None
+    lib.txfm2d_inv_add_p.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_void_p]
+    lib.txfm2d_inv_add_p.restype = None
     _lib = lib
     return lib
 

@@ -93,6 +93,10 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p]
     lib.psy_distortion_sum.restype = ctypes.c_int64
+    lib.psy_distortion_sum_u16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p]
+    lib.psy_distortion_sum_u16.restype = ctypes.c_int64
     lib.cdef_find_dir_blocks.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
@@ -203,9 +207,14 @@ def psy_distortion_sum(recon: np.ndarray, t: int, src_energy: np.ndarray):
     lib = _load()
     if lib is None:
         return None
+    h, w = recon.shape
+    es = src_energy
+    if es.dtype != np.int64 or not es.flags["C_CONTIGUOUS"]:
+        es = np.ascontiguousarray(es, np.int64)
+    if recon.dtype == np.uint16 and recon.flags["C_CONTIGUOUS"]:
+        return int(lib.psy_distortion_sum_u16(recon.ctypes.data, w, h, w, t,
+                                              es.ctypes.data))
     r32 = np.ascontiguousarray(recon, np.int32)
-    h, w = r32.shape
-    es = np.ascontiguousarray(src_energy, np.int64)
     return int(lib.psy_distortion_sum(r32.ctypes.data, w, h, w, t,
                                       es.ctypes.data))
 

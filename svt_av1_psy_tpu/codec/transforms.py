@@ -282,6 +282,55 @@ def _tx1d_native_spec(kind: TxType1D, n: int, cos_bit: int, inverse: bool):
     return (0, *ptrs, n_stages)
 
 
+def _spec_ptrs(spec):
+    """spec -> 7 int64 values (null pointers as 0)."""
+    return [spec[0]] + [p if p is not None else 0 for p in spec[1:6]] + [spec[6]]
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_params(tx_size: int, tx_type: int) -> np.ndarray:
+    """Preassembled int64 params for txfm2d_fwd_p (see ec_native.c layout).
+    The stage-array pointers stay valid for the process lifetime."""
+    tx_size = int(tx_size)
+    W, H = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+    w_idx, h_idx = int(math.log2(W)) - 2, int(math.log2(H)) - 2
+    shift = FWD_SHIFT[tx_size]
+    cbit = FWD_COS_BIT_COL[w_idx][h_idx]
+    rbit = FWD_COS_BIT_ROW[w_idx][h_idx]
+    vtype, htype = TX_TYPE_1D[TxType(tx_type)]
+    ud, lr = _flips(tx_type)
+    ck = _tx1d_native_spec(vtype, H, cbit, False)
+    rk = _tx1d_native_spec(htype, W, rbit, False)
+    rect = 1 if abs(_rect_log_ratio(W, H)) == 1 else 0
+    vals = (_spec_ptrs(ck)[:7] + [cbit] + _spec_ptrs(rk)[:7] + [rbit]
+            + [int(shift[0]), int(shift[1]), int(shift[2]),
+               int(ud), int(lr), rect, H, W])
+    return np.array(vals, np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_params(tx_size: int, tx_type: int, bd: int) -> np.ndarray:
+    """Preassembled int64 params for txfm2d_inv_add_p."""
+    tx_size = int(tx_size)
+    W, H = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+    shift = INV_SHIFT[tx_size]
+    vtype, htype = TX_TYPE_1D[TxType(tx_type)]
+    ud, lr = _flips(tx_type)
+    if bd == 8:
+        range_row, range_col = 16, 16
+    elif bd == 10:
+        range_row, range_col = 18, 16
+    else:
+        range_row, range_col = 20, 18
+    rk = _tx1d_native_spec(htype, W, INV_COS_BIT, True)
+    ck = _tx1d_native_spec(vtype, H, INV_COS_BIT, True)
+    rect = 1 if abs(_rect_log_ratio(W, H)) == 1 else 0
+    vals = (_spec_ptrs(rk)[:7] + [range_row] + _spec_ptrs(ck)[:7] + [range_col]
+            + [int(shift[0]), int(shift[1]), bd + 8, max(bd + 6, 16),
+               int(ud), int(lr), rect, bd, H, W])
+    return np.array(vals, np.int64)
+
+
 def _rect_log_ratio(w: int, h: int) -> int:
     if w > h:
         return int(math.log2(w // h))
@@ -317,15 +366,9 @@ def forward_transform_2d(residual: np.ndarray, tx_size: int, tx_type: int, bd: i
     if lib is not None:
         res32 = np.ascontiguousarray(residual, np.int32)
         out = np.empty((B, H, W), np.int32)
-        ck = _tx1d_native_spec(vtype, H, cos_bit_col, False)
-        rk = _tx1d_native_spec(htype, W, cos_bit_row, False)
-        rect = 1 if abs(_rect_log_ratio(W, H)) == 1 else 0
-        lib.txfm2d_fwd(
-            res32.ctypes.data, B, H, W,
-            ck[0], ck[1], ck[2], ck[3], ck[4], ck[5], ck[6], cos_bit_col,
-            rk[0], rk[1], rk[2], rk[3], rk[4], rk[5], rk[6], cos_bit_row,
-            int(shift[0]), int(shift[1]), int(shift[2]),
-            int(ud_flip), int(lr_flip), rect, out.ctypes.data)
+        params = _fwd_params(tx_size, tx_type)
+        lib.txfm2d_fwd_p(params.ctypes.data, res32.ctypes.data, B,
+                         out.ctypes.data)
         return out
 
     x = residual.astype(np.int64)
@@ -379,15 +422,9 @@ def inverse_transform_add(
         c32 = np.ascontiguousarray(coeffs, np.int32)
         p16 = np.ascontiguousarray(pred, np.uint16)
         out = np.empty((B, H, W), np.uint16)
-        rk = _tx1d_native_spec(htype, W, INV_COS_BIT, True)
-        ck = _tx1d_native_spec(vtype, H, INV_COS_BIT, True)
-        rect = 1 if abs(_rect_log_ratio(W, H)) == 1 else 0
-        lib.txfm2d_inv_add(
-            c32.ctypes.data, p16.ctypes.data, B, H, W,
-            rk[0], rk[1], rk[2], rk[3], rk[4], rk[5], rk[6], range_row,
-            ck[0], ck[1], ck[2], ck[3], ck[4], ck[5], ck[6], range_col,
-            int(shift[0]), int(shift[1]), bd + 8, max(bd + 6, 16),
-            int(ud_flip), int(lr_flip), rect, bd, out.ctypes.data)
+        params = _inv_params(tx_size, tx_type, bd)
+        lib.txfm2d_inv_add_p(params.ctypes.data, c32.ctypes.data,
+                             p16.ctypes.data, B, out.ctypes.data)
         return out
 
     x = coeffs.astype(np.int64)

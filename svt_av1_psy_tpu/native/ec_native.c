@@ -587,3 +587,36 @@ int32_t ec_write_coeffs_txb_full(
                                eob_extra_rows, base_eob_rows, base_rows,
                                br_rows, dc_sign_row, 0);
 }
+
+/* Params-array entry points: the 20+ scalar ctypes args above cost ~2us of
+ * marshalling per call; these take one preassembled int64 params array
+ * (built once per (tx_size, tx_type, bd) and cached on the Python side).
+ * Layout fwd: [ck,cA,cB,cwa,cwb,ckd,cns,cbit, rk,rA,rB,rwa,rwb,rkd,rns,rbit,
+ *              s0,s1,s2,ud,lr,rect,H,W]
+ * Layout inv: [rk,rA,rB,rwa,rwb,rkd,rns,rclamp, ck,cA,cB,cwa,cwb,ckd,cns,
+ *              cclamp, s0,s1,clamp_in,clamp_mid,ud,lr,rect,bd,H,W] */
+void txfm2d_fwd_p(const int64_t *p, const int32_t *res, int nblk,
+                  int32_t *out) {
+    txfm2d_fwd(res, nblk, (int)p[22], (int)p[23],
+               (int)p[0], (const void *)p[1], (const void *)p[2],
+               (const void *)p[3], (const void *)p[4], (const void *)p[5],
+               (int)p[6], (int)p[7],
+               (int)p[8], (const void *)p[9], (const void *)p[10],
+               (const void *)p[11], (const void *)p[12], (const void *)p[13],
+               (int)p[14], (int)p[15],
+               (int)p[16], (int)p[17], (int)p[18], (int)p[19], (int)p[20],
+               (int)p[21], out);
+}
+
+void txfm2d_inv_add_p(const int64_t *p, const int32_t *coeff,
+                      const uint16_t *pred, int nblk, uint16_t *out) {
+    txfm2d_inv_add(coeff, pred, nblk, (int)p[24], (int)p[25],
+                   (int)p[0], (const void *)p[1], (const void *)p[2],
+                   (const void *)p[3], (const void *)p[4], (const void *)p[5],
+                   (int)p[6], (int)p[7],
+                   (int)p[8], (const void *)p[9], (const void *)p[10],
+                   (const void *)p[11], (const void *)p[12], (const void *)p[13],
+                   (int)p[14], (int)p[15],
+                   (int)p[16], (int)p[17], (int)p[18], (int)p[19], (int)p[20],
+                   (int)p[21], (int)p[22], (int)p[23], out);
+}

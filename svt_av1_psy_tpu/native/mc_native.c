@@ -698,3 +698,27 @@ void intra_dr_pred(const int32_t *above_buf, const int32_t *left_buf,
             out[r * W + c] = (uint16_t)v;
         }
 }
+
+/* uint16 variant of psy_distortion_sum: recon planes/blocks are uint16 in
+ * the encoder, so this skips the per-candidate int32 conversion. */
+int64_t psy_distortion_sum_u16(const uint16_t *recon, int stride, int h,
+                               int w, int t, const int64_t *src_energy) {
+    int64_t total = 0;
+    int n = 0;
+    int32_t tile[64];
+    for (int ty = 0; ty + t <= h; ty += t)
+        for (int tx = 0; tx + t <= w; tx += t) {
+            const uint16_t *p = recon + ty * stride + tx;
+            int64_t sad = 0;
+            for (int r = 0; r < t; r++)
+                for (int c = 0; c < t; c++) {
+                    int32_t v = p[r * stride + c];
+                    tile[r * t + c] = v;
+                    sad += v;
+                }
+            int64_t txd = t == 8 ? sa8d_8x8(tile, t) : satd_4x4(tile, t);
+            int64_t d = src_energy[n++] - (txd - (sad >> 2));
+            total += d < 0 ? -d : d;
+        }
+    return total;
+}
