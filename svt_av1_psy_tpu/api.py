@@ -70,6 +70,7 @@ class Encoder:
         self._seq: Optional[SequenceParams] = None
         self._recon_last = None
         self._ref_planes = None
+        self._golden_planes = None
         self._rc = None
         self._tpl = None
         self._prev_src_y = None
@@ -309,6 +310,11 @@ class Encoder:
             vh, vw = cfg.height, cfg.width
             gm_mv = estimate_global_translation(
                 self._ref_planes[0][:vh, :vw], np.asarray(y), cfg.input_depth)
+            # clamp to the TRANSLATION-only codable range: the header codes
+            # wmmat>>prec_diff with a (1<<trans_bits)+1 subexp alphabet around
+            # the identity ref, so |mv_q3| must stay below 1<<(trans_bits-1)
+            gm_mv = (int(np.clip(gm_mv[0], -255, 255)),
+                     int(np.clip(gm_mv[1], -255, 255)))
 
         def make_enc():
             if is_key:
@@ -316,7 +322,9 @@ class Encoder:
             from .codec.inter_encoder import InterFrameEncoder
 
             return InterFrameEncoder(cfg.width, cfg.height, qindex,
-                                     self._ref_planes, gm_mv=gm_mv, **common)
+                                     self._ref_planes, gm_mv=gm_mv,
+                                     golden_planes=self._golden_planes,
+                                     **common)
 
         def run_filters(enc):
             """DLF + CDEF on the encoder's recon; returns the post-DLF copy
@@ -402,8 +410,18 @@ class Encoder:
                          cdef_damping=cdef_damping, cdef_bits=0,
                          cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),))
+        if not is_key:
+            # DPB: slot 0 = LAST (refreshed every frame); slot 1 = GOLDEN
+            # (the most recent key frame, refreshed only by keys via 0xFF)
+            fp.refresh_frame_flags = 0x01
+            if self._golden_planes is not None:
+                fp.ref_frame_idx = (0, 0, 0, 1, 0, 0, 0)
         # reference state: final (post-filter) recon planes, aligned dims
         self._ref_planes = [ps.recon.copy() for ps in enc.planes]
+        if is_key:
+            # ref_planes is rebound (never mutated) per frame, so the golden
+            # snapshot can alias the key frame's recon list
+            self._golden_planes = self._ref_planes
         payload = temporal_delimiter_obu()
         if self._frame_count == 0:
             payload += sequence_header_obu(self._seq)

@@ -23,7 +23,8 @@ from .intra_encoder import (
     _SQR_UP,
 )
 from .me import MotionEstimator
-from .mv_pred import GLOBALMV, LAST_FRAME, MiGrid, NEWMV, REF_CAT_LEVEL, setup_ref_mv_list
+from .mv_pred import (GLOBALMV, GOLDEN_FRAME, LAST_FRAME, MiGrid, NEWMV,
+                      REF_CAT_LEVEL, setup_ref_mv_list)
 from .quant import quantize_b
 from .transforms import forward_transform_2d, inverse_transform_add
 
@@ -55,35 +56,47 @@ def _mv_class(z: int):
 
 class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
-                 sharpness=0, sb_qindex_map=None, gm_mv=(0, 0), **kw):
+                 sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
+                 golden_planes=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
         # (0, 0) = IDENTITY. GLOBALMV blocks and ref-MV stack padding use it.
+        # GOLDEN always codes with identity global motion.
         self.gm_mv = tuple(int(v) for v in gm_mv)
-        # references: final (post-filter) recon planes. The decoder clamps MC
-        # reads to the VISIBLE frame dims (RefUpscaledWidth, spec 7.11.3.2),
-        # so pad from the visible crop, not the mi-aligned extent.
         self.pad = 96
-        self.refs = []
+        self.refs = {LAST_FRAME: self._pad_refs(ref_planes, width, height)}
+        self.me = {LAST_FRAME: MotionEstimator(np.asarray(
+            self.refs[LAST_FRAME][0][self.pad:-self.pad or None,
+                                     self.pad:-self.pad or None]))}
+        if golden_planes is not None:
+            self.refs[GOLDEN_FRAME] = self._pad_refs(golden_planes, width, height)
+            self.me[GOLDEN_FRAME] = MotionEstimator(np.asarray(
+                self.refs[GOLDEN_FRAME][0][self.pad:-self.pad or None,
+                                           self.pad:-self.pad or None]))
+        self.grid = MiGrid(self.mi_rows, self.mi_cols)
+
+    def _pad_refs(self, ref_planes, width, height):
+        """Pad final (post-filter) recon planes. The decoder clamps MC reads
+        to the VISIBLE frame dims (RefUpscaledWidth, spec 7.11.3.2), so pad
+        from the visible crop, not the mi-aligned extent."""
+        out = []
         for plane, p in enumerate(ref_planes):
             ss = 0 if plane == 0 else 1
             vh = (height + ss) >> ss
             vw = (width + ss) >> ss
             crop = p[:vh, :vw].astype(np.int32)
             ah, aw = p.shape
-            self.refs.append(np.pad(
+            out.append(np.pad(
                 crop,
                 ((self.pad, self.pad + ah - vh), (self.pad, self.pad + aw - vw)),
                 mode="edge"))
-        self.me = MotionEstimator(np.asarray(
-            self.refs[0][self.pad:-self.pad or None, self.pad:-self.pad or None]))
-        self.grid = MiGrid(self.mi_rows, self.mi_cols)
+        return out
 
     # -------------------------------------------------------------- helpers
-    def _mc_pred(self, plane, px, py, pw, ph, mv):
+    def _mc_pred(self, plane, px, py, pw, ph, mv, ref_frame=LAST_FRAME):
         """Motion-compensated prediction (spec chroma 1/16-pel rules)."""
-        ref = self.refs[plane]
+        ref = self.refs[ref_frame][plane]
         ss = 0 if plane == 0 else 1
         if ss == 0:
             ipart_y, frac_y = mv[0] >> 3, (mv[0] & 7) << 1
@@ -124,25 +137,35 @@ class InterFrameEncoder(IntraFrameEncoder):
             if best_icost is None or cost < best_icost:
                 best_imode, best_ipred, best_icost = mode, pred, cost
 
-        # ---- inter candidates: ME NEWMV + GLOBALMV(0,0)
+        # ---- inter candidates: NEWMV (ME) + GLOBALMV per available ref.
+        # GOLDEN is searched only when LAST leaves significant residual
+        # (occlusions / long-term background), keeping its cost marginal.
         t_r0, t_r1, t_c0, t_c1 = self.tile_mi
-        stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
-            self.grid, mi_row, mi_col, n8_w, n8_h, LAST_FRAME,
-            (t_r0, t_r1, t_c0, t_c1), gm_mv=self.gm_mv)
-        me_res = self.me.search_block(self.src[0], x0, y0, W, H, subpel=True)
+        me_res = self.me[LAST_FRAME].search_block(self.src[0], x0, y0, W, H,
+                                                  subpel=True)
         cand = []
         pred_new = self._mc_pred(0, x0, y0, W, H, me_res.mv)
         cost_new = int(np.sum((src.astype(np.int64) - pred_new) ** 2))
-        cand.append((NEWMV, me_res.mv, pred_new,
+        cand.append((LAST_FRAME, NEWMV, me_res.mv, pred_new,
                      cost_new + self._psy_cost(src, pred_new)))
         pred_zero = self._mc_pred(0, x0, y0, W, H, self.gm_mv)
         cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
-        cand.append((GLOBALMV, self.gm_mv, pred_zero,
+        cand.append((LAST_FRAME, GLOBALMV, self.gm_mv, pred_zero,
                      cost_zero + self._psy_cost(src, pred_zero)))
-        inter_mode, inter_mv, inter_pred, inter_cost = min(cand, key=lambda c: c[3])
-        if inter_mode == NEWMV and tuple(inter_mv) == tuple(stack[0]):
-            # NEWMV with zero mvd is legal but wasteful; prefer the stack mode
-            pass
+        if (GOLDEN_FRAME in self.me
+                and min(c[4] for c in cand) > (W * H) << 4):
+            me_g = self.me[GOLDEN_FRAME].search_block(self.src[0], x0, y0,
+                                                      W, H, subpel=True)
+            pred_g = self._mc_pred(0, x0, y0, W, H, me_g.mv, GOLDEN_FRAME)
+            cost_g = int(np.sum((src.astype(np.int64) - pred_g) ** 2))
+            cand.append((GOLDEN_FRAME, NEWMV, me_g.mv, pred_g,
+                         cost_g + self._psy_cost(src, pred_g)))
+        ref_sel, inter_mode, inter_mv, inter_pred, inter_cost = min(
+            cand, key=lambda c: c[4])
+        gm_ref = self.gm_mv if ref_sel == LAST_FRAME else (0, 0)
+        stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
+            self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
+            (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
 
         use_inter = inter_cost <= best_icost
         if use_inter:
@@ -162,7 +185,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             for plane in (1, 2):
                 cx, cy, cw, ch = x0 >> 1, y0 >> 1, W >> 1, H >> 1
                 if use_inter:
-                    pred = self._mc_pred(plane, cx, cy, cw, ch, mv)
+                    pred = self._mc_pred(plane, cx, cy, cw, ch, mv, ref_sel)
                 else:
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
                     pred = self._predict(0, pa, pl, pha, phl, cw, ch)
@@ -197,7 +220,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             self._write_delta_q_index()
         self._write_is_inter(mi_row, mi_col, use_inter)
         if use_inter:
-            self._write_ref_frames(mi_row, mi_col)
+            self._write_ref_frames(mi_row, mi_col, ref_sel)
             self._write_inter_mode(y_mode, mode_ctx)
             if y_mode == NEWMV:
                 self._write_drl(stack, weights, refmv_count)
@@ -264,7 +287,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
         if use_inter:
             self.mi_mode[mi_row:r1, mi_col:c1] = 0  # DC for intra ctx purposes
-            self.grid.set_block(mi_row, mi_col, bw4, bh4, LAST_FRAME, mv, y_mode)
+            self.grid.set_block(mi_row, mi_col, bw4, bh4, ref_sel, mv, y_mode)
         else:
             self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
             self.grid.set_block(mi_row, mi_col, bw4, bh4, 0, (0, 0), int(y_mode))
@@ -280,8 +303,10 @@ class InterFrameEncoder(IntraFrameEncoder):
             ctx = 0
         self.fc.write(self.enc, "intra_inter", (ctx,), int(is_inter), 2)
 
-    def _write_ref_frames(self, mi_row, mi_col):
-        """Single ref LAST: p1=0, p3=0, p4=0 with neighbor-count contexts."""
+    def _write_ref_frames(self, mi_row, mi_col, ref=LAST_FRAME):
+        """Single ref (LAST or GOLDEN): p1=0, then p3 selects the
+        LAST/LAST2 vs LAST3/GOLDEN group, then p4 (LAST) or p5 (GOLDEN),
+        all with neighbor-count contexts (entropy_coding.c:1896)."""
         counts = np.zeros(8, np.int32)
         has_a, has_l, a_inter, l_inter = self._neighbors_mi(mi_row, mi_col)
         if has_a and a_inter:
@@ -295,9 +320,14 @@ class InterFrameEncoder(IntraFrameEncoder):
         ll2 = int(counts[1] + counts[2])
         l3g = int(counts[3] + counts[4])
         ctx_p3 = 1 if ll2 == l3g else (0 if ll2 < l3g else 2)
-        self.fc.write(self.enc, "single_ref", (ctx_p3, 2), 0, 2)  # LAST/LAST2 group
-        ctx_p4 = 1 if counts[1] == counts[2] else (0 if counts[1] < counts[2] else 2)
-        self.fc.write(self.enc, "single_ref", (ctx_p4, 3), 0, 2)  # LAST
+        is_gold = int(ref == GOLDEN_FRAME)
+        self.fc.write(self.enc, "single_ref", (ctx_p3, 2), is_gold, 2)
+        if is_gold:
+            ctx_p5 = 1 if counts[3] == counts[4] else (0 if counts[3] < counts[4] else 2)
+            self.fc.write(self.enc, "single_ref", (ctx_p5, 4), 1, 2)  # GOLDEN
+        else:
+            ctx_p4 = 1 if counts[1] == counts[2] else (0 if counts[1] < counts[2] else 2)
+            self.fc.write(self.enc, "single_ref", (ctx_p4, 3), 0, 2)  # LAST
 
     def _write_inter_mode(self, mode, mode_ctx):
         newmv_ctx = mode_ctx & 7

@@ -27,6 +27,8 @@ NEARESTMV, NEARMV, GLOBALMV, NEWMV = 13, 14, 15, 16
 
 INTRA_FRAME = 0
 LAST_FRAME = 1
+GOLDEN_FRAME = 4
+ALTREF_FRAME = 7
 
 
 @dataclass
@@ -289,6 +291,9 @@ def setup_ref_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, ref_frame,
                 else:
                     r, c = mi_row + i, mi_col - 1
                     step = int(grid.bh4[r, c])
+                # add_extra_mv_candidate (spec 7.10.2.14): for single
+                # prediction, ANY inter candidate's MV may enter the
+                # extension scan (no ref-frame match required)
                 if grid.ref_frame[r, c] > INTRA_FRAME:
                     mv = (int(grid.mv_row[r, c]), int(grid.mv_col[r, c]))
                     if mv not in stack[:refmv_count]:
