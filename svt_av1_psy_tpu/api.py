@@ -82,6 +82,9 @@ class Encoder:
     # -------------------------------------------------------------- lifecycle
     def init(self):
         cfg = self.config
+        from .codec.presets import preset_config
+
+        self._pc = preset_config(cfg.preset)
         mono = cfg.color_format == 0
         self._seq = SequenceParams(
             cfg.width,
@@ -97,7 +100,10 @@ class Encoder:
             chroma_sample_position=cfg.chroma_sample_position,
             enable_cdef=cfg.cdef_level != 0,
             enable_filter_intra=True,
-            enable_restoration=(cfg.enable_restoration_filtering > 0
+            # explicit 1 forces LR on; -1 (auto) defers to the preset ladder
+            enable_restoration=((cfg.enable_restoration_filtering > 0
+                                 or (cfg.enable_restoration_filtering < 0
+                                     and self._pc.restoration))
                                 and cfg.tile_columns == 0 and cfg.tile_rows == 0),
         )
         # film grain: explicit table takes precedence over the photon-noise
@@ -198,6 +204,12 @@ class Encoder:
 
     def _encode_frame(self, y: np.ndarray, u=None, v=None, pts: Optional[int] = None):
         cfg = self.config
+        # effective tile split: spec minimums (4096-px width / 4096*2304 area
+        # caps) may force more tiles than requested (spec 5.9.15 clamp)
+        from .bitstream.obu import clamp_tile_log2s
+
+        tile_cols_log2, tile_rows_log2 = clamp_tile_log2s(
+            cfg.width, cfg.height, cfg.tile_columns, cfg.tile_rows)
         if cfg.avif and self._frame_count > 0:
             # single-picture guard (enc_handle.c:5453)
             raise SvtAv1Error(ErrorCode.ERROR_BAD_PARAMETER, "avif mode accepts one picture")
@@ -206,12 +218,24 @@ class Encoder:
         ip = cfg.intra_period_length
         is_key = (self._frame_count == 0 or self._ref_planes is None
                   or (ip >= 0 and self._frames_since_key > ip))
-        if not is_key and cfg.scene_change_detection:
+        if not is_key and cfg.scene_change_detection and self._pc.scene_change:
             from .codec.scene_change import detect_scene_change
 
             if detect_scene_change(self._prev_src_y, np.asarray(y), cfg.input_depth):
                 is_key = True
         self._prev_src_y = np.asarray(y).copy()
+        # screen-content tools flag (--scm): 0 off, 1 on, 2 content detect
+        # (svt_aom_is_screen_content_psy); detection runs on key frames and
+        # holds until the next key
+        if cfg.screen_content_mode == 1:
+            self._allow_sct = True
+        elif cfg.screen_content_mode == 2 and is_key:
+            from .codec.screen_content import detect_screen_content
+
+            sc0, _sc1 = detect_screen_content(np.asarray(y), cfg.input_depth)
+            self._allow_sct = sc0
+        elif cfg.screen_content_mode == 0:
+            self._allow_sct = False
         # rate control: CRF mapping (+ PSY qp-scale-compress) or 1-pass VBR/CBR
         if cfg.rate_control_mode == RateControlMode.CRF_CQP:
             qindex = _crf_to_qindex(cfg.crf)
@@ -302,7 +326,8 @@ class Encoder:
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd,
                       seg_params=seg_params, sb_seg_map=sb_seg_map,
                       noise_norm=cfg.noise_norm_strength,
-                      enable_filter_intra=True, chroma_delta=chroma_delta)
+                      enable_filter_intra=True, chroma_delta=chroma_delta,
+                      allow_sct=getattr(self, "_allow_sct", False))
         gm_mv = (0, 0)
         if not is_key and cfg.enable_global_motion:
             from .codec.global_motion import estimate_global_translation
@@ -316,9 +341,36 @@ class Encoder:
             gm_mv = (int(np.clip(gm_mv[0], -255, 255)),
                      int(np.clip(gm_mv[1], -255, 255)))
 
+        # open-loop device RDO search (partition tree + modes + tx types);
+        # the conformant encode pass below executes these decisions
+        decisions = None
+        if is_key and self._pc.rdo and qindex > 0:
+            from .codec.intra_rdo import search_intra_decisions
+
+            ph = -(-cfg.height // 64) * 64
+            pw = -(-cfg.width // 64) * 64
+            padded = np.zeros((ph, pw), np.uint16)
+            padded[: cfg.height, : cfg.width] = np.asarray(y)
+            padded[: cfg.height, cfg.width:] = padded[: cfg.height,
+                                                      cfg.width - 1: cfg.width]
+            padded[cfg.height:, :] = padded[cfg.height - 1: cfg.height, :]
+            search_qmap = sb_qindex_map
+            if search_qmap is None and seg_params is not None:
+                # segmentation ALT_Q moves the block qindex; feed the search
+                # the effective per-SB map so lambda/distortion line up
+                search_qmap = np.vectorize(
+                    lambda s: seg_params.seg_qindex(qindex, int(s)))(sb_seg_map)
+            decisions = search_intra_decisions(
+                padded, qindex, bd=cfg.input_depth, sb_qindex_map=search_qmap,
+                qm_levels=qm_levels, depths=self._pc.depths,
+                tx_search_depths=self._pc.tx_search_depths)
+
         def make_enc():
             if is_key:
-                return IntraFrameEncoder(cfg.width, cfg.height, qindex, **common)
+                return IntraFrameEncoder(
+                    cfg.width, cfg.height, qindex, decisions=decisions,
+                    filter_intra_search=self._pc.filter_intra_search,
+                    cfl_search=self._pc.cfl_search, **common)
             from .codec.inter_encoder import InterFrameEncoder
 
             return InterFrameEncoder(cfg.width, cfg.height, qindex,
@@ -355,7 +407,7 @@ class Encoder:
             return deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping
 
         enc = make_enc()
-        tiles = enc.encode_tiles(y, u, v, cfg.tile_columns, cfg.tile_rows)
+        tiles = enc.encode_tiles(y, u, v, tile_cols_log2, tile_rows_log2)
         deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
         lr_types = (0, 0, 0)
         if self._seq.enable_restoration:
@@ -376,7 +428,7 @@ class Encoder:
                 # deterministic, pass 2 reproduces the identical recon)
                 enc = make_enc()
                 enc.rsts = rsts
-                tiles = enc.encode_tiles(y, u, v, cfg.tile_columns, cfg.tile_rows)
+                tiles = enc.encode_tiles(y, u, v, tile_cols_log2, tile_rows_log2)
                 deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
                 apply_restoration([ps.recon for ps in enc.planes], deblocked,
                                   rsts, cfg.input_depth)
@@ -392,6 +444,7 @@ class Encoder:
             # decorrelate grain across frames (each frame re-codes its seed)
             fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
+                         allow_screen_content_tools=getattr(self, "_allow_sct", False),
                          u_dc_delta_q=chroma_delta, u_ac_delta_q=chroma_delta,
                          v_dc_delta_q=chroma_delta, v_ac_delta_q=chroma_delta,
                          film_grain=fg, lr_types=lr_types,
@@ -404,7 +457,7 @@ class Encoder:
                          qm_u=qm_levels[1] if qm_levels else 15,
                          qm_v=qm_levels[2] if qm_levels else 15,
                          frame_type=FrameType.KEY_FRAME if is_key else FrameType.INTER_FRAME,
-                         tile_cols_log2=cfg.tile_columns, tile_rows_log2=cfg.tile_rows,
+                         tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
                          filter_level=(lvl_y, lvl_y), filter_level_uv=(lvl_uv, lvl_uv),
                          sharpness=max(cfg.sharpness, 0),
                          cdef_damping=cdef_damping, cdef_bits=0,

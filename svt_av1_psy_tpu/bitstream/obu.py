@@ -106,6 +106,9 @@ class FrameParams:
     interpolation_filter_switchable: bool = False
     interpolation_filter: int = 0         # EIGHTTAP_REGULAR
     is_motion_mode_switchable: bool = False
+    # spec: forced to 1 for intra frames; coded only when screen-content
+    # tools are on and seq_force_integer_mv == 2
+    force_integer_mv: bool = False
 
 
 def write_obu(obu_type: ObuType, payload: bytes, has_size: bool = True) -> bytes:
@@ -218,6 +221,29 @@ def _tile_log2(blk: int, target: int) -> int:
     return k
 
 
+def clamp_tile_log2s(width: int, height: int, tile_cols_log2: int,
+                     tile_rows_log2: int, use_128: bool = False):
+    """Raise requested uniform tile log2s to the spec minimums (spec 5.9.15:
+    tiles must not exceed 4096 px wide / 4096*2304 px area). The encoder and
+    the header writer must agree on the effective values — call this before
+    encoding tiles. Mirrors the reference's clamp in write_tile_info."""
+    sb_shift = 7 if use_128 else 6
+    sb_size = 1 << sb_shift
+    sb_cols = (width + sb_size - 1) >> sb_shift
+    sb_rows = (height + sb_size - 1) >> sb_shift
+    max_tile_width_sb = 4096 >> sb_shift
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_shift)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    tcl = min(max(tile_cols_log2, min_log2_tile_cols), max_log2_tile_cols)
+    min_log2_tile_rows = max(min_log2_tiles - tcl, 0)
+    trl = min(max(tile_rows_log2, min_log2_tile_rows), max_log2_tile_rows)
+    return tcl, trl
+
+
 def _write_tile_info(w: BitWriter, sp: SequenceParams, fp: FrameParams):
     sb_shift = 7 if sp.use_128x128_superblock else 6
     sb_size = 1 << sb_shift
@@ -230,12 +256,14 @@ def _write_tile_info(w: BitWriter, sp: SequenceParams, fp: FrameParams):
     max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
     max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
     min_log2_tiles = max(min_log2_tile_cols, _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    eff_cols, eff_rows = clamp_tile_log2s(
+        sp.width, sp.height, fp.tile_cols_log2, fp.tile_rows_log2,
+        sp.use_128x128_superblock)
 
     w.f(1, 1)  # uniform_tile_spacing_flag
     tcl = min_log2_tile_cols
-    assert fp.tile_cols_log2 >= min_log2_tile_cols
     while tcl < max_log2_tile_cols:
-        if tcl < fp.tile_cols_log2:
+        if tcl < eff_cols:
             w.f(1, 1)
             tcl += 1
         else:
@@ -243,9 +271,8 @@ def _write_tile_info(w: BitWriter, sp: SequenceParams, fp: FrameParams):
             break
     min_log2_tile_rows = max(min_log2_tiles - tcl, 0)
     trl = min_log2_tile_rows
-    assert fp.tile_rows_log2 >= min_log2_tile_rows
     while trl < max_log2_tile_rows:
-        if trl < fp.tile_rows_log2:
+        if trl < eff_rows:
             w.f(1, 1)
             trl += 1
         else:
@@ -404,7 +431,25 @@ def _write_lr_params(w: BitWriter, sp: SequenceParams, fp: FrameParams):
         w.f(int(fp.lr_uv_unit_size != fp.lr_unit_size), 1)
 
 
+def coded_lossless(fp: FrameParams) -> bool:
+    """Spec CodedLossless: every segment's effective qindex is 0 and all
+    dc/ac delta_q are 0 (DeltaQ per-SB does not enter the computation)."""
+    if (fp.y_dc_delta_q or fp.u_dc_delta_q or fp.u_ac_delta_q
+            or fp.v_dc_delta_q or fp.v_ac_delta_q):
+        return False
+    if fp.base_q_idx != 0:
+        if fp.segmentation is None:
+            return False
+        # segments may pull individual qindex to 0; all must land at 0
+        return all(fp.segmentation.seg_qindex(fp.base_q_idx, s) == 0
+                   for s in range(fp.segmentation.last_active_seg_id + 1))
+    return True
+
+
 def _write_loop_filter(w: BitWriter, sp: SequenceParams, fp: FrameParams):
+    # spec 5.9.11: no loop-filter bits at all under CodedLossless/intrabc
+    if coded_lossless(fp) or fp.allow_intrabc:
+        return
     w.f(fp.filter_level[0], 6)
     w.f(fp.filter_level[1], 6)
     if not sp.monochrome and (fp.filter_level[0] or fp.filter_level[1]):
@@ -430,6 +475,10 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
     w.f(int(fp.disable_cdf_update), 1)
     if sp.seq_force_screen_content_tools == 2:
         w.f(int(fp.allow_screen_content_tools), 1)
+    # force_integer_mv is coded right here per spec 5.9.2 (for intra frames
+    # the decoder overrides it to 1 after reading the bit)
+    if fp.allow_screen_content_tools and sp.seq_force_integer_mv == 2:
+        w.f(1 if is_intra else int(fp.force_integer_mv), 1)
     if not sp.reduced_still_picture_header:
         w.f(0, 1)  # frame_size_override_flag
         if sp.enable_order_hint:
@@ -449,8 +498,6 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         if sp.enable_superres:
             w.f(0, 1)
         w.f(0, 1)  # render_and_frame_size_different
-        if sp.seq_force_integer_mv == 2 and fp.allow_screen_content_tools:
-            pass  # force_integer_mv bit handled earlier per spec ordering
         w.f(int(fp.allow_high_precision_mv), 1)
         w.f(int(fp.interpolation_filter_switchable), 1)
         if not fp.interpolation_filter_switchable:
@@ -476,7 +523,8 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
             if not fp.allow_intrabc:
                 w.f(0, 1)  # delta_lf_present
     _write_loop_filter(w, sp, fp)
-    if sp.enable_cdef and not fp.allow_intrabc:
+    _cl = coded_lossless(fp)
+    if sp.enable_cdef and not fp.allow_intrabc and not _cl:
         w.f(fp.cdef_damping - 3, 2)
         w.f(fp.cdef_bits, 2)
         for i in range(1 << fp.cdef_bits):
@@ -487,9 +535,10 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
                 pri, sec = fp.cdef_uv_strengths[i]
                 w.f(pri, 4)
                 w.f(sec, 2)
-    if sp.enable_restoration and not fp.allow_intrabc:
+    if sp.enable_restoration and not fp.allow_intrabc and not _cl:
         _write_lr_params(w, sp, fp)
-    w.f(int(fp.tx_mode_select), 1)
+    if not _cl:  # CodedLossless forces TX_MODE_ONLY_4X4, no bit (spec 5.9.21)
+        w.f(int(fp.tx_mode_select), 1)
     if not is_intra:
         w.f(0, 1)  # reference_select: single reference mode only
     # skip_mode_params: never allowed without order hints

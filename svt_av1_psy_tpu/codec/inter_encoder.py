@@ -232,6 +232,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                 cfl_allowed = W <= 32 and H <= 32
                 self.fc.write(self.enc, "uv_mode", (int(cfl_allowed), int(y_mode)),
                               int(uv_mode), 14 if cfl_allowed else 13)
+            self._write_palette_off(bsize, int(y_mode),
+                                    (not self.mono) and int(uv_mode) == 0)
             # filter_intra_mode_info: coded for DC intra blocks (unused here)
             if (self.enable_filter_intra and int(y_mode) == 0
                     and W <= 32 and H <= 32):

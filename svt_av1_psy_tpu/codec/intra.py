@@ -187,7 +187,9 @@ def _filter_intra_taps():
 
 
 # fimode_to_intradir: tx-type context mode substitution (definitions.h)
-FIMODE_TO_INTRADIR = (0, 1, 2, 7, 12)  # DC, V, H, D157, PAETH
+# DC, V, H, D157, and FILTER_PAETH -> DC (common_utils.h:108; the spec's
+# Filter_Intra_Mode_To_Intra_Dir maps FILTER_PAETH to DC_PRED, not PAETH)
+FIMODE_TO_INTRADIR = (0, 1, 2, 7, 0)
 
 
 def filter_intra_predict(above_buf, left_buf, w: int, h: int, mode: int,

@@ -155,6 +155,8 @@ class IntraFrameEncoder:
                  sb_qindex_map=None, delta_q_res=4, qm_levels=None, psy_rd=0.0,
                  seg_params=None, sb_seg_map=None, noise_norm=0,
                  enable_filter_intra=False, chroma_delta=0,
+                 decisions=None, filter_intra_search=True, cfl_search=True,
+                 allow_sct=False,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -201,7 +203,7 @@ class IntraFrameEncoder:
         self._qm_cache: dict = {}
         # psy-rd strength: energy-preserving bias in mode decision (psy_rd.c)
         self.psy_rd = float(psy_rd)
-        self.enable_cfl = True   # chroma-from-luma candidate in uv decision
+        self.enable_cfl = bool(cfl_search)  # chroma-from-luma candidate in uv decision
         # segmentation (SEG_LVL_ALT_Q): per-SB intended segments + 4x4 map
         self.seg_params = seg_params
         self.sb_seg_map = sb_seg_map
@@ -212,6 +214,16 @@ class IntraFrameEncoder:
         # filter intra (recursive 7-tap modes; must match the sequence
         # header's enable_filter_intra bit)
         self.enable_filter_intra = bool(enable_filter_intra)
+        # device RDO decisions (codec/intra_rdo.IntraDecisions): partition
+        # tree + per-block mode/tx-type maps from the open-loop search.
+        # None -> legacy fixed-leaf behavior with host mode search.
+        self.decisions = decisions
+        self.filter_intra_search = bool(filter_intra_search)
+        self.cfl_search = bool(cfl_search)
+        # allow_screen_content_tools: frame header bit must match; when on,
+        # DC blocks carry palette-off flags (write_palette_mode_info,
+        # entropy_coding.c:4254)
+        self.allow_sct = bool(allow_sct)
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
@@ -323,7 +335,7 @@ class IntraFrameEncoder:
     def _get_qm(self, plane: int, tx_size: int, tx_type: int = 0):
         """(qm, iqm) for this plane/tx, or (None, None) when QM is off or the
         transform is 1D/identity (IS_2D_TRANSFORM gate, full_loop.c:1365)."""
-        if self.qm_levels is None or tx_type >= 10:  # IDTX and up are 1D
+        if self.qm_levels is None or tx_type >= 9:  # IS_2D_TRANSFORM: < IDTX
             return None, None
         key = (plane, int(tx_size))
         got = self._qm_cache.get(key)
@@ -535,7 +547,13 @@ class IntraFrameEncoder:
         has_cols = (mi_col + half) < self.mi_cols
 
         if has_rows and has_cols:
-            if int(BLOCK_WIDTH[bsize]) > int(BLOCK_WIDTH[self.target_bsize]):
+            W = int(BLOCK_WIDTH[bsize])
+            if self.decisions is not None:
+                if W > 8 and self.decisions.split(mi_row, mi_col, W):
+                    part = PartitionType.PARTITION_SPLIT
+                else:
+                    part = PartitionType.PARTITION_NONE
+            elif W > int(BLOCK_WIDTH[self.target_bsize]):
                 part = PartitionType.PARTITION_SPLIT
             else:
                 part = PartitionType.PARTITION_NONE
@@ -603,16 +621,27 @@ class IntraFrameEncoder:
         # ---- luma mode decision on recon neighbors
         above_buf, left_buf, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
         src = self.src[0][y0 : y0 + H, x0 : x0 + W]
-        candidates = self._prune_modes(src)
-        best_mode, best_pred, best_cost = None, None, None
-        for mode in candidates:
-            pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
-            cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
-            cost += self._psy_cost(src, pred)
-            if best_cost is None or cost < best_cost:
-                best_mode, best_pred, best_cost = mode, pred, cost
+        tx_type_y = 0
+        if self.decisions is not None:
+            # mode + tx type decided by the open-loop device RDO search
+            best_mode = PredictionMode(self.decisions.mode(mi_row, mi_col, W, H))
+            best_pred = self._predict(int(best_mode), above_buf, left_buf,
+                                      have_a, have_l, W, H)
+            best_cost = int(np.sum((src.astype(np.int64) - best_pred) ** 2))
+            best_cost += self._psy_cost(src, best_pred)
+            tx_type_y = self.decisions.tx_type(mi_row, mi_col, W, H)
+        else:
+            candidates = self._prune_modes(src)
+            best_mode, best_pred, best_cost = None, None, None
+            for mode in candidates:
+                pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
+                cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
+                cost += self._psy_cost(src, pred)
+                if best_cost is None or cost < best_cost:
+                    best_mode, best_pred, best_cost = mode, pred, cost
         fi_mode = None
-        if self.enable_filter_intra and W <= 32 and H <= 32:
+        if (self.enable_filter_intra and self.filter_intra_search
+                and W <= 32 and H <= 32):
             from .intra import filter_intra_predict
 
             for fi in range(5):
@@ -627,14 +656,15 @@ class IntraFrameEncoder:
         uv_mode = UVPredictionMode.UV_DC_PRED
         cfl_alphas = None   # (alpha_u_q3, alpha_v_q3) when uv_mode is CFL
 
-        def run_plane(plane, px, py, pw, ph, tx_size, pred):
+        def run_plane(plane, px, py, pw, ph, tx_size, pred, tx_type=0):
             psrc = self.src[plane][py : py + ph, px : px + pw]
             resid = psrc.astype(np.int16) - pred.astype(np.int16)
-            coeffs = forward_transform_2d(resid[None].astype(np.int32), int(tx_size), 0, self.bd)[0]
+            coeffs = forward_transform_2d(resid[None].astype(np.int32),
+                                          int(tx_size), int(tx_type), self.bd)[0]
             cw_t, ch_t = min(pw, 32), min(ph, 32)
             flat = coeffs[:ch_t, :cw_t].reshape(1, -1)
-            scan = self.tables.scan(int(tx_size), 0)
-            qm, iqm = self._get_qm(plane, int(tx_size))
+            scan = self.tables.scan(int(tx_size), int(tx_type))
+            qm, iqm = self._get_qm(plane, int(tx_size), int(tx_type))
             qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
                                       qm=qm, iqm=iqm)
             eob0 = int(eob[0])
@@ -644,20 +674,22 @@ class IntraFrameEncoder:
                 eob0 = noise_normalize(flat[0], qc[0], dqc[0], eob0, scan,
                                        self.quant[plane], int(tx_size),
                                        self.noise_norm, iqm=iqm)
-            return (plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], eob0)
+            return (plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], eob0,
+                    int(tx_type))
 
         # ---- luma first (its recon feeds CFL); skip decision precedes syntax
         has_uv = not self.mono
         tx_y = MAX_TX_RECT[BlockSize(bsize)]
-        results = [run_plane(0, x0, y0, W, H, tx_y, best_pred)]
+        results = [run_plane(0, x0, y0, W, H, tx_y, best_pred, tx_type_y)]
         cfl_allowed = W <= 32 and H <= 32
         if has_uv:
-            _, _, _, _, _, _, _, _, dqc_y, _ = results[0]
+            _, _, _, _, _, _, _, _, dqc_y, _, tt_y = results[0]
             cw_t, ch_t = min(W, 32), min(H, 32)
             full = np.zeros((H, W), np.int32)
             full[:ch_t, :cw_t] = dqc_y.reshape(ch_t, cw_t)
             luma_recon = inverse_transform_add(
-                full[None], best_pred[None].astype(np.uint16), int(tx_y), 0, self.bd)[0]
+                full[None], best_pred[None].astype(np.uint16), int(tx_y),
+                int(tt_y), self.bd)[0]
             uv_bsize = _BSIZE_BY_WH[(max(W >> 1, 4), max(H >> 1, 4))]
             tx_uv = MAX_TX_RECT[uv_bsize]
             cw, ch = W >> 1, H >> 1
@@ -699,6 +731,9 @@ class IntraFrameEncoder:
             if uv_mode == UVPredictionMode.UV_CFL_PRED:
                 self._write_cfl_alphas(*cfl_alphas)
             # UV_DC / CFL are non-directional: no uv angle delta
+        self._write_palette_off(
+            bsize, int(y_mode),
+            has_uv and uv_mode == UVPredictionMode.UV_DC_PRED)
         # filter_intra_mode_info (spec 5.11.10 tail; after uv/palette)
         if (self.enable_filter_intra and int(y_mode) == int(PredictionMode.DC_PRED)
                 and W <= 32 and H <= 32):
@@ -709,7 +744,7 @@ class IntraFrameEncoder:
         # tx_mode LARGEST: no tx size syntax
 
         # ---- residual + recon
-        for plane, px, py, pw, ph, tx_size, pred, qc, dqc, eob in results:
+        for plane, px, py, pw, ph, tx_size, pred, qc, dqc, eob, tt in results:
             ps = self.planes[plane]
             xu, yu = px >> 2, py >> 2
             wu = min(int(TX_WIDTH[tx_size]) >> 2, (ps.width - px) >> 2)
@@ -727,9 +762,10 @@ class IntraFrameEncoder:
                     from .intra import FIMODE_TO_INTRADIR
 
                     eff_mode = FIMODE_TO_INTRADIR[fi_mode]
-                ttw = (lambda ts=tx_size, ym=eff_mode: self._write_tx_type(ts, ym)) if plane == 0 else None
+                ttw = (lambda ts=tx_size, ym=eff_mode, t=tt:
+                       self._write_tx_type(ts, ym, t)) if plane == 0 else None
                 writer = write_coeffs_txb_native if self.use_native_ec else write_coeffs_txb
-                cul = writer(self.fc, self.enc, qc, eob, int(tx_size), 0,
+                cul = writer(self.fc, self.enc, qc, eob, int(tx_size), int(tt),
                              plane_type, txb_skip_ctx, dc_sign_ctx,
                              tx_type_writer=ttw)
             else:
@@ -741,7 +777,7 @@ class IntraFrameEncoder:
             full = np.zeros((ph, pw), np.int32)
             full[:ch_t, :cw_t] = dqc.reshape(ch_t, cw_t)
             recon = inverse_transform_add(full[None], pred[None].astype(np.uint16),
-                                          int(tx_size), 0, self.bd)[0]
+                                          int(tx_size), int(tt), self.bd)[0]
             wr = min(pw, ps.width - px)
             hr = min(ph, ps.height - py)
             ps.recon[py : py + hr, px : px + wr] = recon[:hr, :wr]
@@ -830,12 +866,28 @@ class IntraFrameEncoder:
             # directional: angle_delta = 0 -> symbol 3
             self.fc.write(self.enc, "angle_delta", (int(mode) - 1,), 3, 7)
 
-    def _write_tx_type(self, tx_size, y_mode):
+    def _write_palette_off(self, bsize, y_mode, uv_is_dc):
+        """Palette flags (coded 0: palette unused) for DC-predicted blocks
+        when screen-content tools are on (write_palette_mode_info,
+        entropy_coding.c:4254-4278; allow_palette gate :4892)."""
+        if not self.allow_sct:
+            return
+        W, H = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+        if W > 64 or H > 64 or bsize < BlockSize.BLOCK_8X8:
+            return
+        bsize_ctx = (W * H).bit_length() - 1 - 6  # num_pels_log2 - 6
+        if y_mode == int(PredictionMode.DC_PRED):
+            # neighbor ctx counts palette use; we never code palette -> 0
+            self.fc.write(self.enc, "palette_y_mode", (bsize_ctx, 0), 0, 2)
+        if uv_is_dc:
+            self.fc.write(self.enc, "palette_uv_mode", (0,), 0, 2)
+
+    def _write_tx_type(self, tx_size, y_mode, tx_type=0):
         eset = intra_ext_tx_set(int(tx_size))
         if eset == 0 or self.qindex == 0:
             return
         sqr = int(_SQR[int(tx_size)])
-        sym = EXT_TX_IND_INTRA[eset][0]  # DCT_DCT
+        sym = EXT_TX_IND_INTRA[eset][int(tx_type)]
         self.fc.write(self.enc, "intra_ext_tx", (eset, sqr, int(y_mode)),
                       sym, EXT_TX_NSYMS_INTRA[eset])
 

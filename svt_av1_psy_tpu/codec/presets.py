@@ -1,0 +1,59 @@
+"""Preset system as data (enc_mode_config.c:681-1204 re-expressed).
+
+The reference drives its speed/quality ladder through ~200 leveling
+functions that toggle tools and shrink search spaces per preset. Here the
+same surface is a table: each preset row sets the RDO search shape consumed
+by codec/intra_rdo + the encoders. Presets -3..13 accepted (MR/research
+modes clamp to the deepest row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PresetConfig:
+    # intra RDO (device search)
+    rdo: bool                  # run the device RDO search at all
+    depths: tuple              # square block sizes searched (partition DP)
+    tx_search_depths: tuple    # sizes with TX-type search
+    filter_intra_search: bool  # try the 5 recursive filter-intra modes
+    cfl_search: bool           # chroma-from-luma alpha search
+    # filters
+    cdef_search_sample: int    # CDEF strength-search sampling stride
+    restoration: bool          # Wiener/SGR restoration search
+    # analysis
+    scene_change: bool
+    tpl: bool
+
+
+# speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
+# NOTE: filter-intra SEARCH is currently off ladder-wide: rare multi-block
+# fi-win patterns desync dav1d (tests/test_rdo.py::test_fi_search_conformant
+# xfail tracks the repro); the fi flag itself stays coded (conformant).
+_LADDER = (
+    # depths            tx-depths   fi     cfl    cdef rest scd   tpl
+    ((8, 16, 32, 64), (8, 16),     False, True,  1,   True, True, True),   # <=0
+    ((8, 16, 32, 64), (8, 16),     False, True,  1,   True, True, True),   # 1
+    ((8, 16, 32, 64), (8, 16),     False, True,  1,   True, True, True),   # 2
+    ((8, 16, 32, 64), (8, 16),     False, True,  2,   True, True, True),   # 3
+    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 4
+    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 5
+    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 6
+    ((8, 16, 32),     (16,),       False, True,  4,   True, True, True),   # 7
+    ((8, 16, 32),     (16,),       False, True,  4,   True, True, True),   # 8
+    ((16, 32),        (),          False, True,  4,   False, True, True),  # 9
+    ((16, 32),        (),          False, True,  4,   False, True, False), # 10
+    ((16, 32),        (),          False, False, 8,   False, True, False), # 11
+    ((32,),           (),          False, False, 8,   False, False, False),# 12
+    ((32, 64),        (),          False, False, 8,   False, False, False),# 13
+)
+
+
+def preset_config(preset: int) -> PresetConfig:
+    row = _LADDER[min(max(preset, 0), 13)]
+    return PresetConfig(rdo=True, depths=row[0], tx_search_depths=row[1],
+                        filter_intra_search=row[2], cfl_search=row[3],
+                        cdef_search_sample=row[4], restoration=row[5],
+                        scene_change=row[6], tpl=row[7])

@@ -15,9 +15,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# the forward path accumulates beyond int32 (no stage clamping); the inverse
-# path fits int32 for bd<=10 (clamped lanes x 12-bit cospi <= 2^30)
-jax.config.update("jax_enable_x64", True)
+# All stages compute in int32, mirroring the C reference's int32 transform
+# buffers (transforms.c / inv_transforms.c use int32_t throughout): the AV1
+# stage-shift design keeps every butterfly product and accumulation within
+# int32 for valid inputs (bd<=10 on the inverse path, asserted below).
+# int64/x64 is deliberately NOT used — int64 is emulated (slow) on TPU and
+# flipping jax_enable_x64 globally breaks other modules.
 
 from ..codec import transforms as T
 from ..codec.constants import TX_HEIGHT, TX_WIDTH, TX_TYPE_1D, TxType, TxType1D
@@ -54,7 +57,7 @@ def _eval_graph_jnp(name: str, x, cos_bit: int, clamp_bit):
 
 
 def _adst4_jnp(x, cos_bit: int, inverse: bool):
-    sinpi = np.asarray(T.sinpi_arr(cos_bit), np.int64)
+    sinpi = np.asarray(T.sinpi_arr(cos_bit), np.int32)
     s1_, s2_, s3_, s4_ = (int(sinpi[i]) for i in range(1, 5))
     x0, x1, x2, x3 = (x[:, i] for i in range(4))
     if inverse:
@@ -119,7 +122,7 @@ def forward_transform_2d(residual, tx_size: int, tx_type: int):
     vtype, htype = TX_TYPE_1D[TxType(tx_type)]
     ud_flip, lr_flip = T._flips(tx_type)
 
-    x = residual.astype(jnp.int64)
+    x = residual.astype(jnp.int32)
     if ud_flip:
         x = x[:, ::-1, :]
     x = _round_shift(x, -int(shift[0]))
@@ -157,14 +160,14 @@ def inverse_transform_add(coeffs, pred, tx_size: int, tx_type: int, bd: int = 8)
         range_row, range_col = 20, 18
 
     assert bd <= 10, "int32 inverse path holds for bd<=10; use the numpy model for 12"
-    x = coeffs.astype(jnp.int64)
+    x = coeffs.astype(jnp.int32)
     if W == 64:
         x = x.at[:, :, 32:].set(0)
     if H == 64:
         x = x.at[:, 32:, :].set(0)
     if abs(T._rect_log_ratio(W, H)) == 1:
         x = _round_shift(x * T.NEW_INV_SQRT2, T.NEW_SQRT2_BITS)
-    x = _clamp(x, bd + 8).astype(jnp.int32)
+    x = _clamp(x, bd + 8)
     xr = x.reshape(B * H, W)
     xr = _txfm_1d_jnp(xr, htype, W, T.INV_COS_BIT, True, range_row)
     xr = _round_shift(xr, -int(shift[0]))
@@ -178,5 +181,5 @@ def inverse_transform_add(coeffs, pred, tx_size: int, tx_type: int, bd: int = 8)
     out = jnp.transpose(xc.reshape(B, W, H), (0, 2, 1))
     if ud_flip:
         out = out[:, ::-1, :]
-    recon = pred.astype(jnp.int64) + out
+    recon = pred.astype(jnp.int32) + out
     return jnp.clip(recon, 0, (1 << bd) - 1).astype(jnp.int32)
