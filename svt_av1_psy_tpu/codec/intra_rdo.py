@@ -139,6 +139,62 @@ def _qsteps_for_blocks(rows, cols, S, qindex, sb_qindex_map, chroma_delta,
         (ac[qmap].reshape(-1) / g).astype(np.float32)
 
 
+def search_tables_for_depth(S: int, qindex: int, tx_search_depths=(8, 16),
+                            qm_levels=None):
+    """All replicated table arrays one depth's search consumes, as a dict
+    (the contract shared by search_intra_decisions and the multi-chip
+    sharded_frame_step). Returns (tables, n_tx)."""
+    from ..ops.intra_search import (EXT_TX_SET_1, EXT_TX_SET_2,
+                                    mode_matrix_bank, tx_pair)
+    from ..ops.intra_search import ALL_MODES
+
+    t = get_tables()
+    rm = intra_rate_model(int(qindex))
+    y_mode_bits = np.array([rm.y_mode_bits[int(m)] for m in ALL_MODES],
+                           np.float32)
+    tx_size = _S_TO_TXSIZE[S]
+    keep = min(S, 32)
+    nk = keep * keep
+    if qm_levels is not None:
+        from .qm import get_qm
+
+        _qm, iqm = get_qm(qm_levels[0], False, tx_size)
+        qm_w = (iqm.astype(np.float32) / 32.0)
+    else:
+        qm_w = np.ones(nk, np.float32)
+    ct = rm.coeff[_TXS_CTX[S]]
+    eob_bits = rm.eob[_SIZE_LOG2M4[S]]
+    scan2d = t.scan(tx_size, 0).astype(np.int32)
+    do_tx = S in tx_search_depths
+    if do_tx:
+        from .intra_encoder import EXT_TX_IND_INTRA
+
+        tx_set = EXT_TX_SET_1 if S == 8 else EXT_TX_SET_2
+        eset = 1 if S == 8 else 2
+        sqr = {8: 1, 16: 2}[S]
+        tvs = np.stack([tx_pair(tt, S)[0] for tt in tx_set])
+        ths = np.stack([tx_pair(tt, S)[1] for tt in tx_set])
+        scans_tx = np.stack([t.scan(tx_size, int(tt)).astype(np.int32)
+                             for tt in tx_set])
+        ext_bits = np.array([rm.ext_tx_bits[(eset, sqr)][
+            EXT_TX_IND_INTRA[eset][int(tt)]] for tt in tx_set], np.float32)
+    else:
+        from ..ops.intra_search import tx_pair as _tp
+        from .constants import TxType as _TT
+
+        tx_set = (TxType.DCT_DCT,)
+        tvs = np.stack([tx_pair(TxType.DCT_DCT, S)[0]])
+        ths = np.stack([tx_pair(TxType.DCT_DCT, S)[1]])
+        scans_tx = scan2d[None]
+        ext_bits = np.zeros(1, np.float32)
+    tables = {"G": mode_matrix_bank(S), "scan2d": scan2d, "scans_tx": scans_tx,
+              "tvs": tvs, "ths": ths, "level_bits": ct["level_bits"],
+              "eob_bits": eob_bits, "txb_skip": ct["txb_skip"],
+              "y_mode_bits": y_mode_bits, "ext_tx_bits": ext_bits,
+              "qm_w": qm_w, "tx_set": tx_set}
+    return tables, len(tx_set)
+
+
 def search_intra_decisions(
     src_padded: np.ndarray,       # (ph, pw) uint16, SB-aligned padded source
     qindex: int,
@@ -177,61 +233,44 @@ def search_intra_decisions(
                   .reshape(N, S, S).astype(np.float32))
         qdc, qac = _qsteps_for_blocks(rows, cols, S, qindex, sb_qindex_map,
                                       0, bd)
-        tx_size = _S_TO_TXSIZE[S]
-        keep = min(S, 32)
-        nk = keep * keep
-        # QM step scaling (iqm/32 relative step per position)
-        if qm_levels is not None:
-            from .qm import get_qm
-
-            _qm, iqm = get_qm(qm_levels[0], False, tx_size)
-            qm_w = (iqm.astype(np.float32) / 32.0)
-        else:
-            qm_w = np.ones(nk, np.float32)
-
-        ct = rm.coeff[_TXS_CTX[S]]
-        eob_bits = rm.eob[_SIZE_LOG2M4[S]]
-        scan2d = t.scan(tx_size, 0).astype(np.int32)
-
-        do_tx = S in tx_search_depths
-        if do_tx:
-            tx_set = EXT_TX_SET_1 if S == 8 else EXT_TX_SET_2
-            eset = 1 if S == 8 else 2
-            sqr = {8: 1, 16: 2}[S]
-            tvs = np.stack([tx_pair(tt, S)[0] for tt in tx_set])
-            ths = np.stack([tx_pair(tt, S)[1] for tt in tx_set])
-            scans_tx = np.stack([t.scan(tx_size, int(tt)).astype(np.int32)
-                                 for tt in tx_set])
-            from .intra_encoder import EXT_TX_IND_INTRA
-
-            ext_bits = np.array([rm.ext_tx_bits[(eset, sqr)][
-                EXT_TX_IND_INTRA[eset][int(tt)]] for tt in tx_set], np.float32)
-            n_tx = len(tx_set)
-        else:
-            tx_set = (TxType.DCT_DCT,)
-            tvs = np.stack([tx_pair(TxType.DCT_DCT, S)[0]])
-            ths = np.stack([tx_pair(TxType.DCT_DCT, S)[1]])
-            scans_tx = scan2d[None]
-            ext_bits = np.zeros(1, np.float32)
-            n_tx = 1
+        tb, n_tx = search_tables_for_depth(S, qindex, tx_search_depths,
+                                           qm_levels)
+        tx_set = tb["tx_set"]
+        scan2d, scans_tx, tvs, ths = (tb["scan2d"], tb["scans_tx"],
+                                      tb["tvs"], tb["ths"])
+        ct = {"level_bits": tb["level_bits"], "txb_skip": tb["txb_skip"]}
+        eob_bits, ext_bits, qm_w = tb["eob_bits"], tb["ext_tx_bits"], tb["qm_w"]
+        y_mode_bits = tb["y_mode_bits"]
 
         # dispatch: XLA for real frame sizes (N bucketed so resolutions share
         # compiles), numpy for tiny frames where compile time dominates
-        use_device = ((N >= 1024 and backend != "numpy")
+        use_device = ((N >= 256 and backend != "numpy")
                       or backend == "device_all")
         if use_device:
             from ..ops.intra_search import search_block_batch
+            from ..parallel import get_encode_mesh, shard_blocks
 
-            npad = max(1024, 1 << int(np.ceil(np.log2(N))))
+            npad = max(256, 1 << int(np.ceil(np.log2(N))))
+            mesh = get_encode_mesh()
+            if mesh is not None:
+                npad = -(-npad // mesh.devices.size) * mesh.devices.size
             if npad > N:
                 pad = npad - N
                 blocks = np.concatenate([blocks, np.zeros((pad, S, S), np.float32)])
                 refs = np.concatenate([refs, np.zeros((pad, refs.shape[1]), np.float32)])
                 qdc = np.concatenate([qdc, np.ones(pad, np.float32)])
                 qac = np.concatenate([qac, np.ones(pad, np.float32)])
+            if mesh is not None:
+                # shard the block axis over every chip: blocks are
+                # independent, so the decisions (and therefore the
+                # bitstream) are identical for any mesh size
+                blocks, refs, qdc, qac = shard_blocks(mesh, blocks, refs,
+                                                      qdc, qac)
+            else:
+                blocks, refs, qdc, qac = (jnp.asarray(a) for a in
+                                          (blocks, refs, qdc, qac))
             bm, bt, bc, _ = search_block_batch(
-                jnp.asarray(blocks), jnp.asarray(refs), jnp.asarray(qdc),
-                jnp.asarray(qac), lam, jnp.asarray(mode_matrix_bank(S)),
+                blocks, refs, qdc, qac, lam, jnp.asarray(mode_matrix_bank(S)),
                 jnp.asarray(scan2d), jnp.asarray(scans_tx), jnp.asarray(tvs),
                 jnp.asarray(ths), jnp.asarray(ct["level_bits"]),
                 jnp.asarray(eob_bits), jnp.asarray(ct["txb_skip"]),

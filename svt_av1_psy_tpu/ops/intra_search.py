@@ -277,11 +277,12 @@ def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
     keep = min(S, 32)
     nk = keep * keep
 
-    preds = np.floor(refs.astype(np.float64) @ G.astype(np.float64) + 0.5)
+    refs = refs.astype(np.float32)
+    preds = np.floor(refs @ G.astype(np.float32) + np.float32(0.5))
     preds = preds.reshape(N, M - 1, S, S)
-    corner = refs[:, 0].astype(np.float64)
-    above = refs[:, 1:1 + S].astype(np.float64)
-    left = refs[:, 1 + 2 * S:1 + 3 * S].astype(np.float64)
+    corner = refs[:, 0]
+    above = refs[:, 1:1 + S]
+    left = refs[:, 1 + 2 * S:1 + 3 * S]
     t = above[:, None, :]
     l = left[:, :, None]
     tl = corner[:, None, None]
@@ -290,11 +291,11 @@ def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
     paeth = np.where((p_l <= p_t) & (p_l <= p_tl), np.broadcast_to(l, base.shape),
                      np.where(p_t <= p_tl, np.broadcast_to(t, base.shape),
                               np.broadcast_to(tl, base.shape)))
-    preds = np.concatenate([preds, paeth[:, None]], axis=1)
+    preds = np.concatenate([preds, paeth[:, None].astype(np.float32)], axis=1)
 
-    resid = src[:, None].astype(np.float64) - preds
-    d = tvs[0].astype(np.float64)
-    coeff = np.einsum("ab,nmbc,dc->nmad", d, resid, d)
+    resid = src[:, None].astype(np.float32) - preds.astype(np.float32)
+    d = tvs[0].astype(np.float32)
+    coeff = np.einsum("ab,nmbc,dc->nmad", d, resid, d, optimize=True)
     if keep < S:
         lost = (coeff ** 2).sum((-1, -2)) - (coeff[..., :keep, :keep] ** 2).sum((-1, -2))
         coeff = coeff[..., :keep, :keep]
@@ -302,21 +303,22 @@ def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
         lost = np.zeros((N, M))
     cf = coeff.reshape(N, M, nk)
 
+    idx_n = np.arange(nk, dtype=np.float32)
+
     def txb_rd(cfx, qsx, scan):
-        lvl = np.clip(np.floor(np.abs(cfx) / qsx + 0.375), 0, 63)
-        err = np.abs(cfx) - lvl * qsx
+        acf = np.abs(cfx, dtype=np.float32)
+        lvl = np.clip(np.floor(acf / qsx + np.float32(0.375)), 0, 63)
+        err = acf - lvl * qsx
         dist = (err * err).sum(-1)
         lvl_scan = np.take_along_axis(
             lvl, np.broadcast_to(scan, lvl.shape[:-1] + (nk,)), axis=-1)
-        idx = np.arange(nk)
-        eob = np.max(np.where(lvl_scan > 0, idx + 1, 0), axis=-1)
-        include = idx < eob[..., None]
+        eob = np.max(np.where(lvl_scan > 0, idx_n + 1, 0), axis=-1)
+        include = idx_n < eob[..., None]
         rate = np.where(include, level_bits[lvl_scan.astype(np.int32)], 0).sum(-1)
-        rate = rate + eob_bits[eob]
+        rate = rate + eob_bits[eob.astype(np.int32)]
         return dist, np.where(eob > 0, rate + txb_skip[0], txb_skip[1])
 
-    qs = np.broadcast_to(qstep_ac[:, None, None], (N, M, nk)) * qm_w
-    qs = qs.copy()
+    qs = (np.broadcast_to(qstep_ac[:, None, None], (N, M, nk)) * qm_w).astype(np.float32)
     qs[:, :, 0] = qstep_dc[:, None] * qm_w[0]
     dist, rate = txb_rd(cf, qs, scan2d)
     cost = dist + lost + lam * (rate + y_mode_bits[None, :])
@@ -326,22 +328,21 @@ def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
         return best_mode, np.zeros(N, np.int32), mode_cost0, mode_cost0
 
     br = np.take_along_axis(resid, best_mode[:, None, None, None], axis=1)[:, 0]
-    ctx = np.einsum("tab,nbc,tdc->ntad", tvs.astype(np.float64), br,
-                    ths.astype(np.float64))
+    ctx = np.einsum("tab,nbc,tdc->ntad", tvs.astype(np.float32), br,
+                    ths.astype(np.float32), optimize=True)
     cft = ctx.reshape(N, n_tx, nk)
-    qst = np.broadcast_to(qstep_ac[:, None, None], (N, n_tx, nk)) * qm_w
-    qst = qst.copy()
+    qst = (np.broadcast_to(qstep_ac[:, None, None], (N, n_tx, nk)) * qm_w).astype(np.float32)
     qst[:, :, 0] = qstep_dc[:, None] * qm_w[0]
-    lvl = np.clip(np.floor(np.abs(cft) / qst + 0.375), 0, 63)
-    err = np.abs(cft) - lvl * qst
+    acf = np.abs(cft, dtype=np.float32)
+    lvl = np.clip(np.floor(acf / qst + np.float32(0.375)), 0, 63)
+    err = acf - lvl * qst
     dist_t = (err * err).sum(-1)
     lvl_scan = np.take_along_axis(
         lvl, np.broadcast_to(scans_tx[None], (N, n_tx, nk)), axis=-1)
-    idx = np.arange(nk)
-    eob = np.max(np.where(lvl_scan > 0, idx + 1, 0), axis=-1)
-    include = idx < eob[..., None]
+    eob = np.max(np.where(lvl_scan > 0, idx_n + 1, 0), axis=-1)
+    include = idx_n < eob[..., None]
     rate_t = np.where(include, level_bits[lvl_scan.astype(np.int32)], 0).sum(-1)
-    rate_t = rate_t + eob_bits[eob]
+    rate_t = rate_t + eob_bits[eob.astype(np.int32)]
     rate_t = np.where(eob > 0, rate_t + txb_skip[0], txb_skip[1])
     cost_t = dist_t + lam * (rate_t + ext_tx_bits[None, :])
     best_tx = np.argmin(cost_t, axis=1).astype(np.int32)

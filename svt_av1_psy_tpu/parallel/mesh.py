@@ -5,19 +5,36 @@ The reference scales with thread arrays over pictures (DP), segments/tiles
 On TPU the same taxonomy maps to a 2D `jax.sharding.Mesh`:
 
   axis "frame" — picture-level parallelism (frames batched per step)
-  axis "tile"  — tile/segment parallelism inside a frame
+  axis "tile"  — tile/segment/block parallelism inside a frame
 
-Dense per-block compute shards trivially along both axes (tiles are
-independent by construction; frames are independent in all-intra / keyframe
-bursts and pipelined otherwise). Cross-device reductions (rate-control
-statistics, distortion totals) ride ICI via the collectives XLA inserts for
-the sharded reduction — no hand-written NCCL analog, per the scaling-book
-recipe: pick a mesh, annotate shardings, let XLA place collectives.
+The unit of sharded work is the encoder's REAL device compute: the batched
+intra RDO search (ops/intra_search.search_block_batch). Blocks are
+independent by construction (open-loop refs), so sharding the block axis is
+value-identical for any device count — the bitstream cannot depend on the
+mesh (tests/test_multichip.py asserts equality for 1/2/8 devices).
+Cross-device reductions (frame cost totals for rate control) ride ICI via
+the collectives XLA inserts for the unsharded outputs — no hand-written
+NCCL analog, per the scaling-book recipe: pick a mesh, annotate shardings,
+let XLA place collectives.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+# encoder-wide mesh, installed by set_encode_mesh(); consulted by
+# codec/intra_rdo.search_intra_decisions for its device dispatch
+_ENCODE_MESH = None
+
+
+def set_encode_mesh(mesh) -> None:
+    """Install (or clear, with None) the mesh the encoder shards over."""
+    global _ENCODE_MESH
+    _ENCODE_MESH = mesh
+
+
+def get_encode_mesh():
+    return _ENCODE_MESH
 
 
 def encode_mesh(n_devices: int | None = None, frame_parallel: int | None = None):
@@ -35,7 +52,7 @@ def encode_mesh(n_devices: int | None = None, frame_parallel: int | None = None)
 
 
 def shard_frame_batches(mesh, *arrays):
-    """Place (F, T, ...) arrays with F over "frame" and T over "tile"."""
+    """Place (F, N, ...) arrays with F over "frame" and N over "tile"."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -44,29 +61,62 @@ def shard_frame_batches(mesh, *arrays):
     return out[0] if len(out) == 1 else out
 
 
-def sharded_frame_step(frames, preds, qstep: int = 32):
-    """One jitted device step over sharded (F, T, B, 32, 32) tile batches:
-    transform -> quantize -> reconstruct, plus the cross-device RC reduction
-    (one ICI collective per step, like the IRC stage's frame statistics).
+def shard_blocks(mesh, *arrays):
+    """Shard (N, ...) block-batch arrays over every device (frame x tile
+    flattened into one data axis). Pads N to the mesh size multiple; the
+    caller slices results back to N."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    This is the multi-chip compute skeleton the encoder's device tier grows
-    into; the host pipeline feeds it per-frame tile batches."""
+    n_dev = mesh.devices.size
+    sharding = NamedSharding(mesh, P(("frame", "tile")))
+    out = []
+    for a in arrays:
+        n = a.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+        out.append(jax.device_put(a, sharding))
+    return tuple(out)
+
+
+def sharded_frame_step(mesh, frames, refs, qdc, qac, lam, tables, S: int,
+                       n_tx: int = 1):
+    """One multi-chip step of the encoder's actual device compute: the
+    per-depth intra RDO search batched over frames (DP axis) and blocks
+    (SP/tile axis), plus the cross-device frame-cost reduction the rate
+    controller consumes (one ICI collective per step).
+
+    frames: (F, N, S, S) f32 source blocks, F over "frame", N over "tile"
+    refs:   (F, N, L) f32 reference vectors
+    qdc/qac: (F, N) f32 per-block quantizer steps
+    tables: dict of replicated search tables (from intra_rdo table setup)
+
+    Returns (modes (F,N), tx (F,N), cost (F,N), frame_cost (F,)).
+    """
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..ops.txfm import forward_transform_2d, inverse_transform_add
+    from ..ops.intra_search import search_block_batch
+
+    frames, refs = shard_frame_batches(mesh, frames, refs)
+    qdc, qac = shard_frame_batches(mesh, qdc, qac)
+
+    def one_frame(fb, rb, qd, qa):
+        bm, bt, bc, _ = search_block_batch(
+            fb, rb, qd, qa, lam, tables["G"], tables["scan2d"],
+            tables["scans_tx"], tables["tvs"], tables["ths"],
+            tables["level_bits"], tables["eob_bits"], tables["txb_skip"],
+            tables["y_mode_bits"], tables["ext_tx_bits"], tables["qm_w"],
+            S=S, n_tx=n_tx)
+        return bm, bt, bc
 
     @jax.jit
-    def step(frames, preds):
-        shp = frames.shape
-        resid = (frames - preds).reshape(-1, 32, 32)
-        coeffs = forward_transform_2d(resid, 3, 0)
-        q = (jnp.abs(coeffs) // qstep) * qstep * jnp.sign(coeffs)
-        recon = inverse_transform_add(q.astype(jnp.int32),
-                                      preds.reshape(-1, 32, 32), 3, 0, 8)
-        bits_proxy = jnp.log1p(jnp.abs(q).astype(jnp.float32)).sum()
-        sse = ((recon.reshape(shp) - frames) ** 2).astype(jnp.float32).sum(
-            axis=tuple(range(1, frames.ndim)))
-        return recon.reshape(shp), bits_proxy, sse
+    def step(frames, refs, qdc, qac):
+        bm, bt, bc = jax.vmap(one_frame)(frames, refs, qdc, qac)
+        # the IRC-stage analog: per-frame cost totals (psum over "tile")
+        frame_cost = jnp.sum(bc, axis=1)
+        return bm, bt, bc, frame_cost
 
-    return step(frames, preds)
+    return step(frames, refs, qdc, qac)
