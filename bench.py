@@ -1,14 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end 480p video encode throughput (IPPP, CRF, variance
-boost + DLF + CDEF on) — the round-1 slice of the BASELINE.json protocol.
+"""Benchmark: end-to-end encode throughput + quality on the BASELINE.md
+configs that the framework currently covers.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+Prints ONE JSON line on stdout (driver contract):
+  {"metric": "video_480p_encode_fps", "value": N, "unit": "fps",
+   "vs_baseline": N, "notes": {...}}
 
-vs_baseline compares against SVT-AV1-PSY built C-only (COMPILE_C_ONLY=ON,
-no SIMD — the same "portable" tier as our current host path), preset 12
-CRF 35 default GoP on this host class (single core): 5.77 fps
+vs_baseline compares the IPPP 480p run against SVT-AV1-PSY built C-only
+(COMPILE_C_ONLY=ON, no SIMD — the same "portable" tier as our host path),
+preset 12 CRF 35 default GoP, single core on this host class: 5.77 fps
 (re-measure: tools/build_oracle.sh + SvtAv1EncApp on /tmp/test480.y4m).
+The honest 64-core AVX2 "--native --release" 1080p preset-6 target from
+BASELINE.md is far beyond this round; notes record the current gap inputs
+(fps, bytes, PSNR, device-time fraction) per config instead of hiding them.
 """
 
 import json
@@ -22,36 +26,78 @@ sys.path.insert(0, ".")
 REF_C_ONLY_480P_FPS = 5.77
 
 
-def main():
+def _video(W, H, n_frames, seed=0):
+    """Structured synthetic clip: textured background + moving gradient
+    objects + a panning window (more codec-realistic than iid noise)."""
+    rng = np.random.default_rng(seed)
+    bg = (np.cumsum(rng.normal(0, 4, (H + 96, W + 96)), axis=1)
+          + np.cumsum(rng.normal(0, 2, (H + 96, W + 96)), axis=0) + 128)
+    bg = np.clip(bg, 0, 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for i in range(n_frames):
+        y = bg[i * 2 : i * 2 + H, i * 3 : i * 3 + W].copy()
+        cx, cy = W // 3 + i * 4, H // 2 + i * 2
+        disc = ((xx - cx) ** 2 + (yy - cy) ** 2) < (H // 6) ** 2
+        y[disc] = np.clip(180 + ((xx[disc] - cx) // 2), 0, 255).astype(np.uint8)
+        frames.append(y)
+    u = np.full((H // 2, (W + 1) // 2), 118, np.uint8)
+    v = np.full((H // 2, (W + 1) // 2), 138, np.uint8)
+    return frames, u, v
+
+
+def _run(W, H, preset, crf, n_frames, intra_only=False, seed=0):
+    from svt_av1_psy_tpu import profiling
     from svt_av1_psy_tpu.api import Encoder
     from svt_av1_psy_tpu.config import EncoderConfig
 
-    W, H = 854, 480
-    rng = np.random.default_rng(0)
-    base = (np.cumsum(rng.normal(0, 5, (H + 64, W + 64)), axis=1) + 128).clip(0, 255).astype(np.uint8)
-    u = np.full((H // 2, (W + 1) // 2), 128, np.uint8)
-
-    cfg = EncoderConfig(width=W, height=H)
-    cfg.qp = 35
+    frames, u, v = _video(W, H, n_frames + 1)
+    cfg = EncoderConfig(width=W, height=H, preset=preset, stat_report=True)
+    cfg.qp = crf
+    if intra_only:
+        cfg.intra_period_length = 0
     enc = Encoder(cfg).init()
-    # warm-up frame (table loads, native builds)
-    enc.send_picture(base[:H, :W].copy(), u, u.copy())
+    enc.send_picture(frames[0], u, v.copy())   # warm-up (compiles, tables)
     enc.get_packet()
 
-    n_frames = 4
+    profiling.reset()
     t0 = time.perf_counter()
+    nbytes = 0
+    psnrs = []
     for i in range(1, n_frames + 1):
-        y = base[i * 2 : i * 2 + H, i * 3 : i * 3 + W].copy()
-        enc.send_picture(y, u, u.copy())
-        enc.get_packet()
+        enc.send_picture(frames[i], u, v.copy())
+        pkt = enc.get_packet()
+        nbytes += len(pkt.data)
+        if pkt.stats:
+            psnrs.append(pkt.stats["psnr_y"])
     dt = time.perf_counter() - t0
-    fps = n_frames / dt
+    prof = profiling.snapshot()
+    dev_s = sum(x["s"] for k, x in prof.items() if k.startswith("device:"))
+    return {
+        "fps": round(n_frames / dt, 4),
+        "kbps": round(nbytes * 8 * 25 / n_frames / 1000, 1),
+        "psnr_y": round(float(np.mean(psnrs)), 2) if psnrs else None,
+        "device_frac": round(dev_s / dt, 3),
+        "stages": {k: round(x["s"], 3) for k, x in sorted(prof.items())},
+    }
+
+
+def main():
+    notes = {}
+    # BASELINE.md config 1 analog: 480p, fast preset, IPPP (primary metric)
+    ippp = _run(854, 480, 10, 35, 8)
+    notes["480p_p10_ippp"] = ippp
+    # all-intra 480p at an RDO preset: the device-search path every frame
+    notes["480p_p6_intra"] = _run(854, 480, 6, 35, 4, intra_only=True)
+    # 1080p preset 8 single key frame + inter (BASELINE config 2 analog, short)
+    notes["1080p_p8_short"] = _run(1920, 1080, 8, 35, 2)
 
     print(json.dumps({
         "metric": "video_480p_encode_fps",
-        "value": round(fps, 4),
+        "value": ippp["fps"],
         "unit": "fps",
-        "vs_baseline": round(fps / REF_C_ONLY_480P_FPS, 4),
+        "vs_baseline": round(ippp["fps"] / REF_C_ONLY_480P_FPS, 4),
+        "notes": notes,
     }))
 
 

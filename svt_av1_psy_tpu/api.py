@@ -406,9 +406,13 @@ class Encoder:
                            min(sec, 3), cdef_damping, cfg.input_depth)
             return deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping
 
+        from .profiling import stage as _stage
+
         enc = make_enc()
-        tiles = enc.encode_tiles(y, u, v, tile_cols_log2, tile_rows_log2)
-        deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
+        with _stage("host:encode_pass"):
+            tiles = enc.encode_tiles(y, u, v, tile_cols_log2, tile_rows_log2)
+        with _stage("host:filters"):
+            deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
         lr_types = (0, 0, 0)
         if self._seq.enable_restoration:
             from .codec.restoration import RESTORE_NONE, apply_restoration, pick_wiener

@@ -269,14 +269,17 @@ def search_intra_decisions(
             else:
                 blocks, refs, qdc, qac = (jnp.asarray(a) for a in
                                           (blocks, refs, qdc, qac))
-            bm, bt, bc, _ = search_block_batch(
-                blocks, refs, qdc, qac, lam, jnp.asarray(mode_matrix_bank(S)),
-                jnp.asarray(scan2d), jnp.asarray(scans_tx), jnp.asarray(tvs),
-                jnp.asarray(ths), jnp.asarray(ct["level_bits"]),
-                jnp.asarray(eob_bits), jnp.asarray(ct["txb_skip"]),
-                jnp.asarray(y_mode_bits), jnp.asarray(ext_bits),
-                jnp.asarray(qm_w), S=S, n_tx=n_tx)
-            bm, bt, bc = (np.asarray(a)[:N] for a in (bm, bt, bc))
+            from ..profiling import stage as _stage
+
+            with _stage(f"device:intra_search_s{S}"):
+                bm, bt, bc, _ = search_block_batch(
+                    blocks, refs, qdc, qac, lam, jnp.asarray(mode_matrix_bank(S)),
+                    jnp.asarray(scan2d), jnp.asarray(scans_tx), jnp.asarray(tvs),
+                    jnp.asarray(ths), jnp.asarray(ct["level_bits"]),
+                    jnp.asarray(eob_bits), jnp.asarray(ct["txb_skip"]),
+                    jnp.asarray(y_mode_bits), jnp.asarray(ext_bits),
+                    jnp.asarray(qm_w), S=S, n_tx=n_tx)
+                bm, bt, bc = (np.asarray(a)[:N] for a in (bm, bt, bc))
         else:
             from ..ops.intra_search import search_block_batch_np
 
