@@ -503,6 +503,15 @@ class IntraFrameEncoder:
             # entropy ctx arrays are in plane 4x4 units: unit = (mi*4>>ss)>>2
             ps.above_ctx[mi_c0 >> ss : mi_c1 >> ss] = 0
             ps.left_ctx[mi_r0 >> ss : mi_r1 >> ss] = 0
+        # native tile walk: one C call for the whole conformant final pass
+        # (falls back to the bit-identical Python walk for features the C
+        # driver does not cover: segmentation, LR re-encode, noise-norm,
+        # filter-intra search; tests/test_walk_native.py asserts equality)
+        from . import walk_native
+
+        if walk_native.eligible(self):
+            walk_native.encode_tile(self, mi_r0, mi_r1, mi_c0, mi_c1)
+            return self.enc.done()
         for mi_row in range(mi_r0, mi_r1, sb_mi):
             for mi_col in range(mi_c0, mi_c1, sb_mi):
                 if self.delta_q_present:

@@ -1,0 +1,348 @@
+"""ctypes glue for the native intra tile walk (native/walk_native.c).
+
+One C call encodes a whole tile: partition walk + prediction + transforms +
+quant + CFL + all syntax, executing the device-search decision maps. The
+CDF state stays in the FrameContext numpy arrays (adapted in place by the
+C coder), so Python can continue writing syntax with the same state.
+
+Eligibility is gated in IntraFrameEncoder._encode_tile: decisions present,
+no segmentation / LR re-encode / noise-norm / filter-intra search; anything
+else falls back to the (bit-identical) Python walk. test_walk_native.py
+asserts byte equality between the two walks across feature matrices.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .constants import TxType
+from .quant import build_plane_quant
+from .transforms import _fwd_params, _inv_params
+from .coeff_coding import TX_TYPE_CLASS, _scan_and_off2d
+
+_NATIVE = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE / "build" / "libwalk.so"
+_lib = None
+
+_VP = ctypes.c_void_p
+_I = ctypes.c_int
+
+
+class _CWalk(ctypes.Structure):
+    _fields_ = [
+        ("enc", _VP), ("adapt", _I),
+        ("mi_rows", _I), ("mi_cols", _I),
+        ("tile_r0", _I), ("tile_r1", _I), ("tile_c0", _I), ("tile_c1", _I),
+        ("nplanes", _I), ("bd", _I), ("qindex", _I),
+        ("src", _VP * 3), ("src_stride", _I * 3),
+        ("recon", _VP * 3), ("rec_stride", _I * 3),
+        ("pw", _I * 3), ("ph", _I * 3),
+        ("above_ctx", _VP * 3), ("left_ctx", _VP * 3),
+        ("decoded", _VP * 3), ("dec_stride", _I * 3),
+        ("dlf_txw", _VP * 3), ("dlf_txh", _VP * 3), ("dlf_skip", _VP * 3),
+        ("dlf_bv", _VP * 3), ("dlf_bh", _VP * 3), ("dlf_stride", _I * 3),
+        ("mi_mode", _VP), ("mi_skip", _VP),
+        ("part_above", _VP), ("part_left", _VP),
+        ("parts", _VP * 4), ("parts_cols", _I * 4),
+        ("modes", _VP * 4), ("modes_cols", _I * 4),
+        ("txs", _VP * 4), ("txs_cols", _I * 4),
+        ("max_leaf", _I),
+        ("sb_qtab_idx", _VP), ("sbq_cols", _I),
+        ("qp_tab", _VP), ("sb_qindex", _VP),
+        ("delta_q_present", _I), ("delta_q_res", _I), ("base_qindex", _I),
+        ("qm", (_VP * 19) * 3), ("iqm", (_VP * 19) * 3),
+        ("fwdp", (_VP * 16) * 19), ("invp", (_VP * 16) * 19),
+        ("scans", (_VP * 16) * 19), ("nzoff", _VP * 19),
+        ("enable_filter_intra", _I), ("allow_sct", _I), ("enable_cfl", _I),
+        ("cdf_partition", _VP), ("cdf_skip", _VP), ("cdf_kf_y", _VP),
+        ("cdf_angle", _VP), ("cdf_uv", _VP), ("cdf_cfl_sign", _VP),
+        ("cdf_cfl_alpha", _VP), ("cdf_fi", _VP), ("cdf_fi_mode", _VP),
+        ("cdf_ext_tx", _VP), ("cdf_pal_y", _VP), ("cdf_pal_uv", _VP),
+        ("cdf_delta_q", _VP), ("cdf_txb_skip", _VP),
+        ("cdf_eob", _VP * 7),
+        ("cdf_eob_extra", _VP), ("cdf_base_eob", _VP), ("cdf_base", _VP),
+        ("cdf_br", _VP), ("cdf_dc_sign", _VP),
+        ("lr_ops", _VP), ("lr_start", _VP), ("lr_sb_cols", _I),
+        ("cdf_wiener", _VP),
+        ("prev_qindex", _I), ("sb_qindex_cur", _I), ("sb_delta_pending", _I),
+    ]
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    srcs = [_NATIVE / "walk_native.c", _NATIVE / "ec_native.c",
+            _NATIVE / "mc_native.c"]
+    stale = (_LIB_PATH.is_file()
+             and _LIB_PATH.stat().st_mtime < max(s.stat().st_mtime for s in srcs))
+    if not _LIB_PATH.is_file() or stale:
+        try:
+            _LIB_PATH.parent.mkdir(exist_ok=True)
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-funroll-loops", "-shared",
+                 "-fPIC", "-o", str(_LIB_PATH),
+                 str(_NATIVE / "walk_native.c"), str(_NATIVE / "ec_native.c"),
+                 str(_NATIVE / "mc_native.c")],
+                check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.walk_encode_tile.argtypes = [ctypes.POINTER(_CWalk)]
+    lib.walk_encode_tile.restype = ctypes.c_int
+    lib.ec_create.restype = ctypes.c_void_p
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# decided tx types can only be these; transforms params are prebuilt for them
+_SEARCH_TX = (int(TxType.DCT_DCT), int(TxType.ADST_DCT), int(TxType.DCT_ADST),
+              int(TxType.ADST_ADST), int(TxType.IDTX))
+
+
+def eligible(enc) -> bool:
+    """Can this IntraFrameEncoder tile run through the C walk?"""
+    if not (available()
+            and type(enc).__name__ == "IntraFrameEncoder"
+            and enc.decisions is not None
+            and enc.use_native_ec
+            and enc.seg_params is None
+            and enc.noise_norm == 0
+            and not (enc.enable_filter_intra and enc.filter_intra_search)):
+        return False
+    # only the searched tx set has transform/scan tables on the C side
+    for t in enc.decisions.tx_types.values():
+        if not np.isin(t, _SEARCH_TX).all():
+            return False
+    return True
+
+
+def _ptr(a) -> int:
+    return a.ctypes.data if a is not None else 0
+
+
+def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
+    """Run the C walk over one tile of an IntraFrameEncoder (state mutated
+    in place exactly as the Python walk would)."""
+    lib = _load()
+    w = _CWalk()
+    keep = []  # keep converted arrays alive across the call
+
+    w.enc = enc.enc._h
+    w.adapt = 0 if enc.fc.disable_update else 1
+    w.mi_rows, w.mi_cols = enc.mi_rows, enc.mi_cols
+    w.tile_r0, w.tile_r1, w.tile_c0, w.tile_c1 = mi_r0, mi_r1, mi_c0, mi_c1
+    w.nplanes, w.bd, w.qindex = enc.nplanes, enc.bd, enc.qindex
+
+    for p, ps in enumerate(enc.planes):
+        w.src[p] = _ptr(enc.src[p])
+        w.src_stride[p] = enc.src[p].shape[1]
+        w.recon[p] = _ptr(ps.recon)
+        w.rec_stride[p] = ps.recon.shape[1]
+        w.pw[p], w.ph[p] = ps.width, ps.height
+        w.above_ctx[p] = _ptr(ps.above_ctx)
+        w.left_ctx[p] = _ptr(ps.left_ctx)
+        dec = enc.decoded[p].view(np.uint8)
+        w.decoded[p] = _ptr(dec)
+        w.dec_stride[p] = dec.shape[1]
+        m = enc.dlf_maps[p]
+        w.dlf_txw[p] = _ptr(m.txw)
+        w.dlf_txh[p] = _ptr(m.txh)
+        w.dlf_skip[p] = _ptr(m.skip.view(np.uint8))
+        w.dlf_bv[p] = _ptr(m.bedge_v.view(np.uint8))
+        w.dlf_bh[p] = _ptr(m.bedge_h.view(np.uint8))
+        w.dlf_stride[p] = m.txw.shape[1]
+    w.mi_mode = _ptr(enc.mi_mode)
+    w.mi_skip = _ptr(enc.mi_skip)
+    w.part_above = _ptr(enc.part_above)
+    w.part_left = _ptr(enc.part_left)
+
+    dec = enc.decisions
+    for li, size in enumerate((8, 16, 32, 64)):
+        p = dec.parts.get(size)
+        if p is not None:
+            p8 = np.ascontiguousarray(p, np.uint8)
+            keep.append(p8)
+            w.parts[li] = _ptr(p8)
+            w.parts_cols[li] = p8.shape[1]
+        m = dec.modes.get(size)
+        if m is not None:
+            m32 = np.ascontiguousarray(m, np.int32)
+            keep.append(m32)
+            w.modes[li] = _ptr(m32)
+            w.modes_cols[li] = m32.shape[1]
+        t = dec.tx_types.get(size)
+        if t is not None and size <= 16:
+            t32 = np.ascontiguousarray(t, np.int32)
+            keep.append(t32)
+            w.txs[li] = _ptr(t32)
+            w.txs_cols[li] = t32.shape[1]
+    w.max_leaf = dec.max_leaf
+
+    # ---- quant tables: one row per distinct per-SB qindex (+ base)
+    def qp_vals(qindex):
+        rows = []
+        for p in range(enc.nplanes):
+            d = 0 if p == 0 else enc.chroma_delta
+            pq = build_plane_quant(qindex, d, d, enc.bd, enc.sharpness,
+                                   enc.qindex)
+            rows.append([pq.zbin[0], pq.zbin[1], pq.round[0], pq.round[1],
+                         pq.quant[0], pq.quant[1], pq.quant_shift[0],
+                         pq.quant_shift[1], pq.dequant[0], pq.dequant[1]])
+        return rows
+
+    if enc.delta_q_present:
+        qmap = np.asarray(enc.sb_qindex_map, np.int32)
+        uniq = sorted(set(int(v) for v in qmap.ravel()))
+        index_of = {q: i for i, q in enumerate(uniq)}
+        qp_tab = np.array([qp_vals(q) for q in uniq], np.int32)
+        sb_idx = np.vectorize(index_of.get)(qmap).astype(np.int32)
+        sb_idx = np.ascontiguousarray(sb_idx)
+        keep += [qp_tab, sb_idx, qmap]
+        w.sb_qtab_idx = _ptr(sb_idx)
+        w.sbq_cols = sb_idx.shape[1]
+        w.qp_tab = _ptr(qp_tab)
+        w.sb_qindex = _ptr(np.ascontiguousarray(qmap))
+        w.delta_q_present = 1
+    else:
+        qp_tab = np.array([qp_vals(enc.qindex)], np.int32)
+        keep.append(qp_tab)
+        w.qp_tab = _ptr(qp_tab)
+        w.delta_q_present = 0
+    w.delta_q_res = enc.delta_q_res
+    w.base_qindex = enc.qindex
+    w.prev_qindex = getattr(enc, "_prev_qindex", enc.qindex)
+
+    # ---- QM (uint8/uint16 copies of the int32 tables)
+    tx_sizes = range(19)
+    if enc.qm_levels is not None:
+        from .qm import get_qm
+
+        for p in range(enc.nplanes):
+            for ts in tx_sizes:
+                qm, iqm = get_qm(enc.qm_levels[p], p > 0, ts)
+                if qm is None:
+                    continue
+                qm8 = np.ascontiguousarray(qm, np.uint8)
+                iqm16 = np.ascontiguousarray(iqm, np.uint16)
+                keep += [qm8, iqm16]
+                w.qm[p][ts] = _ptr(qm8)
+                w.iqm[p][ts] = _ptr(iqm16)
+
+    # ---- transforms + scans for the (tx_size, tx_type) combos in use
+    for ts in tx_sizes:
+        types = _SEARCH_TX if ts in (0, 1, 2) else (0,)
+        for tt in types:
+            fp = _fwd_params(ts, tt)
+            ip = _inv_params(ts, tt, enc.bd)
+            scan, off2d = _scan_and_off2d(ts, tt, int(TX_TYPE_CLASS[tt]))
+            keep += [fp, ip, scan]
+            w.fwdp[ts][tt] = _ptr(fp)
+            w.invp[ts][tt] = _ptr(ip)
+            w.scans[ts][tt] = _ptr(scan)
+            if tt == 0:
+                keep.append(off2d)
+                w.nzoff[ts] = _ptr(off2d)
+
+    w.enable_filter_intra = int(enc.enable_filter_intra)
+    w.allow_sct = int(enc.allow_sct)
+    w.enable_cfl = int(enc.enable_cfl)
+
+    t = enc.fc.tables
+    w.cdf_partition = _ptr(t["partition"])
+    w.cdf_skip = _ptr(t["skip"])
+    w.cdf_kf_y = _ptr(t["kf_y_mode"])
+    w.cdf_angle = _ptr(t["angle_delta"])
+    w.cdf_uv = _ptr(t["uv_mode"])
+    w.cdf_cfl_sign = _ptr(t["cfl_sign"])
+    w.cdf_cfl_alpha = _ptr(t["cfl_alpha"])
+    w.cdf_fi = _ptr(t["filter_intra"])
+    w.cdf_fi_mode = _ptr(t["filter_intra_mode"])
+    w.cdf_ext_tx = _ptr(t["intra_ext_tx"])
+    w.cdf_pal_y = _ptr(t["palette_y_mode"])
+    w.cdf_pal_uv = _ptr(t["palette_uv_mode"])
+    w.cdf_delta_q = _ptr(t["delta_q"])
+    w.cdf_txb_skip = _ptr(t["txb_skip"])
+    for i, name in enumerate(("eob_multi16", "eob_multi32", "eob_multi64",
+                              "eob_multi128", "eob_multi256", "eob_multi512",
+                              "eob_multi1024")):
+        w.cdf_eob[i] = _ptr(t[name])
+    w.cdf_eob_extra = _ptr(t["eob_extra"])
+    w.cdf_base_eob = _ptr(t["coeff_base_eob_multi"])
+    w.cdf_base = _ptr(t["coeff_base_multi"])
+    w.cdf_br = _ptr(t["coeff_lps_multi"])
+    w.cdf_dc_sign = _ptr(t["dc_sign"])
+    w.cdf_wiener = _ptr(t["wiener_restore"])
+
+    # ---- LR unit syntax, precomputed per SB as op triples
+    if getattr(enc, "rsts", None):
+        ops, starts = _record_lr_ops(enc, mi_r0, mi_r1, mi_c0, mi_c1)
+        keep += [ops, starts]
+        w.lr_ops = _ptr(ops)
+        w.lr_start = _ptr(starts)
+        w.lr_sb_cols = -(-enc.mi_cols // 16)
+
+    lib.walk_encode_tile(ctypes.byref(w))
+    del keep
+
+
+class _OpRecorder:
+    """Mock encoder + fc capturing the LR syntax as (kind, a, b) triples."""
+
+    def __init__(self):
+        self.ops = []
+
+    # fc.write signature (only wiener_restore flows through here)
+    def write(self, enc, name, idx, symbol, nsyms):
+        assert name == "wiener_restore" and nsyms == 2
+        self.ops.append((0, int(symbol), 0))
+
+    def encode_bool(self, val, f):
+        self.ops.append((1, int(val), int(f)))
+
+    def encode_literal(self, value, bits):
+        self.ops.append((2, int(value), int(bits)))
+
+
+def _record_lr_ops(enc, mi_r0, mi_r1, mi_c0, mi_c1):
+    """Replay _write_lr_for_sb over the tile's SBs into an op stream (the
+    symbol VALUES are decision-determined; only CDF state evolves, which the
+    C coder handles on the real wiener_restore table)."""
+    from .restoration import RESTORE_NONE, lr_units_in_sb, write_wiener_unit
+
+    rec = _OpRecorder()
+    starts = [0]
+    lr_refs = [dict(h=list(r["h"]), v=list(r["v"])) for r in enc._lr_refs]
+    sb_cols = -(-enc.mi_cols // 16)
+    n_sb = (-(-enc.mi_rows // 16)) * sb_cols
+    per_sb = {}
+    for mi_row in range(mi_r0, mi_r1, 16):
+        for mi_col in range(mi_c0, mi_c1, 16):
+            n0 = len(rec.ops)
+            for plane, pr in enumerate(enc.rsts):
+                if pr is None or pr.frame_type == RESTORE_NONE:
+                    continue
+                for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, 16):
+                    write_wiener_unit(rec, rec, pr.unit_info[r][c],
+                                      lr_refs[plane], plane > 0)
+            per_sb[(mi_row >> 4) * sb_cols + (mi_col >> 4)] = (n0, len(rec.ops))
+    starts = np.zeros(n_sb + 1, np.int32)
+    for sbi in range(n_sb):
+        if sbi in per_sb:
+            starts[sbi] = per_sb[sbi][0]
+            starts[sbi + 1] = per_sb[sbi][1]
+        else:
+            starts[sbi + 1] = starts[sbi]
+    ops = np.asarray(rec.ops, np.int32).reshape(-1, 3) if rec.ops else         np.zeros((0, 3), np.int32)
+    return np.ascontiguousarray(ops), starts

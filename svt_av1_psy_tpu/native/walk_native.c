@@ -1,0 +1,775 @@
+/* Native intra tile walk: the conformant final-encode pass in one C call.
+ *
+ * The TPU-first architecture splits the encoder into (a) the open-loop RDO
+ * search running as batched device launches (ops/intra_search.py) and
+ * (b) this sequential, recon-dependent final pass: partition walk, exact
+ * intra prediction from recon neighbors, forward/inverse transforms,
+ * quantization, CFL, and all tile syntax through the daala range coder.
+ * It executes the decision maps the device produced; behavior mirrors
+ * codec/intra_encoder.py line for line (which in turn mirrors
+ * entropy_coding.c:4820-4960 / enc_dec_process.c:3284-3533).
+ *
+ * Compiled together with ec_native.c and mc_native.c into libwalk.so; the
+ * CDF tables live in the Python FrameContext numpy arrays and adapt in
+ * place through ec_symbol, so host Python can keep writing further syntax
+ * (e.g. LR units) with the same state.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+/* ---- from ec_native.c ---- */
+typedef struct EcEnc EcEnc;
+void ec_bool(EcEnc *e, int val, unsigned f);
+void ec_literal(EcEnc *e, uint32_t value, int bits);
+void ec_symbol(EcEnc *e, int sym, uint16_t *icdf, int nsyms, int adapt);
+void ec_symbol_noadapt(EcEnc *e, int sym, const uint16_t *icdf, int nsyms);
+int32_t ec_write_coeffs_txb_full(
+    EcEnc *e, const int32_t *qcoeff, int w, int h, int eob,
+    const int16_t *scan, int tx_class, const int8_t *nz_off2d, int adapt,
+    uint16_t *eob_multi_row, int eob_multi_nsyms,
+    uint16_t *eob_extra_rows, uint16_t *base_eob_rows, uint16_t *base_rows,
+    uint16_t *br_rows, uint16_t *dc_sign_row);
+void txfm2d_fwd_p(const int64_t *p, const int32_t *res, int nblk, int32_t *out);
+void txfm2d_inv_add_p(const int64_t *p, const int32_t *coeff,
+                      const uint16_t *pred, int nblk, uint16_t *out);
+
+/* ---- from mc_native.c ---- */
+void intra_pred_block(int mode, const int32_t *above, const int32_t *left,
+                      int32_t corner, int have_above, int have_left,
+                      int W, int H, int bd, uint16_t *out);
+void intra_dr_pred(const int32_t *above_buf, const int32_t *left_buf,
+                   int W, int H, int dx, int dy, int zone, int bd,
+                   uint16_t *out);
+int quantize_txb(const int64_t *coeff, int n, const int16_t *scan,
+                 int zbin_dc, int zbin_ac, int rnd_dc, int rnd_ac,
+                 int quant_dc, int quant_ac, int qshift_dc, int qshift_ac,
+                 int deq_dc, int deq_ac, int log_scale,
+                 const uint8_t *qm, const uint16_t *iqm,
+                 int32_t *qcoeff, int32_t *dqcoeff);
+
+/* ---- spec constants (mirrors codec/constants.py) ---- */
+static const uint8_t BW[22] = {4,4,8,8,8,16,16,16,32,32,32,64,64,64,128,128,4,16,8,32,16,64};
+static const uint8_t BH[22] = {4,8,4,8,16,8,16,32,16,32,64,32,64,128,64,128,16,4,32,8,64,16};
+static const uint8_t TXW[19] = {4,8,16,32,64,4,8,8,16,16,32,32,64,4,16,8,32,16,64};
+static const uint8_t TXH[19] = {4,8,16,32,64,8,4,16,8,32,16,64,32,16,4,32,8,64,16};
+static const uint8_t TXS_CTX[19] = {0,1,2,3,4,1,1,2,2,3,3,4,4,1,1,2,2,3,3};
+static const uint8_t TXLOG2M4[19] = {0,2,4,6,6,1,1,3,3,5,5,6,6,2,2,4,4,6,6};
+static const uint8_t SQR[19]   = {0,1,2,3,4,0,0,1,1,2,2,3,3,0,0,1,1,2,2};
+static const uint8_t SQR_UP[19]= {0,1,2,3,4,1,1,2,2,3,3,4,4,2,2,3,3,4,4};
+static const int8_t  TX_CLASS[16] = {0,0,0,0,0,0,0,0,0,0,2,1,2,1,2,1};
+/* largest rect TX per bsize (MAX_TX_RECT) */
+static const int8_t MAX_TX[22] = {0,5,6,1,7,8,2,9,10,3,11,12,4,-1,-1,-1,13,14,15,16,17,18};
+/* partition neighbor-context bytes per subsize (PARTITION_CTX_LOOKUP a,l) */
+static const uint8_t PCTX_A[22] = {31,31,30,30,30,28,28,28,24,24,24,16,16,16,0,0,31,28,30,24,28,16};
+static const uint8_t PCTX_L[22] = {31,30,31,30,28,30,28,24,28,24,16,24,16,0,16,0,28,31,24,30,16,28};
+/* kf y-mode neighbor context classes */
+static const uint8_t IMODE_CTX[13] = {0,1,2,3,4,4,4,4,3,0,1,2,0};
+/* ext-tx symbol map per intra set */
+static const uint8_t EXT_IND_1[16] = {1,5,6,4,0,0,0,0,0,0,2,3,0,0,0,0};
+static const uint8_t EXT_IND_2[16] = {1,3,4,2,0,0,0,0,0,0,0,0,0,0,0,0};
+/* fimode -> intra dir for tx-type cdf ctx */
+static const uint8_t FI2DIR[5] = {0,1,2,7,0};
+/* dr_intra_derivative (intra_dir.py) */
+static int dr_deriv(int angle) {
+    static const int A[27] = {3,6,9,14,17,20,23,26,29,32,36,39,42,45,48,51,54,58,61,64,67,70,73,76,81,84,87};
+    static const int V[27] = {1023,547,372,273,215,178,151,132,116,102,90,80,71,64,57,51,45,40,35,31,27,23,19,15,11,7,3};
+    for (int i = 0; i < 27; i++) if (A[i] == angle) return V[i];
+    return 0;
+}
+static const int MODE_ANGLE[9] = {0,90,180,45,135,113,157,203,67}; /* mode 1..8 at idx */
+
+#define PART_NONE 0
+#define PART_HORZ 1
+#define PART_VERT 2
+#define PART_SPLIT 3
+#define COEFF_CTX_BITS 6
+#define COEFF_CTX_MASK 63
+
+/* ---------------------------------------------------------------- context */
+typedef struct {
+    EcEnc *enc;
+    int adapt;                 /* 1 unless disable_cdf_update */
+    /* geometry */
+    int mi_rows, mi_cols;
+    int tile_r0, tile_r1, tile_c0, tile_c1;
+    int nplanes, bd, qindex;
+    /* per-plane buffers */
+    uint16_t *src[3];   int src_stride[3];
+    uint16_t *recon[3]; int rec_stride[3];
+    int pw[3], ph[3];          /* aligned plane dims */
+    uint8_t *above_ctx[3], *left_ctx[3];
+    uint8_t *decoded[3]; int dec_stride[3];
+    uint8_t *dlf_txw[3], *dlf_txh[3], *dlf_skip[3], *dlf_bv[3], *dlf_bh[3];
+    int dlf_stride[3];
+    int8_t *mi_mode, *mi_skip;
+    uint8_t *part_above, *part_left;
+    /* decisions: grids of split flags / modes / tx types */
+    const uint8_t *parts[4];   /* idx by log2(size)-3: 8,16,32,64 */
+    int parts_cols[4];
+    const int32_t *modes[4];   int modes_cols[4];
+    const int32_t *txs[4];     int txs_cols[4];
+    int max_leaf;
+    /* quant: per-SB table index + flat tables */
+    const int32_t *sb_qtab_idx; int sbq_cols;      /* per-SB row index */
+    const int32_t *qp_tab;     /* n x nplanes x 10 */
+    const int32_t *sb_qindex;  /* per-SB qindex for delta-q syntax */
+    int delta_q_present, delta_q_res, base_qindex;
+    /* QM per plane x tx_size (NULL = flat) */
+    const uint8_t *qm[3][19];
+    const uint16_t *iqm[3][19];
+    /* transforms + scans per (tx_size, tx_type) */
+    const int64_t *fwdp[19][16];
+    const int64_t *invp[19][16];
+    const int16_t *scans[19][16];
+    const int8_t *nzoff[19];
+    /* feature flags */
+    int enable_filter_intra, allow_sct, enable_cfl;
+    /* CDF table base pointers (FrameContext numpy memory) */
+    uint16_t *cdf_partition;   /* (20,11) */
+    uint16_t *cdf_skip;        /* (3,3) */
+    uint16_t *cdf_kf_y;        /* (5,5,14) */
+    uint16_t *cdf_angle;       /* (8,8) */
+    uint16_t *cdf_uv;          /* (2,13,15) */
+    uint16_t *cdf_cfl_sign;    /* (9,) */
+    uint16_t *cdf_cfl_alpha;   /* (6,17) */
+    uint16_t *cdf_fi;          /* (22,3) */
+    uint16_t *cdf_fi_mode;     /* (6,) */
+    uint16_t *cdf_ext_tx;      /* (3,4,13,17) */
+    uint16_t *cdf_pal_y;       /* (7,3,3) */
+    uint16_t *cdf_pal_uv;      /* (2,3) */
+    uint16_t *cdf_delta_q;     /* (5,) */
+    uint16_t *cdf_txb_skip;    /* (5,13,3) */
+    uint16_t *cdf_eob[7];      /* eob_multi16..1024: (2,2,n+1) */
+    uint16_t *cdf_eob_extra;   /* (5,2,22,3) */
+    uint16_t *cdf_base_eob;    /* (5,2,4,4) */
+    uint16_t *cdf_base;        /* (5,2,42,5) */
+    uint16_t *cdf_br;          /* (5,2,21,5) */
+    uint16_t *cdf_dc_sign;     /* (2,3,3) */
+    /* loop-restoration unit syntax, precomputed per SB as op triples
+       (kind, a, b): 0 = adaptive symbol a on cdf_wiener (nsyms 2),
+       1 = bool(a, prob b), 2 = literal(a, b bits) */
+    const int32_t *lr_ops;
+    const int32_t *lr_start;   /* per SB: op index range [i, i+1) */
+    int lr_sb_cols;
+    uint16_t *cdf_wiener;      /* (3,) wiener_restore */
+    /* walk state */
+    int prev_qindex, sb_qindex_cur, sb_delta_pending;
+} Walk;
+
+static int bsize_of(int W, int H) {
+    for (int b = 0; b < 22; b++)
+        if (BW[b] == W && BH[b] == H) return b;
+    return -1;
+}
+
+/* ------------------------------------------------------------- neighbors */
+static int have_above_right(const Walk *w, int plane, int xu, int yu, int wu) {
+    int ss = plane ? 1 : 0;
+    int tile_right_u = w->tile_c1 >> ss;
+    int pwu = w->pw[plane] >> 2;
+    if (xu + wu >= (tile_right_u < pwu ? tile_right_u : pwu)) return 0;
+    int sb_u = 64 >> (2 + ss);
+    if (yu % sb_u == 0) return 1;
+    return w->decoded[plane][(yu - 1) * w->dec_stride[plane] + xu + wu];
+}
+
+static int have_below_left(const Walk *w, int plane, int xu, int yu, int hu) {
+    int ss = plane ? 1 : 0;
+    int tile_bottom_u = w->tile_r1 >> ss;
+    int phu = w->ph[plane] >> 2;
+    if (yu + hu >= (tile_bottom_u < phu ? tile_bottom_u : phu)) return 0;
+    int sb_u = 64 >> (2 + ss);
+    if (xu % sb_u == 0) {
+        int sb_bottom_u = (yu / sb_u + 1) * sb_u;
+        return yu + hu < sb_bottom_u;
+    }
+    return w->decoded[plane][(yu + hu) * w->dec_stride[plane] + xu - 1];
+}
+
+/* above_buf/left_buf: 1+W+H entries with corner at [0] */
+static void gather_neighbors(const Walk *w, int plane, int x0, int y0,
+                             int W, int H, int32_t *above_buf,
+                             int32_t *left_buf, int *p_have_a, int *p_have_l) {
+    int ss = plane ? 1 : 0;
+    const uint16_t *rec = w->recon[plane];
+    int rs = w->rec_stride[plane];
+    int have_a = y0 > ((w->tile_r0 * 4) >> ss);
+    int have_l = x0 > ((w->tile_c0 * 4) >> ss);
+    int base = 1 << (w->bd - 1);
+    int maxx = w->pw[plane] - 1, maxy = w->ph[plane] - 1;
+    int n = W + H;
+    int32_t *above = above_buf + 1, *left = left_buf + 1;
+    if (have_a) {
+        int ar = have_above_right(w, plane, x0 >> 2, y0 >> 2, W >> 2);
+        int span = ar ? n : W;
+        for (int i = 0; i < span; i++) {
+            int c = x0 + i; if (c > maxx) c = maxx;
+            above[i] = rec[(y0 - 1) * rs + c];
+        }
+        if (!ar) for (int i = W; i < n; i++) above[i] = above[W - 1];
+    }
+    if (have_l) {
+        int bl = have_below_left(w, plane, x0 >> 2, y0 >> 2, H >> 2);
+        int span = bl ? n : H;
+        for (int i = 0; i < span; i++) {
+            int r = y0 + i; if (r > maxy) r = maxy;
+            left[i] = rec[r * rs + x0 - 1];
+        }
+        if (!bl) for (int i = H; i < n; i++) left[i] = left[H - 1];
+    }
+    if (!have_a) { int32_t v = have_l ? left[0] : base - 1; for (int i = 0; i < n; i++) above[i] = v; }
+    if (!have_l) { int32_t v = have_a ? above[0] : base + 1; for (int i = 0; i < n; i++) left[i] = v; }
+    int32_t corner;
+    if (have_a && have_l) corner = rec[(y0 - 1) * rs + x0 - 1];
+    else if (have_a) corner = above[0];
+    else if (have_l) corner = left[0];
+    else corner = base;
+    above_buf[0] = corner;
+    left_buf[0] = corner;
+    *p_have_a = have_a; *p_have_l = have_l;
+}
+
+static void predict_mode(const Walk *w, int mode, const int32_t *above_buf,
+                         const int32_t *left_buf, int have_a, int have_l,
+                         int W, int H, uint16_t *out) {
+    if (mode >= 1 && mode <= 8) {
+        int angle = MODE_ANGLE[mode];
+        if (angle == 90) {
+            for (int r = 0; r < H; r++)
+                for (int c = 0; c < W; c++) out[r * W + c] = (uint16_t)above_buf[1 + c];
+            return;
+        }
+        if (angle == 180) {
+            for (int r = 0; r < H; r++)
+                for (int c = 0; c < W; c++) out[r * W + c] = (uint16_t)left_buf[1 + r];
+            return;
+        }
+        int dx = 1, dy = 1;
+        if (angle > 0 && angle < 90) dx = dr_deriv(angle);
+        else if (angle > 90 && angle < 180) dx = dr_deriv(180 - angle);
+        if (angle > 90 && angle < 180) dy = dr_deriv(angle - 90);
+        else if (angle > 180 && angle < 270) dy = dr_deriv(270 - angle);
+        int zone = angle < 90 ? 1 : (angle < 180 ? 2 : 3);
+        intra_dr_pred(above_buf, left_buf, W, H, dx, dy, zone, w->bd, out);
+        return;
+    }
+    /* map PredictionMode -> intra_pred_block native index */
+    int nm;
+    switch (mode) {
+        case 0: nm = 0; break;      /* DC */
+        case 9: nm = 3; break;      /* SMOOTH */
+        case 10: nm = 4; break;     /* SMOOTH_V */
+        case 11: nm = 5; break;     /* SMOOTH_H */
+        default: nm = 6; break;     /* PAETH (12) */
+    }
+    intra_pred_block(nm, above_buf + 1, left_buf + 1, above_buf[0],
+                     have_a, have_l, W, H, w->bd, out);
+}
+
+/* ------------------------------------------------------------ decisions */
+static int dec_split(const Walk *w, int mi_row, int mi_col, int size) {
+    int li = 0;
+    while ((8 << li) < size) li++;
+    const uint8_t *p = w->parts[li];
+    if (!p) return size > w->max_leaf;
+    int r = (mi_row * 4) / size, c = (mi_col * 4) / size;
+    return p[r * w->parts_cols[li] + c];
+}
+
+static int dec_mode(const Walk *w, int mi_row, int mi_col, int W, int H) {
+    int s = W < H ? W : H;
+    int li;
+    for (;;) {
+        li = 0; while ((8 << li) < s) li++;
+        if (s <= 8 || w->modes[li]) break;
+        s >>= 1;
+    }
+    const int32_t *m = w->modes[li];
+    if (!m) return 0;
+    int cols = w->modes_cols[li];
+    int r = (mi_row * 4) / s, c = (mi_col * 4) / s;
+    /* clip like the python (min against grid dims is implicit: grids cover
+       the padded frame, so only exact indexing happens in-walk) */
+    return m[r * cols + c];
+}
+
+static int dec_tx(const Walk *w, int mi_row, int mi_col, int W, int H) {
+    if (W != H || W > 16) return 0;
+    int li = 0; while ((8 << li) < W) li++;
+    const int32_t *t = w->txs[li];
+    if (!t) return 0;
+    return t[(mi_row * 4) / W * w->txs_cols[li] + (mi_col * 4) / W];
+}
+
+/* ------------------------------------------------------------ syntax bits */
+static void write_partition(Walk *w, int mi_row, int mi_col, int bsize,
+                            int part, int has_rows, int has_cols) {
+    if (!has_rows && !has_cols) return;
+    int wpx = BW[bsize];
+    int bsl = wpx == 8 ? 0 : wpx == 16 ? 1 : wpx == 32 ? 2 : wpx == 64 ? 3 : 4;
+    int above = (w->part_above[mi_col] >> bsl) & 1;
+    int left = (w->part_left[mi_row] >> bsl) & 1;
+    int ctx = (left * 2 + above) + bsl * 4;
+    int nsyms = bsize == 3 ? 4 : (bsize == 15 ? 8 : 10);
+    uint16_t *row = w->cdf_partition + ctx * 11;
+    if (has_rows && has_cols) {
+        ec_symbol(w->enc, part, row, nsyms, w->adapt);
+        return;
+    }
+    /* gather split-alike cdf (2 syms, not adapted); symbol sets mirror
+       _gather_vert_alike/_gather_horz_alike (PartitionType enum values) */
+    int p = 32768;
+#define PROB(ic, k) (((k) == 0 ? 32768 : (ic)[(k) - 1]) - (ic)[k])
+    if (has_cols) { /* vert alike: VERT,SPLIT,HORZ_A,VERT_A,VERT_B + VERT_4 */
+        const int syms[6] = {2, 3, 4, 6, 7, 9};
+        for (int i = 0; i < 6; i++) p -= PROB(row, syms[i]);
+    } else {       /* horz alike: HORZ,SPLIT,HORZ_A,HORZ_B,VERT_A + HORZ_4 */
+        const int syms[6] = {1, 3, 4, 5, 6, 8};
+        for (int i = 0; i < 6; i++) p -= PROB(row, syms[i]);
+    }
+#undef PROB
+    uint16_t cdf2[3] = {(uint16_t)(32768 - p), 0, 0};
+    ec_symbol_noadapt(w->enc, part == PART_SPLIT, cdf2, 2);
+}
+
+static void write_delta_q(Walk *w) {
+    int reduced = (w->sb_qindex_cur - w->prev_qindex) / w->delta_q_res;
+    w->prev_qindex = w->sb_qindex_cur;
+    w->sb_delta_pending = 0;
+    int sign = reduced < 0;
+    int a = sign ? -reduced : reduced;
+    ec_symbol(w->enc, a < 3 ? a : 3, w->cdf_delta_q, 4, w->adapt);
+    if (a >= 3) {
+        int rem_bits = 0, t = a - 1;
+        while (t > 1) { t >>= 1; rem_bits++; }
+        int thr = (1 << rem_bits) + 1;
+        ec_literal(w->enc, rem_bits - 1, 3);
+        ec_literal(w->enc, a - thr, rem_bits);
+    }
+    if (a > 0) ec_bool(w->enc, sign, 16384);
+}
+
+static void write_tx_type(Walk *w, int tx_size, int eff_mode, int tx_type) {
+    int eset = SQR_UP[tx_size] >= 3 ? 0 : (SQR[tx_size] == 2 ? 2 : 1);
+    if (eset == 0 || w->qindex == 0) return;
+    int sqr = SQR[tx_size];
+    int sym = eset == 1 ? EXT_IND_1[tx_type] : EXT_IND_2[tx_type];
+    uint16_t *row = w->cdf_ext_tx + ((eset * 4 + sqr) * 13 + eff_mode) * 17;
+    ec_symbol(w->enc, sym, row, eset == 1 ? 7 : 5, w->adapt);
+}
+
+/* quant params lookup: row = sb_qtab_idx[sb], plane-major 10 values */
+static const int32_t *qp_row(const Walk *w, int sb_r, int sb_c, int plane) {
+    int idx = w->sb_qtab_idx ? w->sb_qtab_idx[sb_r * w->sbq_cols + sb_c] : 0;
+    return w->qp_tab + (idx * w->nplanes + plane) * 10;
+}
+
+/* ------------------------------------------------------------ block encode */
+typedef struct {
+    int plane, px, py, pw, ph, tx_size, tx_type, eob;
+    uint16_t pred[64 * 64];
+    int32_t qc[32 * 32], dqc[32 * 32];
+} PlaneRes;
+
+static void run_plane(Walk *w, PlaneRes *r, int sb_r, int sb_c) {
+    int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
+    int32_t resid[64 * 64];
+    const uint16_t *src = w->src[r->plane];
+    int ss = w->src_stride[r->plane];
+    for (int y = 0; y < r->ph; y++)
+        for (int x = 0; x < r->pw; x++)
+            resid[y * r->pw + x] = (int32_t)src[(r->py + y) * ss + r->px + x]
+                                   - (int32_t)r->pred[y * r->pw + x];
+    int32_t coeff[64 * 64];
+    txfm2d_fwd_p(w->fwdp[r->tx_size][r->tx_type], resid, 1, coeff);
+    /* clipped coeff area (TX_64 codes the low 32x32) */
+    int64_t flat[32 * 32];
+    for (int y = 0; y < ch; y++)
+        for (int x = 0; x < cw; x++)
+            flat[y * cw + x] = coeff[y * r->pw + x];
+    const int32_t *qp = qp_row(w, sb_r, sb_c, r->plane);
+    static const uint8_t TX_SCALE[19] = {0,0,0,1,2,0,0,0,0,1,1,2,2,0,0,0,0,1,1};
+    int log_scale = TX_SCALE[r->tx_size];
+    const uint8_t *qm = r->tx_type >= 9 ? 0 : w->qm[r->plane][r->tx_size];
+    const uint16_t *iqm = r->tx_type >= 9 ? 0 : w->iqm[r->plane][r->tx_size];
+    r->eob = quantize_txb(flat, cw * ch, w->scans[r->tx_size][r->tx_type],
+                          qp[0], qp[1], qp[2], qp[3], qp[4], qp[5], qp[6],
+                          qp[7], qp[8], qp[9], log_scale, qm, iqm,
+                          r->qc, r->dqc);
+}
+
+static void recon_plane_res(Walk *w, const PlaneRes *r, int skip) {
+    int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
+    int32_t full[64 * 64];
+    memset(full, 0, sizeof(int32_t) * r->pw * r->ph);
+    if (!skip)
+        for (int y = 0; y < ch; y++)
+            for (int x = 0; x < cw; x++)
+                full[y * r->pw + x] = r->dqc[y * cw + x];
+    uint16_t rec[64 * 64];
+    txfm2d_inv_add_p(w->invp[r->tx_size][r->tx_type], full, r->pred, 1, rec);
+    uint16_t *dst = w->recon[r->plane];
+    int rs = w->rec_stride[r->plane];
+    int wr = r->pw, hr = r->ph;
+    if (r->px + wr > w->pw[r->plane]) wr = w->pw[r->plane] - r->px;
+    if (r->py + hr > w->ph[r->plane]) hr = w->ph[r->plane] - r->py;
+    for (int y = 0; y < hr; y++)
+        memcpy(dst + (r->py + y) * rs + r->px, rec + y * r->pw,
+               sizeof(uint16_t) * wr);
+    /* decoded bitmap + dlf maps */
+    int ds = w->dec_stride[r->plane];
+    int yu0 = r->py >> 2, yu1 = (r->py + hr) >> 2;
+    int xu0 = r->px >> 2, xu1 = (r->px + wr) >> 2;
+    for (int y = yu0; y < yu1; y++)
+        for (int x = xu0; x < xu1; x++)
+            w->decoded[r->plane][y * ds + x] = 1;
+    int ls = w->dlf_stride[r->plane];
+    int txw = TXW[r->tx_size] < 255 ? TXW[r->tx_size] : 255;
+    int txh = TXH[r->tx_size] < 255 ? TXH[r->tx_size] : 255;
+    for (int y = yu0; y < yu1; y++)
+        for (int x = xu0; x < xu1; x++) {
+            w->dlf_txw[r->plane][y * ls + x] = (uint8_t)txw;
+            w->dlf_txh[r->plane][y * ls + x] = (uint8_t)txh;
+            w->dlf_skip[r->plane][y * ls + x] = (uint8_t)skip;
+        }
+    for (int y = yu0; y < yu1; y++) w->dlf_bv[r->plane][y * ls + xu0] = 1;
+    for (int x = xu0; x < xu1; x++) w->dlf_bh[r->plane][yu0 * ls + x] = 1;
+}
+
+/* CFL: AC contributions + alpha search (intra_encoder._cfl_ac/_cfl_search) */
+static void cfl_ac(const uint16_t *luma, int lstride, int cw, int ch,
+                   int32_t *ac) {
+    int64_t sum = 0;
+    for (int y = 0; y < ch; y++)
+        for (int x = 0; x < cw; x++) {
+            int32_t v = (luma[(2 * y) * lstride + 2 * x]
+                         + luma[(2 * y) * lstride + 2 * x + 1]
+                         + luma[(2 * y + 1) * lstride + 2 * x]
+                         + luma[(2 * y + 1) * lstride + 2 * x + 1]) << 1;
+            ac[y * cw + x] = v;
+            sum += v;
+        }
+    int npel_log2 = 0;
+    while ((1 << (npel_log2 + 1)) <= cw * ch) npel_log2++;
+    int32_t avg = (int32_t)((sum + (1 << (npel_log2 - 1))) >> npel_log2);
+    for (int i = 0; i < cw * ch; i++) ac[i] -= avg;
+}
+
+static int64_t cfl_sse_for_alpha(const Walk *w, int plane, int alpha,
+                                 const int32_t *ac, const uint16_t *dc,
+                                 int cx, int cy, int cw, int ch,
+                                 uint16_t *pred_out) {
+    const uint16_t *src = w->src[plane];
+    int ss = w->src_stride[plane];
+    int peak = (1 << w->bd) - 1;
+    int64_t sse = 0;
+    for (int y = 0; y < ch; y++)
+        for (int x = 0; x < cw; x++) {
+            int64_t scaled = (int64_t)alpha * ac[y * cw + x];
+            int32_t d = scaled < 0 ? -(int32_t)((-scaled + 32) >> 6)
+                                   : (int32_t)((scaled + 32) >> 6);
+            int32_t v = (int32_t)dc[y * cw + x] + d;
+            if (v < 0) v = 0; if (v > peak) v = peak;
+            if (pred_out) pred_out[y * cw + x] = (uint16_t)v;
+            int32_t e = v - (int32_t)src[(cy + y) * ss + cx + x];
+            sse += (int64_t)e * e;
+        }
+    return sse;
+}
+
+/* ------------------------------------------------------------- the block */
+static void encode_block(Walk *w, int mi_row, int mi_col, int bsize,
+                         int sb_r, int sb_c) {
+    int W = BW[bsize], H = BH[bsize];
+    int x0 = mi_col * 4, y0 = mi_row * 4;
+    int bw4 = W >> 2, bh4 = H >> 2;
+
+    int y_mode = dec_mode(w, mi_row, mi_col, W, H);
+    int tx_type_y = dec_tx(w, mi_row, mi_col, W, H);
+
+    int32_t above_buf[1 + 128 + 128], left_buf[1 + 128 + 128];
+    int have_a, have_l;
+    gather_neighbors(w, 0, x0, y0, W, H, above_buf, left_buf, &have_a, &have_l);
+
+    PlaneRes res[3];
+    int nres = 1;
+    PlaneRes *ry = &res[0];
+    ry->plane = 0; ry->px = x0; ry->py = y0; ry->pw = W; ry->ph = H;
+    ry->tx_size = MAX_TX[bsize]; ry->tx_type = tx_type_y;
+    predict_mode(w, y_mode, above_buf, left_buf, have_a, have_l, W, H, ry->pred);
+    run_plane(w, ry, sb_r, sb_c);
+
+    int uv_mode = 0;             /* UV_DC */
+    int cfl_alpha_u = 0, cfl_alpha_v = 0;
+    int has_uv = w->nplanes > 1;
+    int cfl_allowed = W <= 32 && H <= 32;
+    if (has_uv) {
+        /* luma recon for CFL (decoder view: pred + inv(dq)) */
+        uint16_t luma_rec[64 * 64];
+        {
+            int cw = W < 32 ? W : 32, ch = H < 32 ? H : 32;
+            int32_t full[64 * 64];
+            memset(full, 0, sizeof(int32_t) * W * H);
+            for (int y = 0; y < ch; y++)
+                for (int x = 0; x < cw; x++)
+                    full[y * W + x] = ry->dqc[y * cw + x];
+            txfm2d_inv_add_p(w->invp[ry->tx_size][ry->tx_type], full, ry->pred,
+                             1, luma_rec);
+        }
+        int uv_w = W >> 1 > 4 ? W >> 1 : 4, uv_h = H >> 1 > 4 ? H >> 1 : 4;
+        int uv_bsize = bsize_of(uv_w, uv_h);
+        int tx_uv = MAX_TX[uv_bsize];
+        int cw = W >> 1, ch = H >> 1;
+        int cx = x0 >> 1, cy = y0 >> 1;
+        int in_frame = (x0 + W <= w->pw[0]) && (y0 + H <= w->ph[0]);
+        uint16_t dcp[2][32 * 32];
+        for (int pl = 1; pl <= 2; pl++) {
+            int32_t ab[1 + 64 + 64], lb[1 + 64 + 64];
+            int ha, hl;
+            gather_neighbors(w, pl, cx, cy, cw, ch, ab, lb, &ha, &hl);
+            predict_mode(w, 0, ab, lb, ha, hl, cw, ch, dcp[pl - 1]);
+        }
+        int use_cfl = 0;
+        uint16_t cflp[2][32 * 32];
+        if (cfl_allowed && in_frame && w->enable_cfl) {
+            int32_t ac[32 * 32];
+            cfl_ac(luma_rec, W, cw, ch, ac);
+            int64_t gain = 0;
+            int best_a[2] = {0, 0};
+            for (int pl = 0; pl < 2; pl++) {
+                int64_t best = -1; int bi = 0;
+                int64_t sse0 = 0;
+                for (int a = -16; a <= 16; a++) {
+                    int64_t s = cfl_sse_for_alpha(w, pl + 1, a, ac, dcp[pl],
+                                                  cx, cy, cw, ch, 0);
+                    if (a == 0) sse0 = s;
+                    if (best < 0 || s < best) { best = s; bi = a; }
+                }
+                best_a[pl] = bi;
+                gain += sse0 - best;
+            }
+            if (gain > 0 && (best_a[0] != 0 || best_a[1] != 0)) {
+                use_cfl = 1;
+                cfl_alpha_u = best_a[0]; cfl_alpha_v = best_a[1];
+                uv_mode = 13; /* UV_CFL_PRED */
+                cfl_sse_for_alpha(w, 1, best_a[0], ac, dcp[0], cx, cy, cw, ch, cflp[0]);
+                cfl_sse_for_alpha(w, 2, best_a[1], ac, dcp[1], cx, cy, cw, ch, cflp[1]);
+            }
+        }
+        for (int pl = 1; pl <= 2; pl++) {
+            PlaneRes *r = &res[nres++];
+            r->plane = pl; r->px = cx; r->py = cy; r->pw = cw; r->ph = ch;
+            r->tx_size = tx_uv; r->tx_type = 0;
+            memcpy(r->pred, use_cfl ? cflp[pl - 1] : dcp[pl - 1],
+                   sizeof(uint16_t) * cw * ch);
+            run_plane(w, r, sb_r, sb_c);
+        }
+    }
+
+    int skip = 1;
+    for (int i = 0; i < nres; i++) if (res[i].eob) skip = 0;
+
+    /* ---- syntax */
+    {   /* skip flag */
+        int above = mi_row > w->tile_r0 ? w->mi_skip[(mi_row - 1) * w->mi_cols + mi_col] : 0;
+        int left = mi_col > w->tile_c0 ? w->mi_skip[mi_row * w->mi_cols + mi_col - 1] : 0;
+        ec_symbol(w->enc, skip, w->cdf_skip + (above + left) * 3, 2, w->adapt);
+    }
+    if (w->sb_delta_pending && (mi_row & 15) == 0 && (mi_col & 15) == 0
+        && (bsize != 12 || !skip))
+        write_delta_q(w);
+    {   /* kf y mode + angle delta */
+        int am = mi_row > w->tile_r0 ? w->mi_mode[(mi_row - 1) * w->mi_cols + mi_col] : 0;
+        int lm = mi_col > w->tile_c0 ? w->mi_mode[mi_row * w->mi_cols + mi_col - 1] : 0;
+        int actx = mi_row > w->tile_r0 ? IMODE_CTX[am] : 0;
+        int lctx = mi_col > w->tile_c0 ? IMODE_CTX[lm] : 0;
+        ec_symbol(w->enc, y_mode, w->cdf_kf_y + (actx * 5 + lctx) * 14, 13, w->adapt);
+        if (bsize >= 3 && y_mode >= 1 && y_mode <= 8)
+            ec_symbol(w->enc, 3, w->cdf_angle + (y_mode - 1) * 8, 7, w->adapt);
+    }
+    if (has_uv) {
+        ec_symbol(w->enc, uv_mode,
+                  w->cdf_uv + (cfl_allowed * 13 + y_mode) * 15,
+                  cfl_allowed ? 14 : 13, w->adapt);
+        if (uv_mode == 13) { /* cfl alphas */
+            int su = cfl_alpha_u == 0 ? 0 : (cfl_alpha_u < 0 ? 1 : 2);
+            int sv = cfl_alpha_v == 0 ? 0 : (cfl_alpha_v < 0 ? 1 : 2);
+            int joint = su * 3 + sv - 1;
+            ec_symbol(w->enc, joint, w->cdf_cfl_sign, 8, w->adapt);
+            if (su != 0) {
+                int au = cfl_alpha_u < 0 ? -cfl_alpha_u : cfl_alpha_u;
+                ec_symbol(w->enc, au - 1, w->cdf_cfl_alpha + (joint - 2) * 17,
+                          16, w->adapt);
+            }
+            if (sv != 0) {
+                int av = cfl_alpha_v < 0 ? -cfl_alpha_v : cfl_alpha_v;
+                ec_symbol(w->enc, av - 1,
+                          w->cdf_cfl_alpha + (sv * 3 + su - 3) * 17, 16, w->adapt);
+            }
+        }
+    }
+    if (w->allow_sct && W <= 64 && H <= 64 && bsize >= 3) {
+        int npl2 = 0, t = W * H;
+        while (t > 1) { t >>= 1; npl2++; }
+        int bctx = npl2 - 6;
+        if (y_mode == 0)
+            ec_symbol(w->enc, 0, w->cdf_pal_y + (bctx * 3 + 0) * 3, 2, w->adapt);
+        if (has_uv && uv_mode == 0)
+            ec_symbol(w->enc, 0, w->cdf_pal_uv, 2, w->adapt);
+    }
+    if (w->enable_filter_intra && y_mode == 0 && W <= 32 && H <= 32)
+        ec_symbol(w->enc, 0, w->cdf_fi + bsize * 3, 2, w->adapt);
+
+    /* ---- coefficients + recon per plane */
+    for (int i = 0; i < nres; i++) {
+        PlaneRes *r = &res[i];
+        int xu = r->px >> 2, yu = r->py >> 2;
+        int wu = TXW[r->tx_size] >> 2, hu = TXH[r->tx_size] >> 2;
+        int maxwu = (w->pw[r->plane] - r->px) >> 2;
+        int maxhu = (w->ph[r->plane] - r->py) >> 2;
+        if (wu > maxwu) wu = maxwu;
+        if (hu > maxhu) hu = maxhu;
+        uint8_t *actx = w->above_ctx[r->plane];
+        uint8_t *lctx = w->left_ctx[r->plane];
+        int cul = 0;
+        if (!skip) {
+            int plane_type = r->plane > 0;
+            /* txb_skip_ctx: block matches tx -> 0 for luma; chroma base+7 */
+            int txb_skip_ctx = 0;
+            int signs = 0;
+            for (int k = 0; k < wu; k++) {
+                int s = actx[xu + k] >> COEFF_CTX_BITS;
+                signs += s == 1 ? -1 : (s == 2 ? 1 : 0);
+            }
+            for (int k = 0; k < hu; k++) {
+                int s = lctx[yu + k] >> COEFF_CTX_BITS;
+                signs += s == 1 ? -1 : (s == 2 ? 1 : 0);
+            }
+            int dc_sign_ctx = signs > 0 ? 2 : (signs < 0 ? 1 : 0);
+            if (plane_type) {
+                int any_a = 0, any_l = 0;
+                for (int k = 0; k < wu; k++) if (actx[xu + k]) any_a = 1;
+                for (int k = 0; k < hu; k++) if (lctx[yu + k]) any_l = 1;
+                txb_skip_ctx = any_a + any_l + 7;
+            }
+            int txs = TXS_CTX[r->tx_size];
+            ec_symbol(w->enc, r->eob == 0,
+                      w->cdf_txb_skip + (txs * 13 + txb_skip_ctx) * 3, 2,
+                      w->adapt);
+            if (r->eob) {
+                if (r->plane == 0) {
+                    int eff = y_mode;
+                    write_tx_type(w, r->tx_size, eff, r->tx_type);
+                }
+                int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
+                int lg = TXLOG2M4[r->tx_size];
+                cul = ec_write_coeffs_txb_full(
+                    w->enc, r->qc, cw, ch, r->eob,
+                    w->scans[r->tx_size][r->tx_type],
+                    TX_CLASS[r->tx_type], w->nzoff[r->tx_size], w->adapt,
+                    w->cdf_eob[lg] + (plane_type * 2
+                                      + (TX_CLASS[r->tx_type] != 0)) * (lg + 6),
+                    lg + 5,
+                    w->cdf_eob_extra + (txs * 2 + plane_type) * 22 * 3,
+                    w->cdf_base_eob + (txs * 2 + plane_type) * 4 * 4,
+                    w->cdf_base + (txs * 2 + plane_type) * 42 * 5,
+                    w->cdf_br + ((txs < 3 ? txs : 3) * 2 + plane_type) * 21 * 5,
+                    w->cdf_dc_sign + (plane_type * 3 + dc_sign_ctx) * 3);
+            }
+        }
+        for (int k = 0; k < wu; k++) actx[xu + k] = (uint8_t)cul;
+        for (int k = 0; k < hu; k++) lctx[yu + k] = (uint8_t)cul;
+        recon_plane_res(w, r, skip || r->eob == 0);
+    }
+
+    /* mi grids */
+    int r1 = mi_row + bh4 < w->mi_rows ? mi_row + bh4 : w->mi_rows;
+    int c1 = mi_col + bw4 < w->mi_cols ? mi_col + bw4 : w->mi_cols;
+    for (int r = mi_row; r < r1; r++)
+        for (int c = mi_col; c < c1; c++) {
+            w->mi_mode[r * w->mi_cols + c] = (int8_t)y_mode;
+            w->mi_skip[r * w->mi_cols + c] = (int8_t)skip;
+        }
+}
+
+/* ------------------------------------------------------------- the walk */
+static int subsize_of(int bsize, int part) {
+    int W = BW[bsize], H = BH[bsize];
+    if (part == PART_NONE) return bsize;
+    if (part == PART_SPLIT) return bsize_of(W / 2, H / 2);
+    if (part == PART_HORZ) return bsize_of(W, H / 2);
+    return bsize_of(W / 2, H);
+}
+
+static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c) {
+    if (mi_row >= w->mi_rows || mi_col >= w->mi_cols) return;
+    int bw4 = BW[bsize] >> 2;
+    int half = bw4 >> 1;
+    int has_rows = (mi_row + half) < w->mi_rows;
+    int has_cols = (mi_col + half) < w->mi_cols;
+    int part;
+    int W = BW[bsize];
+    if (has_rows && has_cols)
+        part = (W > 8 && dec_split(w, mi_row, mi_col, W)) ? PART_SPLIT : PART_NONE;
+    else if (has_cols) part = PART_HORZ;
+    else if (has_rows) part = PART_VERT;
+    else part = PART_SPLIT;
+
+    if (bsize >= 3)
+        write_partition(w, mi_row, mi_col, bsize, part, has_rows, has_cols);
+
+    int subsize = subsize_of(bsize, part);
+    if (part == PART_NONE) {
+        encode_block(w, mi_row, mi_col, bsize, sb_r, sb_c);
+    } else if (part == PART_HORZ) {
+        encode_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
+        if (mi_row + half < w->mi_rows)
+            encode_block(w, mi_row + half, mi_col, subsize, sb_r, sb_c);
+    } else if (part == PART_VERT) {
+        encode_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
+        if (mi_col + half < w->mi_cols)
+            encode_block(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
+    } else {
+        walk(w, mi_row, mi_col, subsize, sb_r, sb_c);
+        walk(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
+        walk(w, mi_row + half, mi_col, subsize, sb_r, sb_c);
+        walk(w, mi_row + half, mi_col + half, subsize, sb_r, sb_c);
+    }
+
+    if (part != PART_SPLIT) {
+        int c1 = mi_col + bw4 < w->mi_cols ? mi_col + bw4 : w->mi_cols;
+        int r1 = mi_row + bw4 < w->mi_rows ? mi_row + bw4 : w->mi_rows;
+        for (int c = mi_col; c < c1; c++) w->part_above[c] = PCTX_A[subsize];
+        for (int r = mi_row; r < r1; r++) w->part_left[r] = PCTX_L[subsize];
+    }
+}
+
+/* Entry: encode one tile's superblock range. The Walk struct is built by
+ * Python (ctypes mirror). Returns 0. */
+int walk_encode_tile(Walk *w) {
+    w->prev_qindex = w->base_qindex;
+    for (int mi_row = w->tile_r0; mi_row < w->tile_r1; mi_row += 16) {
+        for (int mi_col = w->tile_c0; mi_col < w->tile_c1; mi_col += 16) {
+            int sb_r = mi_row >> 4, sb_c = mi_col >> 4;
+            if (w->delta_q_present) {
+                w->sb_qindex_cur = w->sb_qindex[sb_r * w->sbq_cols + sb_c];
+                w->sb_delta_pending = 1;
+            }
+            if (w->lr_ops) { /* LR unit info coded before the SB's partition */
+                int sbi = sb_r * w->lr_sb_cols + sb_c;
+                for (int i = w->lr_start[sbi]; i < w->lr_start[sbi + 1]; i++) {
+                    const int32_t *op = w->lr_ops + 3 * i;
+                    if (op[0] == 0)
+                        ec_symbol(w->enc, op[1], w->cdf_wiener, 2, w->adapt);
+                    else if (op[0] == 1)
+                        ec_bool(w->enc, op[1], (unsigned)op[2]);
+                    else
+                        ec_literal(w->enc, (uint32_t)op[1], op[2]);
+                }
+            }
+            walk(w, mi_row, mi_col, 12 /* BLOCK_64X64 */, sb_r, sb_c);
+        }
+    }
+    return 0;
+}

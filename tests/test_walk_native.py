@@ -1,0 +1,106 @@
+"""Native tile walk vs Python walk: byte-identical tiles + identical state.
+
+The C driver (native/walk_native.c) must reproduce the Python walk exactly:
+same tile payload bytes, same recon, same CDF adaptation state. Matrix over
+the features it supports (partitions, TX types, CFL, QM, delta-q, tiles,
+odd dims, screen-content flags, 10-bit)."""
+
+import numpy as np
+import pytest
+
+from svt_av1_psy_tpu.codec import walk_native
+from svt_av1_psy_tpu.codec.intra_encoder import IntraFrameEncoder
+from svt_av1_psy_tpu.codec.intra_rdo import search_intra_decisions
+
+pytestmark = pytest.mark.skipif(not walk_native.available(),
+                                reason="native walk unavailable")
+
+
+def _content(rng, W, H, bd=8):
+    peak = (1 << bd) - 1
+    y = (np.cumsum(rng.normal(0, 5 * (peak / 255), (H, W)), axis=1)
+         + peak / 2).clip(0, peak).astype(np.uint16)
+    y[: H // 4, : W // 4] = peak // 6
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    u = (np.cumsum(rng.normal(0, 3, (ch, cw)), axis=0) + peak / 2).clip(0, peak).astype(np.uint16)
+    v = np.full((ch, cw), peak // 2 + 7, np.uint16)
+    return y, u, v
+
+
+def _pad64(y, W, H):
+    ph, pw = -(-H // 64) * 64, -(-W // 64) * 64
+    p = np.zeros((ph, pw), np.uint16)
+    p[:H, :W] = y
+    p[:H, W:] = p[:H, W - 1: W]
+    p[H:, :] = p[H - 1: H, :]
+    return p
+
+
+def _encode_both(W, H, q, seed, mono=False, bd=8, qm_levels=None,
+                 sb_qindex_map=None, tiles=(0, 0), allow_sct=False,
+                 depths=(8, 16, 32), tx_depths=(8, 16)):
+    rng = np.random.default_rng(seed)
+    y, u, v = _content(rng, W, H, bd)
+    dec = search_intra_decisions(_pad64(y, W, H), q, bd,
+                                 sb_qindex_map=sb_qindex_map,
+                                 qm_levels=qm_levels, depths=depths,
+                                 tx_search_depths=tx_depths)
+    outs = []
+    for force_python in (False, True):
+        enc = IntraFrameEncoder(W, H, q, bd=bd, monochrome=mono,
+                                decisions=dec, qm_levels=qm_levels,
+                                sb_qindex_map=sb_qindex_map,
+                                allow_sct=allow_sct, enable_filter_intra=True,
+                                filter_intra_search=False)
+        if force_python:
+            enc.seg_params = None
+            orig = walk_native.eligible
+            walk_native.eligible = lambda e: False
+        try:
+            tiles_out = enc.encode_tiles(y, None if mono else u,
+                                         None if mono else v, *tiles)
+        finally:
+            if force_python:
+                walk_native.eligible = orig
+        outs.append((tiles_out, [ps.recon.copy() for ps in enc.planes], enc))
+    return outs
+
+
+@pytest.mark.parametrize("kw", [
+    dict(W=128, H=128, q=100, seed=1),
+    dict(W=192, H=128, q=60, seed=2, qm_levels=(8, 10, 10)),
+    dict(W=100, H=76, q=120, seed=3),                 # edge partitions
+    dict(W=128, H=128, q=200, seed=4, mono=True),     # high q / skips
+    dict(W=128, H=128, q=80, seed=5, allow_sct=True),
+    dict(W=192, H=192, q=90, seed=6, tiles=(1, 1)),   # 4 tiles
+    dict(W=128, H=128, q=140, seed=7, bd=10),
+    dict(W=128, H=64, q=150, seed=8, depths=(16, 32, 64), tx_depths=(16,)),
+])
+def test_native_walk_matches_python(kw):
+    sbmap = None
+    if kw.pop("delta_q", False):
+        H, W = kw["H"], kw["W"]
+        rng = np.random.default_rng(99)
+        sbmap = kw["q"] + 4 * rng.integers(-3, 4, (-(-H // 64), -(-W // 64)))
+        sbmap = np.clip(sbmap, 1, 255).astype(np.int32)
+    (t_c, rec_c, enc_c), (t_p, rec_p, enc_p) = _encode_both(
+        sb_qindex_map=sbmap, **kw)
+    assert len(t_c) == len(t_p)
+    for i, (a, b) in enumerate(zip(t_c, t_p)):
+        assert a == b, f"tile {i} differs: {len(a)} vs {len(b)} bytes"
+    for a, b in zip(rec_c, rec_p):
+        assert np.array_equal(a, b), "recon differs"
+    assert np.array_equal(enc_c.mi_mode, enc_p.mi_mode)
+    assert np.array_equal(enc_c.mi_skip, enc_p.mi_skip)
+
+
+def test_native_walk_delta_q():
+    W = H = 128
+    rng = np.random.default_rng(99)
+    sbmap = 100 + 4 * rng.integers(-3, 4, (2, 2))
+    sbmap = np.clip(sbmap, 1, 255).astype(np.int32)
+    (t_c, rec_c, _), (t_p, rec_p, _) = _encode_both(
+        W, H, 100, 10, sb_qindex_map=sbmap)
+    assert t_c == t_p
+    for a, b in zip(rec_c, rec_p):
+        assert np.array_equal(a, b)
