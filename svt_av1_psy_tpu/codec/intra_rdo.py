@@ -14,6 +14,7 @@ IntraDecisions: partition map + per-block (y mode, tx type).
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -139,8 +140,36 @@ def _qsteps_for_blocks(rows, cols, S, qindex, sb_qindex_map, chroma_delta,
         (ac[qmap].reshape(-1) / g).astype(np.float32)
 
 
+@_functools.lru_cache(maxsize=64)
+def _cached_tables(S: int, qctx_bucket: int, tx_search_depths, qm_levels):
+    tb, n_tx = _build_tables(S, {0: 10, 1: 40, 2: 90, 3: 160}[qctx_bucket],
+                             tx_search_depths, qm_levels)
+    return tb, n_tx
+
+
+@_functools.lru_cache(maxsize=64)
+def _device_tables(S: int, qctx_bucket: int, tx_search_depths, qm_levels):
+    """Device-resident copies of the per-depth search tables (uploaded once;
+    each host->device transfer costs ~5 ms over the tunneled chip)."""
+    import jax.numpy as jnp
+
+    tb, n_tx = _cached_tables(S, qctx_bucket, tx_search_depths, qm_levels)
+    dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+           for k, v in tb.items()}
+    return dev, n_tx
+
+
 def search_tables_for_depth(S: int, qindex: int, tx_search_depths=(8, 16),
                             qm_levels=None):
+    from ..bitstream.frame_context import _coeff_qctx
+
+    return _cached_tables(S, _coeff_qctx(int(qindex)),
+                          tuple(tx_search_depths),
+                          tuple(qm_levels) if qm_levels is not None else None)
+
+
+def _build_tables(S: int, qindex: int, tx_search_depths=(8, 16),
+                  qm_levels=None):
     """All replicated table arrays one depth's search consumes, as a dict
     (the contract shared by search_intra_decisions and the multi-chip
     sharded_frame_step). Returns (tables, n_tx)."""
@@ -187,6 +216,8 @@ def search_tables_for_depth(S: int, qindex: int, tx_search_depths=(8, 16),
         ths = np.stack([tx_pair(TxType.DCT_DCT, S)[1]])
         scans_tx = scan2d[None]
         ext_bits = np.zeros(1, np.float32)
+    from ..ops.intra_search import mode_matrix_bank
+
     tables = {"G": mode_matrix_bank(S), "scan2d": scan2d, "scans_tx": scans_tx,
               "tvs": tvs, "ths": ths, "level_bits": ct["level_bits"],
               "eob_bits": eob_bits, "txb_skip": ct["txb_skip"],
@@ -223,6 +254,10 @@ def search_intra_decisions(
 
     dec = IntraDecisions(max_leaf=max(depths), min_leaf=min(depths))
     cost = {}
+    # ---- host prep for every depth, then ONE fused device dispatch (each
+    # launch pays a full host<->device round trip; fusing all depths into a
+    # single jit cuts that to one per frame)
+    payloads = []
     for S in depths:
         rows, cols = ph // S, pw // S
         if rows == 0 or cols == 0:
@@ -235,63 +270,85 @@ def search_intra_decisions(
                                       0, bd)
         tb, n_tx = search_tables_for_depth(S, qindex, tx_search_depths,
                                            qm_levels)
-        tx_set = tb["tx_set"]
-        scan2d, scans_tx, tvs, ths = (tb["scan2d"], tb["scans_tx"],
-                                      tb["tvs"], tb["ths"])
-        ct = {"level_bits": tb["level_bits"], "txb_skip": tb["txb_skip"]}
-        eob_bits, ext_bits, qm_w = tb["eob_bits"], tb["ext_tx_bits"], tb["qm_w"]
-        y_mode_bits = tb["y_mode_bits"]
+        payloads.append(dict(S=S, rows=rows, cols=cols, N=N, blocks=blocks,
+                             refs=refs, qdc=qdc, qac=qac, tb=tb, n_tx=n_tx))
 
-        # dispatch: XLA for real frame sizes (N bucketed so resolutions share
-        # compiles), numpy for tiny frames where compile time dominates
-        use_device = ((N >= 256 and backend != "numpy")
-                      or backend == "device_all")
-        if use_device:
-            from ..ops.intra_search import search_block_batch
-            from ..parallel import get_encode_mesh, shard_blocks
+    min_n = min(p["N"] for p in payloads)
+    use_device = ((min_n >= 256 and backend != "numpy")
+                  or backend == "device_all")
+    if use_device:
+        from ..bitstream.frame_context import _coeff_qctx
+        from ..ops.intra_search import (mode_matrix_bank as _mmb,
+                                        search_multi_depth,
+                                        search_multi_depth_flat,
+                                        unpack_multi_depth)
+        from ..parallel import get_encode_mesh, shard_blocks
+        from ..profiling import stage as _stage
 
+        mesh = get_encode_mesh()
+        bucket = _coeff_qctx(int(qindex))
+        tx_key = tuple(tx_search_depths)
+        qm_key = tuple(qm_levels) if qm_levels is not None else None
+        args = []
+        cfgs = []
+        flats = []
+        ns = []
+        for p in payloads:
+            N, S = p["N"], p["S"]
             npad = max(256, 1 << int(np.ceil(np.log2(N))))
-            mesh = get_encode_mesh()
             if mesh is not None:
                 npad = -(-npad // mesh.devices.size) * mesh.devices.size
+            blocks, refs, qdc, qac = p["blocks"], p["refs"], p["qdc"], p["qac"]
             if npad > N:
                 pad = npad - N
                 blocks = np.concatenate([blocks, np.zeros((pad, S, S), np.float32)])
                 refs = np.concatenate([refs, np.zeros((pad, refs.shape[1]), np.float32)])
                 qdc = np.concatenate([qdc, np.ones(pad, np.float32)])
                 qac = np.concatenate([qac, np.ones(pad, np.float32)])
+            ns.append(npad)
+            dtb, n_tx = _device_tables(S, bucket, tx_key, qm_key)
+            cfgs.append((S, n_tx, npad, refs.shape[1]))
             if mesh is not None:
                 # shard the block axis over every chip: blocks are
-                # independent, so the decisions (and therefore the
-                # bitstream) are identical for any mesh size
+                # independent, so decisions (and the bitstream) are
+                # identical for any mesh size
                 blocks, refs, qdc, qac = shard_blocks(mesh, blocks, refs,
                                                       qdc, qac)
+                args.append((blocks, refs, qdc, qac, dtb))
             else:
-                blocks, refs, qdc, qac = (jnp.asarray(a) for a in
-                                          (blocks, refs, qdc, qac))
-            from ..profiling import stage as _stage
+                flats += [blocks.ravel(), refs.ravel(), qdc, qac]
+                args.append(dtb)
+        with _stage("device:intra_search"):
+            if mesh is not None:
+                packed = search_multi_depth(tuple(args), lam,
+                                            cfgs=tuple(c[:2] for c in cfgs))
+            else:
+                # one upload: every per-frame input in a single f32 vector
+                flat = np.concatenate(flats)
+                packed = search_multi_depth_flat(jnp.asarray(flat), lam,
+                                                 tuple(args), cfgs=tuple(cfgs))
+            outs = unpack_multi_depth(np.asarray(packed), ns)
+    else:
+        from ..ops.intra_search import search_block_batch_np
 
-            with _stage(f"device:intra_search_s{S}"):
-                bm, bt, bc, _ = search_block_batch(
-                    blocks, refs, qdc, qac, lam, jnp.asarray(mode_matrix_bank(S)),
-                    jnp.asarray(scan2d), jnp.asarray(scans_tx), jnp.asarray(tvs),
-                    jnp.asarray(ths), jnp.asarray(ct["level_bits"]),
-                    jnp.asarray(eob_bits), jnp.asarray(ct["txb_skip"]),
-                    jnp.asarray(y_mode_bits), jnp.asarray(ext_bits),
-                    jnp.asarray(qm_w), S=S, n_tx=n_tx)
-                bm, bt, bc = (np.asarray(a)[:N] for a in (bm, bt, bc))
-        else:
-            from ..ops.intra_search import search_block_batch_np
-
+        outs = []
+        for p in payloads:
+            tb = p["tb"]
             bm, bt, bc, _ = search_block_batch_np(
-                blocks, refs, qdc, qac, float(lam), mode_matrix_bank(S),
-                scan2d, scans_tx, tvs, ths, ct["level_bits"], eob_bits,
-                ct["txb_skip"], y_mode_bits, ext_bits, qm_w, S=S, n_tx=n_tx)
-        bm = np.asarray(bm).reshape(rows, cols)
-        bt = np.asarray(bt).reshape(rows, cols)
-        cost[S] = np.asarray(bc).reshape(rows, cols).astype(np.float64)
+                p["blocks"], p["refs"], p["qdc"], p["qac"], float(lam),
+                mode_matrix_bank(p["S"]), tb["scan2d"], tb["scans_tx"],
+                tb["tvs"], tb["ths"], tb["level_bits"], tb["eob_bits"],
+                tb["txb_skip"], tb["y_mode_bits"], tb["ext_tx_bits"],
+                tb["qm_w"], S=p["S"], n_tx=p["n_tx"])
+            outs.append((bm, bt, bc))
+
+    for p, (bm, bt, bc) in zip(payloads, outs):
+        S, N, rows, cols = p["S"], p["N"], p["rows"], p["cols"]
+        bm = np.asarray(bm)[:N].reshape(rows, cols)
+        bt = np.asarray(bt)[:N].reshape(rows, cols)
+        cost[S] = np.asarray(bc)[:N].reshape(rows, cols).astype(np.float64)
         mode_lut = np.array([int(m) for m in _ALL_MODES_ORDER], np.int32)
-        tx_lut = np.array([int(tt) for tt in tx_set], np.int32)
+        tx_lut = np.array([int(tt) for tt in p["tb"]["tx_set"]], np.int32)
         dec.modes[S] = mode_lut[bm]
         dec.tx_types[S] = tx_lut[bt]
 

@@ -174,8 +174,16 @@ class IntraRateModel:
         return out
 
 
-@functools.lru_cache(maxsize=16)
-def intra_rate_model(qindex_bucket: int) -> IntraRateModel:
-    """Bucketed by the coefficient-CDF quantizer context (4 buckets) so jit
-    caches stay warm across frames."""
-    return IntraRateModel(qindex_bucket)
+@functools.lru_cache(maxsize=8)
+def _rate_model_for_bucket(bucket: int) -> IntraRateModel:
+    # representative qindex per coefficient-CDF quantizer context bucket
+    return IntraRateModel({0: 10, 1: 40, 2: 90, 3: 160}[bucket])
+
+
+def intra_rate_model(qindex: int) -> IntraRateModel:
+    """Bucketed by the coefficient-CDF quantizer context (the only
+    qindex-dependence of the default tables), so the model and the derived
+    device tables are shared across frames."""
+    from ..bitstream.frame_context import _coeff_qctx
+
+    return _rate_model_for_bucket(_coeff_qctx(int(qindex)))

@@ -434,3 +434,59 @@ def search_block_batch(src, refs, qstep_dc, qstep_ac, lam, G, scan2d, scans_tx,
     best_cost = jnp.min(cost_t, axis=1) + lam * jnp.take(y_mode_bits, best_mode)
     return (best_mode.astype(jnp.int32), best_tx.astype(jnp.int32),
             best_cost, mode_cost0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfgs",))
+def search_multi_depth_flat(flat, lam, tables, cfgs):
+    """Like search_multi_depth, but every per-frame input arrives in ONE
+    flat f32 vector ([blocks, refs, qdc, qac] per depth, concatenated) and
+    the constant tables are pre-uploaded device arrays — one upload + one
+    download per frame total. cfgs: ((S, n_tx, Npad, L), ...)."""
+    parts = []
+    off = 0
+    for dtb, (S, n_tx, N, L) in zip(tables, cfgs):
+        blocks = flat[off:off + N * S * S].reshape(N, S, S); off += N * S * S
+        refs = flat[off:off + N * L].reshape(N, L); off += N * L
+        qdc = flat[off:off + N]; off += N
+        qac = flat[off:off + N]; off += N
+        bm, bt, bc, _ = search_block_batch(
+            blocks, refs, qdc, qac, lam, dtb["G"], dtb["scan2d"],
+            dtb["scans_tx"], dtb["tvs"], dtb["ths"], dtb["level_bits"],
+            dtb["eob_bits"], dtb["txb_skip"], dtb["y_mode_bits"],
+            dtb["ext_tx_bits"], dtb["qm_w"], S=S, n_tx=n_tx)
+        parts += [bm.astype(jnp.float32), bt.astype(jnp.float32), bc]
+    return jnp.concatenate(parts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfgs",))
+def search_multi_depth(args, lam, cfgs):
+    """All partition depths of one frame in a single device dispatch AND a
+    single packed output (host<->device round trips cost ~60 ms each over
+    the tunneled chip, dwarfing the ~1 ms of compute). args: tuple of
+    per-depth argument tuples matching search_block_batch's array signature;
+    cfgs: ((S, n_tx), ...). Returns one f32 vector: per depth
+    [modes, tx, cost] concatenated (mode/tx values are small ints, exact in
+    f32); unpack with unpack_multi_depth."""
+    parts = []
+    for a, (S, n_tx) in zip(args, cfgs):
+        blocks, refs, qdc, qac, dtb = a
+        bm, bt, bc, _ = search_block_batch(
+            blocks, refs, qdc, qac, lam, dtb["G"], dtb["scan2d"],
+            dtb["scans_tx"], dtb["tvs"], dtb["ths"], dtb["level_bits"],
+            dtb["eob_bits"], dtb["txb_skip"], dtb["y_mode_bits"],
+            dtb["ext_tx_bits"], dtb["qm_w"], S=S, n_tx=n_tx)
+        parts += [bm.astype(jnp.float32), bt.astype(jnp.float32), bc]
+    return jnp.concatenate(parts)
+
+
+def unpack_multi_depth(packed: np.ndarray, ns):
+    """Split the packed search_multi_depth output back into per-depth
+    (modes int32, tx int32, cost f32) given the per-depth padded N list."""
+    out = []
+    off = 0
+    for n in ns:
+        bm = packed[off:off + n].astype(np.int32); off += n
+        bt = packed[off:off + n].astype(np.int32); off += n
+        bc = packed[off:off + n]; off += n
+        out.append((bm, bt, bc))
+    return out
