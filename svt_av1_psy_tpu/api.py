@@ -122,6 +122,24 @@ class Encoder:
             self._film_grain = photon_noise_params(
                 cfg.film_grain_denoise_strength, cfg.input_depth)
         self._seq.film_grain_params_present = self._film_grain is not None
+        # HDR metadata OBUs (MDCV/CLL), attached to key frames (the
+        # reference's app-layer metadata array path, metadata_handle.c)
+        from .codec.metadata import (METADATA_TYPE_HDR_CLL,
+                                     METADATA_TYPE_HDR_MDCV,
+                                     parse_content_light,
+                                     parse_mastering_display)
+
+        self._metadata_obus = b""
+        mdcv = parse_mastering_display(cfg.mastering_display)
+        if mdcv:
+            from .bitstream.obu import metadata_obu
+
+            self._metadata_obus += metadata_obu(METADATA_TYPE_HDR_MDCV, mdcv)
+        cll = parse_content_light(cfg.content_light)
+        if cll:
+            from .bitstream.obu import metadata_obu
+
+            self._metadata_obus += metadata_obu(METADATA_TYPE_HDR_CLL, cll)
         # two-pass: pass 1 collects stats only; pass >= 2 loads budgets
         self._firstpass = None
         self._budgets = None
@@ -360,10 +378,17 @@ class Encoder:
                 # the effective per-SB map so lambda/distortion line up
                 search_qmap = np.vectorize(
                     lambda s: seg_params.seg_qindex(qindex, int(s)))(sb_seg_map)
+            depths = self._pc.depths
+            if cfg.max_32_tx_size and 64 in depths:
+                # PSY max-32-tx-size: with TX_MODE_LARGEST, capping the leaf
+                # at 32x32 caps the transform at 32x32 (EbSvtAv1Enc.h:970)
+                depths = tuple(d for d in depths if d <= 32)
             decisions = search_intra_decisions(
                 padded, qindex, bd=cfg.input_depth, sb_qindex_map=search_qmap,
-                qm_levels=qm_levels, depths=self._pc.depths,
-                tx_search_depths=self._pc.tx_search_depths)
+                qm_levels=qm_levels, depths=depths,
+                tx_search_depths=self._pc.tx_search_depths,
+                psy_knobs=(int(cfg.spy_rd), float(cfg.psy_rd),
+                           bool(cfg.sharp_tx)))
 
         def make_enc():
             if is_key:
@@ -482,6 +507,8 @@ class Encoder:
         payload = temporal_delimiter_obu()
         if self._frame_count == 0:
             payload += sequence_header_obu(self._seq)
+        if is_key and self._metadata_obus:
+            payload += self._metadata_obus
         payload += frame_obu(self._seq, fp, tiles)
         recon = None
         if cfg.recon_enabled or cfg.stat_report:

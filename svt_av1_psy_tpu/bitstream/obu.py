@@ -123,6 +123,12 @@ def temporal_delimiter_obu() -> bytes:
     return write_obu(ObuType.TEMPORAL_DELIMITER, b"")
 
 
+def metadata_obu(metadata_type: int, payload: bytes) -> bytes:
+    """METADATA OBU (spec 5.8.1): leb128 metadata_type + type payload +
+    trailing bits (the reference's write_obu_metadata)."""
+    return write_obu(ObuType.METADATA, leb128(metadata_type) + payload + b"\x80")
+
+
 def _write_color_config(w: BitWriter, sp: SequenceParams):
     high_bitdepth = sp.bit_depth > 8
     w.f(int(high_bitdepth), 1)

@@ -141,35 +141,40 @@ def _qsteps_for_blocks(rows, cols, S, qindex, sb_qindex_map, chroma_delta,
 
 
 @_functools.lru_cache(maxsize=64)
-def _cached_tables(S: int, qctx_bucket: int, tx_search_depths, qm_levels):
+def _cached_tables(S: int, qctx_bucket: int, tx_search_depths, qm_levels,
+                   psy_knobs=(0, 0.0, False)):
     tb, n_tx = _build_tables(S, {0: 10, 1: 40, 2: 90, 3: 160}[qctx_bucket],
-                             tx_search_depths, qm_levels)
+                             tx_search_depths, qm_levels, *psy_knobs)
     return tb, n_tx
 
 
 @_functools.lru_cache(maxsize=64)
-def _device_tables(S: int, qctx_bucket: int, tx_search_depths, qm_levels):
+def _device_tables(S: int, qctx_bucket: int, tx_search_depths, qm_levels,
+                   psy_knobs=(0, 0.0, False)):
     """Device-resident copies of the per-depth search tables (uploaded once;
     each host->device transfer costs ~5 ms over the tunneled chip)."""
     import jax.numpy as jnp
 
-    tb, n_tx = _cached_tables(S, qctx_bucket, tx_search_depths, qm_levels)
+    tb, n_tx = _cached_tables(S, qctx_bucket, tx_search_depths, qm_levels,
+                              psy_knobs)
     dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
            for k, v in tb.items()}
     return dev, n_tx
 
 
 def search_tables_for_depth(S: int, qindex: int, tx_search_depths=(8, 16),
-                            qm_levels=None):
+                            qm_levels=None, psy_knobs=(0, 0.0, False)):
     from ..bitstream.frame_context import _coeff_qctx
 
     return _cached_tables(S, _coeff_qctx(int(qindex)),
                           tuple(tx_search_depths),
-                          tuple(qm_levels) if qm_levels is not None else None)
+                          tuple(qm_levels) if qm_levels is not None else None,
+                          tuple(psy_knobs))
 
 
 def _build_tables(S: int, qindex: int, tx_search_depths=(8, 16),
-                  qm_levels=None):
+                  qm_levels=None, spy_rd: int = 0, psy_rd: float = 0.0,
+                  sharp_tx: bool = False):
     """All replicated table arrays one depth's search consumes, as a dict
     (the contract shared by search_intra_decisions and the multi-chip
     sharded_frame_step). Returns (tables, n_tx)."""
@@ -218,11 +223,23 @@ def _build_tables(S: int, qindex: int, tx_search_depths=(8, 16),
         ext_bits = np.zeros(1, np.float32)
     from ..ops.intra_search import mode_matrix_bank
 
+    # spy-rd per-mode distortion weights (pic_operators.c:247-258: bias
+    # against blurry/neutral intra predictions; full spy-rd only)
+    dist_w = np.ones(len(ALL_MODES), np.float32)
+    if spy_rd == 1:
+        for i, m in enumerate(ALL_MODES):
+            mi = int(m)
+            if mi in (0, 9, 10, 11) and psy_rd == 0.0:   # DC/SMOOTH family
+                dist_w[i] = 1.25
+            elif mi in (1, 2, 12):                        # V/H/PAETH
+                dist_w[i] = 1.125
+    tx_lam_scale = np.float32(0.25 if sharp_tx else 1.0)
     tables = {"G": mode_matrix_bank(S), "scan2d": scan2d, "scans_tx": scans_tx,
               "tvs": tvs, "ths": ths, "level_bits": ct["level_bits"],
               "eob_bits": eob_bits, "txb_skip": ct["txb_skip"],
               "y_mode_bits": y_mode_bits, "ext_tx_bits": ext_bits,
-              "qm_w": qm_w, "tx_set": tx_set}
+              "qm_w": qm_w, "tx_set": tx_set, "dist_w": dist_w,
+              "tx_lam_scale": tx_lam_scale}
     return tables, len(tx_set)
 
 
@@ -237,6 +254,7 @@ def search_intra_decisions(
     update_type: str = "kf",
     lambda_scale: float = 1.0,
     backend: str = "auto",
+    psy_knobs=(0, 0.0, False),   # (spy_rd, psy_rd, sharp_tx)
 ) -> IntraDecisions:
     import jax.numpy as jnp
 
@@ -269,7 +287,7 @@ def search_intra_decisions(
         qdc, qac = _qsteps_for_blocks(rows, cols, S, qindex, sb_qindex_map,
                                       0, bd)
         tb, n_tx = search_tables_for_depth(S, qindex, tx_search_depths,
-                                           qm_levels)
+                                           qm_levels, psy_knobs)
         payloads.append(dict(S=S, rows=rows, cols=cols, N=N, blocks=blocks,
                              refs=refs, qdc=qdc, qac=qac, tb=tb, n_tx=n_tx))
 
@@ -306,7 +324,8 @@ def search_intra_decisions(
                 qdc = np.concatenate([qdc, np.ones(pad, np.float32)])
                 qac = np.concatenate([qac, np.ones(pad, np.float32)])
             ns.append(npad)
-            dtb, n_tx = _device_tables(S, bucket, tx_key, qm_key)
+            dtb, n_tx = _device_tables(S, bucket, tx_key, qm_key,
+                                       tuple(psy_knobs))
             cfgs.append((S, n_tx, npad, refs.shape[1]))
             if mesh is not None:
                 # shard the block axis over every chip: blocks are
@@ -339,7 +358,8 @@ def search_intra_decisions(
                 mode_matrix_bank(p["S"]), tb["scan2d"], tb["scans_tx"],
                 tb["tvs"], tb["ths"], tb["level_bits"], tb["eob_bits"],
                 tb["txb_skip"], tb["y_mode_bits"], tb["ext_tx_bits"],
-                tb["qm_w"], S=p["S"], n_tx=p["n_tx"])
+                tb["qm_w"], tb["dist_w"], float(tb["tx_lam_scale"]),
+                S=p["S"], n_tx=p["n_tx"])
             outs.append((bm, bt, bc))
 
     for p, (bm, bt, bc) in zip(payloads, outs):

@@ -568,6 +568,16 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     _check(cfg.input_depth in (8, 10), f"input depth {cfg.input_depth} not in (8, 10)")
     _check(MIN_PRESET <= cfg.preset <= MAX_PRESET,
            f"preset {cfg.preset} out of range [{MIN_PRESET}, {MAX_PRESET}]")
+    # honest rejection of accepted-but-unimplemented features (the
+    # reference's verify-settings contract, enc_settings.c:40): silently
+    # swallowing these would misreport parity
+    _check(not cfg.lossless,
+           "lossless coding (WHT 4x4 path) is not implemented yet")
+    _check(cfg.palette_level <= 0,
+           "palette coding is not implemented yet (palette_level must be "
+           "-1/0)")
+    _check(int(cfg.superres_mode) == 0,
+           "super-resolution is not implemented yet (superres_mode NONE)")
     _check(0 <= cfg.qp <= MAX_CRF, f"qp/crf {cfg.qp} out of range [0, {MAX_CRF}]")
     _check(cfg.rate_control_mode in (0, 1, 2), "bad rc mode")
     if cfg.rate_control_mode != 0:

@@ -267,7 +267,10 @@ def _txb_rd(coeff, qstep, scan, level_bits, eob_bits, txb_skip, keep=None):
 
 def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
                           scans_tx, tvs, ths, level_bits, eob_bits, txb_skip,
-                          y_mode_bits, ext_tx_bits, qm_w, S: int, n_tx: int):
+                          y_mode_bits, ext_tx_bits, qm_w, dist_w=None,
+                          tx_lam_scale=1.0, S: int = 8, n_tx: int = 1):
+    if dist_w is None:
+        dist_w = np.ones(N_MODES, np.float32)
     """Numpy mirror of search_block_batch — the host golden model, and the
     fast path for tiny frames where an XLA compile costs more than it buys
     (N below ~512 blocks). Bit-identical math modulo float accumulation
@@ -321,7 +324,8 @@ def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
     qs = (np.broadcast_to(qstep_ac[:, None, None], (N, M, nk)) * qm_w).astype(np.float32)
     qs[:, :, 0] = qstep_dc[:, None] * qm_w[0]
     dist, rate = txb_rd(cf, qs, scan2d)
-    cost = dist + lost + lam * (rate + y_mode_bits[None, :])
+    cost = (dist + lost) * np.asarray(dist_w, np.float32)[None, :] \
+        + lam * (rate + y_mode_bits[None, :])
     best_mode = np.argmin(cost, axis=1).astype(np.int32)
     mode_cost0 = np.min(cost, axis=1)
     if n_tx <= 1:
@@ -344,7 +348,7 @@ def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
     rate_t = np.where(include, level_bits[lvl_scan.astype(np.int32)], 0).sum(-1)
     rate_t = rate_t + eob_bits[eob.astype(np.int32)]
     rate_t = np.where(eob > 0, rate_t + txb_skip[0], txb_skip[1])
-    cost_t = dist_t + lam * (rate_t + ext_tx_bits[None, :])
+    cost_t = dist_t + lam * np.float32(tx_lam_scale) * (rate_t + ext_tx_bits[None, :])
     best_tx = np.argmin(cost_t, axis=1).astype(np.int32)
     best_cost = np.min(cost_t, axis=1) + lam * y_mode_bits[best_mode]
     return best_mode, best_tx, best_cost, mode_cost0
@@ -353,7 +357,8 @@ def search_block_batch_np(src, refs, qstep_dc, qstep_ac, lam, G, scan2d,
 @functools.partial(jax.jit, static_argnames=("S", "n_tx"))
 def search_block_batch(src, refs, qstep_dc, qstep_ac, lam, G, scan2d, scans_tx,
                        tvs, ths, level_bits, eob_bits, txb_skip, y_mode_bits,
-                       ext_tx_bits, qm_w, S: int, n_tx: int):
+                       ext_tx_bits, qm_w, dist_w, tx_lam_scale,
+                       S: int, n_tx: int):
     """One depth's full-frame intra mode + tx-type search.
 
     src:       (N, S, S) f32 source blocks
@@ -399,7 +404,7 @@ def search_block_batch(src, refs, qstep_dc, qstep_ac, lam, G, scan2d, scans_tx,
     qs = jnp.broadcast_to(qstep_ac[:, None, None], (N, M, nk)) * qm_w[None, None, :]
     qs = qs.at[:, :, 0].set(qstep_dc[:, None] * qm_w[0])
     dist, rate = _txb_rd(cf, qs, scan2d, level_bits, eob_bits, txb_skip)
-    dist = dist + lost
+    dist = (dist + lost) * dist_w[None, :]   # spy-rd per-mode dist weights
     cost = dist + lam * (rate + y_mode_bits[None, :])  # (N, M)
     best_mode = jnp.argmin(cost, axis=1)
     mode_cost0 = jnp.min(cost, axis=1)
@@ -429,7 +434,9 @@ def search_block_batch(src, refs, qstep_dc, qstep_ac, lam, G, scan2d, scans_tx,
     rate_t = jnp.sum(jnp.where(include, lv_bits, 0.0), axis=-1)
     rate_t = rate_t + jnp.take(eob_bits, eob.astype(jnp.int32), axis=0)
     rate_t = jnp.where(eob > 0, rate_t + txb_skip[0], txb_skip[1])
-    cost_t = dist_t + lam * (rate_t + ext_tx_bits[None, :])  # (N, n_tx)
+    # sharp-tx: the RDOQ rweight-kill analog (full_loop.c:1176) — shrink the
+    # rate weight in the TX decision so sharper transforms keep energy
+    cost_t = dist_t + lam * tx_lam_scale * (rate_t + ext_tx_bits[None, :])
     best_tx = jnp.argmin(cost_t, axis=1)
     best_cost = jnp.min(cost_t, axis=1) + lam * jnp.take(y_mode_bits, best_mode)
     return (best_mode.astype(jnp.int32), best_tx.astype(jnp.int32),
@@ -453,7 +460,8 @@ def search_multi_depth_flat(flat, lam, tables, cfgs):
             blocks, refs, qdc, qac, lam, dtb["G"], dtb["scan2d"],
             dtb["scans_tx"], dtb["tvs"], dtb["ths"], dtb["level_bits"],
             dtb["eob_bits"], dtb["txb_skip"], dtb["y_mode_bits"],
-            dtb["ext_tx_bits"], dtb["qm_w"], S=S, n_tx=n_tx)
+            dtb["ext_tx_bits"], dtb["qm_w"], dtb["dist_w"],
+            dtb["tx_lam_scale"], S=S, n_tx=n_tx)
         parts += [bm.astype(jnp.float32), bt.astype(jnp.float32), bc]
     return jnp.concatenate(parts)
 
@@ -474,7 +482,8 @@ def search_multi_depth(args, lam, cfgs):
             blocks, refs, qdc, qac, lam, dtb["G"], dtb["scan2d"],
             dtb["scans_tx"], dtb["tvs"], dtb["ths"], dtb["level_bits"],
             dtb["eob_bits"], dtb["txb_skip"], dtb["y_mode_bits"],
-            dtb["ext_tx_bits"], dtb["qm_w"], S=S, n_tx=n_tx)
+            dtb["ext_tx_bits"], dtb["qm_w"], dtb["dist_w"],
+            dtb["tx_lam_scale"], S=S, n_tx=n_tx)
         parts += [bm.astype(jnp.float32), bt.astype(jnp.float32), bc]
     return jnp.concatenate(parts)
 

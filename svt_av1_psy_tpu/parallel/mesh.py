@@ -109,7 +109,7 @@ def sharded_frame_step(mesh, frames, refs, qdc, qac, lam, tables, S: int,
             tables["scans_tx"], tables["tvs"], tables["ths"],
             tables["level_bits"], tables["eob_bits"], tables["txb_skip"],
             tables["y_mode_bits"], tables["ext_tx_bits"], tables["qm_w"],
-            S=S, n_tx=n_tx)
+            tables["dist_w"], tables["tx_lam_scale"], S=S, n_tx=n_tx)
         return bm, bt, bc
 
     @jax.jit
