@@ -440,17 +440,19 @@ class Encoder:
             deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
         lr_types = (0, 0, 0)
         if self._seq.enable_restoration:
-            from .codec.restoration import RESTORE_NONE, apply_restoration, pick_wiener
+            from .codec.restoration import RESTORE_NONE, apply_restoration, pick_lr
 
             rsts = [None] * len(enc.planes)
-            rsts[0] = pick_wiener(np.asarray(y), enc.planes[0].recon, deblocked[0],
-                                  cfg.width, cfg.height, 0, cfg.input_depth)
+            rsts[0] = pick_lr(np.asarray(y), enc.planes[0].recon, deblocked[0],
+                              cfg.width, cfg.height, 0, cfg.input_depth,
+                              sgr_eps_step=self._pc.sgr_eps_step)
             if len(enc.planes) > 1:
                 cw, ch = (cfg.width + 1) >> 1, (cfg.height + 1) >> 1
                 for plane, srcp in ((1, u), (2, v)):
-                    rsts[plane] = pick_wiener(
+                    rsts[plane] = pick_lr(
                         np.asarray(srcp), enc.planes[plane].recon,
-                        deblocked[plane], cw, ch, 1, cfg.input_depth)
+                        deblocked[plane], cw, ch, 1, cfg.input_depth,
+                        sgr_eps_step=self._pc.sgr_eps_step)
             if any(r is not None and r.frame_type != RESTORE_NONE for r in rsts):
                 # LR syntax is coded per SB, so re-encode the tiles with the
                 # chosen units (the reference's EncDec/EC split; decisions are
@@ -461,7 +463,7 @@ class Encoder:
                 deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
                 apply_restoration([ps.recon for ps in enc.planes], deblocked,
                                   rsts, cfg.input_depth)
-                lr_types = tuple((1 if r is not None and r.frame_type else 0)
+                lr_types = tuple((r.frame_type if r is not None else 0)
                                  for r in rsts) + (0,) * (3 - len(rsts))
         from .codec.constants import FrameType
 

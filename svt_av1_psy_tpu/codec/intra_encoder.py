@@ -491,10 +491,10 @@ class IntraFrameEncoder:
         self.tile_mi = (mi_r0, mi_r1, mi_c0, mi_c1)
         # per-tile LR coefficient references (set_default_wiener,
         # entropy_coding.c:3930)
-        from .restoration import DEFAULT_TAPS
+        from .restoration import DEFAULT_TAPS, SGR_XQD_REF_INIT
 
-        self._lr_refs = [{"h": list(DEFAULT_TAPS), "v": list(DEFAULT_TAPS)}
-                         for _ in range(3)]
+        self._lr_refs = [{"h": list(DEFAULT_TAPS), "v": list(DEFAULT_TAPS),
+                          "sgr": list(SGR_XQD_REF_INIT)} for _ in range(3)]
         self._prev_qindex = self.qindex
         self.part_above[mi_c0:mi_c1] = 0
         self.part_left[mi_r0:mi_r1] = 0
@@ -527,14 +527,15 @@ class IntraFrameEncoder:
         the SB's partition symbol; entropy_coding.c:5333)."""
         if not getattr(self, "rsts", None):
             return
-        from .restoration import RESTORE_NONE, lr_units_in_sb, write_wiener_unit
+        from .restoration import RESTORE_NONE, lr_units_in_sb, write_lr_unit
 
         for plane, pr in enumerate(self.rsts):
             if pr is None or pr.frame_type == RESTORE_NONE:
                 continue
             for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, self.sb_size >> 2):
-                write_wiener_unit(self.fc, self.enc, pr.unit_info[r][c],
-                                  self._lr_refs[plane], plane > 0)
+                write_lr_unit(self.fc, self.enc, pr.frame_type,
+                              pr.unit_info[r][c], self._lr_refs[plane],
+                              plane > 0)
 
     @property
     def recon_y(self):

@@ -26,6 +26,7 @@ class PresetConfig:
     # analysis
     scene_change: bool
     tpl: bool
+    sgr_eps_step: int = 1      # SGR parameter-set sampling stride (1 = all 16)
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
@@ -52,8 +53,10 @@ _LADDER = (
 
 
 def preset_config(preset: int) -> PresetConfig:
-    row = _LADDER[min(max(preset, 0), 13)]
+    p = min(max(preset, 0), 13)
+    row = _LADDER[p]
     return PresetConfig(rdo=True, depths=row[0], tx_search_depths=row[1],
                         filter_intra_search=row[2], cfl_search=row[3],
                         cdef_search_sample=row[4], restoration=row[5],
-                        scene_change=row[6], tpl=row[7])
+                        scene_change=row[6], tpl=row[7],
+                        sgr_eps_step=1 if p <= 4 else (2 if p <= 6 else 4))

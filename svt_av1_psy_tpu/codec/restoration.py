@@ -74,7 +74,8 @@ class PlaneRestoration:
         self.size = unit_size >> 0 if ss == 0 else unit_size >> 1
         self.hunits = max((crop_w + (self.size >> 1)) // self.size, 1)
         self.vunits = max((crop_h + (self.size >> 1)) // self.size, 1)
-        # unit_info[row][col] = None (RESTORE_NONE) or (h_taps, v_taps)
+        # unit_info[row][col] = None (RESTORE_NONE), ("W", (h_taps, v_taps))
+        # or ("S", ep, (xqd0, xqd1))
         self.unit_info = [[None] * self.hunits for _ in range(self.vunits)]
         self.frame_type = RESTORE_NONE
 
@@ -137,11 +138,11 @@ def save_boundary_rows(deblock: np.ndarray, cdef: np.ndarray, crop_w: int,
 
 
 def filter_unit(ext: np.ndarray, pr: PlaneRestoration, above, below,
-                v0, v1, h0, h1, taps, bd) -> np.ndarray:
+                v0, v1, h0, h1, info, bd) -> np.ndarray:
     """Filter one restoration unit from the extended CDEF plane `ext`
     ((crop_h + 6, crop_w + 6), edge-padded by BORDER). Returns the filtered
     (v1 - v0, h1 - h0) block (svt_av1_loop_restoration_filter_unit :1067)."""
-    htaps, vtaps = taps
+    kind = info[0]
     stripe_h = PROC_UNIT >> pr.ss
     off = UNIT_OFFSET >> pr.ss
     out = np.empty((v1 - v0, h1 - h0), np.int64)
@@ -166,7 +167,15 @@ def filter_unit(ext: np.ndarray, pr: PlaneRestoration, above, below,
             blk[h + 3] = b[0][cols]
             blk[h + 4] = b[1][cols]
             blk[h + 5] = b[1][cols]
-        out[i : i + h] = wiener_filter_block(blk, h1 - h0, h, htaps, vtaps, bd)
+        if kind == "W":
+            htaps, vtaps = info[1]
+            out[i : i + h] = wiener_filter_block(blk, h1 - h0, h, htaps,
+                                                 vtaps, bd)
+        else:
+            from .sgr import sgr_filter_block
+
+            out[i : i + h] = sgr_filter_block(blk, h1 - h0, h, info[1],
+                                              info[2], bd)
         i += h
     return out
 
@@ -263,31 +272,61 @@ def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2,
     return tuple(taps_h), tuple(taps_v)
 
 
-def pick_wiener(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
-                bd: int = 8, unit_size: int = 64) -> PlaneRestoration:
-    """Per-unit Wiener search (restoration_pick.c analog): solve taps by
-    alternating LS, keep the unit only if the exact filter lowers SSE."""
+def pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
+            bd: int = 8, unit_size: int = 64,
+            enable_sgr: bool = True, sgr_eps_step: int = 1) -> PlaneRestoration:
+    """Per-unit restoration search (restoration_pick.c:1611 analog):
+    Wiener (alternating LS taps) vs SGRPROJ (projection search over the 16
+    parameter sets) vs NONE by exact SSE; the frame type becomes WIENER /
+    SGRPROJ when one tool wins everywhere, else RESTORE_SWITCHABLE."""
     pr = PlaneRestoration(crop_w, crop_h, ss, unit_size)
     crop = np.asarray(cdef_plane)[:crop_h, :crop_w].astype(np.int64)
     ext = np.pad(crop, BORDER, mode="edge")
     above, below = save_boundary_rows(np.asarray(deblock_plane), crop,
                                       crop_w, crop_h, ss)
     src = np.asarray(src_plane)[:crop_h, :crop_w].astype(np.int64)
-    any_on = False
+    kinds = set()
     for ui in range(pr.vunits):
         for uj in range(pr.hunits):
             v0, v1, h0, h1 = pr.unit_limits(ui, uj)
             s = src[v0:v1, h0:h1]
             base_sse = int(((crop[v0:v1, h0:h1] - s) ** 2).sum())
             taps = _solve_taps(ext[v0 : v1 + 6, h0 : h1 + 6], s, chroma=ss > 0)
-            filt = filter_unit(ext, pr, above, below, v0, v1, h0, h1, taps, bd)
+            info = ("W", taps)
+            filt = filter_unit(ext, pr, above, below, v0, v1, h0, h1, info, bd)
             sse = int(((filt - s) ** 2).sum())
+            if enable_sgr:
+                from .sgr import search_sgr_unit
+
+                ep, xqd, _ = search_sgr_unit(
+                    s, ext[v0 : v1 + 6, h0 : h1 + 6], h1 - h0, v1 - v0, bd,
+                    eps=range(0, 16, sgr_eps_step))
+                sinfo = ("S", ep, xqd)
+                sfilt = filter_unit(ext, pr, above, below, v0, v1, h0, h1,
+                                    sinfo, bd)
+                ssse = int(((sfilt - s) ** 2).sum())
+                if ssse < sse:
+                    info, sse = sinfo, ssse
             # small margin so near-ties do not pay the coefficient cost
             if sse + (base_sse >> 8) < base_sse:
-                pr.unit_info[ui][uj] = taps
-                any_on = True
-    pr.frame_type = RESTORE_WIENER if any_on else RESTORE_NONE
+                pr.unit_info[ui][uj] = info
+                kinds.add(info[0])
+    if not kinds:
+        pr.frame_type = RESTORE_NONE
+    elif kinds == {"W"}:
+        pr.frame_type = RESTORE_WIENER
+    elif kinds == {"S"}:
+        pr.frame_type = RESTORE_SGRPROJ
+    else:
+        pr.frame_type = RESTORE_SWITCHABLE
     return pr
+
+
+def pick_wiener(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
+                bd: int = 8, unit_size: int = 64) -> PlaneRestoration:
+    """Wiener-only search (round-1 interface; see pick_lr)."""
+    return pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
+                   bd, unit_size, enable_sgr=False)
 
 
 # ------------------------------------------------------------------ syntax
@@ -342,20 +381,73 @@ def write_refsubexpfin(enc, n: int, k: int, ref: int, v: int):
     write_primitive_subexpfin(enc, n, k, _recenter_finite(n, ref, v))
 
 
-def write_wiener_unit(fc, enc, taps, ref_taps, is_chroma: bool):
-    """use_wiener flag + tap coding vs the running reference
-    (write_wiener_filter entropy_coding.c:3935). Updates ref in place."""
-    fc.write(enc, "wiener_restore", (), int(taps is not None), 2)
-    if taps is None:
-        return
+def _write_wiener_payload(enc, taps, refs, is_chroma: bool):
+    """Tap coding vs the running reference (write_wiener_filter
+    entropy_coding.c:3935). Updates refs in place."""
     htaps, vtaps = taps
-    for filt, ref in ((vtaps, ref_taps["v"]), (htaps, ref_taps["h"])):
+    for filt, ref in ((vtaps, refs["v"]), (htaps, refs["h"])):
         for i in range(3):
             mn, mx, _, k = TAPS[i]
             if i == 0 and is_chroma:
                 continue   # 5-tap chroma window: tap0 fixed 0, not coded
             write_refsubexpfin(enc, mx - mn + 1, k, ref[i] - mn, filt[i] - mn)
         ref[:] = list(filt)
+
+
+# SgrprojInfo reference init (restoration.h:245): midpoints of the ranges,
+# C truncating division: (-96+31)/2 = -32, (-32+95)/2 = 31
+SGR_XQD_REF_INIT = (-32, 31)
+
+
+def _write_sgr_payload(enc, ep: int, xqd, refs):
+    """ep literal + xqd subexp coding vs the running reference
+    (write_sgrproj_filter, entropy_coding.c:3976). Updates refs in place."""
+    from .sgr import (SGR_PARAMS, SGRPROJ_PRJ_MAX0, SGRPROJ_PRJ_MAX1,
+                      SGRPROJ_PRJ_MIN0, SGRPROJ_PRJ_MIN1,
+                      SGRPROJ_PRJ_SUBEXP_K)
+
+    enc.encode_literal(ep, 4)
+    r0, r1 = SGR_PARAMS[ep][0], SGR_PARAMS[ep][1]
+    ref = refs["sgr"]
+    k = SGRPROJ_PRJ_SUBEXP_K
+    if r0 == 0:
+        write_refsubexpfin(enc, SGRPROJ_PRJ_MAX1 - SGRPROJ_PRJ_MIN1 + 1, k,
+                           ref[1] - SGRPROJ_PRJ_MIN1, xqd[1] - SGRPROJ_PRJ_MIN1)
+    elif r1 == 0:
+        write_refsubexpfin(enc, SGRPROJ_PRJ_MAX0 - SGRPROJ_PRJ_MIN0 + 1, k,
+                           ref[0] - SGRPROJ_PRJ_MIN0, xqd[0] - SGRPROJ_PRJ_MIN0)
+    else:
+        write_refsubexpfin(enc, SGRPROJ_PRJ_MAX0 - SGRPROJ_PRJ_MIN0 + 1, k,
+                           ref[0] - SGRPROJ_PRJ_MIN0, xqd[0] - SGRPROJ_PRJ_MIN0)
+        write_refsubexpfin(enc, SGRPROJ_PRJ_MAX1 - SGRPROJ_PRJ_MIN1 + 1, k,
+                           ref[1] - SGRPROJ_PRJ_MIN1, xqd[1] - SGRPROJ_PRJ_MIN1)
+    ref[:] = [int(xqd[0]), int(xqd[1])]
+
+
+def write_lr_unit(fc, enc, frame_type: int, info, refs, is_chroma: bool):
+    """One unit's LR syntax under the plane's frame restoration type
+    (loop_restoration_write_sb_coeffs, entropy_coding.c:4009)."""
+    if frame_type == RESTORE_WIENER:
+        fc.write(enc, "wiener_restore", (), int(info is not None), 2)
+        if info is not None:
+            _write_wiener_payload(enc, info[1], refs, is_chroma)
+    elif frame_type == RESTORE_SGRPROJ:
+        fc.write(enc, "sgrproj_restore", (), int(info is not None), 2)
+        if info is not None:
+            _write_sgr_payload(enc, info[1], info[2], refs)
+    else:  # RESTORE_SWITCHABLE
+        t = 0 if info is None else (RESTORE_WIENER if info[0] == "W"
+                                    else RESTORE_SGRPROJ)
+        fc.write(enc, "switchable_restore", (), t, 3)
+        if t == RESTORE_WIENER:
+            _write_wiener_payload(enc, info[1], refs, is_chroma)
+        elif t == RESTORE_SGRPROJ:
+            _write_sgr_payload(enc, info[1], info[2], refs)
+
+
+def write_wiener_unit(fc, enc, info, refs, is_chroma: bool):
+    """Round-1 interface kept for the unit tests: WIENER frame type."""
+    write_lr_unit(fc, enc, RESTORE_WIENER, info, refs, is_chroma)
 
 
 def lr_units_in_sb(pr: PlaneRestoration, mi_row: int, mi_col: int,

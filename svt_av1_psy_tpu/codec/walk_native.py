@@ -67,7 +67,7 @@ class _CWalk(ctypes.Structure):
         ("cdf_eob_extra", _VP), ("cdf_base_eob", _VP), ("cdf_base", _VP),
         ("cdf_br", _VP), ("cdf_dc_sign", _VP),
         ("lr_ops", _VP), ("lr_start", _VP), ("lr_sb_cols", _I),
-        ("cdf_wiener", _VP),
+        ("cdf_wiener", _VP), ("cdf_sgr", _VP), ("cdf_switchable", _VP),
         ("prev_qindex", _I), ("sb_qindex_cur", _I), ("sb_delta_pending", _I),
     ]
 
@@ -284,6 +284,8 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
     w.cdf_br = _ptr(t["coeff_lps_multi"])
     w.cdf_dc_sign = _ptr(t["dc_sign"])
     w.cdf_wiener = _ptr(t["wiener_restore"])
+    w.cdf_sgr = _ptr(t["sgrproj_restore"])
+    w.cdf_switchable = _ptr(t["switchable_restore"])
 
     # ---- LR unit syntax, precomputed per SB as op triples
     if getattr(enc, "rsts", None):
@@ -298,15 +300,18 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
 
 
 class _OpRecorder:
-    """Mock encoder + fc capturing the LR syntax as (kind, a, b) triples."""
+    """Mock encoder + fc capturing the LR syntax as (kind, a, b) triples.
+    kinds: 0 wiener_restore sym, 1 bool, 2 literal, 3 sgrproj_restore sym,
+    4 switchable_restore sym."""
+
+    _CDF_KIND = {"wiener_restore": 0, "sgrproj_restore": 3,
+                 "switchable_restore": 4}
 
     def __init__(self):
         self.ops = []
 
-    # fc.write signature (only wiener_restore flows through here)
     def write(self, enc, name, idx, symbol, nsyms):
-        assert name == "wiener_restore" and nsyms == 2
-        self.ops.append((0, int(symbol), 0))
+        self.ops.append((self._CDF_KIND[name], int(symbol), int(nsyms)))
 
     def encode_bool(self, val, f):
         self.ops.append((1, int(val), int(f)))
@@ -319,11 +324,12 @@ def _record_lr_ops(enc, mi_r0, mi_r1, mi_c0, mi_c1):
     """Replay _write_lr_for_sb over the tile's SBs into an op stream (the
     symbol VALUES are decision-determined; only CDF state evolves, which the
     C coder handles on the real wiener_restore table)."""
-    from .restoration import RESTORE_NONE, lr_units_in_sb, write_wiener_unit
+    from .restoration import RESTORE_NONE, lr_units_in_sb, write_lr_unit
 
     rec = _OpRecorder()
     starts = [0]
-    lr_refs = [dict(h=list(r["h"]), v=list(r["v"])) for r in enc._lr_refs]
+    lr_refs = [dict(h=list(r["h"]), v=list(r["v"]), sgr=list(r["sgr"]))
+               for r in enc._lr_refs]
     sb_cols = -(-enc.mi_cols // 16)
     n_sb = (-(-enc.mi_rows // 16)) * sb_cols
     per_sb = {}
@@ -334,8 +340,9 @@ def _record_lr_ops(enc, mi_r0, mi_r1, mi_c0, mi_c1):
                 if pr is None or pr.frame_type == RESTORE_NONE:
                     continue
                 for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, 16):
-                    write_wiener_unit(rec, rec, pr.unit_info[r][c],
-                                      lr_refs[plane], plane > 0)
+                    write_lr_unit(rec, rec, pr.frame_type,
+                                  pr.unit_info[r][c], lr_refs[plane],
+                                  plane > 0)
             per_sb[(mi_row >> 4) * sb_cols + (mi_col >> 4)] = (n0, len(rec.ops))
     starts = np.zeros(n_sb + 1, np.int32)
     for sbi in range(n_sb):

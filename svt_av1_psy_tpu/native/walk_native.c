@@ -153,6 +153,8 @@ typedef struct {
     const int32_t *lr_start;   /* per SB: op index range [i, i+1) */
     int lr_sb_cols;
     uint16_t *cdf_wiener;      /* (3,) wiener_restore */
+    uint16_t *cdf_sgr;         /* (3,) sgrproj_restore */
+    uint16_t *cdf_switchable;  /* (4,) switchable_restore */
     /* walk state */
     int prev_qindex, sb_qindex_cur, sb_delta_pending;
 } Walk;
@@ -762,6 +764,10 @@ int walk_encode_tile(Walk *w) {
                     const int32_t *op = w->lr_ops + 3 * i;
                     if (op[0] == 0)
                         ec_symbol(w->enc, op[1], w->cdf_wiener, 2, w->adapt);
+                    else if (op[0] == 3)
+                        ec_symbol(w->enc, op[1], w->cdf_sgr, 2, w->adapt);
+                    else if (op[0] == 4)
+                        ec_symbol(w->enc, op[1], w->cdf_switchable, 3, w->adapt);
                     else if (op[0] == 1)
                         ec_bool(w->enc, op[1], (unsigned)op[2]);
                     else
