@@ -296,6 +296,16 @@ class Encoder:
                     scale = min(max(allowance / remaining_plan, 0.2), 3.0)
                 target = self._budgets[i] * scale
             qindex = self._rc.frame_qindex(is_key, target_bits=target)
+        if cfg.luminance_qp_bias and not is_key and qindex > 1:
+            # PSY frame-luma-bias (rc_process.c:3407-3417): darker frames get
+            # more bitrate; zero on temporal layer 0 (the tl*4 factor in the
+            # formula), our IPP inter frames behave as layer 1
+            y8 = (np.asarray(y) >> (cfg.input_depth - 8)).astype(np.float64)
+            avg_luma = float(y8.mean())
+            denom = 1024.0 / (1 * 4 * (0.01 * cfg.luminance_qp_bias))
+            qindex += int(np.rint(-np.sqrt((255.0 - avg_luma) / denom)
+                                  * (qindex / 8.0)))
+            qindex = int(np.clip(qindex, 1, 255))
         sb_qindex_map = None
         if (self._tpl is not None and is_key and qindex > 1
                 and not (cfg.enable_variance_boost and cfg.aq_mode == 2)):

@@ -209,6 +209,7 @@ class EncoderConfig:
     variance_boost_curve: VarianceBoostCurve = VarianceBoostCurve.DEFAULT
     psy_rd: float = 0.5                  # 0.0..6.0
     spy_rd: int = 0                      # 0..2
+    luminance_qp_bias: int = 0           # 0..100 (PSY frame-luma-bias)
     sharp_tx: bool = True
     sharpness: int = 1                   # -7..7
     qp_scale_compress_strength: float = 1.0  # 0..3
@@ -445,6 +446,8 @@ _SIMPLE_PARAMS = {
     "variance-octile": ("variance_octile", _to_int),
     "psy-rd": ("psy_rd", _to_float),
     "spy-rd": ("spy_rd", _to_int),
+    "luminance-qp-bias": ("luminance_qp_bias", _to_int),
+    "frame-luma-bias": ("luminance_qp_bias", _to_int),
     "sharp-tx": ("sharp_tx", _to_bool),
     "sharpness": ("sharpness", _to_int),
     "qp-scale-compress-strength": ("qp_scale_compress_strength", _to_float),
@@ -571,6 +574,8 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     # honest rejection of accepted-but-unimplemented features (the
     # reference's verify-settings contract, enc_settings.c:40): silently
     # swallowing these would misreport parity
+    _check(0 <= cfg.luminance_qp_bias <= 100,
+           "luminance-qp-bias out of range [0, 100]")
     _check(not cfg.lossless,
            "lossless coding (WHT 4x4 path) is not implemented yet")
     _check(cfg.palette_level <= 0,

@@ -94,3 +94,26 @@ def test_hdr_metadata_obus():
     if dav1d.available():
         dy, du, dv = dav1d.decode(pkt.data, 64, 64)
         assert np.array_equal(dy, enc.get_recon()[0])
+
+
+def test_frame_luma_bias_lowers_q_for_dark_frames():
+    """luminance-qp-bias (rc_process.c:3407): dark inter frames get lower
+    qindex -> larger packets at equal content."""
+    from svt_av1_psy_tpu.api import Encoder
+
+    rng = np.random.default_rng(4)
+    dark = (np.cumsum(rng.normal(0, 2, (64, 64)), axis=1) + 30).clip(5, 60).astype(np.uint8)
+    dark2 = np.clip(dark.astype(np.int16)
+                    + rng.integers(-25, 26, dark.shape), 5, 90).astype(np.uint8)
+    u = np.full((32, 32), 128, np.uint8)
+    sizes = {}
+    for bias in (0, 100):
+        cfg = EncoderConfig(width=64, height=64)
+        cfg.qp = 35
+        cfg.luminance_qp_bias = bias
+        enc = Encoder(cfg).init()
+        enc.send_picture(dark, u, u.copy())   # key (no bias on layer 0)
+        enc.get_packet()
+        enc.send_picture(dark2, u, u.copy())  # inter (bias applies)
+        sizes[bias] = len(enc.get_packet().data)
+    assert sizes[100] > sizes[0], f"dark inter frame should spend more bits: {sizes}"
