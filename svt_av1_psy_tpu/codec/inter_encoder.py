@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .constants import BLOCK_HEIGHT, BLOCK_WIDTH, BlockSize, PredictionMode
+from .constants import (BLOCK_HEIGHT, BLOCK_WIDTH, BlockSize, PartitionType,
+                        PredictionMode)
 from . import mc_native
 from .coeff_coding import get_txb_ctx, write_coeffs_txb, write_coeffs_txb_native
 from .intra_encoder import (
@@ -21,6 +22,7 @@ from .intra_encoder import (
     _BSIZE_BY_WH,
     _SQR,
     _SQR_UP,
+    _partition_subsize,
 )
 from .me import MotionEstimator
 from .mv_pred import (GLOBALMV, GOLDEN_FRAME, LAST_FRAME, MiGrid, NEWMV,
@@ -93,6 +95,87 @@ class InterFrameEncoder(IntraFrameEncoder):
                 mode="edge"))
         return out
 
+    # ------------------------------------------------- decision pre-pass
+    def _walk_blocks(self):
+        """Leaf blocks (mi_row, mi_col, bsize) in the exact geometry of
+        _walk_partition with decisions=None (fixed target size, forced
+        HORZ/VERT/SPLIT at frame edges)."""
+        out = []
+        target_w = int(BLOCK_WIDTH[self.target_bsize])
+
+        def walk(mi_row, mi_col, bsize):
+            if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+                return
+            bw4 = int(BLOCK_WIDTH[bsize]) >> 2
+            half = bw4 >> 1
+            has_rows = (mi_row + half) < self.mi_rows
+            has_cols = (mi_col + half) < self.mi_cols
+            if has_rows and has_cols:
+                part = (PartitionType.PARTITION_SPLIT
+                        if int(BLOCK_WIDTH[bsize]) > target_w
+                        else PartitionType.PARTITION_NONE)
+            elif has_cols:
+                part = PartitionType.PARTITION_HORZ
+            elif has_rows:
+                part = PartitionType.PARTITION_VERT
+            else:
+                part = PartitionType.PARTITION_SPLIT
+            subsize = _partition_subsize(bsize, part)
+            if part == PartitionType.PARTITION_NONE:
+                out.append((mi_row, mi_col, bsize))
+            elif part == PartitionType.PARTITION_HORZ:
+                out.append((mi_row, mi_col, subsize))
+                if mi_row + half < self.mi_rows:
+                    out.append((mi_row + half, mi_col, subsize))
+            elif part == PartitionType.PARTITION_VERT:
+                out.append((mi_row, mi_col, subsize))
+                if mi_col + half < self.mi_cols:
+                    out.append((mi_row, mi_col + half, subsize))
+            else:
+                walk(mi_row, mi_col, subsize)
+                walk(mi_row, mi_col + half, subsize)
+                walk(mi_row + half, mi_col, subsize)
+                walk(mi_row + half, mi_col + half, subsize)
+
+        sb_mi = self.sb_size >> 2
+        for mi_row in range(0, self.mi_rows, sb_mi):
+            for mi_col in range(0, self.mi_cols, sb_mi):
+                walk(mi_row, mi_col, BlockSize.BLOCK_64X64)
+        return out
+
+    def _pre_walk(self):
+        """Whole-frame mode-decision pre-pass: one native call evaluates
+        NEWMV/GLOBALMV (+ gated GOLDEN) and an open-loop intra fallback for
+        every leaf block; the walk below commits the decisions (the
+        reference's MD/EncDec split, re-architected as batch-then-walk)."""
+        self.inter_dec = None
+        if not mc_native.available():
+            return
+        me = self.me[LAST_FRAME]
+        blk = self._walk_blocks()
+        blocks = np.array([(mi_col * 4, mi_row * 4,
+                            int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
+                           for (mi_row, mi_col, bs) in blk], np.int32)
+        curq = me._cur_pyramid(self.src[0])
+        from .spec_tables import get_tables
+
+        filters4 = np.ascontiguousarray(
+            get_tables()._raw["interp_sub_pel_filters_4"], np.int32)
+        golden = None
+        if GOLDEN_FRAME in self.me:
+            mg = self.me[GOLDEN_FRAME]
+            golden = (mg.ref, mg.ref_q,
+                      np.ascontiguousarray(self.refs[GOLDEN_FRAME][0], np.int32))
+        ref_pad = np.ascontiguousarray(self.refs[LAST_FRAME][0], np.int32)
+        dec = mc_native.inter_decide_frame(
+            self.src[0], me.ref, me.ref_q, curq, ref_pad, self.pad, golden,
+            me._filters, filters4, self.bd, me.range, self.gm_mv,
+            float(self.psy_rd), blocks)
+        if dec is None:
+            return
+        self.inter_dec = {(r, c): tuple(int(v) for v in dec[i])
+                          for i, (r, c, _) in enumerate(blk)}
+
     # -------------------------------------------------------------- helpers
     def _mc_pred(self, plane, px, py, pw, ph, mv, ref_frame=LAST_FRAME):
         """Motion-compensated prediction (spec chroma 1/16-pel rules)."""
@@ -126,54 +209,73 @@ class InterFrameEncoder(IntraFrameEncoder):
         n8_w, n8_h = bw4, bh4
         seg = self._block_segment(mi_row, mi_col)
 
-        # ---- intra candidate
-        above_buf, left_buf, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
         src = self.src[0][y0 : y0 + H, x0 : x0 + W]
-        best_imode, best_ipred, best_icost = None, None, None
-        for mode in self._prune_modes(src):
-            pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
-            cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
-            cost += self._psy_cost(src, pred)
-            if best_icost is None or cost < best_icost:
-                best_imode, best_ipred, best_icost = mode, pred, cost
-
-        # ---- inter candidates: NEWMV (ME) + GLOBALMV per available ref.
-        # GOLDEN is searched only when LAST leaves significant residual
-        # (occlusions / long-term background), keeping its cost marginal.
-        t_r0, t_r1, t_c0, t_c1 = self.tile_mi
-        me_res = self.me[LAST_FRAME].search_block(self.src[0], x0, y0, W, H,
-                                                  subpel=True)
-        cand = []
-        pred_new = self._mc_pred(0, x0, y0, W, H, me_res.mv)
-        cost_new = int(np.sum((src.astype(np.int64) - pred_new) ** 2))
-        cand.append((LAST_FRAME, NEWMV, me_res.mv, pred_new,
-                     cost_new + self._psy_cost(src, pred_new)))
-        pred_zero = self._mc_pred(0, x0, y0, W, H, self.gm_mv)
-        cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
-        cand.append((LAST_FRAME, GLOBALMV, self.gm_mv, pred_zero,
-                     cost_zero + self._psy_cost(src, pred_zero)))
-        if (GOLDEN_FRAME in self.me
-                and min(c[4] for c in cand) > (W * H) << 4):
-            me_g = self.me[GOLDEN_FRAME].search_block(self.src[0], x0, y0,
-                                                      W, H, subpel=True)
-            pred_g = self._mc_pred(0, x0, y0, W, H, me_g.mv, GOLDEN_FRAME)
-            cost_g = int(np.sum((src.astype(np.int64) - pred_g) ** 2))
-            cand.append((GOLDEN_FRAME, NEWMV, me_g.mv, pred_g,
-                         cost_g + self._psy_cost(src, pred_g)))
-        ref_sel, inter_mode, inter_mv, inter_pred, inter_cost = min(
-            cand, key=lambda c: c[4])
-        gm_ref = self.gm_mv if ref_sel == LAST_FRAME else (0, 0)
-        stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
-            self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
-            (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
-
-        use_inter = inter_cost <= best_icost
-        if use_inter:
-            y_mode, y_pred = inter_mode, inter_pred
-            mv = inter_mv
+        dec = (self.inter_dec.get((mi_row, mi_col))
+               if getattr(self, "inter_dec", None) is not None else None)
+        if dec is not None:
+            # decisions from the whole-frame native pre-pass (_pre_walk)
+            use_inter, ref_sel, dmode, mvr, mvc = dec
+            use_inter = bool(use_inter)
+            if use_inter:
+                y_mode = dmode
+                mv = (mvr, mvc)
+                y_pred = self._mc_pred(0, x0, y0, W, H, mv, ref_sel)
+            else:
+                ref_sel = LAST_FRAME
+                y_mode = dmode
+                mv = (0, 0)
+                above_buf, left_buf, have_a, have_l = self._gather_neighbors(
+                    0, x0, y0, W, H)
+                y_pred = self._predict(int(y_mode), above_buf, left_buf,
+                                       have_a, have_l, W, H)
         else:
-            y_mode, y_pred = best_imode, best_ipred
-            mv = (0, 0)
+            # ---- intra candidate
+            above_buf, left_buf, have_a, have_l = self._gather_neighbors(0, x0, y0, W, H)
+            best_imode, best_ipred, best_icost = None, None, None
+            for mode in self._prune_modes(src):
+                pred = self._predict(int(mode), above_buf, left_buf, have_a, have_l, W, H)
+                cost = int(np.sum((src.astype(np.int64) - pred) ** 2))
+                cost += self._psy_cost(src, pred)
+                if best_icost is None or cost < best_icost:
+                    best_imode, best_ipred, best_icost = mode, pred, cost
+
+            # ---- inter candidates: NEWMV (ME) + GLOBALMV per available ref.
+            # GOLDEN is searched only when LAST leaves significant residual
+            # (occlusions / long-term background), keeping its cost marginal.
+            me_res = self.me[LAST_FRAME].search_block(self.src[0], x0, y0, W, H,
+                                                      subpel=True)
+            cand = []
+            pred_new = self._mc_pred(0, x0, y0, W, H, me_res.mv)
+            cost_new = int(np.sum((src.astype(np.int64) - pred_new) ** 2))
+            cand.append((LAST_FRAME, NEWMV, me_res.mv, pred_new,
+                         cost_new + self._psy_cost(src, pred_new)))
+            pred_zero = self._mc_pred(0, x0, y0, W, H, self.gm_mv)
+            cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
+            cand.append((LAST_FRAME, GLOBALMV, self.gm_mv, pred_zero,
+                         cost_zero + self._psy_cost(src, pred_zero)))
+            if (GOLDEN_FRAME in self.me
+                    and min(c[4] for c in cand) > (W * H) << 4):
+                me_g = self.me[GOLDEN_FRAME].search_block(self.src[0], x0, y0,
+                                                          W, H, subpel=True)
+                pred_g = self._mc_pred(0, x0, y0, W, H, me_g.mv, GOLDEN_FRAME)
+                cost_g = int(np.sum((src.astype(np.int64) - pred_g) ** 2))
+                cand.append((GOLDEN_FRAME, NEWMV, me_g.mv, pred_g,
+                             cost_g + self._psy_cost(src, pred_g)))
+            ref_sel, inter_mode, inter_mv, inter_pred, inter_cost = min(
+                cand, key=lambda c: c[4])
+            use_inter = inter_cost <= best_icost
+            if use_inter:
+                y_mode, y_pred = inter_mode, inter_pred
+                mv = inter_mv
+            else:
+                y_mode, y_pred = best_imode, best_ipred
+                mv = (0, 0)
+        if use_inter:
+            t_r0, t_r1, t_c0, t_c1 = self.tile_mi
+            gm_ref = self.gm_mv if ref_sel == LAST_FRAME else (0, 0)
+            stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
+                self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
+                (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
         uv_mode = 0  # UV_DC for intra blocks
 
         # ---- transforms for all planes

@@ -463,11 +463,16 @@ class IntraFrameEncoder:
         """Single-tile encode; returns the coded tile payload."""
         return self.encode_tiles(y, u, v)[0]
 
+    def _pre_walk(self):
+        """Hook run once per encode_tiles after _init_planes; subclasses use
+        it for whole-frame decision pre-passes (inter mode decision)."""
+
     def encode_tiles(self, y, u=None, v=None, tile_cols_log2=0, tile_rows_log2=0) -> list:
         """Encode with uniform tile spacing; returns per-tile payloads in
         raster order. Tiles are fully independent (own CDFs, contexts,
         prediction boundaries) — the frame-level parallelism axis."""
         self._init_planes(y, u, v)
+        self._pre_walk()
         sb_mi = self.sb_size >> 2
         sb_cols = -(-self.mi_cols // sb_mi)
         sb_rows = -(-self.mi_rows // sb_mi)

@@ -32,7 +32,10 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.is_file():
+    src = _NATIVE / "mc_native.c"
+    if (not _LIB_PATH.is_file()
+            or (src.is_file()
+                and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)):
         try:
             _LIB_PATH.parent.mkdir(exist_ok=True)
             subprocess.run(
@@ -100,6 +103,20 @@ def _load():
     lib.cdef_find_dir_blocks.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    lib.inter_decide_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,                              # src
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,                # ref_me
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,                # refq
+        ctypes.c_void_p, ctypes.c_int,                              # curq
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,                # ref_pad
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,                # gref_me
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,                # grefq
+        ctypes.c_void_p, ctypes.c_int,                              # gref_pad
+        ctypes.c_void_p, ctypes.c_void_p,                           # filters
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,     # bd range gm
+        ctypes.c_double,                                            # psy_rd
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.cdef_filter_blocks.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
@@ -187,6 +204,49 @@ def search_block(cur, ref, curq, refq, x0, y0, search_range, filters,
                         x0, y0, search_range, filters.ctypes.data, bd,
                         int(subpel), out.ctypes.data)
     return int(out[0]), int(out[1]), int(out[2])
+
+
+def inter_decide_frame(src_u16, ref_me, refq, curq, ref_pad, pad, golden,
+                       filters8, filters4, bd, search_range, gm_mv, psy_rd,
+                       blocks):
+    """Whole-frame open-loop P-frame mode decision in one native call.
+    src_u16: padded source luma (uint16 contiguous); ref_me/refq/ref_pad:
+    LAST recon (int32), its 1/4 pyramid and the 96-padded MC plane; curq:
+    current-frame 1/4 pyramid; golden: (gref_me, grefq, gref_pad) or None.
+    blocks: (N, 4) int32 of (x0, y0, W, H). Returns (N, 5) int32 rows
+    (use_inter, ref_frame, mode, mv_row, mv_col), or None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(blocks, np.int32)
+    n = b.shape[0]
+    out = np.empty((n, 5), np.int32)
+    bx = np.ascontiguousarray(b[:, 0])
+    by = np.ascontiguousarray(b[:, 1])
+    bw = np.ascontiguousarray(b[:, 2])
+    bh = np.ascontiguousarray(b[:, 3])
+    if golden is not None:
+        gme, gq, gp = golden
+        gme_p, gq_p, gp_p = gme.ctypes.data, gq.ctypes.data, gp.ctypes.data
+        g_dims = (gme.shape[0], gme.shape[1], gq.shape[0], gq.shape[1],
+                  gp.shape[1])
+    else:
+        gme_p = gq_p = gp_p = None
+        g_dims = (0, 0, 0, 0, 0)
+    lib.inter_decide_frame(
+        src_u16.ctypes.data, src_u16.shape[1],
+        ref_me.ctypes.data, ref_me.shape[0], ref_me.shape[1],
+        refq.ctypes.data, refq.shape[0], refq.shape[1],
+        curq.ctypes.data, curq.shape[1],
+        ref_pad.ctypes.data, ref_pad.shape[1], pad,
+        gme_p, g_dims[0], g_dims[1],
+        gq_p, g_dims[2], g_dims[3],
+        gp_p, g_dims[4],
+        filters8.ctypes.data, filters4.ctypes.data,
+        bd, search_range, int(gm_mv[0]), int(gm_mv[1]), float(psy_rd),
+        bx.ctypes.data, by.ctypes.data, bw.ctypes.data, bh.ctypes.data,
+        n, out.ctypes.data)
+    return out
 
 
 def psy_block_energy(x: np.ndarray, t: int):

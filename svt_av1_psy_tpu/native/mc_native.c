@@ -722,3 +722,152 @@ int64_t psy_distortion_sum_u16(const uint16_t *recon, int stride, int h,
         }
     return total;
 }
+
+/* ---- Open-loop per-block P-frame mode decision -------------------------
+ * Mirrors the decision section of codec/inter_encoder._encode_block with an
+ * open-loop intra estimate (source neighbors instead of decoded ones):
+ * NEWMV (whole-block ME) + GLOBALMV on LAST, a residual-gated GOLDEN NEWMV,
+ * and a 5-mode intra fallback (DC/V/H/SMOOTH/PAETH). Candidate cost is
+ * SSE + psy-rd energy distortion (psy/psy_rd.py semantics). One call per
+ * frame; out[5*i..] = {use_inter, ref_frame, mode, mv_row, mv_col}.
+ * Behavioral reference: mode-decision candidate generation in
+ * product_coding_loop.c (open-loop MD) -- re-architected as a batched
+ * decision pre-pass feeding a sequential commit walk. */
+
+static int64_t sse_pred_u16(const uint16_t *src, int sstride,
+                            const uint16_t *pred, int W, int H) {
+    int64_t s = 0;
+    for (int r = 0; r < H; r++)
+        for (int c = 0; c < W; c++) {
+            int32_t d = (int32_t)src[r * sstride + c] - (int32_t)pred[r * W + c];
+            s += (int64_t)d * d;
+        }
+    return s;
+}
+
+static void mc_pred_luma(const int32_t *ref_pad, int pW, int pad,
+                         int x0, int y0, int W, int H, int mvr, int mvc,
+                         const int32_t *filters8, const int32_t *filters4,
+                         int bd, uint16_t *out) {
+    int ipy = mvr >> 3, fy = (mvr & 7) << 1;
+    int ipx = mvc >> 3, fx = (mvc & 7) << 1;
+    int yy = y0 + ipy + pad, xx = x0 + ipx + pad;
+    const int32_t *fxk = (W > 4 ? filters8 : filters4) + 8 * fx;
+    const int32_t *fyk = (H > 4 ? filters8 : filters4) + 8 * fy;
+    mc_convolve_2d_sr(ref_pad + (yy - 3) * pW + (xx - 3), pW, W, H,
+                      fxk, fyk, fx != 0, fy != 0, bd, out);
+}
+
+void inter_decide_frame(
+    const uint16_t *src, int sstride,
+    const int32_t *ref_me, int rH, int rW,
+    const int32_t *refq, int qH, int qW,
+    const int32_t *curq, int cqW,
+    const int32_t *ref_pad, int pW, int pad,
+    const int32_t *gref_me, int grH, int grW,
+    const int32_t *grefq, int gqH, int gqW,
+    const int32_t *gref_pad, int gpW,
+    const int32_t *filters8, const int32_t *filters4,
+    int bd, int range, int gm_row, int gm_col, double psy_rd,
+    const int32_t *bx, const int32_t *by,
+    const int32_t *bws, const int32_t *bhs, int nb,
+    int32_t *out) {
+    int32_t cur[64 * 64];
+    int32_t cq[16 * 16];
+    int32_t nb_above[64], nb_left[64];
+    uint16_t pred[64 * 64];
+    int64_t eng[64];
+    for (int i = 0; i < nb; i++) {
+        int x0 = bx[i], y0 = by[i], W = bws[i], H = bhs[i];
+        const uint16_t *sblk = src + y0 * sstride + x0;
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++)
+                cur[r * W + c] = sblk[r * sstride + c];
+        int t = (W >= 8 && H >= 8) ? 8 : 4;
+        if (psy_rd > 0.0)
+            psy_block_energy(cur, W, H, W, t, eng);
+        /* psy cost of a candidate prediction */
+        #define PSY_COST(P) (psy_rd > 0.0 ? (int64_t)( \
+            (bd == 8 ? (psy_distortion_sum_u16((P), W, H, W, t, eng) >> 1) \
+                     : (psy_distortion_sum_u16((P), W, H, W, t, eng) << 2)) \
+            * psy_rd) : 0)
+
+        /* ---- NEWMV on LAST */
+        int qw = W >> 2, qh = H >> 2;
+        if (qw < 1) qw = 1;
+        if (qh < 1) qh = 1;
+        int qy = y0 >> 2, qx = x0 >> 2;
+        for (int r = 0; r < qh; r++)
+            for (int c = 0; c < qw; c++)
+                cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];
+        int64_t me_out[3];
+        me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq, qH, qW,
+                        x0, y0, range, filters8, bd, 1, me_out);
+        int mv_new_r = (int)me_out[0], mv_new_c = (int)me_out[1];
+        mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, mv_new_r, mv_new_c,
+                     filters8, filters4, bd, pred);
+        int64_t cost_new = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+        /* ---- GLOBALMV on LAST */
+        mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, gm_row, gm_col,
+                     filters8, filters4, bd, pred);
+        int64_t cost_zero = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+
+        int best_ref = 1, best_mode = cost_new <= cost_zero ? 16 : 15;
+        int best_mvr = best_mode == 16 ? mv_new_r : gm_row;
+        int best_mvc = best_mode == 16 ? mv_new_c : gm_col;
+        int64_t best_inter = cost_new <= cost_zero ? cost_new : cost_zero;
+
+        /* ---- gated GOLDEN NEWMV (occlusions / long-term background) */
+        if (gref_pad && best_inter > ((int64_t)(W * H) << 4)) {
+            for (int r = 0; r < qh; r++)
+                for (int c = 0; c < qw; c++)
+                    cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];
+            me_search_block(cur, W, H, gref_me, grH, grW, cq, qw, qh,
+                            grefq, gqH, gqW, x0, y0, range, filters8, bd, 1,
+                            me_out);
+            mc_pred_luma(gref_pad, gpW, pad, x0, y0, W, H,
+                         (int)me_out[0], (int)me_out[1],
+                         filters8, filters4, bd, pred);
+            int64_t cost_g = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+            if (cost_g < best_inter) {
+                best_inter = cost_g;
+                best_ref = 4;
+                best_mode = 16;
+                best_mvr = (int)me_out[0];
+                best_mvc = (int)me_out[1];
+            }
+        }
+
+        /* ---- open-loop intra estimate from source neighbors */
+        int have_a = y0 > 0, have_l = x0 > 0;
+        int32_t base = 1 << (bd - 1);
+        for (int c = 0; c < W; c++)
+            nb_above[c] = have_a ? sblk[-sstride + c]
+                                 : (have_l ? sblk[-1] : base);
+        for (int r = 0; r < H; r++)
+            nb_left[r] = have_l ? sblk[r * sstride - 1]
+                                : (have_a ? sblk[-sstride] : base);
+        int32_t corner = (have_a && have_l) ? sblk[-sstride - 1]
+                         : (have_a ? nb_above[0]
+                                   : (have_l ? nb_left[0] : base));
+        static const int cmodes[5] = {0, 1, 2, 3, 6};   /* DC V H SMOOTH PAETH */
+        static const int pmodes[5] = {0, 1, 2, 9, 12};  /* PredictionMode */
+        int64_t best_icost = INT64_MAX;
+        int best_imode = 0;
+        for (int m = 0; m < 5; m++) {
+            intra_pred_block(cmodes[m], nb_above, nb_left, corner,
+                             have_a, have_l, W, H, bd, pred);
+            int64_t c = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+            if (c < best_icost) { best_icost = c; best_imode = pmodes[m]; }
+        }
+        #undef PSY_COST
+
+        int32_t *o = out + 5 * i;
+        if (best_inter <= best_icost) {
+            o[0] = 1; o[1] = best_ref; o[2] = best_mode;
+            o[3] = best_mvr; o[4] = best_mvc;
+        } else {
+            o[0] = 0; o[1] = 0; o[2] = best_imode; o[3] = 0; o[4] = 0;
+        }
+    }
+}
