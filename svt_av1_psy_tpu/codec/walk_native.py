@@ -69,6 +69,21 @@ class _CWalk(ctypes.Structure):
         ("lr_ops", _VP), ("lr_start", _VP), ("lr_sb_cols", _I),
         ("cdf_wiener", _VP), ("cdf_sgr", _VP), ("cdf_switchable", _VP),
         ("prev_qindex", _I), ("sb_qindex_cur", _I), ("sb_delta_pending", _I),
+        # ---- inter (P-frame) extension ----
+        ("is_inter_frame", _I), ("gm_row", _I), ("gm_col", _I),
+        ("d_ref", _VP), ("d_mode", _VP), ("d_mvr", _VP), ("d_mvc", _VP),
+        ("refp", _VP * 6), ("refp_stride", _I * 6),
+        ("pad", _I),
+        ("filters8", _VP), ("filters4", _VP),
+        ("g_ref", _VP), ("g_mvr", _VP), ("g_mvc", _VP),
+        ("g_mode", _VP), ("g_bw4", _VP), ("g_bh4", _VP),
+        ("cdf_intra_inter", _VP), ("cdf_single_ref", _VP), ("cdf_newmv", _VP),
+        ("cdf_zeromv", _VP), ("cdf_refmv", _VP), ("cdf_drl", _VP),
+        ("cdf_if_y", _VP), ("cdf_inter_ext_tx", _VP),
+        ("cdf_nmv_joints", _VP), ("cdf_nmv_sign", _VP),
+        ("cdf_nmv_classes", _VP), ("cdf_nmv_class0", _VP),
+        ("cdf_nmv_bits", _VP), ("cdf_nmv_fp0", _VP), ("cdf_nmv_fp1", _VP),
+        ("cdf_nmv_fp", _VP), ("cdf_nmv_c0hp", _VP), ("cdf_nmv_hp", _VP),
     ]
 
 
@@ -112,14 +127,21 @@ _SEARCH_TX = (int(TxType.DCT_DCT), int(TxType.ADST_DCT), int(TxType.DCT_ADST),
 
 
 def eligible(enc) -> bool:
-    """Can this IntraFrameEncoder tile run through the C walk?"""
+    """Can this tile run through the C walk? Intra frames need the RDO
+    decision maps; P frames need the native mode-decision pre-pass
+    (enc.inter_dec). Anything else falls back to the Python walk."""
     if not (available()
-            and type(enc).__name__ == "IntraFrameEncoder"
-            and enc.decisions is not None
             and enc.use_native_ec
             and enc.seg_params is None
-            and enc.noise_norm == 0
-            and not (enc.enable_filter_intra and enc.filter_intra_search)):
+            and enc.noise_norm == 0):
+        return False
+    tname = type(enc).__name__
+    if tname == "InterFrameEncoder":
+        return getattr(enc, "inter_dec", None) is not None
+    if tname != "IntraFrameEncoder":
+        return False
+    if (enc.decisions is None
+            or (enc.enable_filter_intra and enc.filter_intra_search)):
         return False
     # only the searched tx set has transform/scan tables on the C side
     for t in enc.decisions.tx_types.values():
@@ -169,26 +191,88 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
     w.part_left = _ptr(enc.part_left)
 
     dec = enc.decisions
-    for li, size in enumerate((8, 16, 32, 64)):
-        p = dec.parts.get(size)
-        if p is not None:
-            p8 = np.ascontiguousarray(p, np.uint8)
-            keep.append(p8)
-            w.parts[li] = _ptr(p8)
-            w.parts_cols[li] = p8.shape[1]
-        m = dec.modes.get(size)
-        if m is not None:
-            m32 = np.ascontiguousarray(m, np.int32)
-            keep.append(m32)
-            w.modes[li] = _ptr(m32)
-            w.modes_cols[li] = m32.shape[1]
-        t = dec.tx_types.get(size)
-        if t is not None and size <= 16:
-            t32 = np.ascontiguousarray(t, np.int32)
-            keep.append(t32)
-            w.txs[li] = _ptr(t32)
-            w.txs_cols[li] = t32.shape[1]
-    w.max_leaf = dec.max_leaf
+    if dec is not None:
+        for li, size in enumerate((8, 16, 32, 64)):
+            p = dec.parts.get(size)
+            if p is not None:
+                p8 = np.ascontiguousarray(p, np.uint8)
+                keep.append(p8)
+                w.parts[li] = _ptr(p8)
+                w.parts_cols[li] = p8.shape[1]
+            m = dec.modes.get(size)
+            if m is not None:
+                m32 = np.ascontiguousarray(m, np.int32)
+                keep.append(m32)
+                w.modes[li] = _ptr(m32)
+                w.modes_cols[li] = m32.shape[1]
+            t = dec.tx_types.get(size)
+            if t is not None and size <= 16:
+                t32 = np.ascontiguousarray(t, np.int32)
+                keep.append(t32)
+                w.txs[li] = _ptr(t32)
+                w.txs_cols[li] = t32.shape[1]
+        w.max_leaf = dec.max_leaf
+    else:
+        # fixed-size leaves (inter frames): dec_split falls back to max_leaf
+        from .constants import BLOCK_WIDTH
+
+        w.max_leaf = int(BLOCK_WIDTH[enc.target_bsize])
+
+    # ---- inter (P-frame) extension: decisions, refs, MiGrid, CDFs
+    if type(enc).__name__ == "InterFrameEncoder":
+        from .mv_pred import GOLDEN_FRAME, LAST_FRAME
+        from .spec_tables import get_tables
+
+        w.is_inter_frame = 1
+        w.gm_row, w.gm_col = enc.gm_mv
+        shape = (enc.mi_rows, enc.mi_cols)
+        d_ref = np.zeros(shape, np.int32)
+        d_mode = np.zeros(shape, np.int32)
+        d_mvr = np.zeros(shape, np.int32)
+        d_mvc = np.zeros(shape, np.int32)
+        for (r, c), (ui, rf, md, mr, mc) in enc.inter_dec.items():
+            d_ref[r, c] = rf if ui else 0
+            d_mode[r, c] = md
+            d_mvr[r, c] = mr
+            d_mvc[r, c] = mc
+        keep += [d_ref, d_mode, d_mvr, d_mvc]
+        w.d_ref, w.d_mode = _ptr(d_ref), _ptr(d_mode)
+        w.d_mvr, w.d_mvc = _ptr(d_mvr), _ptr(d_mvc)
+        for ri, rf in ((0, LAST_FRAME), (1, GOLDEN_FRAME)):
+            if rf in enc.refs:
+                for p in range(enc.nplanes):
+                    arr = np.ascontiguousarray(enc.refs[rf][p], np.int32)
+                    keep.append(arr)
+                    w.refp[ri * 3 + p] = _ptr(arr)
+                    w.refp_stride[ri * 3 + p] = arr.shape[1]
+        w.pad = enc.pad
+        f8 = enc.me[LAST_FRAME]._filters
+        f4 = np.ascontiguousarray(
+            get_tables()._raw["interp_sub_pel_filters_4"], np.int32)
+        keep += [f8, f4]
+        w.filters8, w.filters4 = _ptr(f8), _ptr(f4)
+        g = enc.grid
+        w.g_ref, w.g_mvr, w.g_mvc = _ptr(g.ref_frame), _ptr(g.mv_row), _ptr(g.mv_col)
+        w.g_mode, w.g_bw4, w.g_bh4 = _ptr(g.mode), _ptr(g.bw4), _ptr(g.bh4)
+        t = enc.fc.tables
+        w.cdf_intra_inter = _ptr(t["intra_inter"])
+        w.cdf_single_ref = _ptr(t["single_ref"])
+        w.cdf_newmv = _ptr(t["newmv"])
+        w.cdf_zeromv = _ptr(t["zeromv"])
+        w.cdf_refmv = _ptr(t["refmv"])
+        w.cdf_drl = _ptr(t["drl"])
+        w.cdf_if_y = _ptr(t["if_y_mode"])
+        w.cdf_inter_ext_tx = _ptr(t["inter_ext_tx"])
+        w.cdf_nmv_joints = _ptr(t["nmv_joints"])
+        w.cdf_nmv_sign = _ptr(t["nmv_sign"])
+        w.cdf_nmv_classes = _ptr(t["nmv_classes"])
+        w.cdf_nmv_class0 = _ptr(t["nmv_class0"])
+        w.cdf_nmv_bits = _ptr(t["nmv_bits"])
+        w.cdf_nmv_fp0 = _ptr(t["nmv_class0_fp0"])
+        w.cdf_nmv_fp1 = _ptr(t["nmv_class0_fp1"])
+        w.cdf_nmv_fp = _ptr(t["nmv_fp"])
+        w.cdf_nmv_c0hp = _ptr(t["nmv_class0_hp"])
+        w.cdf_nmv_hp = _ptr(t["nmv_hp"])
 
     # ---- quant tables: one row per distinct per-SB qindex (+ base)
     def qp_vals(qindex):

@@ -35,6 +35,9 @@ void txfm2d_inv_add_p(const int64_t *p, const int32_t *coeff,
                       const uint16_t *pred, int nblk, uint16_t *out);
 
 /* ---- from mc_native.c ---- */
+void mc_convolve_2d_sr(const int32_t *src, int src_stride, int w, int h,
+                       const int32_t *fx, const int32_t *fy,
+                       int has_sx, int has_sy, int bd, uint16_t *dst);
 void intra_pred_block(int mode, const int32_t *above, const int32_t *left,
                       int32_t corner, int have_above, int have_left,
                       int W, int H, int bd, uint16_t *out);
@@ -157,6 +160,25 @@ typedef struct {
     uint16_t *cdf_switchable;  /* (4,) switchable_restore */
     /* walk state */
     int prev_qindex, sb_qindex_cur, sb_delta_pending;
+    /* ---- inter (P-frame) extension: decisions from the native pre-pass
+       (mc_native.inter_decide_frame), reference planes, the MiGrid mirror
+       for normative MV prediction, and the inter-syntax CDFs. Mirrors
+       codec/inter_encoder.py / codec/mv_pred.py. ---- */
+    int is_inter_frame;
+    int gm_row, gm_col;                  /* LAST global motion, 1/8 pel */
+    const int32_t *d_ref, *d_mode, *d_mvr, *d_mvc;  /* mi grids (top-left) */
+    const int32_t *refp[6];              /* [ref_idx * 3 + plane], padded */
+    int refp_stride[6];
+    int pad;
+    const int32_t *filters8, *filters4;  /* (16, 8) subpel kernels */
+    int8_t *g_ref;                       /* MiGrid.ref_frame */
+    int16_t *g_mvr, *g_mvc;
+    uint8_t *g_mode, *g_bw4, *g_bh4;
+    uint16_t *cdf_intra_inter, *cdf_single_ref, *cdf_newmv, *cdf_zeromv,
+             *cdf_refmv, *cdf_drl, *cdf_if_y, *cdf_inter_ext_tx,
+             *cdf_nmv_joints, *cdf_nmv_sign, *cdf_nmv_classes, *cdf_nmv_class0,
+             *cdf_nmv_bits, *cdf_nmv_fp0, *cdf_nmv_fp1, *cdf_nmv_fp,
+             *cdf_nmv_c0hp, *cdf_nmv_hp;
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -480,6 +502,84 @@ static int64_t cfl_sse_for_alpha(const Walk *w, int plane, int alpha,
     return sse;
 }
 
+/* ----------------------------------------------- shared coefficient pass */
+static void write_tx_type_inter(Walk *w, int tx_size) {
+    /* inter ext-tx set (inter_encoder.inter_ext_tx_set); DCT_DCT symbol per
+       av1_ext_tx_ind; qindex 0 writes nothing (lossless has no tx types) */
+    if (w->qindex == 0 || SQR_UP[tx_size] > 3) return;
+    int eset = SQR_UP[tx_size] == 3 ? 3 : (SQR[tx_size] == 2 ? 2 : 1);
+    static const int sym[4] = {0, 7, 3, 1};
+    static const int nsyms[4] = {0, 16, 12, 2};
+    uint16_t *row = w->cdf_inter_ext_tx + (eset * 4 + SQR[tx_size]) * 17;
+    ec_symbol(w->enc, sym[eset], row, nsyms[eset], w->adapt);
+}
+
+/* coefficients + recon for all planes of one block (shared by the intra and
+   inter block encoders; only the luma tx-type syntax differs) */
+static void code_residual_planes(Walk *w, PlaneRes *res, int nres, int skip,
+                                 int inter_blk, int eff_mode) {
+    for (int i = 0; i < nres; i++) {
+        PlaneRes *r = &res[i];
+        int xu = r->px >> 2, yu = r->py >> 2;
+        int wu = TXW[r->tx_size] >> 2, hu = TXH[r->tx_size] >> 2;
+        int maxwu = (w->pw[r->plane] - r->px) >> 2;
+        int maxhu = (w->ph[r->plane] - r->py) >> 2;
+        if (wu > maxwu) wu = maxwu;
+        if (hu > maxhu) hu = maxhu;
+        uint8_t *actx = w->above_ctx[r->plane];
+        uint8_t *lctx = w->left_ctx[r->plane];
+        int cul = 0;
+        if (!skip) {
+            int plane_type = r->plane > 0;
+            /* txb_skip_ctx: block matches tx -> 0 for luma; chroma base+7 */
+            int txb_skip_ctx = 0;
+            int signs = 0;
+            for (int k = 0; k < wu; k++) {
+                int s = actx[xu + k] >> COEFF_CTX_BITS;
+                signs += s == 1 ? -1 : (s == 2 ? 1 : 0);
+            }
+            for (int k = 0; k < hu; k++) {
+                int s = lctx[yu + k] >> COEFF_CTX_BITS;
+                signs += s == 1 ? -1 : (s == 2 ? 1 : 0);
+            }
+            int dc_sign_ctx = signs > 0 ? 2 : (signs < 0 ? 1 : 0);
+            if (plane_type) {
+                int any_a = 0, any_l = 0;
+                for (int k = 0; k < wu; k++) if (actx[xu + k]) any_a = 1;
+                for (int k = 0; k < hu; k++) if (lctx[yu + k]) any_l = 1;
+                txb_skip_ctx = any_a + any_l + 7;
+            }
+            int txs = TXS_CTX[r->tx_size];
+            ec_symbol(w->enc, r->eob == 0,
+                      w->cdf_txb_skip + (txs * 13 + txb_skip_ctx) * 3, 2,
+                      w->adapt);
+            if (r->eob) {
+                if (r->plane == 0) {
+                    if (inter_blk) write_tx_type_inter(w, r->tx_size);
+                    else write_tx_type(w, r->tx_size, eff_mode, r->tx_type);
+                }
+                int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
+                int lg = TXLOG2M4[r->tx_size];
+                cul = ec_write_coeffs_txb_full(
+                    w->enc, r->qc, cw, ch, r->eob,
+                    w->scans[r->tx_size][r->tx_type],
+                    TX_CLASS[r->tx_type], w->nzoff[r->tx_size], w->adapt,
+                    w->cdf_eob[lg] + (plane_type * 2
+                                      + (TX_CLASS[r->tx_type] != 0)) * (lg + 6),
+                    lg + 5,
+                    w->cdf_eob_extra + (txs * 2 + plane_type) * 22 * 3,
+                    w->cdf_base_eob + (txs * 2 + plane_type) * 4 * 4,
+                    w->cdf_base + (txs * 2 + plane_type) * 42 * 5,
+                    w->cdf_br + ((txs < 3 ? txs : 3) * 2 + plane_type) * 21 * 5,
+                    w->cdf_dc_sign + (plane_type * 3 + dc_sign_ctx) * 3);
+            }
+        }
+        for (int k = 0; k < wu; k++) actx[xu + k] = (uint8_t)cul;
+        for (int k = 0; k < hu; k++) lctx[yu + k] = (uint8_t)cul;
+        recon_plane_res(w, r, skip || r->eob == 0);
+    }
+}
+
 /* ------------------------------------------------------------- the block */
 static void encode_block(Walk *w, int mi_row, int mi_col, int bsize,
                          int sb_r, int sb_c) {
@@ -624,66 +724,7 @@ static void encode_block(Walk *w, int mi_row, int mi_col, int bsize,
         ec_symbol(w->enc, 0, w->cdf_fi + bsize * 3, 2, w->adapt);
 
     /* ---- coefficients + recon per plane */
-    for (int i = 0; i < nres; i++) {
-        PlaneRes *r = &res[i];
-        int xu = r->px >> 2, yu = r->py >> 2;
-        int wu = TXW[r->tx_size] >> 2, hu = TXH[r->tx_size] >> 2;
-        int maxwu = (w->pw[r->plane] - r->px) >> 2;
-        int maxhu = (w->ph[r->plane] - r->py) >> 2;
-        if (wu > maxwu) wu = maxwu;
-        if (hu > maxhu) hu = maxhu;
-        uint8_t *actx = w->above_ctx[r->plane];
-        uint8_t *lctx = w->left_ctx[r->plane];
-        int cul = 0;
-        if (!skip) {
-            int plane_type = r->plane > 0;
-            /* txb_skip_ctx: block matches tx -> 0 for luma; chroma base+7 */
-            int txb_skip_ctx = 0;
-            int signs = 0;
-            for (int k = 0; k < wu; k++) {
-                int s = actx[xu + k] >> COEFF_CTX_BITS;
-                signs += s == 1 ? -1 : (s == 2 ? 1 : 0);
-            }
-            for (int k = 0; k < hu; k++) {
-                int s = lctx[yu + k] >> COEFF_CTX_BITS;
-                signs += s == 1 ? -1 : (s == 2 ? 1 : 0);
-            }
-            int dc_sign_ctx = signs > 0 ? 2 : (signs < 0 ? 1 : 0);
-            if (plane_type) {
-                int any_a = 0, any_l = 0;
-                for (int k = 0; k < wu; k++) if (actx[xu + k]) any_a = 1;
-                for (int k = 0; k < hu; k++) if (lctx[yu + k]) any_l = 1;
-                txb_skip_ctx = any_a + any_l + 7;
-            }
-            int txs = TXS_CTX[r->tx_size];
-            ec_symbol(w->enc, r->eob == 0,
-                      w->cdf_txb_skip + (txs * 13 + txb_skip_ctx) * 3, 2,
-                      w->adapt);
-            if (r->eob) {
-                if (r->plane == 0) {
-                    int eff = y_mode;
-                    write_tx_type(w, r->tx_size, eff, r->tx_type);
-                }
-                int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
-                int lg = TXLOG2M4[r->tx_size];
-                cul = ec_write_coeffs_txb_full(
-                    w->enc, r->qc, cw, ch, r->eob,
-                    w->scans[r->tx_size][r->tx_type],
-                    TX_CLASS[r->tx_type], w->nzoff[r->tx_size], w->adapt,
-                    w->cdf_eob[lg] + (plane_type * 2
-                                      + (TX_CLASS[r->tx_type] != 0)) * (lg + 6),
-                    lg + 5,
-                    w->cdf_eob_extra + (txs * 2 + plane_type) * 22 * 3,
-                    w->cdf_base_eob + (txs * 2 + plane_type) * 4 * 4,
-                    w->cdf_base + (txs * 2 + plane_type) * 42 * 5,
-                    w->cdf_br + ((txs < 3 ? txs : 3) * 2 + plane_type) * 21 * 5,
-                    w->cdf_dc_sign + (plane_type * 3 + dc_sign_ctx) * 3);
-            }
-        }
-        for (int k = 0; k < wu; k++) actx[xu + k] = (uint8_t)cul;
-        for (int k = 0; k < hu; k++) lctx[yu + k] = (uint8_t)cul;
-        recon_plane_res(w, r, skip || r->eob == 0);
-    }
+    code_residual_planes(w, res, nres, skip, 0, y_mode);
 
     /* mi grids */
     int r1 = mi_row + bh4 < w->mi_rows ? mi_row + bh4 : w->mi_rows;
@@ -695,6 +736,535 @@ static void encode_block(Walk *w, int mi_row, int mi_col, int bsize,
         }
 }
 
+/* ================================================ inter (P-frame) blocks */
+/* size_group_lookup for the non-kf y-mode cdf (definitions.h) */
+static const uint8_t SIZE_GROUP[22] = {0,0,0,1,1,1,2,2,2,3,3,3,3,3,3,3,1,1,2,2,3,3};
+
+/* MC prediction for one plane (mirror of inter_encoder._mc_pred +
+   mc_native.convolve_block kernel selection: 4-tap tables at dim <= 4) */
+static void mc_pred_plane(const Walk *w, int ref_idx, int plane, int px,
+                          int py, int pw_, int ph_, int mvr, int mvc,
+                          uint16_t *out) {
+    const int32_t *ref = w->refp[ref_idx * 3 + plane];
+    int stride = w->refp_stride[ref_idx * 3 + plane];
+    int ipy, ipx, fy, fx;
+    if (plane == 0) {
+        ipy = mvr >> 3; fy = (mvr & 7) << 1;
+        ipx = mvc >> 3; fx = (mvc & 7) << 1;
+    } else {
+        ipy = mvr >> 4; fy = mvr & 15;
+        ipx = mvc >> 4; fx = mvc & 15;
+    }
+    int yy = py + ipy + w->pad, xx = px + ipx + w->pad;
+    const int32_t *fxk = (pw_ > 4 ? w->filters8 : w->filters4) + 8 * fx;
+    const int32_t *fyk = (ph_ > 4 ? w->filters8 : w->filters4) + 8 * fy;
+    mc_convolve_2d_sr(ref + (yy - 3) * stride + (xx - 3), stride, pw_, ph_,
+                      fxk, fyk, fx != 0, fy != 0, w->bd, out);
+}
+
+/* ---- normative reference-MV stack (mirror of mv_pred.setup_ref_mv_list,
+   spec 7.10.2 / adaptive_mv_pred.c:637). Single-ref, no temporal MVs. ---- */
+typedef struct {
+    const Walk *w;
+    int mi_row, mi_col, n8_w, n8_h, ref;
+    int gm_r, gm_c;
+    int mvr[10], mvc[10], wt[10];
+    int count, newmv_count, row_match, col_match;
+    int max_row_offset, max_col_offset;
+    int processed_rows, processed_cols;
+} RefMv;
+
+static void rm_add(RefMv *s, int r, int c, int length, int weight) {
+    const Walk *w = s->w;
+    int idx = r * w->mi_cols + c;
+    int rf = w->g_ref[idx];
+    int md = w->g_mode[idx];
+    if (rf == 0 && md < 13) return;          /* intra neighbor */
+    if (rf != s->ref) return;
+    int mr, mc;
+    if (md == 15) { mr = s->gm_r; mc = s->gm_c; }   /* GLOBALMV */
+    else { mr = w->g_mvr[idx]; mc = w->g_mvc[idx]; }
+    int merged = 0;
+    for (int i = 0; i < s->count; i++)
+        if (s->mvr[i] == mr && s->mvc[i] == mc) {
+            s->wt[i] += weight * length;
+            merged = 1;
+            break;
+        }
+    if (!merged && s->count < 8) {
+        s->mvr[s->count] = mr; s->mvc[s->count] = mc;
+        s->wt[s->count] = weight * length;
+        s->count++;
+    }
+    if (md == 16) s->newmv_count++;          /* NEWMV */
+}
+
+static void rm_scan_row(RefMv *s, int row_offset) {
+    const Walk *w = s->w;
+    int end_mi = s->n8_w;
+    if (w->mi_cols - s->mi_col < end_mi) end_mi = w->mi_cols - s->mi_col;
+    if (end_mi > 16) end_mi = 16;
+    int aro = row_offset < 0 ? -row_offset : row_offset;
+    int col_off = 0;
+    if (aro > 1) {
+        col_off = 1;
+        if ((s->mi_col & 1) && s->n8_w < 2) col_off -= 1;
+    }
+    int use_step_16 = s->n8_w >= 16;
+    int i = 0, found = 0;
+    while (i < end_mi) {
+        int r = s->mi_row + row_offset, c = s->mi_col + col_off + i;
+        if (c >= w->mi_cols) break;
+        int idx = r * w->mi_cols + c;
+        int cand_w = w->g_bw4[idx];
+        int length = s->n8_w < cand_w ? s->n8_w : cand_w;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (aro > 1) { if (length < 2) length = 2; }
+        int weight = 2;
+        if (s->n8_w >= 2 && s->n8_w <= cand_w) {
+            int inc = -s->max_row_offset + row_offset + 1;
+            int bh = w->g_bh4[idx];
+            if (bh < inc) inc = bh;
+            if (inc > weight) weight = inc;
+            s->processed_rows = inc - row_offset - 1;
+        }
+        if (w->g_ref[idx] == s->ref) found = 1;
+        rm_add(s, r, c, length, weight);
+        i += length;
+    }
+    if (found) s->row_match++;
+}
+
+static void rm_scan_col(RefMv *s, int col_offset) {
+    const Walk *w = s->w;
+    int end_mi = s->n8_h;
+    if (w->mi_rows - s->mi_row < end_mi) end_mi = w->mi_rows - s->mi_row;
+    if (end_mi > 16) end_mi = 16;
+    int aco = col_offset < 0 ? -col_offset : col_offset;
+    int row_off = 0;
+    if (aco > 1) {
+        row_off = 1;
+        if ((s->mi_row & 1) && s->n8_h < 2) row_off -= 1;
+    }
+    int use_step_16 = s->n8_h >= 16;
+    int i = 0, found = 0;
+    while (i < end_mi) {
+        int r = s->mi_row + row_off + i, c = s->mi_col + col_offset;
+        if (r >= w->mi_rows) break;
+        int idx = r * w->mi_cols + c;
+        int cand_h = w->g_bh4[idx];
+        int length = s->n8_h < cand_h ? s->n8_h : cand_h;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (aco > 1) { if (length < 2) length = 2; }
+        int weight = 2;
+        if (s->n8_h >= 2 && s->n8_h <= cand_h) {
+            int inc = -s->max_col_offset + col_offset + 1;
+            int bw = w->g_bw4[idx];
+            if (bw < inc) inc = bw;
+            if (inc > weight) weight = inc;
+            s->processed_cols = inc - col_offset - 1;
+        }
+        if (w->g_ref[idx] == s->ref) found = 1;
+        rm_add(s, r, c, length, weight);
+        i += length;
+    }
+    if (found) s->col_match++;
+}
+
+static void rm_scan_blk(RefMv *s, int ro, int co) {
+    const Walk *w = s->w;
+    int r = s->mi_row + ro, c = s->mi_col + co;
+    if (r < w->tile_r0 || c < w->tile_c0 || r >= w->tile_r1 || c >= w->tile_c1)
+        return;
+    int found = w->g_ref[r * w->mi_cols + c] == s->ref;
+    rm_add(s, r, c, 2, 2);
+    if (found) s->row_match++;
+}
+
+static int rm_has_tr(int mi_row, int mi_col, int n8_w, int n8_h) {
+    int bs = n8_w > n8_h ? n8_w : n8_h;
+    if (bs > 16) return 0;
+    int mask_row = mi_row & 15, mask_col = mi_col & 15;
+    int has_tr = !((mask_row & bs) && (mask_col & bs));
+    int b = bs;
+    while (b < 16) {
+        if (mask_col & b) {
+            if ((mask_col & (2 * b)) && (mask_row & (2 * b))) {
+                has_tr = 0;
+                break;
+            }
+        } else break;
+        b <<= 1;
+    }
+    return has_tr;
+}
+
+static void ref_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
+                        int n8_h, int ref, int gm_r, int gm_c,
+                        int *st_r, int *st_c, int *st_w,
+                        int *p_mode_ctx, int *p_refmv_count, int *p_nstack) {
+    RefMv s;
+    memset(&s, 0, sizeof s);
+    s.w = w; s.mi_row = mi_row; s.mi_col = mi_col;
+    s.n8_w = n8_w; s.n8_h = n8_h; s.ref = ref; s.gm_r = gm_r; s.gm_c = gm_c;
+    int up_avail = mi_row > w->tile_r0;
+    int left_avail = mi_col > w->tile_c0;
+    int row_adj = (n8_h < 2) && (mi_row & 1);
+    int col_adj = (n8_w < 2) && (mi_col & 1);
+    if (up_avail) {
+        s.max_row_offset = (n8_h < 2 ? -4 : -6) + row_adj;
+        int lo = w->tile_r0 - mi_row, hi = w->tile_r1 - mi_row - 1;
+        if (s.max_row_offset < lo) s.max_row_offset = lo;
+        if (s.max_row_offset > hi) s.max_row_offset = hi;
+    }
+    if (left_avail) {
+        s.max_col_offset = (n8_w < 2 ? -4 : -6) + col_adj;
+        int lo = w->tile_c0 - mi_col, hi = w->tile_c1 - mi_col - 1;
+        if (s.max_col_offset < lo) s.max_col_offset = lo;
+        if (s.max_col_offset > hi) s.max_col_offset = hi;
+    }
+    if (s.max_row_offset) rm_scan_row(&s, -1);
+    if (s.max_col_offset) rm_scan_col(&s, -1);
+    if (rm_has_tr(mi_row, mi_col, n8_w, n8_h)) rm_scan_blk(&s, -1, n8_w);
+
+    int nearest_match = (s.row_match > 0) + (s.col_match > 0);
+    int nearest_newmv = s.newmv_count;
+    for (int i = 0; i < s.count; i++) s.wt[i] += 640;   /* REF_CAT_LEVEL */
+
+    rm_scan_blk(&s, -1, -1);
+    for (int idx = 2; idx <= 3; idx++) {                /* MVREF_ROWS = 3 */
+        int ro = -(idx << 1) + 1 + row_adj;
+        int co = -(idx << 1) + 1 + col_adj;
+        int aro = ro < 0 ? -ro : ro;
+        int amro = s.max_row_offset < 0 ? -s.max_row_offset : s.max_row_offset;
+        int aco = co < 0 ? -co : co;
+        int amco = s.max_col_offset < 0 ? -s.max_col_offset : s.max_col_offset;
+        if (aro <= amro && aro > s.processed_rows) rm_scan_row(&s, ro);
+        if (aco <= amco && aco > s.processed_cols) rm_scan_col(&s, co);
+    }
+    s.newmv_count = nearest_newmv;   /* outer scans use a dummy counter */
+
+    int mode_ctx = 0;
+    int ref_match = (s.row_match > 0) + (s.col_match > 0);
+    if (nearest_match == 0) {
+        if (ref_match >= 1) mode_ctx |= 1;
+        if (ref_match == 1) mode_ctx |= 1 << 4;
+        else if (ref_match >= 2) mode_ctx |= 2 << 4;
+    } else if (nearest_match == 1) {
+        mode_ctx |= nearest_newmv > 0 ? 2 : 3;
+        if (ref_match == 1) mode_ctx |= 3 << 4;
+        else if (ref_match >= 2) mode_ctx |= 4 << 4;
+    } else {
+        mode_ctx |= nearest_newmv >= 1 ? 4 : 5;
+        mode_ctx |= 5 << 4;
+    }
+
+    /* stable sort by weight (descending) */
+    int ord[10];
+    for (int i = 0; i < s.count; i++) ord[i] = i;
+    for (int i = 1; i < s.count; i++) {
+        int k = ord[i], j = i - 1;
+        while (j >= 0 && s.wt[ord[j]] < s.wt[k]) { ord[j + 1] = ord[j]; j--; }
+        ord[j + 1] = k;
+    }
+    int n = s.count;
+    for (int i = 0; i < n; i++) {
+        st_r[i] = s.mvr[ord[i]]; st_c[i] = s.mvc[ord[i]]; st_w[i] = s.wt[ord[i]];
+    }
+
+    /* extension scan (single-ref add_extra_mv_candidate) + gm padding */
+    int refmv_count = n;
+    if (refmv_count < 2) {
+        int mi_w = n8_w < 16 ? n8_w : 16;
+        if (w->mi_cols - mi_col < mi_w) mi_w = w->mi_cols - mi_col;
+        int mi_h = n8_h < 16 ? n8_h : 16;
+        if (w->mi_rows - mi_row < mi_h) mi_h = w->mi_rows - mi_row;
+        int mi_size = mi_w < mi_h ? mi_w : mi_h;
+        for (int pass = 0; pass < 2; pass++) {
+            int offs_row = pass == 0;
+            if (offs_row && !s.max_row_offset) continue;
+            if (!offs_row && !s.max_col_offset) continue;
+            int i = 0;
+            while (i < mi_size && refmv_count < 2) {
+                int r, c, step;
+                if (offs_row) { r = mi_row - 1; c = mi_col + i; }
+                else { r = mi_row + i; c = mi_col - 1; }
+                int idx = r * w->mi_cols + c;
+                step = offs_row ? w->g_bw4[idx] : w->g_bh4[idx];
+                if (w->g_ref[idx] > 0) {
+                    int mr = w->g_mvr[idx], mc = w->g_mvc[idx];
+                    int dup = 0;
+                    for (int k = 0; k < refmv_count; k++)
+                        if (st_r[k] == mr && st_c[k] == mc) { dup = 1; break; }
+                    if (!dup) {
+                        st_r[refmv_count] = mr; st_c[refmv_count] = mc;
+                        st_w[refmv_count] = 2;
+                        if (refmv_count >= n) n = refmv_count + 1;
+                        refmv_count++;
+                    }
+                }
+                i += step;
+            }
+        }
+        for (int idx = refmv_count; idx < 2; idx++) {
+            st_r[idx] = gm_r; st_c[idx] = gm_c;
+            if (idx >= n) { st_w[idx] = 2; n = idx + 1; }
+        }
+    }
+
+    /* clamp (MV_BORDER = 128) */
+    int bw_px = n8_w * 4, bh_px = n8_h * 4;
+    int lo_c = -(mi_col * 4) * 8 - bw_px * 8 - 128;
+    int hi_c = (w->mi_cols - n8_w - mi_col) * 32 + bw_px * 8 + 128;
+    int lo_r = -(mi_row * 4) * 8 - bh_px * 8 - 128;
+    int hi_r = (w->mi_rows - n8_h - mi_row) * 32 + bh_px * 8 + 128;
+    for (int i = 0; i < n; i++) {
+        if (st_r[i] < lo_r) st_r[i] = lo_r;
+        if (st_r[i] > hi_r) st_r[i] = hi_r;
+        if (st_c[i] < lo_c) st_c[i] = lo_c;
+        if (st_c[i] > hi_c) st_c[i] = hi_c;
+    }
+    *p_mode_ctx = mode_ctx;
+    *p_refmv_count = refmv_count;
+    *p_nstack = n;
+}
+
+/* ---- inter syntax writers (mirror of inter_encoder._write_*) ---- */
+static void write_is_inter(Walk *w, int mi_row, int mi_col, int is_inter) {
+    int has_a = mi_row > w->tile_r0, has_l = mi_col > w->tile_c0;
+    int a_inter = has_a ? w->g_ref[(mi_row - 1) * w->mi_cols + mi_col] > 0 : 0;
+    int l_inter = has_l ? w->g_ref[mi_row * w->mi_cols + mi_col - 1] > 0 : 0;
+    int ctx;
+    if (has_a && has_l)
+        ctx = (!a_inter && !l_inter) ? 3 : (!a_inter || !l_inter);
+    else if (has_a || has_l)
+        ctx = 2 * !(has_a ? a_inter : l_inter);
+    else
+        ctx = 0;
+    ec_symbol(w->enc, is_inter, w->cdf_intra_inter + ctx * 3, 2, w->adapt);
+}
+
+static void write_ref_frames(Walk *w, int mi_row, int mi_col, int ref) {
+    int counts[8] = {0};
+    int has_a = mi_row > w->tile_r0, has_l = mi_col > w->tile_c0;
+    if (has_a) {
+        int rf = w->g_ref[(mi_row - 1) * w->mi_cols + mi_col];
+        if (rf > 0) counts[rf]++;
+    }
+    if (has_l) {
+        int rf = w->g_ref[mi_row * w->mi_cols + mi_col - 1];
+        if (rf > 0) counts[rf]++;
+    }
+    int fwd = counts[1] + counts[2] + counts[3] + counts[4];
+    int bwd = counts[5] + counts[6] + counts[7];
+    int ctx_p1 = fwd == bwd ? 1 : (fwd < bwd ? 0 : 2);
+    ec_symbol(w->enc, 0, w->cdf_single_ref + (ctx_p1 * 6 + 0) * 3, 2, w->adapt);
+    int ll2 = counts[1] + counts[2], l3g = counts[3] + counts[4];
+    int ctx_p3 = ll2 == l3g ? 1 : (ll2 < l3g ? 0 : 2);
+    int is_gold = ref == 4;
+    ec_symbol(w->enc, is_gold, w->cdf_single_ref + (ctx_p3 * 6 + 2) * 3, 2,
+              w->adapt);
+    if (is_gold) {
+        int ctx_p5 = counts[3] == counts[4] ? 1 : (counts[3] < counts[4] ? 0 : 2);
+        ec_symbol(w->enc, 1, w->cdf_single_ref + (ctx_p5 * 6 + 4) * 3, 2,
+                  w->adapt);
+    } else {
+        int ctx_p4 = counts[1] == counts[2] ? 1 : (counts[1] < counts[2] ? 0 : 2);
+        ec_symbol(w->enc, 0, w->cdf_single_ref + (ctx_p4 * 6 + 3) * 3, 2,
+                  w->adapt);
+    }
+}
+
+static void write_inter_mode(Walk *w, int mode, int mode_ctx) {
+    ec_symbol(w->enc, mode != 16, w->cdf_newmv + (mode_ctx & 7) * 3, 2,
+              w->adapt);
+    if (mode != 16) {
+        ec_symbol(w->enc, mode != 15, w->cdf_zeromv + ((mode_ctx >> 3) & 1) * 3,
+                  2, w->adapt);
+        if (mode != 15)
+            ec_symbol(w->enc, mode != 13,
+                      w->cdf_refmv + ((mode_ctx >> 4) & 15) * 3, 2, w->adapt);
+    }
+}
+
+static void write_drl(Walk *w, const int *st_w, int nstack, int refmv_count) {
+    /* drl_index = 0 (write_drl_idx NEWMV branch) */
+    if (refmv_count > 1) {
+        int w0 = nstack > 0 ? st_w[0] : 0;
+        int w1 = nstack > 1 ? st_w[1] : 0;
+        int ctx = (w0 >= 640 && w1 >= 640) ? 0 : (w0 >= 640 ? 1 : 2);
+        ec_symbol(w->enc, 0, w->cdf_drl + ctx * 3, 2, w->adapt);
+    }
+}
+
+static void write_mv(Walk *w, int mvr, int mvc, int refr, int refc) {
+    int diff[2] = {mvr - refr, mvc - refc};
+    int joint = (diff[0] == 0 && diff[1] == 0) ? 0
+                : (diff[0] == 0 ? 1 : (diff[1] == 0 ? 2 : 3));
+    ec_symbol(w->enc, joint, w->cdf_nmv_joints, 4, w->adapt);
+    for (int comp = 0; comp < 2; comp++) {
+        int d = diff[comp];
+        if (d == 0) continue;
+        int sign = d < 0;
+        int mag = sign ? -d : d;
+        int z = mag - 1;
+        int cls, base;
+        if (z >= 2 * 4096) cls = 10;
+        else {
+            cls = 0;
+            int t = z >> 3;
+            while (t > 1) { t >>= 1; cls++; }
+        }
+        base = cls ? (2 << (cls + 2)) : 0;
+        int offset = z - base;
+        int di = offset >> 3, fr = (offset >> 1) & 3, hp = offset & 1;
+        ec_symbol(w->enc, sign, w->cdf_nmv_sign + comp * 3, 2, w->adapt);
+        ec_symbol(w->enc, cls, w->cdf_nmv_classes + comp * 12, 11, w->adapt);
+        if (cls == 0)
+            ec_symbol(w->enc, di, w->cdf_nmv_class0 + comp * 3, 2, w->adapt);
+        else
+            for (int i = 0; i < cls; i++)
+                ec_symbol(w->enc, (di >> i) & 1,
+                          w->cdf_nmv_bits + (comp * 10 + i) * 3, 2, w->adapt);
+        /* precision: allow_high_precision_mv = 1, force_integer = 0 */
+        if (cls == 0)
+            ec_symbol(w->enc, fr,
+                      (di ? w->cdf_nmv_fp1 : w->cdf_nmv_fp0) + comp * 5, 4,
+                      w->adapt);
+        else
+            ec_symbol(w->enc, fr, w->cdf_nmv_fp + comp * 5, 4, w->adapt);
+        if (cls == 0)
+            ec_symbol(w->enc, hp, w->cdf_nmv_c0hp + comp * 3, 2, w->adapt);
+        else
+            ec_symbol(w->enc, hp, w->cdf_nmv_hp + comp * 3, 2, w->adapt);
+    }
+}
+
+/* ---- the P-frame block (mirror of inter_encoder._encode_block on the
+   decided path: decisions from the native pre-pass, MC or closed-loop
+   intra prediction, DCT-only transforms, inter syntax) ---- */
+static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
+                               int sb_r, int sb_c) {
+    int W = BW[bsize], H = BH[bsize];
+    int x0 = mi_col * 4, y0 = mi_row * 4;
+    int bw4 = W >> 2, bh4 = H >> 2;
+    int mi = mi_row * w->mi_cols + mi_col;
+    int ref = w->d_ref[mi];                  /* 0 intra, 1 LAST, 4 GOLDEN */
+    int mode = w->d_mode[mi];
+    int mvr = w->d_mvr[mi], mvc = w->d_mvc[mi];
+    int use_inter = ref > 0;
+    int ref_idx = ref == 4 ? 1 : 0;
+
+    PlaneRes res[3];
+    int nres = 1;
+    PlaneRes *ry = &res[0];
+    ry->plane = 0; ry->px = x0; ry->py = y0; ry->pw = W; ry->ph = H;
+    ry->tx_size = MAX_TX[bsize]; ry->tx_type = 0;
+    if (use_inter) {
+        mc_pred_plane(w, ref_idx, 0, x0, y0, W, H, mvr, mvc, ry->pred);
+    } else {
+        int32_t ab[1 + 128 + 128], lb[1 + 128 + 128];
+        int ha, hl;
+        gather_neighbors(w, 0, x0, y0, W, H, ab, lb, &ha, &hl);
+        predict_mode(w, mode, ab, lb, ha, hl, W, H, ry->pred);
+    }
+    run_plane(w, ry, sb_r, sb_c);
+
+    int has_uv = w->nplanes > 1;
+    int cfl_allowed = W <= 32 && H <= 32;
+    if (has_uv) {
+        int uv_w = W >> 1 > 4 ? W >> 1 : 4, uv_h = H >> 1 > 4 ? H >> 1 : 4;
+        int tx_uv = MAX_TX[bsize_of(uv_w, uv_h)];
+        int cw = W >> 1, ch = H >> 1;
+        int cx = x0 >> 1, cy = y0 >> 1;
+        for (int pl = 1; pl <= 2; pl++) {
+            PlaneRes *r = &res[nres++];
+            r->plane = pl; r->px = cx; r->py = cy; r->pw = cw; r->ph = ch;
+            r->tx_size = tx_uv; r->tx_type = 0;
+            if (use_inter) {
+                mc_pred_plane(w, ref_idx, pl, cx, cy, cw, ch, mvr, mvc, r->pred);
+            } else {
+                int32_t ab[1 + 64 + 64], lb[1 + 64 + 64];
+                int ha, hl;
+                gather_neighbors(w, pl, cx, cy, cw, ch, ab, lb, &ha, &hl);
+                predict_mode(w, 0, ab, lb, ha, hl, cw, ch, r->pred);
+            }
+            run_plane(w, r, sb_r, sb_c);
+        }
+    }
+
+    int skip = 1;
+    for (int i = 0; i < nres; i++) if (res[i].eob) skip = 0;
+
+    /* MV stack (needed for inter syntax only) */
+    int st_r[10], st_c[10], st_w[10], nstack = 0, mode_ctx = 0, refmv_count = 0;
+    if (use_inter) {
+        int gm_r = ref == 1 ? w->gm_row : 0;
+        int gm_c = ref == 1 ? w->gm_col : 0;
+        ref_mv_list(w, mi_row, mi_col, bw4, bh4, ref, gm_r, gm_c,
+                    st_r, st_c, st_w, &mode_ctx, &refmv_count, &nstack);
+    }
+
+    /* ---- syntax (order: skip, delta-q, is_inter, mode info) */
+    {
+        int above = mi_row > w->tile_r0 ? w->mi_skip[(mi_row - 1) * w->mi_cols + mi_col] : 0;
+        int left = mi_col > w->tile_c0 ? w->mi_skip[mi_row * w->mi_cols + mi_col - 1] : 0;
+        ec_symbol(w->enc, skip, w->cdf_skip + (above + left) * 3, 2, w->adapt);
+    }
+    if (w->sb_delta_pending && (mi_row & 15) == 0 && (mi_col & 15) == 0
+        && (bsize != 12 || !skip))
+        write_delta_q(w);
+    write_is_inter(w, mi_row, mi_col, use_inter);
+    if (use_inter) {
+        write_ref_frames(w, mi_row, mi_col, ref);
+        write_inter_mode(w, mode, mode_ctx);
+        if (mode == 16) {
+            write_drl(w, st_w, nstack, refmv_count);
+            write_mv(w, mvr, mvc, st_r[0], st_c[0]);
+        }
+        /* frame-level interpolation filter: no per-block syntax */
+    } else {
+        int grp = SIZE_GROUP[bsize];
+        ec_symbol(w->enc, mode, w->cdf_if_y + grp * 14, 13, w->adapt);
+        if (bsize >= 3 && mode >= 1 && mode <= 8)
+            ec_symbol(w->enc, 3, w->cdf_angle + (mode - 1) * 8, 7, w->adapt);
+        if (has_uv)
+            ec_symbol(w->enc, 0, w->cdf_uv + (cfl_allowed * 13 + mode) * 15,
+                      cfl_allowed ? 14 : 13, w->adapt);
+        if (w->allow_sct && W <= 64 && H <= 64 && bsize >= 3) {
+            int npl2 = 0, t = W * H;
+            while (t > 1) { t >>= 1; npl2++; }
+            int bctx = npl2 - 6;
+            if (mode == 0)
+                ec_symbol(w->enc, 0, w->cdf_pal_y + (bctx * 3 + 0) * 3, 2,
+                          w->adapt);
+            if (has_uv)
+                ec_symbol(w->enc, 0, w->cdf_pal_uv, 2, w->adapt);
+        }
+        if (w->enable_filter_intra && mode == 0 && W <= 32 && H <= 32)
+            ec_symbol(w->enc, 0, w->cdf_fi + bsize * 3, 2, w->adapt);
+    }
+
+    /* ---- coefficients + recon */
+    code_residual_planes(w, res, nres, skip, use_inter, mode);
+
+    /* ---- mi + MV-prediction grid state */
+    int r1 = mi_row + bh4 < w->mi_rows ? mi_row + bh4 : w->mi_rows;
+    int c1 = mi_col + bw4 < w->mi_cols ? mi_col + bw4 : w->mi_cols;
+    for (int r = mi_row; r < r1; r++)
+        for (int c = mi_col; c < c1; c++) {
+            int j = r * w->mi_cols + c;
+            w->mi_mode[j] = (int8_t)(use_inter ? 0 : mode);
+            w->mi_skip[j] = (int8_t)skip;
+            w->g_ref[j] = (int8_t)(use_inter ? ref : 0);
+            w->g_mvr[j] = (int16_t)(use_inter ? mvr : 0);
+            w->g_mvc[j] = (int16_t)(use_inter ? mvc : 0);
+            w->g_mode[j] = (uint8_t)mode;
+            w->g_bw4[j] = (uint8_t)bw4;
+            w->g_bh4[j] = (uint8_t)bh4;
+        }
+}
+
 /* ------------------------------------------------------------- the walk */
 static int subsize_of(int bsize, int part) {
     int W = BW[bsize], H = BH[bsize];
@@ -702,6 +1272,12 @@ static int subsize_of(int bsize, int part) {
     if (part == PART_SPLIT) return bsize_of(W / 2, H / 2);
     if (part == PART_HORZ) return bsize_of(W, H / 2);
     return bsize_of(W / 2, H);
+}
+
+static void enc_block(Walk *w, int mi_row, int mi_col, int bsize,
+                      int sb_r, int sb_c) {
+    if (w->is_inter_frame) encode_block_inter(w, mi_row, mi_col, bsize, sb_r, sb_c);
+    else encode_block(w, mi_row, mi_col, bsize, sb_r, sb_c);
 }
 
 static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c) {
@@ -723,15 +1299,15 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
 
     int subsize = subsize_of(bsize, part);
     if (part == PART_NONE) {
-        encode_block(w, mi_row, mi_col, bsize, sb_r, sb_c);
+        enc_block(w, mi_row, mi_col, bsize, sb_r, sb_c);
     } else if (part == PART_HORZ) {
-        encode_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
+        enc_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
         if (mi_row + half < w->mi_rows)
-            encode_block(w, mi_row + half, mi_col, subsize, sb_r, sb_c);
+            enc_block(w, mi_row + half, mi_col, subsize, sb_r, sb_c);
     } else if (part == PART_VERT) {
-        encode_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
+        enc_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
         if (mi_col + half < w->mi_cols)
-            encode_block(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
+            enc_block(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
     } else {
         walk(w, mi_row, mi_col, subsize, sb_r, sb_c);
         walk(w, mi_row, mi_col + half, subsize, sb_r, sb_c);

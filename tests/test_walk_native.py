@@ -104,3 +104,69 @@ def test_native_walk_delta_q():
     assert t_c == t_p
     for a, b in zip(rec_c, rec_p):
         assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------- inter walk
+def _encode_seq(kw, nframes, seed, force_python, motion=2):
+    """Encode an IPPP sequence through the full API with/without the C walk."""
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.config import EncoderConfig
+
+    W, H = kw.pop("W", 176), kw.pop("H", 144)
+    bd = kw.pop("input_depth", 8)
+    rng = np.random.default_rng(seed)
+    peak = (1 << bd) - 1
+    base = (np.cumsum(rng.normal(0, 4 * (peak / 255), (H, W)), axis=1)
+            + peak / 2).clip(0, peak)
+    ys = [np.clip(np.roll(base, f * motion, axis=1)
+                  + rng.normal(0, 3 * (peak / 255), (H, W)), 0, peak)
+          .astype(np.uint16 if bd > 8 else np.uint8) for f in range(nframes)]
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    u = np.full((ch, cw), peak // 2 - 4, np.uint16 if bd > 8 else np.uint8)
+    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+                        input_depth=bd, **kw)
+    cfg.qp = kw.get("qp", 40)
+    orig = walk_native.eligible
+    if force_python:
+        walk_native.eligible = lambda e: False
+    try:
+        enc = Encoder(cfg).init()
+        pkts, recons = [], []
+        for y in ys:
+            enc.send_picture(y, u, u.copy())
+            pkts.append(enc.get_packet().data)
+            recons.append(enc.get_recon())
+    finally:
+        walk_native.eligible = orig
+    return pkts, recons
+
+
+@pytest.mark.parametrize("kw,nframes,seed", [
+    (dict(preset=8), 4, 3),
+    (dict(preset=10, W=200, H=116), 3, 4),          # odd dims, edge blocks
+    (dict(preset=8, input_depth=10), 3, 5),         # 10-bit
+    (dict(preset=6), 3, 6),                          # variance boost delta-q
+    (dict(preset=8, enable_variance_boost=0, qp=55), 4, 7),  # high q skips
+])
+def test_native_walk_inter_matches_python(kw, nframes, seed):
+    pk_c, rc_c = _encode_seq(dict(kw), nframes, seed, force_python=False)
+    pk_p, rc_p = _encode_seq(dict(kw), nframes, seed, force_python=True)
+    for i, (a, b) in enumerate(zip(pk_c, pk_p)):
+        assert a == b, f"frame {i} differs: {len(a)} vs {len(b)} bytes"
+    for a, b in zip(rc_c, rc_p):
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+
+
+def test_native_walk_inter_conformant():
+    from pathlib import Path
+    if not Path("/usr/lib/x86_64-linux-gnu/libdav1d.so.6").exists():
+        pytest.skip("dav1d unavailable")
+    from svt_av1_psy_tpu.io import dav1d
+
+    pk, rc = _encode_seq(dict(preset=8, W=176, H=144), 5, 11,
+                         force_python=False, motion=3)
+    stream = b"".join(pk)
+    for i, r in enumerate(rc):
+        d = dav1d.decode_nth(stream, i, 176, 144)
+        assert all(np.array_equal(x, y) for x, y in zip(d, r)), f"frame {i}"
