@@ -190,6 +190,19 @@ def deblock_plane(recon: np.ndarray, maps: DeblockMaps, plane: int,
     pad = 8
     buf = np.pad(recon.astype(np.int32), pad, mode="edge")
 
+    from . import mc_native
+
+    txw = np.ascontiguousarray(maps.txw)
+    txh = np.ascontiguousarray(maps.txh)
+    bev = np.ascontiguousarray(maps.bedge_v.view(np.uint8))
+    beh = np.ascontiguousarray(maps.bedge_h.view(np.uint8))
+    if mc_native.deblock_plane(buf, H, W, pad, txw, txh, bev, beh,
+                               is_luma, level_v, level_h, sharpness,
+                               bd) is not None:
+        recon[:] = buf[pad : pad + recon.shape[0],
+                       pad : pad + recon.shape[1]].astype(recon.dtype)
+        return recon
+
     if level_v:
         for xu in range(1, wu):
             x = xu * 4

@@ -51,6 +51,7 @@ def inter_ext_tx_set(tx_size: int) -> int:
 
 
 def _mv_class(z: int):
+    z = int(z)   # numpy ints (from the ME fallback path) lack bit_length
     c = 10 if z >= 2 * 4096 else max((z >> 3).bit_length() - 1, 0)
     base = (2 << (c + 2)) if c else 0
     return c, z - base

@@ -117,6 +117,11 @@ def _load():
         ctypes.c_double,                                            # psy_rd
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.deblock_plane_native.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.cdef_filter_blocks.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
@@ -247,6 +252,20 @@ def inter_decide_frame(src_u16, ref_me, refq, curq, ref_pad, pad, golden,
         bx.ctypes.data, by.ctypes.data, bw.ctypes.data, bh.ctypes.data,
         n, out.ctypes.data)
     return out
+
+
+def deblock_plane(buf, H, W, pad, txw, txh, bev, beh, is_luma,
+                  level_v, level_h, sharpness, bd):
+    """In-place native loop filter on the padded int32 plane buffer.
+    Returns True, or None without the library (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    lib.deblock_plane_native(
+        buf.ctypes.data, buf.shape[1], H, W, pad,
+        txw.ctypes.data, txh.ctypes.data, bev.ctypes.data, beh.ctypes.data,
+        txw.shape[1], int(is_luma), level_v, level_h, sharpness, bd)
+    return True
 
 
 def psy_block_energy(x: np.ndarray, t: int):

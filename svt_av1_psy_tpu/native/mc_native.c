@@ -792,25 +792,35 @@ void inter_decide_frame(
                      : (psy_distortion_sum_u16((P), W, H, W, t, eng) << 2)) \
             * psy_rd) : 0)
 
+        /* ---- GLOBALMV on LAST first: a near-perfect global/zero match
+           skips the NEWMV search entirely (the reference's MD early-exit
+           ladder; most static-background blocks take this path) */
+        mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, gm_row, gm_col,
+                     filters8, filters4, bd, pred);
+        int64_t cost_zero = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+
         /* ---- NEWMV on LAST */
+        int64_t cost_new = INT64_MAX;
+        int mv_new_r = 0, mv_new_c = 0;
         int qw = W >> 2, qh = H >> 2;
         if (qw < 1) qw = 1;
         if (qh < 1) qh = 1;
         int qy = y0 >> 2, qx = x0 >> 2;
-        for (int r = 0; r < qh; r++)
-            for (int c = 0; c < qw; c++)
-                cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];
         int64_t me_out[3];
-        me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq, qH, qW,
-                        x0, y0, range, filters8, bd, 1, me_out);
-        int mv_new_r = (int)me_out[0], mv_new_c = (int)me_out[1];
-        mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, mv_new_r, mv_new_c,
-                     filters8, filters4, bd, pred);
-        int64_t cost_new = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
-        /* ---- GLOBALMV on LAST */
-        mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, gm_row, gm_col,
-                     filters8, filters4, bd, pred);
-        int64_t cost_zero = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+        if (cost_zero > ((int64_t)(W * H) << 2)) {
+            for (int r = 0; r < qh; r++)
+                for (int c = 0; c < qw; c++)
+                    cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];
+            me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq, qH,
+                            qW, x0, y0, range, filters8, bd, 1, me_out);
+            mv_new_r = (int)me_out[0];
+            mv_new_c = (int)me_out[1];
+            mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, mv_new_r, mv_new_c,
+                         filters8, filters4, bd, pred);
+            /* PSY_COST >= 0: skip it when SSE alone already loses (exact) */
+            int64_t sse = sse_pred_u16(sblk, sstride, pred, W, H);
+            cost_new = sse < cost_zero ? sse + PSY_COST(pred) : INT64_MAX;
+        }
 
         int best_ref = 1, best_mode = cost_new <= cost_zero ? 16 : 15;
         int best_mvr = best_mode == 16 ? mv_new_r : gm_row;
@@ -828,7 +838,9 @@ void inter_decide_frame(
             mc_pred_luma(gref_pad, gpW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
-            int64_t cost_g = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+            int64_t sse_g = sse_pred_u16(sblk, sstride, pred, W, H);
+            int64_t cost_g = sse_g < best_inter ? sse_g + PSY_COST(pred)
+                                                : INT64_MAX;
             if (cost_g < best_inter) {
                 best_inter = cost_g;
                 best_ref = 4;
@@ -838,7 +850,11 @@ void inter_decide_frame(
             }
         }
 
-        /* ---- open-loop intra estimate from source neighbors */
+        /* ---- open-loop intra estimate from source neighbors (skipped when
+           the inter match is already near-lossless) */
+        int64_t best_icost = INT64_MAX;
+        int best_imode = 0;
+        if (best_inter > ((int64_t)(W * H) << 1)) {
         int have_a = y0 > 0, have_l = x0 > 0;
         int32_t base = 1 << (bd - 1);
         for (int c = 0; c < W; c++)
@@ -852,13 +868,16 @@ void inter_decide_frame(
                                    : (have_l ? nb_left[0] : base));
         static const int cmodes[5] = {0, 1, 2, 3, 6};   /* DC V H SMOOTH PAETH */
         static const int pmodes[5] = {0, 1, 2, 9, 12};  /* PredictionMode */
-        int64_t best_icost = INT64_MAX;
-        int best_imode = 0;
+        int64_t prune = best_inter;   /* intra only matters below this */
         for (int m = 0; m < 5; m++) {
             intra_pred_block(cmodes[m], nb_above, nb_left, corner,
                              have_a, have_l, W, H, bd, pred);
-            int64_t c = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+            int64_t sse_i = sse_pred_u16(sblk, sstride, pred, W, H);
+            int64_t lim = best_icost < prune ? best_icost : prune;
+            if (sse_i >= lim) continue;   /* exact prune: PSY_COST >= 0 */
+            int64_t c = sse_i + PSY_COST(pred);
             if (c < best_icost) { best_icost = c; best_imode = pmodes[m]; }
+        }
         }
         #undef PSY_COST
 
@@ -868,6 +887,176 @@ void inter_decide_frame(
             o[3] = best_mvr; o[4] = best_mvc;
         } else {
             o[0] = 0; o[1] = 0; o[2] = best_imode; o[3] = 0; o[4] = 0;
+        }
+    }
+}
+
+/* ---- deblocking loop filter (normative; mirror of codec/deblock.py,
+ * itself mirroring deblocking_common.c filter4/6/8/14 + the edge walk).
+ * Scalar per-lane transcription of the vectorized Python; identical
+ * modification order (vertical edges left->right, then horizontal). ---- */
+
+static int32_t db_clip(int32_t x, int32_t lo, int32_t hi) {
+    return x < lo ? lo : (x > hi ? hi : x);
+}
+
+/* filter4 on one lane; writes {p1,p0,q0,q1} results into o[0..3] */
+static void db_filter4(int32_t p1, int32_t p0, int32_t q0, int32_t q1,
+                       int mask, int thresh, int bd, int32_t o[4]) {
+    int32_t off = 0x80 << (bd - 8), lo = -off, hi = off - 1;
+    int32_t ps1 = p1 - off, ps0 = p0 - off, qs0 = q0 - off, qs1 = q1 - off;
+    int32_t ap = p1 - p0; if (ap < 0) ap = -ap;
+    int32_t aq = q1 - q0; if (aq < 0) aq = -aq;
+    int hev = ap > thresh || aq > thresh;
+    int32_t f = hev ? db_clip(ps1 - qs1, lo, hi) : 0;
+    f = mask ? db_clip(f + 3 * (qs0 - ps0), lo, hi) : 0;
+    int32_t f1 = db_clip(f + 4, lo, hi) >> 3;
+    int32_t f2 = db_clip(f + 3, lo, hi) >> 3;
+    o[2] = db_clip(qs0 - f1, lo, hi) + off;
+    o[1] = db_clip(ps0 + f2, lo, hi) + off;
+    int32_t f3 = hev ? 0 : (f1 + 1) >> 1;
+    o[3] = db_clip(qs1 - f3, lo, hi) + off;
+    o[0] = db_clip(ps1 + f3, lo, hi) + off;
+}
+
+#define RPOT(v, n) (((v) + (1 << ((n) - 1))) >> (n))
+
+/* one 14-pixel segment [p6..p0 q0..q6] at s[0..13*stride], filter size fs */
+static void db_filter_seg(int32_t *s, int stride, int fs, int blimit,
+                          int limit, int thresh, int bd) {
+    int32_t p[7], q[7];
+    for (int i = 0; i < 7; i++) {
+        p[i] = s[(6 - i) * stride];
+        q[i] = s[(7 + i) * stride];
+    }
+#define A(x, y) ((x) > (y) ? (x) - (y) : (y) - (x))
+    int mask2 = !(A(p[1], p[0]) > limit || A(q[1], q[0]) > limit
+                  || A(p[0], q[0]) * 2 + A(p[1], q[1]) / 2 > blimit);
+    int mask3 = mask2 && !(A(p[2], p[1]) > limit || A(q[2], q[1]) > limit);
+    int mask4 = mask3 && !(A(p[3], p[2]) > limit || A(q[3], q[2]) > limit);
+    int32_t f1 = 1 << (bd - 8);
+    int flat3 = !(A(p[1], p[0]) > f1 || A(q[1], q[0]) > f1
+                  || A(p[2], p[0]) > f1 || A(q[2], q[0]) > f1);
+    int flat4 = flat3 && !(A(p[3], p[0]) > f1 || A(q[3], q[0]) > f1);
+    int flat2 = !(A(p[6], p[0]) > f1 || A(q[6], q[0]) > f1
+                  || A(p[5], p[0]) > f1 || A(q[5], q[0]) > f1
+                  || A(p[4], p[0]) > f1 || A(q[4], q[0]) > f1);
+#undef A
+    int mask = fs == 4 ? mask2 : (fs == 6 ? mask3 : mask4);
+    int32_t n4[4];
+    db_filter4(p[1], p[0], q[0], q[1], mask, thresh, bd, n4);
+    if (fs == 4) {
+        s[5 * stride] = n4[0]; s[6 * stride] = n4[1];
+        s[7 * stride] = n4[2]; s[8 * stride] = n4[3];
+        return;
+    }
+    if (fs == 6) {
+        if (mask && flat3) {
+            s[5 * stride] = RPOT(p[2] * 3 + p[1] * 2 + p[0] * 2 + q[0], 3);
+            s[6 * stride] = RPOT(p[2] + p[1] * 2 + p[0] * 2 + q[0] * 2 + q[1], 3);
+            s[7 * stride] = RPOT(p[1] + p[0] * 2 + q[0] * 2 + q[1] * 2 + q[2], 3);
+            s[8 * stride] = RPOT(p[0] + q[0] * 2 + q[1] * 2 + q[2] * 3, 3);
+        } else {
+            s[5 * stride] = n4[0]; s[6 * stride] = n4[1];
+            s[7 * stride] = n4[2]; s[8 * stride] = n4[3];
+        }
+        return;
+    }
+    int flat_ok = mask && flat4;
+    int32_t w8[6];
+    if (flat_ok) {
+        w8[0] = RPOT(p[3] * 3 + 2 * p[2] + p[1] + p[0] + q[0], 3);
+        w8[1] = RPOT(p[3] * 2 + p[2] + 2 * p[1] + p[0] + q[0] + q[1], 3);
+        w8[2] = RPOT(p[3] + p[2] + p[1] + 2 * p[0] + q[0] + q[1] + q[2], 3);
+        w8[3] = RPOT(p[2] + p[1] + p[0] + 2 * q[0] + q[1] + q[2] + q[3], 3);
+        w8[4] = RPOT(p[1] + p[0] + q[0] + 2 * q[1] + q[2] + 2 * q[3], 3);
+        w8[5] = RPOT(p[0] + q[0] + q[1] + 2 * q[2] + 3 * q[3], 3);
+    }
+    if (fs == 8) {
+        if (flat_ok)
+            for (int i = 0; i < 6; i++) s[(4 + i) * stride] = w8[i];
+        else {
+            s[5 * stride] = n4[0]; s[6 * stride] = n4[1];
+            s[7 * stride] = n4[2]; s[8 * stride] = n4[3];
+        }
+        return;
+    }
+    /* fs == 14 */
+    if (flat_ok && flat2) {
+        int32_t w14[12];
+        w14[0] = RPOT(p[6] * 7 + p[5] * 2 + p[4] * 2 + p[3] + p[2] + p[1] + p[0] + q[0], 4);
+        w14[1] = RPOT(p[6] * 5 + p[5] * 2 + p[4] * 2 + p[3] * 2 + p[2] + p[1] + p[0] + q[0] + q[1], 4);
+        w14[2] = RPOT(p[6] * 4 + p[5] + p[4] * 2 + p[3] * 2 + p[2] * 2 + p[1] + p[0] + q[0] + q[1] + q[2], 4);
+        w14[3] = RPOT(p[6] * 3 + p[5] + p[4] + p[3] * 2 + p[2] * 2 + p[1] * 2 + p[0] + q[0] + q[1] + q[2] + q[3], 4);
+        w14[4] = RPOT(p[6] * 2 + p[5] + p[4] + p[3] + p[2] * 2 + p[1] * 2 + p[0] * 2 + q[0] + q[1] + q[2] + q[3] + q[4], 4);
+        w14[5] = RPOT(p[6] + p[5] + p[4] + p[3] + p[2] + p[1] * 2 + p[0] * 2 + q[0] * 2 + q[1] + q[2] + q[3] + q[4] + q[5], 4);
+        w14[6] = RPOT(p[5] + p[4] + p[3] + p[2] + p[1] + p[0] * 2 + q[0] * 2 + q[1] * 2 + q[2] + q[3] + q[4] + q[5] + q[6], 4);
+        w14[7] = RPOT(p[4] + p[3] + p[2] + p[1] + p[0] + q[0] * 2 + q[1] * 2 + q[2] * 2 + q[3] + q[4] + q[5] + q[6] * 2, 4);
+        w14[8] = RPOT(p[3] + p[2] + p[1] + p[0] + q[0] + q[1] * 2 + q[2] * 2 + q[3] * 2 + q[4] + q[5] + q[6] * 3, 4);
+        w14[9] = RPOT(p[2] + p[1] + p[0] + q[0] + q[1] + q[2] * 2 + q[3] * 2 + q[4] * 2 + q[5] + q[6] * 4, 4);
+        w14[10] = RPOT(p[1] + p[0] + q[0] + q[1] + q[2] + q[3] * 2 + q[4] * 2 + q[5] * 2 + q[6] * 5, 4);
+        w14[11] = RPOT(p[0] + q[0] + q[1] + q[2] + q[3] + q[4] * 2 + q[5] * 2 + q[6] * 7, 4);
+        for (int i = 0; i < 12; i++) s[(1 + i) * stride] = w14[i];
+    } else if (flat_ok) {
+        for (int i = 0; i < 6; i++) s[(4 + i) * stride] = w8[i];
+    } else {
+        s[5 * stride] = n4[0]; s[6 * stride] = n4[1];
+        s[7 * stride] = n4[2]; s[8 * stride] = n4[3];
+    }
+}
+
+static void db_thresholds(int level, int sharpness, int bd, int *blimit,
+                          int *limit, int *thresh) {
+    int inside = level >> ((sharpness > 0) + (sharpness > 4));
+    if (sharpness > 0 && inside > 9 - sharpness) inside = 9 - sharpness;
+    if (inside < 1) inside = 1;
+    int sc = 1 << (bd - 8);
+    *blimit = (2 * (level + 2) + inside) * sc;
+    *limit = inside * sc;
+    *thresh = (level >> 4) * sc;
+}
+
+/* buf: (H + 2*pad, W + 2*pad) edge-padded plane (int32). Maps are per-4x4
+ * unit with stride mstride. Filters in place. */
+void deblock_plane_native(int32_t *buf, int bstride, int H, int W, int pad,
+                          const uint8_t *txw, const uint8_t *txh,
+                          const uint8_t *bev, const uint8_t *beh, int mstride,
+                          int is_luma, int level_v, int level_h,
+                          int sharpness, int bd) {
+    int hu = (H + 3) >> 2, wu = (W + 3) >> 2;
+    int blimit, limit, thresh;
+    if (level_v) {
+        db_thresholds(level_v, sharpness, bd, &blimit, &limit, &thresh);
+        for (int xu = 1; xu < wu; xu++) {
+            int x = xu * 4;
+            if (x >= W) break;
+            for (int y = 0; y < H; y++) {
+                int u = y >> 2;
+                if (!bev[u * mstride + xu]) continue;
+                int a = txw[u * mstride + xu], b = txw[u * mstride + xu - 1];
+                int m = a < b ? a : b;
+                int fs = is_luma ? (m >= 16 ? 14 : (m >= 8 ? 8 : 4))
+                                 : (m >= 8 ? 6 : 4);
+                db_filter_seg(buf + (pad + y) * bstride + pad + x - 7, 1, fs,
+                              blimit, limit, thresh, bd);
+            }
+        }
+    }
+    if (level_h) {
+        db_thresholds(level_h, sharpness, bd, &blimit, &limit, &thresh);
+        for (int yu = 1; yu < hu; yu++) {
+            int y = yu * 4;
+            if (y >= H) break;
+            for (int xc = 0; xc < W; xc++) {
+                int u = xc >> 2;
+                if (!beh[yu * mstride + u]) continue;
+                int a = txh[yu * mstride + u], b = txh[(yu - 1) * mstride + u];
+                int m = a < b ? a : b;
+                int fs = is_luma ? (m >= 16 ? 14 : (m >= 8 ? 8 : 4))
+                                 : (m >= 8 ? 6 : 4);
+                db_filter_seg(buf + (pad + y - 7) * bstride + pad + xc,
+                              bstride, fs, blimit, limit, thresh, bd);
+            }
         }
     }
 }

@@ -49,3 +49,36 @@ def test_deblocked_recon_matches_dav1d(dims, q, bd, tiles):
     ry, ru, rv = enc.get_recon()
     assert np.array_equal(dy, ry)
     assert np.array_equal(du, ru) and np.array_equal(dv, rv)
+
+
+def test_native_deblock_matches_numpy():
+    """The C loop filter (mc_native.deblock_plane) must be bit-identical to
+    the vectorized numpy path across filter sizes, levels and bit depths."""
+    from svt_av1_psy_tpu.codec import deblock as db, mc_native
+    if not mc_native.available():
+        pytest.skip("native kernels unavailable")
+    rng = np.random.default_rng(0)
+    for trial, (H, W, bd, plane) in enumerate(
+            [(128, 128, 8, 0), (100, 76, 8, 0), (64, 64, 10, 0),
+             (64, 52, 8, 1), (96, 128, 10, 1)]):
+        peak = (1 << bd) - 1
+        rec = rng.integers(0, peak + 1,
+                           ((H + 3) & ~3, (W + 3) & ~3)).astype(np.uint16)
+        hu, wu = rec.shape[0] >> 2, rec.shape[1] >> 2
+        maps = db.DeblockMaps(hu, wu)
+        maps.txw[:] = rng.choice([4, 8, 16, 32], (hu, wu))
+        maps.txh[:] = rng.choice([4, 8, 16, 32], (hu, wu))
+        maps.bedge_v[:] = rng.random((hu, wu)) < 0.6
+        maps.bedge_h[:] = rng.random((hu, wu)) < 0.6
+        lv = int(rng.integers(1, 64))
+        lh = int(rng.integers(1, 64))
+        sh = int(rng.integers(0, 8))
+        a, b = rec.copy(), rec.copy()
+        db.deblock_plane(a, maps, plane, lv, lh, sh, bd, W, H)
+        orig = mc_native.deblock_plane
+        mc_native.deblock_plane = lambda *args, **kw: None
+        try:
+            db.deblock_plane(b, maps, plane, lv, lh, sh, bd, W, H)
+        finally:
+            mc_native.deblock_plane = orig
+        assert np.array_equal(a, b), trial
