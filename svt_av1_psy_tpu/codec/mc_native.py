@@ -117,6 +117,9 @@ def _load():
         ctypes.c_double,                                            # psy_rd
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.sgr_selfguided.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
     lib.deblock_plane_native.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -252,6 +255,21 @@ def inter_decide_frame(src_u16, ref_me, refq, curq, ref_pad, pad, golden,
         bx.ctypes.data, by.ctypes.data, bw.ctypes.data, bh.ctypes.data,
         n, out.ctypes.data)
     return out
+
+
+def sgr_selfguided(dgd_ext32, w, h, ep, bd, need0, need1):
+    """Native self-guided restoration filters. dgd_ext32: contiguous int32
+    (h+6, w+6). Returns (flt0, flt1) int64 arrays (or None entries per
+    need flags), or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    f0 = np.empty((h, w), np.int64) if need0 else None
+    f1 = np.empty((h, w), np.int64) if need1 else None
+    lib.sgr_selfguided(dgd_ext32.ctypes.data, w, h, ep, bd,
+                       f0.ctypes.data if need0 else None,
+                       f1.ctypes.data if need1 else None)
+    return f0, f1
 
 
 def deblock_plane(buf, H, W, pad, txw, txh, bev, beh, is_luma,

@@ -85,6 +85,11 @@ def selfguided_restoration(dgd_ext: np.ndarray, w: int, h: int, ep: int,
     """(flt0, flt1) int64 (h, w) from a (h+6, w+6) extended source block
     (3-pixel context on every side, already boundary-substituted)."""
     r0, r1, s0, s1 = SGR_PARAMS[ep]
+    from . import mc_native
+
+    if mc_native.available():
+        d32 = np.ascontiguousarray(dgd_ext, np.int32)
+        return mc_native.sgr_selfguided(d32, w, h, ep, bd, r0 > 0, r1 > 0)
     flt0 = flt1 = None
     # A/B needed on rows/cols [-1, h+1) x [-1, w+1) of the unit
     if r0 > 0:  # fast path, radius 2, A/B on every other row
@@ -188,6 +193,10 @@ def search_sgr_unit(src: np.ndarray, dgd_ext: np.ndarray, w: int, h: int,
          * (1 << SGRPROJ_RST_BITS))
     d = s - u
     best = None
+    u_int = (dgd_ext[_BORDER:_BORDER + h, _BORDER:_BORDER + w]
+             .astype(np.int64) << SGRPROJ_RST_BITS)
+    src_i = src.astype(np.int64)
+    peak = (1 << bd) - 1
     for ep in eps:
         r0, r1, _, _ = SGR_PARAMS[ep]
         flt0, flt1 = selfguided_restoration(dgd_ext, w, h, ep, bd)
@@ -214,8 +223,15 @@ def search_sgr_unit(src: np.ndarray, dgd_ext: np.ndarray, w: int, h: int,
             xq = (0, (int(np.rint((f1 * d).mean() / h11 * 128))
                       if h11 >= 1e-8 else 0))
         xqd = _encode_xq(xq, ep)
-        rec = sgr_filter_block(dgd_ext, w, h, ep, xqd, bd)
-        sse = int(((rec - src.astype(np.int64)) ** 2).sum())
+        # exact SSE with the encoded xqd, reusing this ep's filters
+        xq0, xq1 = decode_xq(xqd, ep)
+        v = u_int << SGRPROJ_PRJ_BITS
+        if r0 > 0:
+            v = v + xq0 * (flt0 - u_int)
+        if r1 > 0:
+            v = v + xq1 * (flt1 - u_int)
+        rec = np.clip(_rpot(v, SGRPROJ_PRJ_BITS + SGRPROJ_RST_BITS), 0, peak)
+        sse = int(((rec - src_i) ** 2).sum())
         if best is None or sse < best[2]:
             best = (ep, xqd, sse)
     return best

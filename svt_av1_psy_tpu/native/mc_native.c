@@ -1060,3 +1060,152 @@ void deblock_plane_native(int32_t *buf, int bstride, int H, int W, int pad,
         }
     }
 }
+
+/* ---- self-guided restoration core (normative; mirror of codec/sgr.py
+ * selfguided_restoration, itself mirroring restoration.c:468-810). The
+ * box sums are edge-truncated over the (h+6, w+6) extended block; the A/B
+ * nonlinearity and the 565/343 blends are exact integer transcriptions.
+ * Exposed so the per-unit LR search runs at native speed. ---- */
+
+static const int64_t sgr_one_by_x[25] = {
+    4096, 2048, 1365, 1024, 819, 683, 585, 512, 455, 410, 372, 341, 315,
+    293, 273, 256, 241, 228, 216, 205, 195, 186, 178, 171, 164};
+
+static int64_t sgr_x_by_xplus1(int x) {
+    if (x == 0) return 1;
+    if (x >= 255) return 256;
+    int64_t v = (256 * (int64_t)x + (x + 1) / 2) / (x + 1);
+    return v > 256 ? 256 : v;
+}
+
+#define SGR_RPOT(x, n) ((n) > 0 ? (((x) + ((int64_t)1 << ((n) - 1))) >> (n)) : (x))
+
+/* edge-truncated (2r+1)^2 box sums of d (int32, EH x EW) -> out (int64) */
+static void sgr_boxsum(const int32_t *d, int EH, int EW, int r, int sqr,
+                       int64_t *vtmp, int64_t *out) {
+    /* vertical pass with clamped windows */
+    for (int c = 0; c < EW; c++) {
+        int64_t run = 0;
+        for (int i = 0; i <= r && i < EH; i++) {
+            int64_t v = d[i * EW + c];
+            run += sqr ? v * v : v;
+        }
+        for (int i = 0; i < EH; i++) {
+            vtmp[i * EW + c] = run;
+            int add = i + r + 1, sub = i - r;
+            if (add < EH) {
+                int64_t v = d[add * EW + c];
+                run += sqr ? v * v : v;
+            }
+            if (sub >= 0) {
+                int64_t v = d[sub * EW + c];
+                run -= sqr ? v * v : v;
+            }
+        }
+    }
+    /* horizontal pass with clamped windows */
+    for (int i = 0; i < EH; i++) {
+        const int64_t *row = vtmp + i * EW;
+        int64_t run = 0;
+        for (int j = 0; j <= r && j < EW; j++) run += row[j];
+        for (int j = 0; j < EW; j++) {
+            out[i * EW + j] = run;
+            int add = j + r + 1, sub = j - r;
+            if (add < EW) run += row[add];
+            if (sub >= 0) run -= row[sub];
+        }
+    }
+}
+
+/* (r0,r1,s0,s1) of svt_aom_eb_sgr_params */
+static const int sgr_params_c[16][4] = {
+    {2, 1, 140, 3236}, {2, 1, 112, 2158}, {2, 1, 93, 1618}, {2, 1, 80, 1438},
+    {2, 1, 70, 1295}, {2, 1, 58, 1177}, {2, 1, 47, 1079}, {2, 1, 37, 996},
+    {2, 1, 30, 925}, {2, 1, 25, 863}, {0, 1, -1, 2589}, {0, 1, -1, 1618},
+    {0, 1, -1, 1177}, {0, 1, -1, 925}, {2, 0, 56, -1}, {2, 0, 22, -1}};
+
+/* A/B transform into At/Bt over the (h+2, w+2) window starting at
+ * (BORDER-1, BORDER-1) of the extended grid */
+static void sgr_ab(const int64_t *A, const int64_t *B, int EW, int h2, int w2,
+                   int off, int r, int s, int bd, int64_t *At, int64_t *Bt) {
+    int n = (2 * r + 1) * (2 * r + 1);
+    for (int i = 0; i < h2; i++)
+        for (int j = 0; j < w2; j++) {
+            int64_t a = SGR_RPOT(A[(i + off) * EW + j + off], 2 * (bd - 8));
+            int64_t b = SGR_RPOT(B[(i + off) * EW + j + off], bd - 8);
+            int64_t p = a * n - b * b;
+            if (p < 0) p = 0;
+            int64_t z = SGR_RPOT(p * s, 20);            /* MTABLE_BITS */
+            int64_t at = sgr_x_by_xplus1(z > 255 ? 255 : (int)z);
+            At[i * w2 + j] = at;
+            Bt[i * w2 + j] = SGR_RPOT((256 - at) * B[(i + off) * EW + j + off]
+                                      * sgr_one_by_x[n - 1], 12);
+        }
+}
+
+/* flt0/flt1 (int64, h x w) from the (h+6, w+6) extended block (int32).
+ * Either output pointer may be NULL when the ep does not use that radius. */
+void sgr_selfguided(const int32_t *dgd_ext, int w, int h, int ep, int bd,
+                    int64_t *flt0, int64_t *flt1) {
+    int EH = h + 6, EW = w + 6;
+    int r0 = sgr_params_c[ep][0], r1 = sgr_params_c[ep][1];
+    int s0 = sgr_params_c[ep][2], s1 = sgr_params_c[ep][3];
+    int h2 = h + 2, w2 = w + 2;
+    int64_t *A = malloc(sizeof(int64_t) * EH * EW);
+    int64_t *B = malloc(sizeof(int64_t) * EH * EW);
+    int64_t *T = malloc(sizeof(int64_t) * EH * EW);
+    int64_t *At = malloc(sizeof(int64_t) * h2 * w2);
+    int64_t *Bt = malloc(sizeof(int64_t) * h2 * w2);
+    if (r0 > 0 && flt0) {
+        sgr_boxsum(dgd_ext, EH, EW, r0, 1, T, A);
+        sgr_boxsum(dgd_ext, EH, EW, r0, 0, T, B);
+        sgr_ab(A, B, EW, h2, w2, 2, r0, s0, bd, At, Bt);  /* off = BORDER-1 */
+        for (int i = 0; i < h; i++) {
+            int k = i + 1;
+            const int32_t *dr = dgd_ext + (i + 3) * EW + 3;
+            int64_t *o = flt0 + i * w;
+            if ((i & 1) == 0) {
+                for (int j = 0; j < w; j++) {
+                    int64_t a = (At[(k - 1) * w2 + j + 1] + At[(k + 1) * w2 + j + 1]) * 6
+                              + (At[(k - 1) * w2 + j] + At[(k + 1) * w2 + j]
+                                 + At[(k - 1) * w2 + j + 2] + At[(k + 1) * w2 + j + 2]) * 5;
+                    int64_t b = (Bt[(k - 1) * w2 + j + 1] + Bt[(k + 1) * w2 + j + 1]) * 6
+                              + (Bt[(k - 1) * w2 + j] + Bt[(k + 1) * w2 + j]
+                                 + Bt[(k - 1) * w2 + j + 2] + Bt[(k + 1) * w2 + j + 2]) * 5;
+                    o[j] = SGR_RPOT(a * dr[j] + b, 8 + 5 - 4);
+                }
+            } else {
+                for (int j = 0; j < w; j++) {
+                    int64_t a = At[k * w2 + j + 1] * 6
+                              + (At[k * w2 + j] + At[k * w2 + j + 2]) * 5;
+                    int64_t b = Bt[k * w2 + j + 1] * 6
+                              + (Bt[k * w2 + j] + Bt[k * w2 + j + 2]) * 5;
+                    o[j] = SGR_RPOT(a * dr[j] + b, 8 + 4 - 4);
+                }
+            }
+        }
+    }
+    if (r1 > 0 && flt1) {
+        sgr_boxsum(dgd_ext, EH, EW, r1, 1, T, A);
+        sgr_boxsum(dgd_ext, EH, EW, r1, 0, T, B);
+        sgr_ab(A, B, EW, h2, w2, 2, r1, s1, bd, At, Bt);
+        for (int i = 0; i < h; i++) {
+            const int32_t *dr = dgd_ext + (i + 3) * EW + 3;
+            int64_t *o = flt1 + i * w;
+            for (int j = 0; j < w; j++) {
+                int64_t a = (At[(i + 1) * w2 + j + 1]
+                             + At[(i + 1) * w2 + j] + At[(i + 1) * w2 + j + 2]
+                             + At[i * w2 + j + 1] + At[(i + 2) * w2 + j + 1]) * 4
+                          + (At[i * w2 + j] + At[i * w2 + j + 2]
+                             + At[(i + 2) * w2 + j] + At[(i + 2) * w2 + j + 2]) * 3;
+                int64_t b = (Bt[(i + 1) * w2 + j + 1]
+                             + Bt[(i + 1) * w2 + j] + Bt[(i + 1) * w2 + j + 2]
+                             + Bt[i * w2 + j + 1] + Bt[(i + 2) * w2 + j + 1]) * 4
+                          + (Bt[i * w2 + j] + Bt[i * w2 + j + 2]
+                             + Bt[(i + 2) * w2 + j] + Bt[(i + 2) * w2 + j + 2]) * 3;
+                o[j] = SGR_RPOT(a * dr[j] + b, 8 + 5 - 4);
+            }
+        }
+    }
+    free(A); free(B); free(T); free(At); free(Bt);
+}

@@ -98,3 +98,31 @@ def test_sgr_stream_conformant():
     dy, du, dv = dav1d.decode(pkt.data, W, H)
     r = enc.get_recon()
     assert np.array_equal(dy, r[0]) and np.array_equal(du, r[1])
+
+
+def test_native_selfguided_matches_numpy():
+    """The C sgr core must be bit-identical to the numpy reference across
+    all eps, odd sizes and bit depths."""
+    from svt_av1_psy_tpu.codec import mc_native
+    if not mc_native.available():
+        pytest.skip("native kernels unavailable")
+    rng = np.random.default_rng(1)
+    for bd in (8, 10):
+        peak = (1 << bd) - 1
+        for (w, h) in ((64, 64), (17, 29), (64, 13)):
+            d = rng.integers(0, peak + 1, (h + 6, w + 6)).astype(np.int64)
+            d32 = np.ascontiguousarray(d, np.int32)
+            for ep in range(16):
+                r0, r1, _, _ = sgr.SGR_PARAMS[ep]
+                a0, a1 = mc_native.sgr_selfguided(d32, w, h, ep, bd,
+                                                  r0 > 0, r1 > 0)
+                orig = mc_native.available
+                mc_native.available = lambda: False
+                try:
+                    b0, b1 = sgr.selfguided_restoration(d, w, h, ep, bd)
+                finally:
+                    mc_native.available = orig
+                if r0 > 0:
+                    assert np.array_equal(a0, b0), (bd, w, h, ep)
+                if r1 > 0:
+                    assert np.array_equal(a1, b1), (bd, w, h, ep)
