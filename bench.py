@@ -66,7 +66,12 @@ def _run(W, H, preset, crf, n_frames, intra_only=False, seed=0):
     psnrs = []
     for i in range(1, n_frames + 1):
         enc.send_picture(frames[i], u, v.copy())
-        pkt = enc.get_packet()
+        while (pkt := enc.get_packet()) is not None:
+            nbytes += len(pkt.data)
+            if pkt.stats:
+                psnrs.append(pkt.stats["psnr_y"])
+    enc.flush()   # drain any buffered mini-GoP (hierarchical structure)
+    while (pkt := enc.get_packet()) is not None:
         nbytes += len(pkt.data)
         if pkt.stats:
             psnrs.append(pkt.stats["psnr_y"])

@@ -71,6 +71,11 @@ class Encoder:
         self._recon_last = None
         self._ref_planes = None
         self._golden_planes = None
+        # hierarchical (RANDOM_ACCESS) scheduling state
+        self._gop_buf: list = []
+        self._last_slot = 0
+        self._sub_since_key = 0
+        self._prev_sub_y = None
         self._rc = None
         self._tpl = None
         self._prev_src_y = None
@@ -188,12 +193,13 @@ class Encoder:
                 self._tf_encode_head()
             return
         self._submitted += 1
-        return self._encode_frame(y, u, v, pts)
+        return self._submit(y, u, v, pts)
 
     def flush(self):
-        """Drain the lookahead queue (EOS). No-op when TF is inactive."""
+        """Drain the lookahead queue and any buffered mini-GoP (EOS)."""
         while self._la_queue:
             self._tf_encode_head()
+        self._drain_gop()
 
     def _tf_encode_head(self):
         from .codec.temporal_filter import temporal_filter
@@ -218,9 +224,106 @@ class Encoder:
         self._tf_past.append((y, u, v))
         if len(self._tf_past) > 2:
             self._tf_past.pop(0)
-        self._encode_frame(fy, fu, fv, pts)
+        self._submit(fy, fu, fv, pts)
 
-    def _encode_frame(self, y: np.ndarray, u=None, v=None, pts: Optional[int] = None):
+    # -------------------------------------------- hierarchical scheduling
+    def _submit(self, y, u, v, pts):
+        """Display-order frame intake. LOW_DELAY: flat IPPP (synchronous).
+        RANDOM_ACCESS: mini-GoP-4 two-level pyramid with unshown ALTREF +
+        show_existing_frame (the reference's prediction structure,
+        pred_struct_ctor / pic_decision re-planned as explicit DPB slot
+        roles). Key decisions (keyint + scene cuts) happen here, in display
+        order, before any reordering."""
+        from .config import PredStructure
+
+        cfg = self.config
+        if cfg.pred_structure != PredStructure.RANDOM_ACCESS or cfg.avif:
+            return self._encode_frame(y, u, v, pts)
+        y = np.asarray(y)
+        ip = cfg.intra_period_length
+        is_key = (self._ref_planes is None
+                  or (ip >= 0 and self._sub_since_key > ip))
+        if (not is_key and cfg.scene_change_detection and self._pc.scene_change
+                and self._prev_sub_y is not None):
+            from .codec.scene_change import detect_scene_change
+
+            is_key = detect_scene_change(self._prev_sub_y, y, cfg.input_depth)
+        self._prev_sub_y = y.copy()
+        if is_key:
+            self._drain_gop()
+            self._encode_frame(y, u, v, pts, gop={"is_key": True})
+            self._last_slot = 0
+            self._sub_since_key = 1
+            return
+        self._sub_since_key += 1
+        self._gop_buf.append((y, u, v, pts))
+        if len(self._gop_buf) == 4:
+            buf, self._gop_buf = self._gop_buf, []
+            self._encode_gop4(buf)
+
+    def _drain_gop(self):
+        """Encode any buffered frames as a shown P chain (partial GoP at a
+        key boundary or EOS)."""
+        buf, self._gop_buf = self._gop_buf, []
+        if not buf:
+            return
+        scratch = (2, 3) if self._last_slot not in (2, 3) else (4, 5)
+        for i, (y, u, v, pts) in enumerate(buf):
+            slot = scratch[i % 2]
+            self._encode_frame(y, u, v, pts, gop=dict(
+                show=True, last=self._ref_planes, future=None,
+                refresh=1 << slot, last_slot=self._last_slot,
+                future_slot=None, q_offset=0, update_last=True))
+            self._last_slot = slot
+
+    def _encode_gop4(self, buf):
+        """Two-level pyramid over 4 display frames d1..d4. Coding order:
+        d4 (unshown ALT, base layer), d2 (unshown mid B), d1 (shown leaf),
+        show_existing(d2), d3 (shown leaf), show_existing(d4). Every block
+        predicts single-ref (LAST past / ALTREF future) — no compound."""
+        f1, f2, f3, f4 = buf
+        base_slot = self._last_slot
+        alt = 2 if base_slot != 2 else 4
+        iarf = 3 if base_slot != 3 else 5
+        base = self._ref_planes
+        r4, rec4 = self._encode_frame(*f4, gop=dict(
+            show=False, last=base, future=None, refresh=1 << alt,
+            last_slot=base_slot, future_slot=None, q_offset=0,
+            update_last=False))
+        r2, rec2 = self._encode_frame(*f2, gop=dict(
+            show=False, last=base, future=r4, refresh=1 << iarf,
+            last_slot=base_slot, future_slot=alt, q_offset=10,
+            update_last=False))
+        self._encode_frame(*f1, gop=dict(
+            show=True, last=base, future=r2, refresh=0,
+            last_slot=base_slot, future_slot=iarf, q_offset=20,
+            update_last=False))
+        self._emit_show_existing(iarf, f2[3], rec2)
+        self._encode_frame(*f3, gop=dict(
+            show=True, last=r2, future=r4, refresh=0,
+            last_slot=iarf, future_slot=alt, q_offset=20,
+            update_last=False))
+        self._emit_show_existing(alt, f4[3], rec4)
+        self._ref_planes = r4
+        self._last_slot = alt
+
+    def _emit_show_existing(self, slot, pts, recon):
+        """Display a previously decoded (showable) frame from a DPB slot."""
+        from .bitstream.obu import show_existing_frame_obu, temporal_delimiter_obu
+
+        payload = temporal_delimiter_obu() + show_existing_frame_obu(slot)
+        self._packets.append(Packet(
+            payload, pts if pts is not None else self._frame_count,
+            recon=recon if self.config.recon_enabled else None))
+        self._spent_bits += len(payload) * 8
+
+    def _encode_frame(self, y: np.ndarray, u=None, v=None,
+                      pts: Optional[int] = None, gop: Optional[dict] = None):
+        """Encode one frame. `gop` (hierarchical scheduling, _encode_gop4):
+        is_key (force), show, last (LAST ref planes), future (ALTREF recon
+        planes), refresh (refresh_frame_flags), last_slot / future_slot
+        (DPB indices for ref_frame_idx), q_offset (layer delta),
+        update_last (advance the LAST chain). Returns (ref_planes, recon)."""
         cfg = self.config
         # effective tile split: spec minimums (4096-px width / 4096*2304 area
         # caps) may force more tiles than requested (spec 5.9.15 clamp)
@@ -232,16 +335,22 @@ class Encoder:
             # single-picture guard (enc_handle.c:5453)
             raise SvtAv1Error(ErrorCode.ERROR_BAD_PARAMETER, "avif mode accepts one picture")
         # GoP: key frame at start, every intra_period+1 frames, and on scene
-        # changes (pd_process.c scene_change analog)
-        ip = cfg.intra_period_length
-        is_key = (self._frame_count == 0 or self._ref_planes is None
-                  or (ip >= 0 and self._frames_since_key > ip))
-        if not is_key and cfg.scene_change_detection and self._pc.scene_change:
-            from .codec.scene_change import detect_scene_change
+        # changes (pd_process.c scene_change analog). Under hierarchical
+        # scheduling (_submit) the decision was made in display order.
+        if gop is not None:
+            is_key = bool(gop.get("is_key", False))
+        else:
+            ip = cfg.intra_period_length
+            is_key = (self._frame_count == 0 or self._ref_planes is None
+                      or (ip >= 0 and self._frames_since_key > ip))
+            if not is_key and cfg.scene_change_detection and self._pc.scene_change:
+                from .codec.scene_change import detect_scene_change
 
-            if detect_scene_change(self._prev_src_y, np.asarray(y), cfg.input_depth):
-                is_key = True
-        self._prev_src_y = np.asarray(y).copy()
+                if detect_scene_change(self._prev_src_y, np.asarray(y), cfg.input_depth):
+                    is_key = True
+            self._prev_src_y = np.asarray(y).copy()
+        last_planes = (gop.get("last") if gop is not None else None) \
+            or self._ref_planes
         # screen-content tools flag (--scm): 0 off, 1 on, 2 content detect
         # (svt_aom_is_screen_content_psy); detection runs on key frames and
         # holds until the next key
@@ -306,6 +415,9 @@ class Encoder:
             qindex += int(np.rint(-np.sqrt((255.0 - avg_luma) / denom)
                                   * (qindex / 8.0)))
             qindex = int(np.clip(qindex, 1, 255))
+        if gop is not None and gop.get("q_offset") and qindex > 1:
+            # temporal-layer delta (pyramid base boosted, leaves cheapened)
+            qindex = int(np.clip(qindex + int(gop["q_offset"]), 1, 255))
         sb_qindex_map = None
         if (self._tpl is not None and is_key and qindex > 1
                 and not (cfg.enable_variance_boost and cfg.aq_mode == 2)):
@@ -362,7 +474,7 @@ class Encoder:
 
             vh, vw = cfg.height, cfg.width
             gm_mv = estimate_global_translation(
-                self._ref_planes[0][:vh, :vw], np.asarray(y), cfg.input_depth)
+                last_planes[0][:vh, :vw], np.asarray(y), cfg.input_depth)
             # clamp to the TRANSLATION-only codable range: the header codes
             # wmmat>>prec_diff with a (1<<trans_bits)+1 subexp alphabet around
             # the identity ref, so |mv_q3| must stay below 1<<(trans_bits-1)
@@ -408,10 +520,11 @@ class Encoder:
                     cfl_search=self._pc.cfl_search, **common)
             from .codec.inter_encoder import InterFrameEncoder
 
-            return InterFrameEncoder(cfg.width, cfg.height, qindex,
-                                     self._ref_planes, gm_mv=gm_mv,
-                                     golden_planes=self._golden_planes,
-                                     **common)
+            return InterFrameEncoder(
+                cfg.width, cfg.height, qindex, last_planes, gm_mv=gm_mv,
+                golden_planes=(None if gop is not None else self._golden_planes),
+                future_planes=(gop.get("future") if gop is not None else None),
+                **common)
 
         def run_filters(enc):
             """DLF + CDEF on the encoder's recon; returns the post-DLF copy
@@ -505,13 +618,27 @@ class Encoder:
                          cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),))
         if not is_key:
-            # DPB: slot 0 = LAST (refreshed every frame); slot 1 = GOLDEN
-            # (the most recent key frame, refreshed only by keys via 0xFF)
-            fp.refresh_frame_flags = 0x01
-            if self._golden_planes is not None:
-                fp.ref_frame_idx = (0, 0, 0, 1, 0, 0, 0)
+            if gop is not None:
+                # hierarchical scheduling: explicit DPB slot roles
+                fp.show_frame = bool(gop.get("show", True))
+                fp.showable_frame = not fp.show_frame
+                fp.refresh_frame_flags = int(gop.get("refresh", 0))
+                ls = int(gop.get("last_slot", 0))
+                idx = [ls] * 7
+                fs = gop.get("future_slot")
+                if fs is not None:
+                    idx[6] = int(fs)          # ALTREF
+                fp.ref_frame_idx = tuple(idx)
+            else:
+                # DPB: slot 0 = LAST (refreshed every frame); slot 1 = GOLDEN
+                # (the most recent key frame, refreshed only by keys via 0xFF)
+                fp.refresh_frame_flags = 0x01
+                if self._golden_planes is not None:
+                    fp.ref_frame_idx = (0, 0, 0, 1, 0, 0, 0)
         # reference state: final (post-filter) recon planes, aligned dims
-        self._ref_planes = [ps.recon.copy() for ps in enc.planes]
+        ref_planes = [ps.recon.copy() for ps in enc.planes]
+        if gop is None or gop.get("update_last", True):
+            self._ref_planes = ref_planes
         if is_key:
             # ref_planes is rebound (never mutated) per frame, so the golden
             # snapshot can alias the key frame's recon list
@@ -532,13 +659,16 @@ class Encoder:
 
             srcs = (y,) if self._seq.monochrome else (y, u, v)
             stats = frame_stats(srcs, recon, cfg.input_depth)
+        shown = is_key or gop is None or bool(gop.get("show", True))
         self._packets.append(Packet(payload, pts if pts is not None else self._frame_count,
-                                    recon=recon if cfg.recon_enabled else None, stats=stats))
+                                    recon=recon if (cfg.recon_enabled and shown) else None,
+                                    stats=stats))
         if self._rc is not None:
             self._rc.update(is_key, qindex, len(payload))
         self._spent_bits += len(payload) * 8
         self._frames_since_key = 1 if is_key else self._frames_since_key + 1
         self._frame_count += 1
+        return ref_planes, recon
 
     def get_packet(self) -> Optional[Packet]:
         return self._packets.popleft() if self._packets else None

@@ -552,7 +552,9 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
     w.f(int(fp.reduced_tx_set), 1)
     if not is_intra:
         _write_global_motion(w, fp)
-    if sp.film_grain_params_present and fp.show_frame:
+    # grain params are coded for shown AND showable frames (spec 5.9.30:
+    # a show_existing_frame later replays the stored params)
+    if sp.film_grain_params_present and (fp.show_frame or fp.showable_frame):
         _write_film_grain(w, sp, fp)
     return w  # caller appends trailing bits or tile data alignment
 
@@ -615,6 +617,17 @@ def _write_film_grain(w: BitWriter, sp: SequenceParams, fp: FrameParams):
         w.f(fg.cr_offset, 9)
     w.f(int(fg.overlap_flag), 1)
     w.f(int(fg.clip_to_restricted_range), 1)
+
+
+def show_existing_frame_obu(slot: int) -> bytes:
+    """OBU_FRAME_HEADER with show_existing_frame=1 (spec 5.9.2): displays
+    the decoded frame held in DPB slot `slot`. Only used for showable INTER
+    frames (no display_frame_id, no KEY-frame state reset)."""
+    w = BitWriter()
+    w.f(1, 1)                  # show_existing_frame
+    w.f(slot, 3)               # frame_to_show_map_idx
+    w.trailing_bits()
+    return write_obu(ObuType.FRAME_HEADER, w.data())
 
 
 def frame_obu(sp: SequenceParams, fp: FrameParams, tile_payloads: list) -> bytes:

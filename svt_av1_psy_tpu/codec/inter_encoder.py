@@ -25,8 +25,8 @@ from .intra_encoder import (
     _partition_subsize,
 )
 from .me import MotionEstimator
-from .mv_pred import (GLOBALMV, GOLDEN_FRAME, LAST_FRAME, MiGrid, NEWMV,
-                      REF_CAT_LEVEL, setup_ref_mv_list)
+from .mv_pred import (ALTREF_FRAME, GLOBALMV, GOLDEN_FRAME, LAST_FRAME,
+                      MiGrid, NEWMV, REF_CAT_LEVEL, setup_ref_mv_list)
 from .quant import quantize_b
 from .transforms import forward_transform_2d, inverse_transform_add
 
@@ -60,23 +60,32 @@ def _mv_class(z: int):
 class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
-                 golden_planes=None, **kw):
+                 golden_planes=None, future_planes=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
         # (0, 0) = IDENTITY. GLOBALMV blocks and ref-MV stack padding use it.
-        # GOLDEN always codes with identity global motion.
+        # Other references always code with identity global motion.
         self.gm_mv = tuple(int(v) for v in gm_mv)
         self.pad = 96
-        self.refs = {LAST_FRAME: self._pad_refs(ref_planes, width, height)}
-        self.me = {LAST_FRAME: MotionEstimator(np.asarray(
-            self.refs[LAST_FRAME][0][self.pad:-self.pad or None,
-                                     self.pad:-self.pad or None]))}
-        if golden_planes is not None:
-            self.refs[GOLDEN_FRAME] = self._pad_refs(golden_planes, width, height)
-            self.me[GOLDEN_FRAME] = MotionEstimator(np.asarray(
-                self.refs[GOLDEN_FRAME][0][self.pad:-self.pad or None,
-                                           self.pad:-self.pad or None]))
+
+        def _add_ref(const, planes):
+            self.refs[const] = self._pad_refs(planes, width, height)
+            self.me[const] = MotionEstimator(np.asarray(
+                self.refs[const][0][self.pad:-self.pad or None,
+                                    self.pad:-self.pad or None]))
+
+        self.refs, self.me = {}, {}
+        _add_ref(LAST_FRAME, ref_planes)
+        # second reference: a future (higher display order) ALTREF in the
+        # hierarchical GoP, else the GOLDEN long-term key reference. Single
+        # extra ref per frame keeps the decide kernel's 2-ref shape.
+        if future_planes is not None:
+            _add_ref(ALTREF_FRAME, future_planes)
+        elif golden_planes is not None:
+            _add_ref(GOLDEN_FRAME, golden_planes)
+        self.ref2 = (ALTREF_FRAME if future_planes is not None
+                     else GOLDEN_FRAME if golden_planes is not None else None)
         self.grid = MiGrid(self.mi_rows, self.mi_cols)
 
     def _pad_refs(self, ref_planes, width, height):
@@ -163,19 +172,27 @@ class InterFrameEncoder(IntraFrameEncoder):
         filters4 = np.ascontiguousarray(
             get_tables()._raw["interp_sub_pel_filters_4"], np.int32)
         golden = None
-        if GOLDEN_FRAME in self.me:
-            mg = self.me[GOLDEN_FRAME]
+        ref2_gate = 4       # search ref2 when residual > (W*H) << 4
+        if self.ref2 is not None:
+            mg = self.me[self.ref2]
             golden = (mg.ref, mg.ref_q,
-                      np.ascontiguousarray(self.refs[GOLDEN_FRAME][0], np.int32))
+                      np.ascontiguousarray(self.refs[self.ref2][0], np.int32))
+            if self.ref2 == ALTREF_FRAME:
+                ref2_gate = -1  # B frame: always search the future reference
         ref_pad = np.ascontiguousarray(self.refs[LAST_FRAME][0], np.int32)
         dec = mc_native.inter_decide_frame(
             self.src[0], me.ref, me.ref_q, curq, ref_pad, self.pad, golden,
             me._filters, filters4, self.bd, me.range, self.gm_mv,
-            float(self.psy_rd), blocks)
+            float(self.psy_rd), blocks, ref2_gate=ref2_gate)
         if dec is None:
             return
-        self.inter_dec = {(r, c): tuple(int(v) for v in dec[i])
-                          for i, (r, c, _) in enumerate(blk)}
+        # the kernel reports the second reference as 4; map to the actual one
+        self.inter_dec = {}
+        for i, (r, c, _) in enumerate(blk):
+            ui, rf, md, mr, mc = (int(v) for v in dec[i])
+            if ui and rf == 4:
+                rf = self.ref2
+            self.inter_dec[(r, c)] = (ui, rf, md, mr, mc)
 
     # -------------------------------------------------------------- helpers
     def _mc_pred(self, plane, px, py, pw, ph, mv, ref_frame=LAST_FRAME):
@@ -254,13 +271,14 @@ class InterFrameEncoder(IntraFrameEncoder):
             cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
             cand.append((LAST_FRAME, GLOBALMV, self.gm_mv, pred_zero,
                          cost_zero + self._psy_cost(src, pred_zero)))
-            if (GOLDEN_FRAME in self.me
-                    and min(c[4] for c in cand) > (W * H) << 4):
-                me_g = self.me[GOLDEN_FRAME].search_block(self.src[0], x0, y0,
-                                                          W, H, subpel=True)
-                pred_g = self._mc_pred(0, x0, y0, W, H, me_g.mv, GOLDEN_FRAME)
+            if (self.ref2 is not None
+                    and (self.ref2 == ALTREF_FRAME
+                         or min(c[4] for c in cand) > (W * H) << 4)):
+                me_g = self.me[self.ref2].search_block(self.src[0], x0, y0,
+                                                       W, H, subpel=True)
+                pred_g = self._mc_pred(0, x0, y0, W, H, me_g.mv, self.ref2)
                 cost_g = int(np.sum((src.astype(np.int64) - pred_g) ** 2))
-                cand.append((GOLDEN_FRAME, NEWMV, me_g.mv, pred_g,
+                cand.append((self.ref2, NEWMV, me_g.mv, pred_g,
                              cost_g + self._psy_cost(src, pred_g)))
             ref_sel, inter_mode, inter_mv, inter_pred, inter_cost = min(
                 cand, key=lambda c: c[4])
@@ -409,9 +427,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.fc.write(self.enc, "intra_inter", (ctx,), int(is_inter), 2)
 
     def _write_ref_frames(self, mi_row, mi_col, ref=LAST_FRAME):
-        """Single ref (LAST or GOLDEN): p1=0, then p3 selects the
-        LAST/LAST2 vs LAST3/GOLDEN group, then p4 (LAST) or p5 (GOLDEN),
-        all with neighbor-count contexts (entropy_coding.c:1896)."""
+        """Single ref (LAST, GOLDEN or ALTREF): p1 selects forward/backward,
+        then p3/p4/p5 inside the forward group or p2 for ALTREF, all with
+        neighbor-count contexts (entropy_coding.c:1896-2067)."""
         counts = np.zeros(8, np.int32)
         has_a, has_l, a_inter, l_inter = self._neighbors_mi(mi_row, mi_col)
         if has_a and a_inter:
@@ -421,7 +439,18 @@ class InterFrameEncoder(IntraFrameEncoder):
         fwd = int(counts[1] + counts[2] + counts[3] + counts[4])
         bwd = int(counts[5] + counts[6] + counts[7])
         ctx_p1 = 1 if fwd == bwd else (0 if fwd < bwd else 2)
-        self.fc.write(self.enc, "single_ref", (ctx_p1, 0), 0, 2)  # forward group
+        is_bwd = int(ref >= 5)  # BWDREF/ALTREF2/ALTREF group
+        self.fc.write(self.enc, "single_ref", (ctx_p1, 0), is_bwd, 2)
+        if is_bwd:
+            # single_ref_p2: ALTREF vs BWDREF/ALTREF2
+            # (get_pred_context_brfarf2_or_arf, entropy_coding.c:1974)
+            brfarf2 = int(counts[5] + counts[6])
+            arf = int(counts[7])
+            ctx_p2 = 1 if brfarf2 == arf else (0 if brfarf2 < arf else 2)
+            self.fc.write(self.enc, "single_ref", (ctx_p2, 1),
+                          int(ref == 7), 2)
+            # only ALTREF is produced here (no BWDREF/ALTREF2 references)
+            return
         ll2 = int(counts[1] + counts[2])
         l3g = int(counts[3] + counts[4])
         ctx_p3 = 1 if ll2 == l3g else (0 if ll2 < l3g else 2)

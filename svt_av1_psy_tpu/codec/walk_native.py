@@ -220,7 +220,7 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
 
     # ---- inter (P-frame) extension: decisions, refs, MiGrid, CDFs
     if type(enc).__name__ == "InterFrameEncoder":
-        from .mv_pred import GOLDEN_FRAME, LAST_FRAME
+        from .mv_pred import LAST_FRAME
         from .spec_tables import get_tables
 
         w.is_inter_frame = 1
@@ -238,8 +238,8 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         keep += [d_ref, d_mode, d_mvr, d_mvc]
         w.d_ref, w.d_mode = _ptr(d_ref), _ptr(d_mode)
         w.d_mvr, w.d_mvc = _ptr(d_mvr), _ptr(d_mvc)
-        for ri, rf in ((0, LAST_FRAME), (1, GOLDEN_FRAME)):
-            if rf in enc.refs:
+        for ri, rf in ((0, LAST_FRAME), (1, enc.ref2)):
+            if rf is not None and rf in enc.refs:
                 for p in range(enc.nplanes):
                     arr = np.ascontiguousarray(enc.refs[rf][p], np.int32)
                     keep.append(arr)

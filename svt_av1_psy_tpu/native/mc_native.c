@@ -768,7 +768,7 @@ void inter_decide_frame(
     const int32_t *grefq, int gqH, int gqW,
     const int32_t *gref_pad, int gpW,
     const int32_t *filters8, const int32_t *filters4,
-    int bd, int range, int gm_row, int gm_col, double psy_rd,
+    int bd, int range, int gm_row, int gm_col, double psy_rd, int ref2_gate,
     const int32_t *bx, const int32_t *by,
     const int32_t *bws, const int32_t *bhs, int nb,
     int32_t *out) {
@@ -827,8 +827,10 @@ void inter_decide_frame(
         int best_mvc = best_mode == 16 ? mv_new_c : gm_col;
         int64_t best_inter = cost_new <= cost_zero ? cost_new : cost_zero;
 
-        /* ---- gated GOLDEN NEWMV (occlusions / long-term background) */
-        if (gref_pad && best_inter > ((int64_t)(W * H) << 4)) {
+        /* ---- second-reference NEWMV: GOLDEN gated on residual, or a
+           future ALTREF searched unconditionally (ref2_gate < 0) */
+        if (gref_pad && (ref2_gate < 0
+                         || best_inter > ((int64_t)(W * H) << ref2_gate))) {
             for (int r = 0; r < qh; r++)
                 for (int c = 0; c < qw; c++)
                     cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];

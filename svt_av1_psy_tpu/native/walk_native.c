@@ -1058,7 +1058,18 @@ static void write_ref_frames(Walk *w, int mi_row, int mi_col, int ref) {
     int fwd = counts[1] + counts[2] + counts[3] + counts[4];
     int bwd = counts[5] + counts[6] + counts[7];
     int ctx_p1 = fwd == bwd ? 1 : (fwd < bwd ? 0 : 2);
-    ec_symbol(w->enc, 0, w->cdf_single_ref + (ctx_p1 * 6 + 0) * 3, 2, w->adapt);
+    int is_bwd = ref >= 5;   /* BWDREF/ALTREF2/ALTREF group */
+    ec_symbol(w->enc, is_bwd, w->cdf_single_ref + (ctx_p1 * 6 + 0) * 3, 2,
+              w->adapt);
+    if (is_bwd) {
+        /* single_ref_p2: ALTREF vs BWDREF/ALTREF2
+           (get_pred_context_brfarf2_or_arf, entropy_coding.c:1974) */
+        int brfarf2 = counts[5] + counts[6], arf = counts[7];
+        int ctx_p2 = brfarf2 == arf ? 1 : (brfarf2 < arf ? 0 : 2);
+        ec_symbol(w->enc, ref == 7, w->cdf_single_ref + (ctx_p2 * 6 + 1) * 3,
+                  2, w->adapt);
+        return;   /* only ALTREF single references are produced */
+    }
     int ll2 = counts[1] + counts[2], l3g = counts[3] + counts[4];
     int ctx_p3 = ll2 == l3g ? 1 : (ll2 < l3g ? 0 : 2);
     int is_gold = ref == 4;
@@ -1153,7 +1164,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     int mode = w->d_mode[mi];
     int mvr = w->d_mvr[mi], mvc = w->d_mvc[mi];
     int use_inter = ref > 0;
-    int ref_idx = ref == 4 ? 1 : 0;
+    int ref_idx = ref == 1 ? 0 : 1;
 
     PlaneRes res[3];
     int nres = 1;

@@ -85,13 +85,15 @@ def test_cfl_video_ipp_conformant():
     cfg = EncoderConfig(width=W, height=H, recon_enabled=True)
     cfg.qp = 40
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
     for i in range(3):
         enc.send_picture(np.roll(y, i, axis=1), u, v, pts=i)
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     for i in range(3):
         dy, du, dv = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, recons[i][0]) and np.array_equal(du, recons[i][1])

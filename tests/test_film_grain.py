@@ -45,15 +45,17 @@ def _encode_grain(W, H, n=2, bd=8, strength=8, fgs_text=None, seed=4, q=40,
     enc = Encoder(cfg).init()
     if clip:
         enc._film_grain.clip_to_restricted_range = 1
-    stream = b""
-    recons = []
     for i in range(n):
         y = base[2 * i : 2 * i + H, 3 * i : 3 * i + W].copy()
         u = np.full(((H + 1) // 2, (W + 1) // 2), peak // 2 - 12, dt)
         enc.send_picture(y, u, u.copy())
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     return enc, stream, recons
 
 

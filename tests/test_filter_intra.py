@@ -95,15 +95,17 @@ def test_filter_intra_ipp_with_fallback():
     cfg = EncoderConfig(width=W, height=H, recon_enabled=True)
     cfg.qp = 40
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
     for i in range(3):
         f = np.roll(y, 5 * i, axis=0) if i < 2 else \
             rng.integers(0, 256, (H, W)).astype(np.uint8)
         enc.send_picture(f, u, u.copy(), pts=i)
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     for i in range(3):
         dy, _, _ = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, recons[i][0]), f"frame {i}"

@@ -47,13 +47,15 @@ def test_gm_stream_conformant_and_saves_bits():
                             enable_global_motion=gm)
         cfg.qp = 45
         enc = Encoder(cfg).init()
-        stream = b""
-        recons = []
         for i, y in enumerate(frames):
             enc.send_picture(y, u, u.copy(), pts=i)
-            pkt = enc.get_packet()
+        enc.flush()
+        stream = b""
+        recons = []
+        while (pkt := enc.get_packet()) is not None:
             stream += pkt.data
-            recons.append(pkt.recon)
+            if pkt.recon is not None:
+                recons.append(pkt.recon)
         return stream, recons
 
     s_g, r_g = encode(True)
@@ -73,13 +75,15 @@ def test_gm_negative_shift_conformant():
     cfg = EncoderConfig(width=W, height=H, recon_enabled=True)
     cfg.qp = 45
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
     for i, y in enumerate(frames):
         enc.send_picture(y, u, u.copy(), pts=i)
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     for i in range(3):
         dy, _, _ = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, recons[i][0])

@@ -1,0 +1,99 @@
+"""Hierarchical (RANDOM_ACCESS) prediction structure: mini-GoP-4 pyramid
+with unshown ALTREF frames, backward single-ref B frames and
+show_existing_frame reordering. Every display frame must decode bit-exactly
+(dav1d) and the pyramid must beat the flat IPPP chain on panning content.
+
+Behavior reference: the reference's prediction structure / picture decision
+(pred_struct_ctor, pic_decision) re-planned as explicit DPB slot roles."""
+
+import numpy as np
+import pytest
+
+from svt_av1_psy_tpu.api import Encoder
+from svt_av1_psy_tpu.config import EncoderConfig, PredStructure
+from svt_av1_psy_tpu.io import dav1d
+
+requires_dav1d = pytest.mark.skipif(not dav1d.available(),
+                                    reason="dav1d shim unavailable")
+
+
+def _frames(n, W, H, bd=8, motion=2, seed=3):
+    rng = np.random.default_rng(seed)
+    peak = (1 << bd) - 1
+    dt = np.uint8 if bd == 8 else np.uint16
+    base = (np.cumsum(rng.normal(0, 4 * peak / 255, (H, W + 4 * n)), axis=1)
+            + peak / 2).clip(0, peak)
+    return [np.clip(base[:, i * motion : i * motion + W]
+                    + rng.normal(0, 3 * peak / 255, (H, W)), 0, peak)
+            .astype(dt) for i in range(n)]
+
+
+def _encode(frames, W, H, bd=8, **kw):
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    u = np.full((ch, cw), (1 << bd) // 2 - 6,
+                np.uint8 if bd == 8 else np.uint16)
+    cfg = EncoderConfig(width=W, height=H, input_depth=bd,
+                        recon_enabled=True, **kw)
+    cfg.qp = 40
+    enc = Encoder(cfg).init()
+    for i, y in enumerate(frames):
+        enc.send_picture(y, u, u.copy(), pts=i)
+    enc.flush()
+    pkts = []
+    while (p := enc.get_packet()) is not None:
+        pkts.append(p)
+    return pkts
+
+
+@requires_dav1d
+@pytest.mark.parametrize("n,bd,preset", [(9, 8, 8), (6, 10, 10), (5, 8, 6)])
+def test_pyramid_display_frames_conformant(n, bd, preset):
+    W, H = 176, 144
+    frames = _frames(n, W, H, bd=bd)
+    pkts = _encode(frames, W, H, bd=bd, preset=preset)
+    stream = b"".join(p.data for p in pkts)
+    disp = [p for p in pkts if p.recon is not None]
+    assert len(disp) == n
+    assert [p.pts for p in disp] == list(range(n))
+    for i, p in enumerate(disp):
+        d = dav1d.decode_nth(stream, i, W, H)
+        assert all(np.array_equal(a, b) for a, b in zip(d, p.recon)), i
+
+
+@requires_dav1d
+def test_pyramid_keyint_boundary_partial_gop():
+    """Periodic keys break the GoP: buffered frames drain as a P chain."""
+    W, H = 128, 96
+    frames = _frames(7, W, H)
+    pkts = _encode(frames, W, H, preset=8, intra_period_length=2)
+    stream = b"".join(p.data for p in pkts)
+    disp = [p for p in pkts if p.recon is not None]
+    assert len(disp) == 7
+    for i, p in enumerate(disp):
+        d = dav1d.decode_nth(stream, i, W, H)
+        assert all(np.array_equal(a, b) for a, b in zip(d, p.recon)), i
+
+
+def test_pyramid_beats_low_delay_on_pan():
+    """Backward prediction + layer q offsets must save bits on a pan."""
+    W, H = 176, 144
+    frames = _frames(9, W, H, motion=3, seed=5)
+    ra = _encode(frames, W, H, preset=8)
+    ld = _encode(frames, W, H, preset=8,
+                 pred_structure=PredStructure.LOW_DELAY)
+    ra_bytes = sum(len(p.data) for p in ra)
+    ld_bytes = sum(len(p.data) for p in ld)
+    assert ra_bytes < ld_bytes, (ra_bytes, ld_bytes)
+
+
+def test_pyramid_packet_structure():
+    """Coding order carries 2 unshown frames + 2 show_existing per GoP."""
+    W, H = 128, 96
+    frames = _frames(5, W, H)
+    pkts = _encode(frames, W, H, preset=10)
+    # key + [A4 B2 b1 SE b3 SE] for the first GoP
+    assert len(pkts) == 1 + 6
+    se = [p for p in pkts if len(p.data) < 16]
+    assert len(se) == 2, [len(p.data) for p in pkts]
+    unshown = [p for p in pkts if p.recon is None and len(p.data) >= 16]
+    assert len(unshown) == 2

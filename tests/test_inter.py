@@ -22,16 +22,18 @@ def _encode_seq(W, H, n, q, bd=8, tiles=(0, 0), vb=False, motion=(3, 5), keyint=
                         enable_variance_boost=vb, intra_period_length=keyint)
     cfg.qp = q
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
     for i in range(n):
         y = base[16 + i * motion[0] : 16 + i * motion[0] + H,
                  16 + i * motion[1] : 16 + i * motion[1] + W].copy()
         u = (base[: (H + 1) // 2, : (W + 1) // 2] // 2 + peak // 4).astype(dt)
         enc.send_picture(y, u, u.copy(), pts=i)
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:      # display packets, in display order
+            recons.append(pkt.recon)
     return stream, recons
 
 
@@ -73,10 +75,12 @@ def test_inter_beats_intra_rate():
     cfg = EncoderConfig(width=160, height=128, enable_variance_boost=False)
     cfg.qp = 45
     enc = Encoder(cfg).init()
-    sizes = []
     for i in range(4):
         y = base[16 + 3 * i : 144 + 3 * i, 16 + 5 * i : 176 + 5 * i].copy()
         u = np.full((64, 80), 120, np.uint8)
         enc.send_picture(y, u, u.copy())
-        sizes.append(len(enc.get_packet().data))
+    enc.flush()
+    sizes = []
+    while (pkt := enc.get_packet()) is not None:
+        sizes.append(len(pkt.data))
     assert all(s < sizes[0] for s in sizes[1:]), sizes

@@ -107,8 +107,11 @@ def test_frame_luma_bias_lowers_q_for_dark_frames():
                     + rng.integers(-25, 26, dark.shape), 5, 90).astype(np.uint8)
     u = np.full((32, 32), 128, np.uint8)
     sizes = {}
+    from svt_av1_psy_tpu.config import PredStructure
+
     for bias in (0, 100):
-        cfg = EncoderConfig(width=64, height=64)
+        cfg = EncoderConfig(width=64, height=64,
+                            pred_structure=PredStructure.LOW_DELAY)
         cfg.qp = 35
         cfg.luminance_qp_bias = bias
         enc = Encoder(cfg).init()

@@ -66,15 +66,17 @@ def test_psy_rd_stream_conformant_and_effective():
         cfg = EncoderConfig(width=W, height=H, recon_enabled=True, psy_rd=strength)
         cfg.qp = 45
         enc = Encoder(cfg).init()
-        stream = b""
-        recons = []
         for i in range(2):
             y = base[2 * i : 2 * i + H, 3 * i : 3 * i + W].copy()
             u = np.full((H // 2, W // 2), 115, np.uint8)
             enc.send_picture(y, u, u.copy())
-            pkt = enc.get_packet()
+        enc.flush()
+        stream = b""
+        recons = []
+        while (pkt := enc.get_packet()) is not None:
             stream += pkt.data
-            recons.append(pkt.recon)
+            if pkt.recon is not None:
+                recons.append(pkt.recon)
         return stream, recons
 
     s_on, recons = encode(2.0)

@@ -52,15 +52,17 @@ def _encode(W, H, n, enable_qm, q=40, tune=2):
                         tune=tune)
     cfg.qp = q
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
     for i in range(n):
         y = base[2 * i : 2 * i + H, 3 * i : 3 * i + W].copy()
         u = np.full(((H + 1) // 2, (W + 1) // 2), 115, np.uint8)
         enc.send_picture(y, u, u.copy())
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     return stream, recons
 
 

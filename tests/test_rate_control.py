@@ -84,17 +84,19 @@ def test_vbr_stream_hits_rate_and_decodes():
                         target_bit_rate=200_000, fps_num=FPS, fps_denom=1,
                         recon_enabled=True, intra_period_length=60)
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
-    total = 0
     for i in range(N):
         y = base[(2 * i) % 90 : (2 * i) % 90 + H, (3 * i) % 90 : (3 * i) % 90 + W].copy()
         u = np.full((H // 2, W // 2), 118, np.uint8)
         enc.send_picture(y, u, u.copy())
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    total = 0
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
         total += len(pkt.data)
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     achieved = total * 8 * FPS / N
     assert 0.5 * 200_000 < achieved < 2.0 * 200_000, achieved
     for i in (0, N // 2, N - 1):

@@ -51,15 +51,17 @@ def _encode_lr(W, H, n=1, bd=8, q=45, seed=5, **cfg_kw):
                         enable_restoration_filtering=1, **cfg_kw)
     cfg.qp = q
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
     for i in range(n):
         y = base[2 * i : 2 * i + H, 3 * i : 3 * i + W].copy()
         u = np.full(((H + 1) // 2, (W + 1) // 2), peak // 2 - 8, dt)
         enc.send_picture(y, u, u.copy())
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     return stream, recons
 
 

@@ -67,13 +67,15 @@ def test_segmentation_stream_conformant(n):
     cfg = EncoderConfig(width=W, height=H, recon_enabled=True, aq_mode=1)
     cfg.qp = 40
     enc = Encoder(cfg).init()
-    stream = b""
-    recons = []
     for i in range(n):
         enc.send_picture(np.roll(y, 2 * i, axis=1), u, u.copy(), pts=i)
-        pkt = enc.get_packet()
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
     for i in range(n):
         dy, du, dv = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, recons[i][0]), f"frame {i}"

@@ -67,8 +67,9 @@ def test_tf_lookahead_stream_conformant():
     pts = []
     while (pkt := enc.get_packet()) is not None:
         stream += pkt.data
-        recons.append(pkt.recon)
-        pts.append(pkt.pts)
+        if pkt.recon is not None:     # display packets, in display order
+            recons.append(pkt.recon)
+            pts.append(pkt.pts)
     assert pts == list(range(6))
     for i in (0, 3, 5):
         dy, du, dv = dav1d.decode_nth(stream, i, W, H)
@@ -76,7 +77,10 @@ def test_tf_lookahead_stream_conformant():
 
 
 def test_tf_queue_buffers_until_window():
-    cfg = EncoderConfig(width=64, height=64, enable_tf=1, look_ahead_distance=3)
+    from svt_av1_psy_tpu.config import PredStructure
+
+    cfg = EncoderConfig(width=64, height=64, enable_tf=1, look_ahead_distance=3,
+                        pred_structure=PredStructure.LOW_DELAY)
     enc = Encoder(cfg).init()
     u = np.full((32, 32), 120, np.uint8)
     y = np.full((64, 64), 100, np.uint8)

@@ -71,7 +71,8 @@ def test_tpl_stream_conformant_and_saves_bits():
         recons = []
         while (pkt := enc.get_packet()) is not None:
             stream += pkt.data
-            recons.append(pkt.recon)
+            if pkt.recon is not None:
+                recons.append(pkt.recon)
         return stream, recons
 
     s_t, r_t = encode(True)

@@ -61,10 +61,13 @@ def test_two_pass_end_to_end(tmp_path):
     stats = tmp_path / "st.bin"
     stats.write_bytes(enc1.first_pass_data())
 
+    from svt_av1_psy_tpu.config import PredStructure
+
     cfg2 = EncoderConfig(width=W, height=H, pass_num=2, stats_file=str(stats),
                          rate_control_mode=RateControlMode.VBR,
                          target_bit_rate=200_000, fps_num=30, fps_denom=1,
-                         recon_enabled=True)
+                         recon_enabled=True,
+                         pred_structure=PredStructure.LOW_DELAY)
     enc2 = Encoder(cfg2).init()
     stream = b""
     recons = []

@@ -134,8 +134,11 @@ def _encode_seq(kw, nframes, seed, force_python, motion=2):
         pkts, recons = [], []
         for y in ys:
             enc.send_picture(y, u, u.copy())
-            pkts.append(enc.get_packet().data)
-            recons.append(enc.get_recon())
+        enc.flush()
+        while (p := enc.get_packet()) is not None:
+            pkts.append(p.data)
+            if p.recon is not None:
+                recons.append(p.recon)
     finally:
         walk_native.eligible = orig
     return pkts, recons
