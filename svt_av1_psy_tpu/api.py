@@ -257,55 +257,74 @@ class Encoder:
             return
         self._sub_since_key += 1
         self._gop_buf.append((y, u, v, pts))
-        if len(self._gop_buf) == 4:
+        gop_n = 1 << min(max(cfg.hierarchical_levels, 2), 5)
+        if len(self._gop_buf) == gop_n:
             buf, self._gop_buf = self._gop_buf, []
-            self._encode_gop4(buf)
+            self._encode_gop(buf)
 
     def _drain_gop(self):
-        """Encode any buffered frames as a shown P chain (partial GoP at a
-        key boundary or EOS)."""
+        """Encode any buffered frames (partial GoP at a key boundary or
+        EOS) as a smaller pyramid."""
         buf, self._gop_buf = self._gop_buf, []
-        if not buf:
-            return
-        scratch = (2, 3) if self._last_slot not in (2, 3) else (4, 5)
-        for i, (y, u, v, pts) in enumerate(buf):
-            slot = scratch[i % 2]
+        if buf:
+            self._encode_gop(buf)
+
+    def _encode_gop(self, buf):
+        """Dyadic pyramid over n display frames d1..dn (d0 = previous base
+        recon). Coding order: dn first (unshown base-layer ALTREF), then a
+        recursive bisection — interval midpoints code as unshown B frames,
+        length-2 intervals code their single frame as a shown leaf, and
+        show_existing_frame realizes the display order. Every block predicts
+        single-ref (LAST past / ALTREF future); no compound. DPB slots are
+        allocated per live node (depth+2 <= 8 up to 32-frame GoPs)."""
+        n = len(buf)
+        if n == 1:
+            y, u, v, pts = buf[0]
+            scratch = 2 if self._last_slot != 2 else 3
             self._encode_frame(y, u, v, pts, gop=dict(
                 show=True, last=self._ref_planes, future=None,
-                refresh=1 << slot, last_slot=self._last_slot,
+                refresh=1 << scratch, last_slot=self._last_slot,
                 future_slot=None, q_offset=0, update_last=True))
-            self._last_slot = slot
+            self._last_slot = scratch
+            return
+        free = [s for s in range(8) if s not in (self._last_slot, 1)]
+        slots = {0: self._last_slot}
+        recs = {0: self._ref_planes}
+        disp = {}
+        OFF = (0, 10, 16, 18, 20)   # q offset per pyramid depth
 
-    def _encode_gop4(self, buf):
-        """Two-level pyramid over 4 display frames d1..d4. Coding order:
-        d4 (unshown ALT, base layer), d2 (unshown mid B), d1 (shown leaf),
-        show_existing(d2), d3 (shown leaf), show_existing(d4). Every block
-        predicts single-ref (LAST past / ALTREF future) — no compound."""
-        f1, f2, f3, f4 = buf
-        base_slot = self._last_slot
-        alt = 2 if base_slot != 2 else 4
-        iarf = 3 if base_slot != 3 else 5
-        base = self._ref_planes
-        r4, rec4 = self._encode_frame(*f4, gop=dict(
-            show=False, last=base, future=None, refresh=1 << alt,
-            last_slot=base_slot, future_slot=None, q_offset=0,
-            update_last=False))
-        r2, rec2 = self._encode_frame(*f2, gop=dict(
-            show=False, last=base, future=r4, refresh=1 << iarf,
-            last_slot=base_slot, future_slot=alt, q_offset=10,
-            update_last=False))
-        self._encode_frame(*f1, gop=dict(
-            show=True, last=base, future=r2, refresh=0,
-            last_slot=base_slot, future_slot=iarf, q_offset=20,
-            update_last=False))
-        self._emit_show_existing(iarf, f2[3], rec2)
-        self._encode_frame(*f3, gop=dict(
-            show=True, last=r2, future=r4, refresh=0,
-            last_slot=iarf, future_slot=alt, q_offset=20,
-            update_last=False))
-        self._emit_show_existing(alt, f4[3], rec4)
-        self._ref_planes = r4
-        self._last_slot = alt
+        def enc_unshown(idx, lo, hi, depth):
+            slot = free.pop()
+            r, rec = self._encode_frame(*buf[idx - 1], gop=dict(
+                show=False, last=recs[lo],
+                future=(recs[hi] if hi is not None else None),
+                refresh=1 << slot, last_slot=slots[lo],
+                future_slot=(slots[hi] if hi is not None else None),
+                q_offset=OFF[min(depth, 4)], update_last=False))
+            slots[idx], recs[idx], disp[idx] = slot, r, rec
+
+        def walk(lo, hi, depth):
+            if hi - lo == 1:
+                return
+            if hi - lo == 2:       # single shown leaf at display lo+1
+                self._encode_frame(*buf[lo], gop=dict(
+                    show=True, last=recs[lo], future=recs[hi], refresh=0,
+                    last_slot=slots[lo], future_slot=slots[hi],
+                    q_offset=OFF[4], update_last=False))
+                return
+            mid = (lo + hi) // 2
+            enc_unshown(mid, lo, hi, depth)
+            walk(lo, mid, depth + 1)
+            self._emit_show_existing(slots[mid], buf[mid - 1][3], disp[mid])
+            walk(mid, hi, depth + 1)
+            free.append(slots.pop(mid))
+            recs.pop(mid)
+
+        enc_unshown(n, 0, None, 0)
+        walk(0, n, 1)
+        self._emit_show_existing(slots[n], buf[n - 1][3], disp[n])
+        self._ref_planes = recs[n]
+        self._last_slot = slots[n]
 
     def _emit_show_existing(self, slot, pts, recon):
         """Display a previously decoded (showable) frame from a DPB slot."""

@@ -46,7 +46,8 @@ def _encode(frames, W, H, bd=8, **kw):
 
 
 @requires_dav1d
-@pytest.mark.parametrize("n,bd,preset", [(9, 8, 8), (6, 10, 10), (5, 8, 6)])
+@pytest.mark.parametrize("n,bd,preset", [(9, 8, 8), (6, 10, 10), (5, 8, 6),
+                                         (17, 8, 10)])
 def test_pyramid_display_frames_conformant(n, bd, preset):
     W, H = 176, 144
     frames = _frames(n, W, H, bd=bd)
