@@ -293,6 +293,23 @@ class Encoder:
         disp = {}
         OFF = (0, 10, 16, 18, 20)   # q offset per pyramid depth
 
+        # TPL propagation for the base layer: the GoP top is the reference
+        # every other frame predicts from; rate its importance (r0) against
+        # the frames that will depend on it and boost its q accordingly
+        # (rc_process.c:864, r0_weight BASE = 0.9)
+        tpl_r0 = None
+        cfg = self.config
+        from .config import RateControlMode as _RCM
+
+        if (cfg.enable_tpl_la and n >= 4
+                and cfg.rate_control_mode == _RCM.CRF_CQP):
+            from .rc.tpl import tpl_analysis
+
+            deps = [buf[i][0] for i in
+                    sorted({0, (n - 1) // 2, max(n - 2, 0)})][:3]
+            tpl_r0 = tpl_analysis([buf[n - 1][0]] + deps,
+                                  cfg.input_depth)[0]
+
         def enc_unshown(idx, lo, hi, depth):
             slot = free.pop()
             r, rec = self._encode_frame(*buf[idx - 1], gop=dict(
@@ -300,7 +317,9 @@ class Encoder:
                 future=(recs[hi] if hi is not None else None),
                 refresh=1 << slot, last_slot=slots[lo],
                 future_slot=(slots[hi] if hi is not None else None),
-                q_offset=OFF[min(depth, 4)], update_last=False))
+                q_offset=OFF[min(depth, 4)], update_last=False,
+                dists=(idx - lo, (hi - idx) if hi is not None else 1),
+                tpl_r0=(tpl_r0 if depth == 0 else None)))
             slots[idx], recs[idx], disp[idx] = slot, r, rec
 
         def walk(lo, hi, depth):
@@ -310,7 +329,7 @@ class Encoder:
                 self._encode_frame(*buf[lo], gop=dict(
                     show=True, last=recs[lo], future=recs[hi], refresh=0,
                     last_slot=slots[lo], future_slot=slots[hi],
-                    q_offset=OFF[4], update_last=False))
+                    q_offset=OFF[4], update_last=False, dists=(1, 1)))
                 return
             mid = (lo + hi) // 2
             enc_unshown(mid, lo, hi, depth)
@@ -434,6 +453,12 @@ class Encoder:
             qindex += int(np.rint(-np.sqrt((255.0 - avg_luma) / denom)
                                   * (qindex / 8.0)))
             qindex = int(np.clip(qindex, 1, 255))
+        if gop is not None and gop.get("tpl_r0") is not None and qindex > 1:
+            # TPL base-layer boost (crf_qindex_calc, r0_weight[BASE] = 0.9)
+            from .rc.tpl import tpl_qindex
+
+            qindex = tpl_qindex(qindex, gop["tpl_r0"], cfg.input_depth,
+                                weight=0.9)
         if gop is not None and gop.get("q_offset") and qindex > 1:
             # temporal-layer delta (pyramid base boosted, leaves cheapened)
             qindex = int(np.clip(qindex + int(gop["q_offset"]), 1, 255))
@@ -543,6 +568,8 @@ class Encoder:
                 cfg.width, cfg.height, qindex, last_planes, gm_mv=gm_mv,
                 golden_planes=(None if gop is not None else self._golden_planes),
                 future_planes=(gop.get("future") if gop is not None else None),
+                ref_distances=(gop.get("dists", (1, 1)) if gop is not None
+                               else (1, 6)),
                 **common)
 
         def run_filters(enc):

@@ -60,7 +60,8 @@ def _mv_class(z: int):
 class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
-                 golden_planes=None, future_planes=None, **kw):
+                 golden_planes=None, future_planes=None,
+                 ref_distances=(1, 1), **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
@@ -86,6 +87,9 @@ class InterFrameEncoder(IntraFrameEncoder):
             _add_ref(GOLDEN_FRAME, golden_planes)
         self.ref2 = (ALTREF_FRAME if future_planes is not None
                      else GOLDEN_FRAME if golden_planes is not None else None)
+        # ME range scales with temporal distance (pyramid leaves search a
+        # small window; the GoP top searches wide)
+        self.sr = tuple(int(np.clip(16 + 8 * d, 16, 64)) for d in ref_distances)
         self.grid = MiGrid(self.mi_rows, self.mi_cols)
 
     def _pad_refs(self, ref_planes, width, height):
@@ -182,8 +186,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         ref_pad = np.ascontiguousarray(self.refs[LAST_FRAME][0], np.int32)
         dec = mc_native.inter_decide_frame(
             self.src[0], me.ref, me.ref_q, curq, ref_pad, self.pad, golden,
-            me._filters, filters4, self.bd, me.range, self.gm_mv,
-            float(self.psy_rd), blocks, ref2_gate=ref2_gate)
+            me._filters, filters4, self.bd, self.sr[0], self.gm_mv,
+            float(self.psy_rd), blocks, ref2_gate=ref2_gate,
+            search_range2=self.sr[1])
         if dec is None:
             return
         # the kernel reports the second reference as 4; map to the actual one

@@ -768,7 +768,7 @@ void inter_decide_frame(
     const int32_t *grefq, int gqH, int gqW,
     const int32_t *gref_pad, int gpW,
     const int32_t *filters8, const int32_t *filters4,
-    int bd, int range, int gm_row, int gm_col, double psy_rd, int ref2_gate,
+    int bd, int range, int range2, int gm_row, int gm_col, double psy_rd, int ref2_gate,
     const int32_t *bx, const int32_t *by,
     const int32_t *bws, const int32_t *bhs, int nb,
     int32_t *out) {
@@ -792,50 +792,75 @@ void inter_decide_frame(
                      : (psy_distortion_sum_u16((P), W, H, W, t, eng) << 2)) \
             * psy_rd) : 0)
 
-        /* ---- GLOBALMV on LAST first: a near-perfect global/zero match
-           skips the NEWMV search entirely (the reference's MD early-exit
-           ladder; most static-background blocks take this path) */
+        /* ---- zero-motion candidates on both references first: GLOBALMV
+           on LAST (gm) and GLOBALMV/identity on the second reference. The
+           full NEWMV search then runs on the more promising reference
+           only, and on the other one only if the residual is still large
+           (the reference's MD early-exit ladder). */
         mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, gm_row, gm_col,
                      filters8, filters4, bd, pred);
         int64_t cost_zero = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
+        int two_ref = gref_pad && ref2_gate < 0;
+        int64_t cost_zero2 = INT64_MAX;
+        if (two_ref) {
+            mc_pred_luma(gref_pad, gpW, pad, x0, y0, W, H, 0, 0,
+                         filters8, filters4, bd, pred);
+            int64_t sse2 = sse_pred_u16(sblk, sstride, pred, W, H);
+            cost_zero2 = sse2 < cost_zero ? sse2 + PSY_COST(pred) : INT64_MAX;
+        }
+        int best_ref = cost_zero2 < cost_zero ? 4 : 1;
+        int best_mode = 15;                       /* GLOBALMV */
+        int best_mvr = best_ref == 1 ? gm_row : 0;
+        int best_mvc = best_ref == 1 ? gm_col : 0;
+        int64_t best_inter = cost_zero2 < cost_zero ? cost_zero2 : cost_zero;
 
-        /* ---- NEWMV on LAST */
-        int64_t cost_new = INT64_MAX;
-        int mv_new_r = 0, mv_new_c = 0;
         int qw = W >> 2, qh = H >> 2;
         if (qw < 1) qw = 1;
         if (qh < 1) qh = 1;
         int qy = y0 >> 2, qx = x0 >> 2;
         int64_t me_out[3];
-        if (cost_zero > ((int64_t)(W * H) << 2)) {
-            for (int r = 0; r < qh; r++)
-                for (int c = 0; c < qw; c++)
-                    cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];
-            me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq, qH,
-                            qW, x0, y0, range, filters8, bd, 1, me_out);
-            mv_new_r = (int)me_out[0];
-            mv_new_c = (int)me_out[1];
-            mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H, mv_new_r, mv_new_c,
+        for (int r = 0; r < qh; r++)
+            for (int c = 0; c < qw; c++)
+                cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];
+
+        /* NEWMV on the primary (better zero-cost) reference */
+        int primary2 = two_ref && cost_zero2 < cost_zero;
+        if (best_inter > ((int64_t)(W * H) << 2)) {
+            if (primary2)
+                me_search_block(cur, W, H, gref_me, grH, grW, cq, qw, qh,
+                                grefq, gqH, gqW, x0, y0, range2, filters8,
+                                bd, 1, me_out);
+            else
+                me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq,
+                                qH, qW, x0, y0, range, filters8, bd, 1,
+                                me_out);
+            mc_pred_luma(primary2 ? gref_pad : ref_pad,
+                         primary2 ? gpW : pW, pad, x0, y0, W, H,
+                         (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
             /* PSY_COST >= 0: skip it when SSE alone already loses (exact) */
             int64_t sse = sse_pred_u16(sblk, sstride, pred, W, H);
-            cost_new = sse < cost_zero ? sse + PSY_COST(pred) : INT64_MAX;
+            int64_t c = sse < best_inter ? sse + PSY_COST(pred) : INT64_MAX;
+            if (c < best_inter) {
+                best_inter = c;
+                best_ref = primary2 ? 4 : 1;
+                best_mode = 16;
+                best_mvr = (int)me_out[0];
+                best_mvc = (int)me_out[1];
+            }
         }
 
-        int best_ref = 1, best_mode = cost_new <= cost_zero ? 16 : 15;
-        int best_mvr = best_mode == 16 ? mv_new_r : gm_row;
-        int best_mvc = best_mode == 16 ? mv_new_c : gm_col;
-        int64_t best_inter = cost_new <= cost_zero ? cost_new : cost_zero;
-
-        /* ---- second-reference NEWMV: GOLDEN gated on residual, or a
-           future ALTREF searched unconditionally (ref2_gate < 0) */
-        if (gref_pad && (ref2_gate < 0
-                         || best_inter > ((int64_t)(W * H) << ref2_gate))) {
-            for (int r = 0; r < qh; r++)
-                for (int c = 0; c < qw; c++)
-                    cq[r * qw + c] = curq[(qy + r) * cqW + qx + c];
+        /* NEWMV on the other reference: for two-ref frames only when the
+           residual is still noticeable; for gated GOLDEN per ref2_gate */
+        int try2;
+        if (two_ref)
+            try2 = !primary2 && best_inter > ((int64_t)(W * H) << 3);
+        else
+            try2 = gref_pad && best_inter > ((int64_t)(W * H) << ref2_gate);
+        int try1 = two_ref && primary2 && best_inter > ((int64_t)(W * H) << 3);
+        if (try2) {
             me_search_block(cur, W, H, gref_me, grH, grW, cq, qw, qh,
-                            grefq, gqH, gqW, x0, y0, range, filters8, bd, 1,
+                            grefq, gqH, gqW, x0, y0, range2, filters8, bd, 1,
                             me_out);
             mc_pred_luma(gref_pad, gpW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
@@ -846,6 +871,22 @@ void inter_decide_frame(
             if (cost_g < best_inter) {
                 best_inter = cost_g;
                 best_ref = 4;
+                best_mode = 16;
+                best_mvr = (int)me_out[0];
+                best_mvc = (int)me_out[1];
+            }
+        } else if (try1) {
+            me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq, qH,
+                            qW, x0, y0, range, filters8, bd, 1, me_out);
+            mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H,
+                         (int)me_out[0], (int)me_out[1],
+                         filters8, filters4, bd, pred);
+            int64_t sse1 = sse_pred_u16(sblk, sstride, pred, W, H);
+            int64_t cost1 = sse1 < best_inter ? sse1 + PSY_COST(pred)
+                                              : INT64_MAX;
+            if (cost1 < best_inter) {
+                best_inter = cost1;
+                best_ref = 1;
                 best_mode = 16;
                 best_mvr = (int)me_out[0];
                 best_mvc = (int)me_out[1];

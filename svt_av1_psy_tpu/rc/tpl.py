@@ -59,10 +59,13 @@ def tpl_analysis(frames: list, bd: int = 8):
         inter = np.empty(bh * bw, np.int64)
         mvs = np.zeros((bh, bw, 2), np.int32)
         H, W = y.shape
+        # one int32 view per frame: a fresh astype per block would bust the
+        # MotionEstimator's per-frame pyramid cache (id-keyed)
+        y32 = np.ascontiguousarray(y, np.int32)
         k = 0
         for by in range(bh):
             for bx in range(bw):
-                res = me.search_block(y.astype(np.int32), bx * BLK, by * BLK,
+                res = me.search_block(y32, bx * BLK, by * BLK,
                                       BLK, BLK, subpel=False)
                 dy, dx = res.mv[0] >> 3, res.mv[1] >> 3
                 sy = min(max(by * BLK + dy, 0), H - BLK)
@@ -114,14 +117,15 @@ R0_WEIGHT_KEY = 0.75   # r0_weight[I_SLICE] (rc_process.c:775)
 
 
 def tpl_qindex(base_qindex: int, r0: float, bd: int,
-               qsc_weight: float = 1.0) -> int:
-    """Keyframe qindex from r0 (rc_process.c:872: qstep_ratio = sqrt(r0) *
+               qsc_weight: float = 1.0, weight: float = R0_WEIGHT_KEY) -> int:
+    """Frame qindex from r0 (rc_process.c:872: qstep_ratio = sqrt(r0) *
     weight * qp_scale_compress_weight, clamped to the weight). Lower r0
-    (more propagation) -> lower q -> better keyframe."""
+    (more propagation) -> lower q. weight: r0_weight[] per update type
+    (0.75 keyframes, 0.9 base-layer inter; rc_process.c:775)."""
     from .rate_control import convert_qindex_to_q
 
-    qstep_ratio = math.sqrt(max(r0, 1e-4)) * R0_WEIGHT_KEY * qsc_weight
-    qstep_ratio = min(qstep_ratio, R0_WEIGHT_KEY)
+    qstep_ratio = math.sqrt(max(r0, 1e-4)) * weight * qsc_weight
+    qstep_ratio = min(qstep_ratio, weight)
     target_q = convert_qindex_to_q(base_qindex, bd) * qstep_ratio
     lo, hi = 1, base_qindex
     while lo < hi:

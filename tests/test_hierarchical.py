@@ -76,15 +76,27 @@ def test_pyramid_keyint_boundary_partial_gop():
 
 
 def test_pyramid_beats_low_delay_on_pan():
-    """Backward prediction + layer q offsets must save bits on a pan."""
+    """Backward prediction + TPL base boost + layer q offsets must dominate
+    the flat chain on a pan: fewer bits at equal-or-better PSNR."""
     W, H = 176, 144
-    frames = _frames(9, W, H, motion=3, seed=5)
+    frames = _frames(17, W, H, motion=3, seed=5)
+
+    def psnr(pkts):
+        disp = [p.recon for p in pkts if p.recon is not None]
+        vals = []
+        for f, r in zip(frames, disp):
+            mse = np.mean((f.astype(np.float64)
+                           - r[0][:H, :W].astype(np.float64)) ** 2)
+            vals.append(10 * np.log10(255.0 ** 2 / max(mse, 1e-9)))
+        return float(np.mean(vals))
+
     ra = _encode(frames, W, H, preset=8)
     ld = _encode(frames, W, H, preset=8,
                  pred_structure=PredStructure.LOW_DELAY)
     ra_bytes = sum(len(p.data) for p in ra)
     ld_bytes = sum(len(p.data) for p in ld)
     assert ra_bytes < ld_bytes, (ra_bytes, ld_bytes)
+    assert psnr(ra) >= psnr(ld) - 0.02, (psnr(ra), psnr(ld))
 
 
 def test_pyramid_packet_structure():

@@ -59,8 +59,12 @@ def test_tpl_stream_conformant_and_saves_bits():
     u = np.full((H // 2, W // 2), 118, np.uint8)
 
     def encode(tpl):
+        from svt_av1_psy_tpu.config import PredStructure
+
+        # low-delay: this test isolates the keyframe-boost right-sizing
         cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
                             enable_tpl_la=tpl, enable_tf=0,
+                            pred_structure=PredStructure.LOW_DELAY,
                             look_ahead_distance=3 if tpl else -1)
         cfg.qp = 45
         enc = Encoder(cfg).init()
