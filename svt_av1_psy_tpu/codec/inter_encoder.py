@@ -33,6 +33,13 @@ from .transforms import forward_transform_2d, inverse_transform_add
 # size_group_lookup (definitions.h) for the non-kf y-mode cdf
 SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3]
 
+# inter mode-decision backend: "native" (one C call per frame; the fast
+# path on hosts where the TPU sits behind a high-latency link) or "device"
+# (ops/inter_search.py: batched SSD-grid search as one jitted program,
+# shardable over the frame/tile mesh). Decisions differ between backends
+# (different search metrics) but both commit conformantly.
+SEARCH_BACKEND = "native"
+
 # inter ext-tx: eset via ext_tx_set_index[1][set_type] (definitions.h:1808):
 # DCT_IDTX -> 3, DTT9_IDTX_1DDCT -> 2, ALL16 -> 1; DCT_DCT symbol per
 # av1_ext_tx_ind rows (cabac_context_model.h:686)
@@ -170,6 +177,11 @@ class InterFrameEncoder(IntraFrameEncoder):
         blocks = np.array([(mi_col * 4, mi_row * 4,
                             int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
                            for (mi_row, mi_col, bs) in blk], np.int32)
+        if SEARCH_BACKEND == "device":
+            dec = self._pre_walk_device(blk, blocks)
+            if dec is not None:
+                self.inter_dec = dec
+                return
         curq = me._cur_pyramid(self.src[0])
         from .spec_tables import get_tables
 
@@ -198,6 +210,109 @@ class InterFrameEncoder(IntraFrameEncoder):
             if ui and rf == 4:
                 rf = self.ref2
             self.inter_dec[(r, c)] = (ui, rf, md, mr, mc)
+
+    def _pre_walk_device(self, blk, blocks):
+        """Device-backend decisions: one jitted SSD-grid search over all
+        full-size (S x S) blocks (ops/inter_search.decide_blocks, shardable
+        over the encode mesh), host sub-pel refinement of the winning MVs,
+        and the native kernel for edge-forced odd-size blocks. Returns the
+        decision dict, or None to fall back entirely."""
+        from ..ops import inter_search as dev
+        from ..ops.intra_search import LINEAR_MODES, mode_matrix_bank
+        from ..profiling import stage
+        from .intra_rdo import _block_refs
+
+        S = int(BLOCK_WIDTH[self.target_bsize])
+        main = [i for i, (_r, _c, bs) in enumerate(blk)
+                if int(BLOCK_WIDTH[bs]) == S and int(BLOCK_HEIGHT[bs]) == S]
+        if not main:
+            return None
+        rest = [i for i in range(len(blk)) if int(BLOCK_WIDTH[blk[i][2]]) != S
+                or int(BLOCK_HEIGHT[blk[i][2]]) != S]
+        mb = blocks[main]
+        last_pad = self.refs[LAST_FRAME][0]
+        win_l = dev.gather_windows(last_pad, self.pad, mb, S)
+        two_ref = self.ref2 == ALTREF_FRAME
+        win_a = (dev.gather_windows(self.refs[self.ref2][0], self.pad, mb, S)
+                 if two_ref else win_l)
+        # intra reference lines for the S-grid (open loop, source pixels)
+        refs_all = _block_refs(self.src[0], S, self.bd)
+        cols = self.src[0].shape[1] // S
+        ridx = [(r * 4) // S * cols + (c * 4) // S for (r, c, _b) in
+                (blk[i] for i in main)]
+        refs = refs_all[ridx]
+        G = mode_matrix_bank(S).astype(np.float32)
+        gm_dy = int(np.clip(int(round(self.gm_mv[0] / 8)), -8, 8))
+        gm_dx = int(np.clip(int(round(self.gm_mv[1] / 8)), -8, 8))
+        src_blocks = np.stack([self.src[0][y0:y0 + S, x0:x0 + S]
+                               for (x0, y0, _w, _h) in mb]).astype(np.float32)
+        n0 = src_blocks.shape[0]
+        args = (src_blocks, win_l.astype(np.float32),
+                win_a.astype(np.float32), refs)
+        from ..parallel import mesh as pmesh
+
+        m = pmesh.get_encode_mesh()
+        if m is not None:
+            # shard the block batch over the frame/tile mesh; decisions are
+            # per-block argmins, so the results are mesh-size invariant
+            args = pmesh.shard_blocks(m, *args)
+        with stage("device:inter_search"):
+            out = dev.decide_blocks(
+                args[0], args[1], args[2], gm_dy, gm_dx, args[3], G,
+                S=S, two_ref=two_ref, n_imodes=len(LINEAR_MODES))
+            ui, rf, md, mvr, mvc, im = (np.asarray(a)[:n0] for a in out)
+        # sub-pel refinement of NEWMV winners, per reference (host C)
+        mvs = np.stack([mvr, mvc], axis=1).astype(np.int32)
+        mvs = np.ascontiguousarray(mvs)
+        for ref_const, ri in ((LAST_FRAME, 1), (self.ref2, 4)):
+            if ref_const is None:
+                continue
+            refine = ((ui == 1) & (md == 16) & (rf == ri)).astype(np.uint8)
+            if refine.any():
+                mc_native.subpel_refine_blocks(
+                    self.src[0], self.me[ref_const].ref,
+                    self.me[LAST_FRAME]._filters, self.bd, mb, refine, mvs)
+        dec = {}
+        for k, i in enumerate(main):
+            r, c, _bs = blk[i]
+            if ui[k]:
+                ref_const = self.ref2 if rf[k] == 4 else LAST_FRAME
+                mv = ((int(mvs[k, 0]), int(mvs[k, 1])) if md[k] == 16
+                      else (self.gm_mv if ref_const == LAST_FRAME else (0, 0)))
+                dec[(r, c)] = (1, ref_const, int(md[k]), mv[0], mv[1])
+            else:
+                dec[(r, c)] = (0, 0, int(LINEAR_MODES[im[k]]), 0, 0)
+        if rest:
+            # odd-size edge blocks: native kernel
+            me = self.me[LAST_FRAME]
+            from .spec_tables import get_tables
+
+            filters4 = np.ascontiguousarray(
+                get_tables()._raw["interp_sub_pel_filters_4"], np.int32)
+            golden = None
+            gate = 4
+            if self.ref2 is not None:
+                mg = self.me[self.ref2]
+                golden = (mg.ref, mg.ref_q,
+                          np.ascontiguousarray(self.refs[self.ref2][0],
+                                               np.int32))
+                if self.ref2 == ALTREF_FRAME:
+                    gate = -1
+            nd = mc_native.inter_decide_frame(
+                self.src[0], me.ref, me.ref_q, me._cur_pyramid(self.src[0]),
+                np.ascontiguousarray(self.refs[LAST_FRAME][0], np.int32),
+                self.pad, golden, me._filters, filters4, self.bd, self.sr[0],
+                self.gm_mv, float(self.psy_rd), blocks[rest], ref2_gate=gate,
+                search_range2=self.sr[1])
+            if nd is None:
+                return None
+            for k, i in enumerate(rest):
+                r, c, _bs = blk[i]
+                uiv, rfv, mdv, mrv, mcv = (int(v) for v in nd[k])
+                if uiv and rfv == 4:
+                    rfv = self.ref2
+                dec[(r, c)] = (uiv, rfv, mdv, mrv, mcv)
+        return dec
 
     # -------------------------------------------------------------- helpers
     def _mc_pred(self, plane, px, py, pw, ph, mv, ref_frame=LAST_FRAME):

@@ -118,6 +118,12 @@ def _load():
         ctypes.c_double, ctypes.c_int,                              # psy_rd gate
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.me_subpel_refine_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.sgr_selfguided.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
@@ -259,6 +265,26 @@ def inter_decide_frame(src_u16, ref_me, refq, curq, ref_pad, pad, golden,
         bx.ctypes.data, by.ctypes.data, bw.ctypes.data, bh.ctypes.data,
         n, out.ctypes.data)
     return out
+
+
+def subpel_refine_blocks(src_u16, ref_me, filters8, bd, blocks, refine, mvs):
+    """In-place sub-pel diamond refinement of full-pel MVs (device-search
+    tail). blocks: (N,4) int32 (x0,y0,W,H); refine: (N,) uint8; mvs: (N,2)
+    int32 1/8-pel. Returns True, or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(blocks, np.int32)
+    bx = np.ascontiguousarray(b[:, 0]); by = np.ascontiguousarray(b[:, 1])
+    bw = np.ascontiguousarray(b[:, 2]); bh = np.ascontiguousarray(b[:, 3])
+    r8 = np.ascontiguousarray(refine, np.uint8)
+    lib.me_subpel_refine_blocks(
+        src_u16.ctypes.data, src_u16.shape[1],
+        ref_me.ctypes.data, ref_me.shape[0], ref_me.shape[1],
+        filters8.ctypes.data, bd,
+        bx.ctypes.data, by.ctypes.data, bw.ctypes.data, bh.ctypes.data,
+        r8.ctypes.data, b.shape[0], mvs.ctypes.data)
+    return True
 
 
 def sgr_selfguided(dgd_ext32, w, h, ep, bd, need0, need1):

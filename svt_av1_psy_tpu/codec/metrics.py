@@ -26,15 +26,20 @@ def ssim(src: np.ndarray, recon: np.ndarray, bd: int = 8) -> float:
     H, W = a.shape
     if H < 8 or W < 8:
         return 1.0
-    from numpy.lib.stride_tricks import sliding_window_view
+    # 8x8 window sums via integral images (O(HW), not O(HW*64))
+    def box8(x):
+        cp = np.zeros((x.shape[0] + 1, x.shape[1] + 1), np.float64)
+        np.cumsum(np.cumsum(x, axis=0), axis=1, out=cp[1:, 1:])
+        i = np.arange(0, x.shape[0] - 7, 4)
+        j = np.arange(0, x.shape[1] - 7, 4)
+        return (cp[np.ix_(i + 8, j + 8)] - cp[np.ix_(i, j + 8)]
+                - cp[np.ix_(i + 8, j)] + cp[np.ix_(i, j)]) / 64.0
 
-    wa = sliding_window_view(a, (8, 8))[::4, ::4]
-    wb = sliding_window_view(b, (8, 8))[::4, ::4]
-    mu_a = wa.mean(axis=(2, 3))
-    mu_b = wb.mean(axis=(2, 3))
-    var_a = (wa * wa).mean(axis=(2, 3)) - mu_a * mu_a
-    var_b = (wb * wb).mean(axis=(2, 3)) - mu_b * mu_b
-    cov = (wa * wb).mean(axis=(2, 3)) - mu_a * mu_b
+    mu_a = box8(a)
+    mu_b = box8(b)
+    var_a = box8(a * a) - mu_a * mu_a
+    var_b = box8(b * b) - mu_b * mu_b
+    cov = box8(a * b) - mu_a * mu_b
     s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
         (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
     )

@@ -1252,3 +1252,43 @@ void sgr_selfguided(const int32_t *dgd_ext, int w, int h, int ep, int bd,
     }
     free(A); free(B); free(T); free(At); free(Bt);
 }
+
+/* Batched sub-pel refinement of device-decided full-pel MVs: for each block
+ * whose refine flag is set, run the half/quarter/eighth-pel diamond around
+ * mv[i] on the given reference (same diamond as me_search_block's tail).
+ * mvs are (N, 2) int32 in 1/8-pel units, updated in place. */
+void me_subpel_refine_blocks(const uint16_t *src, int sstride,
+                             const int32_t *ref, int refH, int refW,
+                             const int32_t *filters, int bd,
+                             const int32_t *bx, const int32_t *by,
+                             const int32_t *bw, const int32_t *bh,
+                             const uint8_t *refine, int nb, int32_t *mvs) {
+    int32_t cur[64 * 64];
+    for (int i = 0; i < nb; i++) {
+        if (!refine[i]) continue;
+        int x0 = bx[i], y0 = by[i], W = bw[i], H = bh[i];
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++)
+                cur[r * W + c] = src[(y0 + r) * sstride + x0 + c];
+        int mvy = mvs[2 * i], mvx = mvs[2 * i + 1];
+        int64_t sad = subpel_try(cur, W, H, ref, refH, refW, filters, bd,
+                                 x0, y0, mvy, mvx);
+        if (sad == INT64_MAX) continue;
+        for (int step = 4; step >= 1; step >>= 1) {
+            for (int it = 0; it < 2; it++) {
+                int byy = mvy, bxx = mvx;
+                static const int dmy[4] = {-1, 1, 0, 0};
+                static const int dmx[4] = {0, 0, -1, 1};
+                for (int d = 0; d < 4; d++) {
+                    int ty = byy + dmy[d] * step, tx = bxx + dmx[d] * step;
+                    int64_t s = subpel_try(cur, W, H, ref, refH, refW,
+                                           filters, bd, x0, y0, ty, tx);
+                    if (s < sad) { sad = s; mvy = ty; mvx = tx; }
+                }
+                if (mvy == byy && mvx == bxx) break;
+            }
+        }
+        mvs[2 * i] = mvy;
+        mvs[2 * i + 1] = mvx;
+    }
+}

@@ -84,3 +84,19 @@ def test_inter_beats_intra_rate():
     while (pkt := enc.get_packet()) is not None:
         sizes.append(len(pkt.data))
     assert all(s < sizes[0] for s in sizes[1:]), sizes
+
+
+@requires_dav1d
+def test_device_inter_search_backend_conformant():
+    """The device (ops/inter_search) decision backend must produce
+    conformant streams with compression comparable to the native kernel."""
+    import svt_av1_psy_tpu.codec.inter_encoder as ie
+
+    ie.SEARCH_BACKEND = "device"
+    try:
+        stream, recons = _encode_seq(160, 128, 5, 45, seed=2)
+    finally:
+        ie.SEARCH_BACKEND = "native"
+    _check(stream, recons, 160, 128)
+    stream_n, _ = _encode_seq(160, 128, 5, 45, seed=2)
+    assert len(stream) < len(stream_n) * 1.25, (len(stream), len(stream_n))

@@ -112,3 +112,46 @@ def test_sharded_frame_step_runs():
         tables["y_mode_bits"], tables["ext_tx_bits"], tables["qm_w"],
         S=S, n_tx=n_tx)
     assert np.array_equal(bm[0], g_bm)
+
+
+@requires_8dev
+def test_inter_device_search_identical_across_meshes():
+    """The device inter search (ops/inter_search) must make identical
+    decisions — and therefore produce identical bitstreams — on 1/2/8-device
+    meshes."""
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.config import EncoderConfig
+    import svt_av1_psy_tpu.codec.inter_encoder as ie
+
+    rng = np.random.default_rng(7)
+    W, H = 192, 128
+    base = (np.cumsum(rng.normal(0, 4, (H, W + 40)), axis=1) + 128).clip(0, 255)
+    ys = [np.clip(base[:, 3 * i : 3 * i + W] + rng.normal(0, 3, (H, W)),
+                  0, 255).astype(np.uint8) for i in range(6)]
+    u = np.full((H // 2, W // 2), 120, np.uint8)
+
+    def run():
+        cfg = EncoderConfig(width=W, height=H, preset=8)
+        cfg.qp = 40
+        enc = Encoder(cfg).init()
+        for i, y in enumerate(ys):
+            enc.send_picture(y, u, u.copy(), pts=i)
+        enc.flush()
+        out = b""
+        while (p := enc.get_packet()) is not None:
+            out += p.data
+        return out
+
+    ie.SEARCH_BACKEND = "device"
+    try:
+        streams = {}
+        for n in (1, 2, 8):
+            set_encode_mesh(encode_mesh(n))
+            try:
+                streams[n] = run()
+            finally:
+                set_encode_mesh(None)
+    finally:
+        ie.SEARCH_BACKEND = "native"
+    assert streams[1] == streams[2] == streams[8], \
+        {k: len(v) for k, v in streams.items()}
