@@ -570,6 +570,7 @@ class Encoder:
                 future_planes=(gop.get("future") if gop is not None else None),
                 ref_distances=(gop.get("dists", (1, 1)) if gop is not None
                                else (1, 6)),
+                ref_select=(gop is not None and gop.get("future") is not None),
                 **common)
 
         def run_filters(enc):
@@ -674,6 +675,7 @@ class Encoder:
                 fs = gop.get("future_slot")
                 if fs is not None:
                     idx[6] = int(fs)          # ALTREF
+                    fp.reference_select = True
                 fp.ref_frame_idx = tuple(idx)
             else:
                 # DPB: slot 0 = LAST (refreshed every frame); slot 1 = GOLDEN

@@ -102,6 +102,7 @@ class FrameParams:
     # inter-frame fields (single-ref v0 path)
     primary_ref_frame: int = 7            # PRIMARY_REF_NONE: CDFs reset per frame
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
+    reference_select: bool = False        # REFERENCE_MODE_SELECT
     allow_high_precision_mv: bool = True
     interpolation_filter_switchable: bool = False
     interpolation_filter: int = 0         # EIGHTTAP_REGULAR
@@ -546,7 +547,7 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
     if not _cl:  # CodedLossless forces TX_MODE_ONLY_4X4, no bit (spec 5.9.21)
         w.f(int(fp.tx_mode_select), 1)
     if not is_intra:
-        w.f(0, 1)  # reference_select: single reference mode only
+        w.f(int(fp.reference_select), 1)  # REFERENCE_MODE_SELECT
     # skip_mode_params: never allowed without order hints
     # allow_warped_motion: seq enable_warped_motion off -> no bit
     w.f(int(fp.reduced_tx_set), 1)

@@ -26,7 +26,9 @@ from .intra_encoder import (
 )
 from .me import MotionEstimator
 from .mv_pred import (ALTREF_FRAME, GLOBALMV, GOLDEN_FRAME, LAST_FRAME,
-                      MiGrid, NEWMV, REF_CAT_LEVEL, setup_ref_mv_list)
+                      MiGrid, NEWMV, NEW_NEWMV, REF_CAT_LEVEL,
+                      mode_context_analyzer, setup_comp_mv_list,
+                      setup_ref_mv_list)
 from .quant import quantize_b
 from .transforms import forward_transform_2d, inverse_transform_add
 
@@ -68,7 +70,7 @@ class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
                  golden_planes=None, future_planes=None,
-                 ref_distances=(1, 1), **kw):
+                 ref_distances=(1, 1), ref_select=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
@@ -97,6 +99,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # ME range scales with temporal distance (pyramid leaves search a
         # small window; the GoP top searches wide)
         self.sr = tuple(int(np.clip(16 + 8 * d, 16, 64)) for d in ref_distances)
+        # compound (REFERENCE_MODE_SELECT): two-ref frames may code blocks
+        # with the (LAST, ALTREF) pair averaged (COMPOUND_AVERAGE)
+        self.ref_select = bool(ref_select) and self.ref2 == ALTREF_FRAME
         self.grid = MiGrid(self.mi_rows, self.mi_cols)
 
     def _pad_refs(self, ref_planes, width, height):
@@ -203,13 +208,23 @@ class InterFrameEncoder(IntraFrameEncoder):
             search_range2=self.sr[1])
         if dec is None:
             return
-        # the kernel reports the second reference as 4; map to the actual one
+        # the kernel reports the second reference as 4; map to the actual
+        # one. Mode-24 rows are compound NEW_NEWMV on (LAST, ref2).
         self.inter_dec = {}
         for i, (r, c, _) in enumerate(blk):
-            ui, rf, md, mr, mc = (int(v) for v in dec[i])
+            row = [int(v) for v in dec[i]]
+            ui, rf, md = row[0], row[1], row[2]
+            if ui and md >= 17:
+                if self.ref_select:
+                    self.inter_dec[(r, c)] = (1, 7, md, row[3], row[4],
+                                              row[5], row[6])
+                else:   # compound disabled: take the LAST-side NEWMV
+                    self.inter_dec[(r, c)] = (1, LAST_FRAME, NEWMV,
+                                              row[3], row[4])
+                continue
             if ui and rf == 4:
                 rf = self.ref2
-            self.inter_dec[(r, c)] = (ui, rf, md, mr, mc)
+            self.inter_dec[(r, c)] = (ui, rf, md, row[3], row[4])
 
     def _pre_walk_device(self, blk, blocks):
         """Device-backend decisions: one jitted SSD-grid search over all
@@ -308,10 +323,18 @@ class InterFrameEncoder(IntraFrameEncoder):
                 return None
             for k, i in enumerate(rest):
                 r, c, _bs = blk[i]
-                uiv, rfv, mdv, mrv, mcv = (int(v) for v in nd[k])
+                row = [int(v) for v in nd[k]]
+                uiv, rfv, mdv = row[0], row[1], row[2]
+                if uiv and mdv >= 17:
+                    if self.ref_select:
+                        dec[(r, c)] = (1, 7, mdv, row[3], row[4],
+                                       row[5], row[6])
+                    else:
+                        dec[(r, c)] = (1, LAST_FRAME, NEWMV, row[3], row[4])
+                    continue
                 if uiv and rfv == 4:
                     rfv = self.ref2
-                dec[(r, c)] = (uiv, rfv, mdv, mrv, mcv)
+                dec[(r, c)] = (uiv, rfv, mdv, row[3], row[4])
         return dec
 
     # -------------------------------------------------------------- helpers
@@ -329,6 +352,126 @@ class InterFrameEncoder(IntraFrameEncoder):
         x0 = px + ipart_x + self.pad
         patch = ref[y0 - 3 : y0 + ph + 4, x0 - 3 : x0 + pw + 4]
         return mc_native.convolve_block(patch, pw, ph, frac_x, frac_y, bd=self.bd)
+
+    def _mc_pred_compound(self, plane, px, py, pw, ph, mv0, mv1):
+        """COMPOUND_AVERAGE prediction from the (LAST, ref2) pair
+        (codec/compound.py jnt convolve pair, oracle-bit-exact)."""
+        from . import compound as cmp
+        from .convolve import get_filter_kernel
+
+        bufs = []
+        for mv, rfc in ((mv0, LAST_FRAME), (mv1, self.ref2)):
+            ref = self.refs[rfc][plane]
+            if plane == 0:
+                ipy, fy = mv[0] >> 3, (mv[0] & 7) << 1
+                ipx, fx = mv[1] >> 3, (mv[1] & 7) << 1
+            else:
+                ipy, fy = mv[0] >> 4, mv[0] & 15
+                ipx, fx = mv[1] >> 4, mv[1] & 15
+            y0 = py + ipy + self.pad
+            x0 = px + ipx + self.pad
+            patch = ref[y0 - 3 : y0 + ph + 4, x0 - 3 : x0 + pw + 4]
+            fxk = get_filter_kernel(0, fx, pw)
+            fyk = get_filter_kernel(0, fy, ph)
+            bufs.append(cmp.jnt_conv(patch, pw, ph, fxk, fyk, fx, fy, self.bd))
+        return cmp.compound_average(bufs[0], bufs[1], self.bd)
+
+    def _neighbor_ref_counts(self, mi_row, mi_col):
+        """Reference-frame counts over the above/left neighbors, including
+        second references (collect_neighbors_ref_counts analog)."""
+        counts = np.zeros(8, np.int32)
+        has_a, has_l, a_inter, l_inter = self._neighbors_mi(mi_row, mi_col)
+        for ok, r, c in ((has_a and a_inter, mi_row - 1, mi_col),
+                         (has_l and l_inter, mi_row, mi_col - 1)):
+            if ok:
+                counts[self.grid.ref_frame[r, c]] += 1
+                if self.grid.ref_frame2[r, c] > 0:
+                    counts[self.grid.ref_frame2[r, c]] += 1
+        return counts
+
+    def _comp_neighbors(self, mi_row, mi_col):
+        """(is_inter, has_second_ref, ref0) per above/left, or None when
+        unavailable (inside-tile availability)."""
+        mi_r0, _, mi_c0, _ = self.tile_mi
+        out = []
+        for r, c, avail in ((mi_row - 1, mi_col, mi_row > mi_r0),
+                            (mi_row, mi_col - 1, mi_col > mi_c0)):
+            if not avail:
+                out.append(None)
+                continue
+            out.append((int(self.grid.ref_frame[r, c]) > 0,
+                        int(self.grid.ref_frame2[r, c]) > 0,
+                        int(self.grid.ref_frame[r, c])))
+        return out
+
+    def _write_comp_inter(self, mi_row, mi_col, is_comp):
+        """comp_inter flag (svt_aom_get_reference_mode_context_new,
+        entropy_coding.c:1668)."""
+        a, l = self._comp_neighbors(mi_row, mi_col)
+
+        def bwd(rf):
+            return rf >= 5   # IS_BACKWARD_REF_FRAME
+
+        if a is not None and l is not None:
+            ai, a2, ar = a
+            li, l2, lr = l
+            if not a2 and not l2:
+                ctx = int(bwd(ar) ^ bwd(lr))
+            elif not a2:
+                ctx = 2 + int(bwd(ar) or not ai)
+            elif not l2:
+                ctx = 2 + int(bwd(lr) or not li)
+            else:
+                ctx = 4
+        elif a is not None or l is not None:
+            e = a if a is not None else l
+            ctx = 3 if e[1] else int(bwd(e[2]))
+        else:
+            ctx = 1
+        self.fc.write(self.enc, "comp_inter", (ctx,), int(is_comp), 2)
+
+    def _write_comp_refs(self, mi_row, mi_col):
+        """BIDIR (LAST, ALTREF) compound reference coding: comp_ref_type +
+        comp_ref_p/p1 + comp_bwdref_p (write_ref_frames compound branch,
+        entropy_coding.c:2102-2143; contexts :1722-2021). Neighbors are
+        never UNIDIR pairs here (we only produce LAST+ALTREF)."""
+        a, l = self._comp_neighbors(mi_row, mi_col)
+
+        def bwd(rf):
+            return rf >= 5
+
+        if a is not None and l is not None:
+            ai, a2, ar = a
+            li, l2, lr = l
+            if not ai and not li:
+                ctx_t = 2
+            elif not ai or not li:
+                e2 = l2 if not ai else a2
+                ctx_t = 1 if e2 else 2
+            else:
+                if not a2 and not l2:
+                    ctx_t = 1 + 2 * int(not (bwd(ar) ^ bwd(lr)))
+                elif not a2 or not l2:
+                    ctx_t = 1       # single/comp, comp is bidir
+                else:
+                    ctx_t = 0       # bidir/bidir
+        elif a is not None or l is not None:
+            e = a if a is not None else l
+            ctx_t = 2 if not e[0] else (0 if e[1] else 2)
+        else:
+            ctx_t = 2
+        self.fc.write(self.enc, "comp_ref_type", (ctx_t,), 1, 2)  # BIDIR
+        counts = self._neighbor_ref_counts(mi_row, mi_col)
+        ll2 = int(counts[1] + counts[2])
+        l3g = int(counts[3] + counts[4])
+        ctx0 = 1 if ll2 == l3g else (0 if ll2 < l3g else 2)
+        self.fc.write(self.enc, "comp_ref", (ctx0, 0), 0, 2)   # ref0: L/L2 group
+        ctx1 = 1 if counts[1] == counts[2] else (0 if counts[1] < counts[2] else 2)
+        self.fc.write(self.enc, "comp_ref", (ctx1, 1), 0, 2)   # ref0 == LAST
+        brf = int(counts[5] + counts[6])
+        arf = int(counts[7])
+        ctxb = 1 if brf == arf else (0 if brf < arf else 2)
+        self.fc.write(self.enc, "comp_bwdref", (ctxb, 0), 1, 2)  # ref1 == ALTREF
 
     def _neighbors_mi(self, mi_row, mi_col):
         """(above_is_inter, left_is_inter, availability) within tile."""
@@ -350,11 +493,20 @@ class InterFrameEncoder(IntraFrameEncoder):
         src = self.src[0][y0 : y0 + H, x0 : x0 + W]
         dec = (self.inter_dec.get((mi_row, mi_col))
                if getattr(self, "inter_dec", None) is not None else None)
+        is_comp = False
+        mv2 = (0, 0)
         if dec is not None:
             # decisions from the whole-frame native pre-pass (_pre_walk)
-            use_inter, ref_sel, dmode, mvr, mvc = dec
+            use_inter, ref_sel, dmode, mvr, mvc = dec[:5]
             use_inter = bool(use_inter)
-            if use_inter:
+            is_comp = use_inter and int(dmode) >= 17
+            if is_comp:
+                y_mode = int(dmode)
+                ref_sel = LAST_FRAME          # pair (LAST, self.ref2)
+                mv = (int(mvr), int(mvc))
+                mv2 = (int(dec[5]), int(dec[6]))
+                y_pred = self._mc_pred_compound(0, x0, y0, W, H, mv, mv2)
+            elif use_inter:
                 y_mode = dmode
                 mv = (mvr, mvc)
                 y_pred = self._mc_pred(0, x0, y0, W, H, mv, ref_sel)
@@ -411,10 +563,17 @@ class InterFrameEncoder(IntraFrameEncoder):
                 mv = (0, 0)
         if use_inter:
             t_r0, t_r1, t_c0, t_c1 = self.tile_mi
-            gm_ref = self.gm_mv if ref_sel == LAST_FRAME else (0, 0)
-            stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
-                self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
-                (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
+            if is_comp:
+                stack, stack2, weights, mode_ctx, refmv_count = \
+                    setup_comp_mv_list(self.grid, mi_row, mi_col, n8_w, n8_h,
+                                       (LAST_FRAME, self.ref2),
+                                       (t_r0, t_r1, t_c0, t_c1),
+                                       gm=(self.gm_mv, (0, 0)))
+            else:
+                gm_ref = self.gm_mv if ref_sel == LAST_FRAME else (0, 0)
+                stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
+                    self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
+                    (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
         uv_mode = 0  # UV_DC for intra blocks
 
         # ---- transforms for all planes
@@ -425,7 +584,9 @@ class InterFrameEncoder(IntraFrameEncoder):
             tx_uv = MAX_TX_RECT[uv_bsize]
             for plane in (1, 2):
                 cx, cy, cw, ch = x0 >> 1, y0 >> 1, W >> 1, H >> 1
-                if use_inter:
+                if is_comp:
+                    pred = self._mc_pred_compound(plane, cx, cy, cw, ch, mv, mv2)
+                elif use_inter:
                     pred = self._mc_pred(plane, cx, cy, cw, ch, mv, ref_sel)
                 else:
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
@@ -461,11 +622,23 @@ class InterFrameEncoder(IntraFrameEncoder):
             self._write_delta_q_index()
         self._write_is_inter(mi_row, mi_col, use_inter)
         if use_inter:
-            self._write_ref_frames(mi_row, mi_col, ref_sel)
-            self._write_inter_mode(y_mode, mode_ctx)
-            if y_mode == NEWMV:
-                self._write_drl(stack, weights, refmv_count)
-                self._write_mv(mv, stack[0])
+            if self.ref_select and min(W, H) >= 8:
+                self._write_comp_inter(mi_row, mi_col, is_comp)
+            if is_comp:
+                self._write_comp_refs(mi_row, mi_col)
+                self.fc.write(self.enc, "inter_compound_mode",
+                              (mode_context_analyzer(mode_ctx, True),),
+                              int(y_mode) - 17, 8)
+                if y_mode == NEW_NEWMV:
+                    self._write_drl(stack, weights, refmv_count)
+                    self._write_mv(mv, stack[0])
+                    self._write_mv(mv2, stack2[0])
+            else:
+                self._write_ref_frames(mi_row, mi_col, ref_sel)
+                self._write_inter_mode(y_mode, mode_ctx)
+                if y_mode == NEWMV:
+                    self._write_drl(stack, weights, refmv_count)
+                    self._write_mv(mv, stack[0])
             # frame-level interpolation filter: no per-block syntax
         else:
             self._write_y_mode_inter(bsize, y_mode)
@@ -530,7 +703,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
         if use_inter:
             self.mi_mode[mi_row:r1, mi_col:c1] = 0  # DC for intra ctx purposes
-            self.grid.set_block(mi_row, mi_col, bw4, bh4, ref_sel, mv, y_mode)
+            self.grid.set_block(mi_row, mi_col, bw4, bh4, ref_sel, mv, y_mode,
+                                ref_frame2=(self.ref2 if is_comp else 0),
+                                mv2=(mv2 if is_comp else (0, 0)))
         else:
             self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
             self.grid.set_block(mi_row, mi_col, bw4, bh4, 0, (0, 0), int(y_mode))
@@ -550,12 +725,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         """Single ref (LAST, GOLDEN or ALTREF): p1 selects forward/backward,
         then p3/p4/p5 inside the forward group or p2 for ALTREF, all with
         neighbor-count contexts (entropy_coding.c:1896-2067)."""
-        counts = np.zeros(8, np.int32)
-        has_a, has_l, a_inter, l_inter = self._neighbors_mi(mi_row, mi_col)
-        if has_a and a_inter:
-            counts[self.grid.ref_frame[mi_row - 1, mi_col]] += 1
-        if has_l and l_inter:
-            counts[self.grid.ref_frame[mi_row, mi_col - 1]] += 1
+        counts = self._neighbor_ref_counts(mi_row, mi_col)
         fwd = int(counts[1] + counts[2] + counts[3] + counts[4])
         bwd = int(counts[5] + counts[6] + counts[7])
         ctx_p1 = 1 if fwd == bwd else (0 if fwd < bwd else 2)

@@ -228,14 +228,16 @@ def inter_decide_frame(src_u16, ref_me, refq, curq, ref_pad, pad, golden,
     src_u16: padded source luma (uint16 contiguous); ref_me/refq/ref_pad:
     LAST recon (int32), its 1/4 pyramid and the 96-padded MC plane; curq:
     current-frame 1/4 pyramid; golden: (gref_me, grefq, gref_pad) or None.
-    blocks: (N, 4) int32 of (x0, y0, W, H). Returns (N, 5) int32 rows
-    (use_inter, ref_frame, mode, mv_row, mv_col), or None without the lib."""
+    blocks: (N, 4) int32 of (x0, y0, W, H). Returns (N, 8) int32 rows
+    (use_inter, ref_frame, mode, mv_row, mv_col, mv2_row, mv2_col, 0);
+    mode 24 rows are COMPOUND_AVERAGE NEW_NEWMV on the (LAST, ref2) pair.
+    Returns None without the lib."""
     lib = _load()
     if lib is None:
         return None
     b = np.ascontiguousarray(blocks, np.int32)
     n = b.shape[0]
-    out = np.empty((n, 5), np.int32)
+    out = np.empty((n, 8), np.int32)
     bx = np.ascontiguousarray(b[:, 0])
     by = np.ascontiguousarray(b[:, 1])
     bw = np.ascontiguousarray(b[:, 2])

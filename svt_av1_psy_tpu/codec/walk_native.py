@@ -84,6 +84,13 @@ class _CWalk(ctypes.Structure):
         ("cdf_nmv_classes", _VP), ("cdf_nmv_class0", _VP),
         ("cdf_nmv_bits", _VP), ("cdf_nmv_fp0", _VP), ("cdf_nmv_fp1", _VP),
         ("cdf_nmv_fp", _VP), ("cdf_nmv_c0hp", _VP), ("cdf_nmv_hp", _VP),
+        # ---- compound extension ----
+        ("ref_select", _I), ("ref2_const", _I),
+        ("d_mvr2", _VP), ("d_mvc2", _VP),
+        ("g_ref2", _VP), ("g_mv2r", _VP), ("g_mv2c", _VP),
+        ("cdf_comp_inter", _VP), ("cdf_comp_ref_type", _VP),
+        ("cdf_comp_ref", _VP), ("cdf_comp_bwdref", _VP),
+        ("cdf_comp_mode", _VP),
     ]
 
 
@@ -230,14 +237,21 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         d_mode = np.zeros(shape, np.int32)
         d_mvr = np.zeros(shape, np.int32)
         d_mvc = np.zeros(shape, np.int32)
-        for (r, c), (ui, rf, md, mr, mc) in enc.inter_dec.items():
-            d_ref[r, c] = rf if ui else 0
+        d_mvr2 = np.zeros(shape, np.int32)
+        d_mvc2 = np.zeros(shape, np.int32)
+        for (r, c), v in enc.inter_dec.items():
+            ui, rf, md, mr, mc = v[:5]
+            d_ref[r, c] = (1 if md >= 17 else rf) if ui else 0
             d_mode[r, c] = md
             d_mvr[r, c] = mr
             d_mvc[r, c] = mc
-        keep += [d_ref, d_mode, d_mvr, d_mvc]
+            if ui and md >= 17:
+                d_mvr2[r, c] = v[5]
+                d_mvc2[r, c] = v[6]
+        keep += [d_ref, d_mode, d_mvr, d_mvc, d_mvr2, d_mvc2]
         w.d_ref, w.d_mode = _ptr(d_ref), _ptr(d_mode)
         w.d_mvr, w.d_mvc = _ptr(d_mvr), _ptr(d_mvc)
+        w.d_mvr2, w.d_mvc2 = _ptr(d_mvr2), _ptr(d_mvc2)
         for ri, rf in ((0, LAST_FRAME), (1, enc.ref2)):
             if rf is not None and rf in enc.refs:
                 for p in range(enc.nplanes):
@@ -254,6 +268,12 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         g = enc.grid
         w.g_ref, w.g_mvr, w.g_mvc = _ptr(g.ref_frame), _ptr(g.mv_row), _ptr(g.mv_col)
         w.g_mode, w.g_bw4, w.g_bh4 = _ptr(g.mode), _ptr(g.bw4), _ptr(g.bh4)
+        w.g_ref2 = _ptr(g.ref_frame2)
+        w.g_mv2r, w.g_mv2c = _ptr(g.mv2_row), _ptr(g.mv2_col)
+        w.ref_select = int(getattr(enc, "ref_select", False))
+        from .mv_pred import ALTREF_FRAME as _ALT
+
+        w.ref2_const = int(enc.ref2) if enc.ref2 is not None else _ALT
         t = enc.fc.tables
         w.cdf_intra_inter = _ptr(t["intra_inter"])
         w.cdf_single_ref = _ptr(t["single_ref"])
@@ -273,6 +293,11 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         w.cdf_nmv_fp = _ptr(t["nmv_fp"])
         w.cdf_nmv_c0hp = _ptr(t["nmv_class0_hp"])
         w.cdf_nmv_hp = _ptr(t["nmv_hp"])
+        w.cdf_comp_inter = _ptr(t["comp_inter"])
+        w.cdf_comp_ref_type = _ptr(t["comp_ref_type"])
+        w.cdf_comp_ref = _ptr(t["comp_ref"])
+        w.cdf_comp_bwdref = _ptr(t["comp_bwdref"])
+        w.cdf_comp_mode = _ptr(t["inter_compound_mode"])
 
     # ---- quant tables: one row per distinct per-SB qindex (+ base)
     def qp_vals(qindex):

@@ -776,6 +776,7 @@ void inter_decide_frame(
     int32_t cq[16 * 16];
     int32_t nb_above[64], nb_left[64];
     uint16_t pred[64 * 64];
+    uint16_t pred_l[64 * 64], pred_a[64 * 64];   /* best pred per reference */
     int64_t eng[64];
     for (int i = 0; i < nb; i++) {
         int x0 = bx[i], y0 = by[i], W = bws[i], H = bhs[i];
@@ -801,12 +802,17 @@ void inter_decide_frame(
                      filters8, filters4, bd, pred);
         int64_t cost_zero = sse_pred_u16(sblk, sstride, pred, W, H) + PSY_COST(pred);
         int two_ref = gref_pad && ref2_gate < 0;
+        int64_t best_l = cost_zero, best_a = INT64_MAX;
+        int mvl_r = gm_row, mvl_c = gm_col, mva_r = 0, mva_c = 0;
+        memcpy(pred_l, pred, sizeof(uint16_t) * W * H);
         int64_t cost_zero2 = INT64_MAX;
         if (two_ref) {
             mc_pred_luma(gref_pad, gpW, pad, x0, y0, W, H, 0, 0,
                          filters8, filters4, bd, pred);
             int64_t sse2 = sse_pred_u16(sblk, sstride, pred, W, H);
-            cost_zero2 = sse2 < cost_zero ? sse2 + PSY_COST(pred) : INT64_MAX;
+            best_a = sse2 + PSY_COST(pred);
+            memcpy(pred_a, pred, sizeof(uint16_t) * W * H);
+            cost_zero2 = sse2 < cost_zero ? best_a : INT64_MAX;
         }
         int best_ref = cost_zero2 < cost_zero ? 4 : 1;
         int best_mode = 15;                       /* GLOBALMV */
@@ -840,7 +846,17 @@ void inter_decide_frame(
                          filters8, filters4, bd, pred);
             /* PSY_COST >= 0: skip it when SSE alone already loses (exact) */
             int64_t sse = sse_pred_u16(sblk, sstride, pred, W, H);
-            int64_t c = sse < best_inter ? sse + PSY_COST(pred) : INT64_MAX;
+            int64_t full = sse + PSY_COST(pred);
+            if (primary2) {
+                if (full < best_a) {
+                    best_a = full; mva_r = (int)me_out[0]; mva_c = (int)me_out[1];
+                    memcpy(pred_a, pred, sizeof(uint16_t) * W * H);
+                }
+            } else if (full < best_l) {
+                best_l = full; mvl_r = (int)me_out[0]; mvl_c = (int)me_out[1];
+                memcpy(pred_l, pred, sizeof(uint16_t) * W * H);
+            }
+            int64_t c = sse < best_inter ? full : INT64_MAX;
             if (c < best_inter) {
                 best_inter = c;
                 best_ref = primary2 ? 4 : 1;
@@ -866,8 +882,12 @@ void inter_decide_frame(
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
             int64_t sse_g = sse_pred_u16(sblk, sstride, pred, W, H);
-            int64_t cost_g = sse_g < best_inter ? sse_g + PSY_COST(pred)
-                                                : INT64_MAX;
+            int64_t full_g = sse_g + PSY_COST(pred);
+            if (two_ref && full_g < best_a) {
+                best_a = full_g; mva_r = (int)me_out[0]; mva_c = (int)me_out[1];
+                memcpy(pred_a, pred, sizeof(uint16_t) * W * H);
+            }
+            int64_t cost_g = sse_g < best_inter ? full_g : INT64_MAX;
             if (cost_g < best_inter) {
                 best_inter = cost_g;
                 best_ref = 4;
@@ -882,14 +902,38 @@ void inter_decide_frame(
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
             int64_t sse1 = sse_pred_u16(sblk, sstride, pred, W, H);
-            int64_t cost1 = sse1 < best_inter ? sse1 + PSY_COST(pred)
-                                              : INT64_MAX;
+            int64_t full1 = sse1 + PSY_COST(pred);
+            if (full1 < best_l) {
+                best_l = full1; mvl_r = (int)me_out[0]; mvl_c = (int)me_out[1];
+                memcpy(pred_l, pred, sizeof(uint16_t) * W * H);
+            }
+            int64_t cost1 = sse1 < best_inter ? full1 : INT64_MAX;
             if (cost1 < best_inter) {
                 best_inter = cost1;
                 best_ref = 1;
                 best_mode = 16;
                 best_mvr = (int)me_out[0];
                 best_mvc = (int)me_out[1];
+            }
+        }
+        /* ---- COMPOUND_AVERAGE candidate: average of the per-reference
+           best predictions (decision-level approximation of the exact
+           jnt rounding). Requires a clear win over the singles to pay the
+           extra mode/mv rate. */
+        int comp_mvl_r = 0, comp_mvl_c = 0, comp_mva_r = 0, comp_mva_c = 0;
+        int use_comp = 0;
+        if (two_ref) {
+            for (int k = 0; k < W * H; k++)
+                pred[k] = (uint16_t)((pred_l[k] + pred_a[k] + 1) >> 1);
+            int64_t sse_c = sse_pred_u16(sblk, sstride, pred, W, H);
+            if (sse_c < best_inter - (best_inter >> 4)) {
+                int64_t cost_c = sse_c + PSY_COST(pred);
+                if (cost_c < best_inter - (best_inter >> 4)) {
+                    best_inter = cost_c;
+                    use_comp = 1;
+                    comp_mvl_r = mvl_r; comp_mvl_c = mvl_c;
+                    comp_mva_r = mva_r; comp_mva_c = mva_c;
+                }
             }
         }
 
@@ -924,10 +968,17 @@ void inter_decide_frame(
         }
         #undef PSY_COST
 
-        int32_t *o = out + 5 * i;
+        int32_t *o = out + 8 * i;
+        o[5] = o[6] = o[7] = 0;
         if (best_inter <= best_icost) {
-            o[0] = 1; o[1] = best_ref; o[2] = best_mode;
-            o[3] = best_mvr; o[4] = best_mvc;
+            if (use_comp) {
+                o[0] = 1; o[1] = 7; o[2] = 24;   /* NEW_NEWMV on (LAST, ref2) */
+                o[3] = comp_mvl_r; o[4] = comp_mvl_c;
+                o[5] = comp_mva_r; o[6] = comp_mva_c;
+            } else {
+                o[0] = 1; o[1] = best_ref; o[2] = best_mode;
+                o[3] = best_mvr; o[4] = best_mvc;
+            }
         } else {
             o[0] = 0; o[1] = 0; o[2] = best_imode; o[3] = 0; o[4] = 0;
         }

@@ -179,6 +179,17 @@ typedef struct {
              *cdf_nmv_joints, *cdf_nmv_sign, *cdf_nmv_classes, *cdf_nmv_class0,
              *cdf_nmv_bits, *cdf_nmv_fp0, *cdf_nmv_fp1, *cdf_nmv_fp,
              *cdf_nmv_c0hp, *cdf_nmv_hp;
+    /* ---- compound (REFERENCE_MODE_SELECT) extension ---- */
+    int ref_select;
+    int ref2_const;                  /* second reference id (7 = ALTREF) */
+    const int32_t *d_mvr2, *d_mvc2;  /* compound second-side MVs (mi grids) */
+    int8_t *g_ref2;                  /* MiGrid.ref_frame2 / mv2 mirrors */
+    int16_t *g_mv2r, *g_mv2c;
+    uint16_t *cdf_comp_inter;        /* (5,3) */
+    uint16_t *cdf_comp_ref_type;     /* (5,3) */
+    uint16_t *cdf_comp_ref;          /* (3,3,3) */
+    uint16_t *cdf_comp_bwdref;       /* (3,2,3) */
+    uint16_t *cdf_comp_mode;         /* (8,9) inter_compound_mode */
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -774,29 +785,43 @@ typedef struct {
     int processed_rows, processed_cols;
 } RefMv;
 
+static int md_is_newmv(int md) {
+    return md == 16 || md == 19 || md == 20 || md == 21 || md == 22 || md == 24;
+}
+static int md_is_global(int md) { return md == 15 || md == 23; }
+
 static void rm_add(RefMv *s, int r, int c, int length, int weight) {
     const Walk *w = s->w;
     int idx = r * w->mi_cols + c;
-    int rf = w->g_ref[idx];
     int md = w->g_mode[idx];
-    if (rf == 0 && md < 13) return;          /* intra neighbor */
-    if (rf != s->ref) return;
-    int mr, mc;
-    if (md == 15) { mr = s->gm_r; mc = s->gm_c; }   /* GLOBALMV */
-    else { mr = w->g_mvr[idx]; mc = w->g_mvc[idx]; }
-    int merged = 0;
-    for (int i = 0; i < s->count; i++)
-        if (s->mvr[i] == mr && s->mvc[i] == mc) {
-            s->wt[i] += weight * length;
-            merged = 1;
-            break;
+    if (w->g_ref[idx] == 0 && md < 13) return;   /* intra neighbor */
+    /* scan BOTH references of the neighbor (add_ref_mv_candidate) */
+    int rfs[2] = {w->g_ref[idx], w->g_ref2 ? w->g_ref2[idx] : 0};
+    int mrs[2] = {w->g_mvr[idx], w->g_mv2r ? w->g_mv2r[idx] : 0};
+    int mcs[2] = {w->g_mvc[idx], w->g_mv2c ? w->g_mv2c[idx] : 0};
+    for (int k = 0; k < 2; k++) {
+        if (rfs[k] != s->ref) continue;
+        int mr, mc;
+        if (md_is_global(md)) { mr = s->gm_r; mc = s->gm_c; }
+        else { mr = mrs[k]; mc = mcs[k]; }
+        int merged = 0;
+        for (int i = 0; i < s->count; i++)
+            if (s->mvr[i] == mr && s->mvc[i] == mc) {
+                s->wt[i] += weight * length;
+                merged = 1;
+                break;
+            }
+        if (!merged && s->count < 8) {
+            s->mvr[s->count] = mr; s->mvc[s->count] = mc;
+            s->wt[s->count] = weight * length;
+            s->count++;
         }
-    if (!merged && s->count < 8) {
-        s->mvr[s->count] = mr; s->mvc[s->count] = mc;
-        s->wt[s->count] = weight * length;
-        s->count++;
+        if (md_is_newmv(md)) s->newmv_count++;
     }
-    if (md == 16) s->newmv_count++;          /* NEWMV */
+}
+
+static int rm_ref_at(const Walk *w, int idx, int ref) {
+    return w->g_ref[idx] == ref || (w->g_ref2 && w->g_ref2[idx] == ref);
 }
 
 static void rm_scan_row(RefMv *s, int row_offset) {
@@ -828,7 +853,7 @@ static void rm_scan_row(RefMv *s, int row_offset) {
             if (inc > weight) weight = inc;
             s->processed_rows = inc - row_offset - 1;
         }
-        if (w->g_ref[idx] == s->ref) found = 1;
+        if (rm_ref_at(w, idx, s->ref)) found = 1;
         rm_add(s, r, c, length, weight);
         i += length;
     }
@@ -864,7 +889,7 @@ static void rm_scan_col(RefMv *s, int col_offset) {
             if (inc > weight) weight = inc;
             s->processed_cols = inc - col_offset - 1;
         }
-        if (w->g_ref[idx] == s->ref) found = 1;
+        if (rm_ref_at(w, idx, s->ref)) found = 1;
         rm_add(s, r, c, length, weight);
         i += length;
     }
@@ -876,7 +901,7 @@ static void rm_scan_blk(RefMv *s, int ro, int co) {
     int r = s->mi_row + ro, c = s->mi_col + co;
     if (r < w->tile_r0 || c < w->tile_c0 || r >= w->tile_r1 || c >= w->tile_c1)
         return;
-    int found = w->g_ref[r * w->mi_cols + c] == s->ref;
+    int found = rm_ref_at(w, r * w->mi_cols + c, s->ref);
     rm_add(s, r, c, 2, 2);
     if (found) s->row_match++;
 }
@@ -991,8 +1016,12 @@ static void ref_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
                 else { r = mi_row + i; c = mi_col - 1; }
                 int idx = r * w->mi_cols + c;
                 step = offs_row ? w->g_bw4[idx] : w->g_bh4[idx];
-                if (w->g_ref[idx] > 0) {
-                    int mr = w->g_mvr[idx], mc = w->g_mvc[idx];
+                int rfs[2] = {w->g_ref[idx], w->g_ref2 ? w->g_ref2[idx] : 0};
+                int mrs[2] = {w->g_mvr[idx], w->g_mv2r ? w->g_mv2r[idx] : 0};
+                int mcs[2] = {w->g_mvc[idx], w->g_mv2c ? w->g_mv2c[idx] : 0};
+                for (int t = 0; t < 2; t++) {
+                    if (rfs[t] <= 0 || refmv_count >= 2) continue;
+                    int mr = mrs[t], mc = mcs[t];
                     int dup = 0;
                     for (int k = 0; k < refmv_count; k++)
                         if (st_r[k] == mr && st_c[k] == mc) { dup = 1; break; }
@@ -1048,12 +1077,18 @@ static void write_ref_frames(Walk *w, int mi_row, int mi_col, int ref) {
     int counts[8] = {0};
     int has_a = mi_row > w->tile_r0, has_l = mi_col > w->tile_c0;
     if (has_a) {
-        int rf = w->g_ref[(mi_row - 1) * w->mi_cols + mi_col];
-        if (rf > 0) counts[rf]++;
+        int idx = (mi_row - 1) * w->mi_cols + mi_col;
+        if (w->g_ref[idx] > 0) {
+            counts[w->g_ref[idx]]++;
+            if (w->g_ref2 && w->g_ref2[idx] > 0) counts[w->g_ref2[idx]]++;
+        }
     }
     if (has_l) {
-        int rf = w->g_ref[mi_row * w->mi_cols + mi_col - 1];
-        if (rf > 0) counts[rf]++;
+        int idx = mi_row * w->mi_cols + mi_col - 1;
+        if (w->g_ref[idx] > 0) {
+            counts[w->g_ref[idx]]++;
+            if (w->g_ref2 && w->g_ref2[idx] > 0) counts[w->g_ref2[idx]]++;
+        }
     }
     int fwd = counts[1] + counts[2] + counts[3] + counts[4];
     int bwd = counts[5] + counts[6] + counts[7];
@@ -1151,6 +1186,484 @@ static void write_mv(Walk *w, int mvr, int mvc, int refr, int refc) {
     }
 }
 
+
+/* ================================== compound (COMPOUND_AVERAGE) blocks */
+/* jnt convolve into the ConvBuf domain (mirror of codec/compound.py /
+   svt_av1_jnt_convolve_*_c; round_0 = 3, round_1 = 7 for bd <= 10) */
+static void jnt_conv(const int32_t *patch, int pstride, int w_, int h_,
+                     const int32_t *fx, const int32_t *fy, int sx, int sy,
+                     int bd, int32_t *out) {
+    const int R0 = 3, R1 = 7, FB = 7;
+    int offset_bits = bd + 2 * FB - R0;
+    int32_t round_offset = (1 << (offset_bits - R1))
+        + (1 << (offset_bits - R1 - 1));
+    if (sx && sy) {
+        int32_t im[(64 + 7) * 64];
+        for (int y = 0; y < h_ + 7; y++)
+            for (int x = 0; x < w_; x++) {
+                int64_t acc = (int64_t)1 << (bd + FB - 1);
+                for (int k = 0; k < 8; k++)
+                    acc += (int64_t)fx[k] * patch[y * pstride + x + k];
+                im[y * w_ + x] = (int32_t)((acc + (1 << (R0 - 1))) >> R0);
+            }
+        for (int y = 0; y < h_; y++)
+            for (int x = 0; x < w_; x++) {
+                int64_t acc = (int64_t)1 << offset_bits;
+                for (int k = 0; k < 8; k++)
+                    acc += (int64_t)fy[k] * im[(y + k) * w_ + x];
+                out[y * w_ + x] = (int32_t)((acc + (1 << (R1 - 1))) >> R1);
+            }
+        return;
+    }
+    if (sx) {
+        int bits = FB - R1;
+        for (int y = 0; y < h_; y++)
+            for (int x = 0; x < w_; x++) {
+                int64_t acc = 0;
+                for (int k = 0; k < 8; k++)
+                    acc += (int64_t)fx[k] * patch[(y + 3) * pstride + x + k];
+                int32_t res = (int32_t)((acc + (1 << (R0 - 1))) >> R0)
+                              * (1 << bits);
+                out[y * w_ + x] = res + round_offset;
+            }
+        return;
+    }
+    if (sy) {
+        int bits = FB - R0;
+        for (int y = 0; y < h_; y++)
+            for (int x = 0; x < w_; x++) {
+                int64_t acc = 0;
+                for (int k = 0; k < 8; k++)
+                    acc += (int64_t)fy[k] * patch[(y + k) * pstride + x + 3];
+                acc *= (1 << bits);
+                out[y * w_ + x] = (int32_t)((acc + (1 << (R1 - 1))) >> R1)
+                                  + round_offset;
+            }
+        return;
+    }
+    int bits = 2 * 7 - R1 - R0;
+    for (int y = 0; y < h_; y++)
+        for (int x = 0; x < w_; x++)
+            out[y * w_ + x] = (patch[(y + 3) * pstride + x + 3] << bits)
+                              + round_offset;
+}
+
+static void mc_pred_compound(const Walk *w, int plane, int px, int py,
+                             int pw_, int ph_, int mv0r, int mv0c,
+                             int mv1r, int mv1c, uint16_t *out) {
+    int32_t buf0[64 * 64], buf1[64 * 64];
+    int32_t *bufs[2] = {buf0, buf1};
+    const int mvr[2] = {mv0r, mv1r}, mvc[2] = {mv0c, mv1c};
+    for (int ri = 0; ri < 2; ri++) {
+        const int32_t *ref = w->refp[ri * 3 + plane];
+        int stride = w->refp_stride[ri * 3 + plane];
+        int ipy, ipx, fy, fx;
+        if (plane == 0) {
+            ipy = mvr[ri] >> 3; fy = (mvr[ri] & 7) << 1;
+            ipx = mvc[ri] >> 3; fx = (mvc[ri] & 7) << 1;
+        } else {
+            ipy = mvr[ri] >> 4; fy = mvr[ri] & 15;
+            ipx = mvc[ri] >> 4; fx = mvc[ri] & 15;
+        }
+        int yy = py + ipy + w->pad, xx = px + ipx + w->pad;
+        const int32_t *fxk = (pw_ > 4 ? w->filters8 : w->filters4) + 8 * fx;
+        const int32_t *fyk = (ph_ > 4 ? w->filters8 : w->filters4) + 8 * fy;
+        jnt_conv(ref + (yy - 3) * stride + (xx - 3), stride, pw_, ph_,
+                 fxk, fyk, fx != 0, fy != 0, w->bd, bufs[ri]);
+    }
+    /* COMPOUND_AVERAGE tail */
+    const int R0 = 3, R1 = 7, FB = 7;
+    int offset_bits = w->bd + 2 * FB - R0;
+    int32_t round_offset = (1 << (offset_bits - R1))
+        + (1 << (offset_bits - R1 - 1));
+    int round_bits = 2 * FB - R0 - R1;
+    int peak = (1 << w->bd) - 1;
+    for (int k = 0; k < pw_ * ph_; k++) {
+        int32_t tmp = ((buf0[k] + buf1[k]) >> 1) - round_offset;
+        tmp = (tmp + (1 << (round_bits - 1))) >> round_bits;
+        if (tmp < 0) tmp = 0;
+        if (tmp > peak) tmp = peak;
+        out[k] = (uint16_t)tmp;
+    }
+}
+
+/* compound reference-MV stack (mirror of mv_pred.setup_comp_mv_list) */
+typedef struct {
+    const Walk *w;
+    int mi_row, mi_col, n8_w, n8_h;
+    int rf0, rf1;
+    int gm0r, gm0c, gm1r, gm1c;
+    int m0r[10], m0c[10], m1r[10], m1c[10], wt[10];
+    int count, newmv_count, row_match, col_match;
+    int max_row_offset, max_col_offset;
+    int processed_rows, processed_cols;
+} CompMv;
+
+static void cm_add(CompMv *s, int r, int c, int length, int weight) {
+    const Walk *w = s->w;
+    int idx = r * w->mi_cols + c;
+    int md = w->g_mode[idx];
+    if (w->g_ref[idx] == 0 && md < 13) return;
+    if (w->g_ref[idx] != s->rf0 || !w->g_ref2 || w->g_ref2[idx] != s->rf1)
+        return;
+    int a_r, a_c, b_r, b_c;
+    if (md_is_global(md)) {
+        a_r = s->gm0r; a_c = s->gm0c; b_r = s->gm1r; b_c = s->gm1c;
+    } else {
+        a_r = w->g_mvr[idx]; a_c = w->g_mvc[idx];
+        b_r = w->g_mv2r[idx]; b_c = w->g_mv2c[idx];
+    }
+    int merged = 0;
+    for (int i = 0; i < s->count; i++)
+        if (s->m0r[i] == a_r && s->m0c[i] == a_c
+            && s->m1r[i] == b_r && s->m1c[i] == b_c) {
+            s->wt[i] += weight * length;
+            merged = 1;
+            break;
+        }
+    if (!merged && s->count < 8) {
+        s->m0r[s->count] = a_r; s->m0c[s->count] = a_c;
+        s->m1r[s->count] = b_r; s->m1c[s->count] = b_c;
+        s->wt[s->count] = weight * length;
+        s->count++;
+    }
+    if (md_is_newmv(md)) s->newmv_count++;
+}
+
+static int cm_pair_at(const CompMv *s, int idx) {
+    const Walk *w = s->w;
+    return w->g_ref[idx] == s->rf0 && w->g_ref2 && w->g_ref2[idx] == s->rf1;
+}
+
+static void cm_scan_row(CompMv *s, int row_offset) {
+    const Walk *w = s->w;
+    int end_mi = s->n8_w;
+    if (w->mi_cols - s->mi_col < end_mi) end_mi = w->mi_cols - s->mi_col;
+    if (end_mi > 16) end_mi = 16;
+    int aro = row_offset < 0 ? -row_offset : row_offset;
+    int col_off = 0;
+    if (aro > 1) {
+        col_off = 1;
+        if ((s->mi_col & 1) && s->n8_w < 2) col_off -= 1;
+    }
+    int use_step_16 = s->n8_w >= 16;
+    int i = 0, found = 0;
+    while (i < end_mi) {
+        int r = s->mi_row + row_offset, c = s->mi_col + col_off + i;
+        if (c >= w->mi_cols) break;
+        int idx = r * w->mi_cols + c;
+        int cand_w = w->g_bw4[idx];
+        int length = s->n8_w < cand_w ? s->n8_w : cand_w;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (aro > 1) { if (length < 2) length = 2; }
+        int weight = 2;
+        if (s->n8_w >= 2 && s->n8_w <= cand_w) {
+            int inc = -s->max_row_offset + row_offset + 1;
+            int bh = w->g_bh4[idx];
+            if (bh < inc) inc = bh;
+            if (inc > weight) weight = inc;
+            s->processed_rows = inc - row_offset - 1;
+        }
+        if (cm_pair_at(s, idx)) found = 1;
+        cm_add(s, r, c, length, weight);
+        i += length;
+    }
+    if (found) s->row_match++;
+}
+
+static void cm_scan_col(CompMv *s, int col_offset) {
+    const Walk *w = s->w;
+    int end_mi = s->n8_h;
+    if (w->mi_rows - s->mi_row < end_mi) end_mi = w->mi_rows - s->mi_row;
+    if (end_mi > 16) end_mi = 16;
+    int aco = col_offset < 0 ? -col_offset : col_offset;
+    int row_off = 0;
+    if (aco > 1) {
+        row_off = 1;
+        if ((s->mi_row & 1) && s->n8_h < 2) row_off -= 1;
+    }
+    int use_step_16 = s->n8_h >= 16;
+    int i = 0, found = 0;
+    while (i < end_mi) {
+        int r = s->mi_row + row_off + i, c = s->mi_col + col_offset;
+        if (r >= w->mi_rows) break;
+        int idx = r * w->mi_cols + c;
+        int cand_h = w->g_bh4[idx];
+        int length = s->n8_h < cand_h ? s->n8_h : cand_h;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (aco > 1) { if (length < 2) length = 2; }
+        int weight = 2;
+        if (s->n8_h >= 2 && s->n8_h <= cand_h) {
+            int inc = -s->max_col_offset + col_offset + 1;
+            int bw = w->g_bw4[idx];
+            if (bw < inc) inc = bw;
+            if (inc > weight) weight = inc;
+            s->processed_cols = inc - col_offset - 1;
+        }
+        if (cm_pair_at(s, idx)) found = 1;
+        cm_add(s, r, c, length, weight);
+        i += length;
+    }
+    if (found) s->col_match++;
+}
+
+static void cm_scan_blk(CompMv *s, int ro, int co) {
+    const Walk *w = s->w;
+    int r = s->mi_row + ro, c = s->mi_col + co;
+    if (r < w->tile_r0 || c < w->tile_c0 || r >= w->tile_r1 || c >= w->tile_c1)
+        return;
+    int found = cm_pair_at(s, r * w->mi_cols + c);
+    cm_add(s, r, c, 2, 2);
+    if (found) s->row_match++;
+}
+
+static void comp_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
+                         int n8_h, int rf0, int rf1, int gm0r, int gm0c,
+                         int *s0r, int *s0c, int *s1r, int *s1c, int *st_w,
+                         int *p_mode_ctx, int *p_refmv_count, int *p_nstack) {
+    CompMv s;
+    memset(&s, 0, sizeof s);
+    s.w = w; s.mi_row = mi_row; s.mi_col = mi_col;
+    s.n8_w = n8_w; s.n8_h = n8_h; s.rf0 = rf0; s.rf1 = rf1;
+    s.gm0r = gm0r; s.gm0c = gm0c; s.gm1r = 0; s.gm1c = 0;
+    int up_avail = mi_row > w->tile_r0;
+    int left_avail = mi_col > w->tile_c0;
+    int row_adj = (n8_h < 2) && (mi_row & 1);
+    int col_adj = (n8_w < 2) && (mi_col & 1);
+    if (up_avail) {
+        s.max_row_offset = (n8_h < 2 ? -4 : -6) + row_adj;
+        int lo = w->tile_r0 - mi_row, hi = w->tile_r1 - mi_row - 1;
+        if (s.max_row_offset < lo) s.max_row_offset = lo;
+        if (s.max_row_offset > hi) s.max_row_offset = hi;
+    }
+    if (left_avail) {
+        s.max_col_offset = (n8_w < 2 ? -4 : -6) + col_adj;
+        int lo = w->tile_c0 - mi_col, hi = w->tile_c1 - mi_col - 1;
+        if (s.max_col_offset < lo) s.max_col_offset = lo;
+        if (s.max_col_offset > hi) s.max_col_offset = hi;
+    }
+    if (s.max_row_offset) cm_scan_row(&s, -1);
+    if (s.max_col_offset) cm_scan_col(&s, -1);
+    if (rm_has_tr(mi_row, mi_col, n8_w, n8_h)) cm_scan_blk(&s, -1, n8_w);
+
+    int nearest_match = (s.row_match > 0) + (s.col_match > 0);
+    int nearest_newmv = s.newmv_count;
+    for (int i = 0; i < s.count; i++) s.wt[i] += 640;
+
+    cm_scan_blk(&s, -1, -1);
+    for (int idx = 2; idx <= 3; idx++) {
+        int ro = -(idx << 1) + 1 + row_adj;
+        int co = -(idx << 1) + 1 + col_adj;
+        int aro = ro < 0 ? -ro : ro;
+        int amro = s.max_row_offset < 0 ? -s.max_row_offset : s.max_row_offset;
+        int aco = co < 0 ? -co : co;
+        int amco = s.max_col_offset < 0 ? -s.max_col_offset : s.max_col_offset;
+        if (aro <= amro && aro > s.processed_rows) cm_scan_row(&s, ro);
+        if (aco <= amco && aco > s.processed_cols) cm_scan_col(&s, co);
+    }
+    s.newmv_count = nearest_newmv;
+
+    int mode_ctx = 0;
+    int ref_match = (s.row_match > 0) + (s.col_match > 0);
+    if (nearest_match == 0) {
+        if (ref_match >= 1) mode_ctx |= 1;
+        if (ref_match == 1) mode_ctx |= 1 << 4;
+        else if (ref_match >= 2) mode_ctx |= 2 << 4;
+    } else if (nearest_match == 1) {
+        mode_ctx |= nearest_newmv > 0 ? 2 : 3;
+        if (ref_match == 1) mode_ctx |= 3 << 4;
+        else if (ref_match >= 2) mode_ctx |= 4 << 4;
+    } else {
+        mode_ctx |= nearest_newmv >= 1 ? 4 : 5;
+        mode_ctx |= 5 << 4;
+    }
+
+    int ord[10];
+    for (int i = 0; i < s.count; i++) ord[i] = i;
+    for (int i = 1; i < s.count; i++) {
+        int k = ord[i], j = i - 1;
+        while (j >= 0 && s.wt[ord[j]] < s.wt[k]) { ord[j + 1] = ord[j]; j--; }
+        ord[j + 1] = k;
+    }
+    int n = s.count;
+    for (int i = 0; i < n; i++) {
+        s0r[i] = s.m0r[ord[i]]; s0c[i] = s.m0c[ord[i]];
+        s1r[i] = s.m1r[ord[i]]; s1c[i] = s.m1c[ord[i]];
+        st_w[i] = s.wt[ord[i]];
+    }
+
+    int refmv_count = n;
+    if (refmv_count < 2) {
+        /* scan_row_col_light compound branch */
+        int mi_w = n8_w < 16 ? n8_w : 16;
+        if (w->mi_cols - mi_col < mi_w) mi_w = w->mi_cols - mi_col;
+        int mi_h = n8_h < 16 ? n8_h : 16;
+        if (w->mi_rows - mi_row < mi_h) mi_h = w->mi_rows - mi_row;
+        int mi_size = mi_w < mi_h ? mi_w : mi_h;
+        int id_r[2][2], id_c[2][2], df_r[2][2], df_c[2][2];
+        int idn[2] = {0, 0}, dfn[2] = {0, 0};
+        int rfp[2] = {rf0, rf1};
+        for (int pass = 0; pass < 2; pass++) {
+            int have = pass == 0 ? (s.max_row_offset ? 1 : 0)
+                                 : (s.max_col_offset ? 1 : 0);
+            if (!have) continue;
+            int i = 0;
+            while (i < mi_size) {
+                int r = pass == 0 ? mi_row - 1 : mi_row + i;
+                int c = pass == 0 ? mi_col + i : mi_col - 1;
+                int idx = r * w->mi_cols + c;
+                int rfs[2] = {w->g_ref[idx], w->g_ref2 ? w->g_ref2[idx] : 0};
+                int mrs[2] = {w->g_mvr[idx], w->g_mv2r ? w->g_mv2r[idx] : 0};
+                int mcs[2] = {w->g_mvc[idx], w->g_mv2c ? w->g_mv2c[idx] : 0};
+                for (int t = 0; t < 2; t++)
+                    for (int side = 0; side < 2; side++) {
+                        if (rfs[t] == rfp[side] && idn[side] < 2) {
+                            id_r[side][idn[side]] = mrs[t];
+                            id_c[side][idn[side]] = mcs[t];
+                            idn[side]++;
+                        } else if (rfs[t] > 0 && dfn[side] < 2) {
+                            df_r[side][dfn[side]] = mrs[t];
+                            df_c[side][dfn[side]] = mcs[t];
+                            dfn[side]++;
+                        }
+                    }
+                i += pass == 0 ? w->g_bw4[idx] : w->g_bh4[idx];
+            }
+        }
+        int cl_r[3][2], cl_c[3][2];
+        for (int side = 0; side < 2; side++) {
+            int k = 0;
+            for (int li = 0; li < idn[side] && k < 2; li++, k++) {
+                cl_r[k][side] = id_r[side][li]; cl_c[k][side] = id_c[side][li];
+            }
+            for (int li = 0; li < dfn[side] && k < 2; li++, k++) {
+                cl_r[k][side] = df_r[side][li]; cl_c[k][side] = df_c[side][li];
+            }
+            for (; k < 2; k++) {
+                cl_r[k][side] = side == 0 ? gm0r : 0;
+                cl_c[k][side] = side == 0 ? gm0c : 0;
+            }
+        }
+        if (refmv_count) {   /* == 1 */
+            int pick = (cl_r[0][0] == s0r[0] && cl_c[0][0] == s0c[0]
+                        && cl_r[0][1] == s1r[0] && cl_c[0][1] == s1c[0]) ? 1 : 0;
+            s0r[1] = cl_r[pick][0]; s0c[1] = cl_c[pick][0];
+            s1r[1] = cl_r[pick][1]; s1c[1] = cl_c[pick][1];
+            st_w[1] = 2;
+            refmv_count = 2; n = 2;
+        } else {
+            for (int k = 0; k < 2; k++) {
+                s0r[k] = cl_r[k][0]; s0c[k] = cl_c[k][0];
+                s1r[k] = cl_r[k][1]; s1c[k] = cl_c[k][1];
+                st_w[k] = 2;
+            }
+            refmv_count = 2; n = 2;
+        }
+    }
+
+    int bw_px = n8_w * 4, bh_px = n8_h * 4;
+    int lo_c = -(mi_col * 4) * 8 - bw_px * 8 - 128;
+    int hi_c = (w->mi_cols - n8_w - mi_col) * 32 + bw_px * 8 + 128;
+    int lo_r = -(mi_row * 4) * 8 - bh_px * 8 - 128;
+    int hi_r = (w->mi_rows - n8_h - mi_row) * 32 + bh_px * 8 + 128;
+    for (int i = 0; i < n; i++) {
+        if (s0r[i] < lo_r) s0r[i] = lo_r;
+        if (s0r[i] > hi_r) s0r[i] = hi_r;
+        if (s0c[i] < lo_c) s0c[i] = lo_c;
+        if (s0c[i] > hi_c) s0c[i] = hi_c;
+        if (s1r[i] < lo_r) s1r[i] = lo_r;
+        if (s1r[i] > hi_r) s1r[i] = hi_r;
+        if (s1c[i] < lo_c) s1c[i] = lo_c;
+        if (s1c[i] > hi_c) s1c[i] = hi_c;
+    }
+    *p_mode_ctx = mode_ctx;
+    *p_refmv_count = refmv_count;
+    *p_nstack = n;
+}
+
+static int comp_mode_ctx_analyzer(int mode_ctx) {
+    static const int MAP[3][5] = {{0, 1, 1, 1, 1}, {1, 2, 3, 4, 4},
+                                  {4, 4, 5, 6, 7}};
+    int newmv_ctx = mode_ctx & 7;
+    int refmv_ctx = (mode_ctx >> 4) & 15;
+    return MAP[refmv_ctx >> 1][newmv_ctx < 4 ? newmv_ctx : 4];
+}
+
+/* ---- compound syntax (mirror of inter_encoder._write_comp_*) ---- */
+static void comp_neighbor(const Walk *w, int r, int c, int avail, int *inter,
+                          int *has2, int *ref0) {
+    if (!avail) { *inter = -1; return; }
+    int idx = r * w->mi_cols + c;
+    *inter = w->g_ref[idx] > 0;
+    *has2 = w->g_ref2 && w->g_ref2[idx] > 0;
+    *ref0 = w->g_ref[idx];
+}
+
+static void write_comp_inter(Walk *w, int mi_row, int mi_col, int is_comp) {
+    int ai, a2 = 0, ar = 0, li, l2 = 0, lr = 0;
+    comp_neighbor(w, mi_row - 1, mi_col, mi_row > w->tile_r0, &ai, &a2, &ar);
+    comp_neighbor(w, mi_row, mi_col - 1, mi_col > w->tile_c0, &li, &l2, &lr);
+    int ctx;
+#define BWD(rf) ((rf) >= 5)
+    if (ai >= 0 && li >= 0) {
+        if (!a2 && !l2) ctx = BWD(ar) ^ BWD(lr);
+        else if (!a2) ctx = 2 + (BWD(ar) || !ai);
+        else if (!l2) ctx = 2 + (BWD(lr) || !li);
+        else ctx = 4;
+    } else if (ai >= 0 || li >= 0) {
+        int e2 = ai >= 0 ? a2 : l2, er = ai >= 0 ? ar : lr;
+        ctx = e2 ? 3 : BWD(er);
+    } else
+        ctx = 1;
+    ec_symbol(w->enc, is_comp, w->cdf_comp_inter + ctx * 3, 2, w->adapt);
+}
+
+static void neighbor_counts2(const Walk *w, int mi_row, int mi_col,
+                             int *counts) {
+    for (int k = 0; k < 8; k++) counts[k] = 0;
+    int has_a = mi_row > w->tile_r0, has_l = mi_col > w->tile_c0;
+    int rcs[2][2] = {{mi_row - 1, mi_col}, {mi_row, mi_col - 1}};
+    int ok[2] = {has_a, has_l};
+    for (int t = 0; t < 2; t++) {
+        if (!ok[t]) continue;
+        int idx = rcs[t][0] * w->mi_cols + rcs[t][1];
+        if (w->g_ref[idx] > 0) {
+            counts[w->g_ref[idx]]++;
+            if (w->g_ref2 && w->g_ref2[idx] > 0) counts[w->g_ref2[idx]]++;
+        }
+    }
+}
+
+static void write_comp_refs(Walk *w, int mi_row, int mi_col) {
+    int ai, a2 = 0, ar = 0, li, l2 = 0, lr = 0;
+    comp_neighbor(w, mi_row - 1, mi_col, mi_row > w->tile_r0, &ai, &a2, &ar);
+    comp_neighbor(w, mi_row, mi_col - 1, mi_col > w->tile_c0, &li, &l2, &lr);
+    int ctx_t;
+    if (ai >= 0 && li >= 0) {
+        if (!ai && !li) ctx_t = 2;
+        else if (!ai || !li) ctx_t = (!ai ? l2 : a2) ? 1 : 2;
+        else if (!a2 && !l2) ctx_t = 1 + 2 * !(BWD(ar) ^ BWD(lr));
+        else if (!a2 || !l2) ctx_t = 1;
+        else ctx_t = 0;
+    } else if (ai >= 0 || li >= 0) {
+        int ei = ai >= 0 ? ai : li, e2 = ai >= 0 ? a2 : l2;
+        ctx_t = !ei ? 2 : (e2 ? 0 : 2);
+    } else
+        ctx_t = 2;
+#undef BWD
+    ec_symbol(w->enc, 1, w->cdf_comp_ref_type + ctx_t * 3, 2, w->adapt);
+    int counts[8];
+    neighbor_counts2(w, mi_row, mi_col, counts);
+    int ll2 = counts[1] + counts[2], l3g = counts[3] + counts[4];
+    int ctx0 = ll2 == l3g ? 1 : (ll2 < l3g ? 0 : 2);
+    ec_symbol(w->enc, 0, w->cdf_comp_ref + (ctx0 * 3 + 0) * 3, 2, w->adapt);
+    int ctx1 = counts[1] == counts[2] ? 1 : (counts[1] < counts[2] ? 0 : 2);
+    ec_symbol(w->enc, 0, w->cdf_comp_ref + (ctx1 * 3 + 1) * 3, 2, w->adapt);
+    int brf = counts[5] + counts[6], arf = counts[7];
+    int ctxb = brf == arf ? 1 : (brf < arf ? 0 : 2);
+    ec_symbol(w->enc, 1, w->cdf_comp_bwdref + (ctxb * 2 + 0) * 3, 2, w->adapt);
+}
+
 /* ---- the P-frame block (mirror of inter_encoder._encode_block on the
    decided path: decisions from the native pre-pass, MC or closed-loop
    intra prediction, DCT-only transforms, inter syntax) ---- */
@@ -1164,6 +1677,9 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     int mode = w->d_mode[mi];
     int mvr = w->d_mvr[mi], mvc = w->d_mvc[mi];
     int use_inter = ref > 0;
+    int is_comp = use_inter && mode >= 17;
+    int mv2r = is_comp && w->d_mvr2 ? w->d_mvr2[mi] : 0;
+    int mv2c = is_comp && w->d_mvc2 ? w->d_mvc2[mi] : 0;
     int ref_idx = ref == 1 ? 0 : 1;
 
     PlaneRes res[3];
@@ -1171,7 +1687,9 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     PlaneRes *ry = &res[0];
     ry->plane = 0; ry->px = x0; ry->py = y0; ry->pw = W; ry->ph = H;
     ry->tx_size = MAX_TX[bsize]; ry->tx_type = 0;
-    if (use_inter) {
+    if (is_comp) {
+        mc_pred_compound(w, 0, x0, y0, W, H, mvr, mvc, mv2r, mv2c, ry->pred);
+    } else if (use_inter) {
         mc_pred_plane(w, ref_idx, 0, x0, y0, W, H, mvr, mvc, ry->pred);
     } else {
         int32_t ab[1 + 128 + 128], lb[1 + 128 + 128];
@@ -1192,7 +1710,10 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             PlaneRes *r = &res[nres++];
             r->plane = pl; r->px = cx; r->py = cy; r->pw = cw; r->ph = ch;
             r->tx_size = tx_uv; r->tx_type = 0;
-            if (use_inter) {
+            if (is_comp) {
+                mc_pred_compound(w, pl, cx, cy, cw, ch, mvr, mvc, mv2r, mv2c,
+                                 r->pred);
+            } else if (use_inter) {
                 mc_pred_plane(w, ref_idx, pl, cx, cy, cw, ch, mvr, mvc, r->pred);
             } else {
                 int32_t ab[1 + 64 + 64], lb[1 + 64 + 64];
@@ -1209,7 +1730,12 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
 
     /* MV stack (needed for inter syntax only) */
     int st_r[10], st_c[10], st_w[10], nstack = 0, mode_ctx = 0, refmv_count = 0;
-    if (use_inter) {
+    int s1r[10], s1c[10];
+    if (is_comp) {
+        comp_mv_list(w, mi_row, mi_col, bw4, bh4, 1, w->ref2_const,
+                     w->gm_row, w->gm_col, st_r, st_c, s1r, s1c, st_w,
+                     &mode_ctx, &refmv_count, &nstack);
+    } else if (use_inter) {
         int gm_r = ref == 1 ? w->gm_row : 0;
         int gm_c = ref == 1 ? w->gm_col : 0;
         ref_mv_list(w, mi_row, mi_col, bw4, bh4, ref, gm_r, gm_c,
@@ -1227,11 +1753,25 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         write_delta_q(w);
     write_is_inter(w, mi_row, mi_col, use_inter);
     if (use_inter) {
-        write_ref_frames(w, mi_row, mi_col, ref);
-        write_inter_mode(w, mode, mode_ctx);
-        if (mode == 16) {
-            write_drl(w, st_w, nstack, refmv_count);
-            write_mv(w, mvr, mvc, st_r[0], st_c[0]);
+        if (w->ref_select && (W < H ? W : H) >= 8)
+            write_comp_inter(w, mi_row, mi_col, is_comp);
+        if (is_comp) {
+            write_comp_refs(w, mi_row, mi_col);
+            ec_symbol(w->enc, mode - 17,
+                      w->cdf_comp_mode + comp_mode_ctx_analyzer(mode_ctx) * 9,
+                      8, w->adapt);
+            if (mode == 24) {   /* NEW_NEWMV */
+                write_drl(w, st_w, nstack, refmv_count);
+                write_mv(w, mvr, mvc, st_r[0], st_c[0]);
+                write_mv(w, mv2r, mv2c, s1r[0], s1c[0]);
+            }
+        } else {
+            write_ref_frames(w, mi_row, mi_col, ref);
+            write_inter_mode(w, mode, mode_ctx);
+            if (mode == 16) {
+                write_drl(w, st_w, nstack, refmv_count);
+                write_mv(w, mvr, mvc, st_r[0], st_c[0]);
+            }
         }
         /* frame-level interpolation filter: no per-block syntax */
     } else {
@@ -1267,9 +1807,14 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             int j = r * w->mi_cols + c;
             w->mi_mode[j] = (int8_t)(use_inter ? 0 : mode);
             w->mi_skip[j] = (int8_t)skip;
-            w->g_ref[j] = (int8_t)(use_inter ? ref : 0);
+            w->g_ref[j] = (int8_t)(is_comp ? 1 : (use_inter ? ref : 0));
             w->g_mvr[j] = (int16_t)(use_inter ? mvr : 0);
             w->g_mvc[j] = (int16_t)(use_inter ? mvc : 0);
+            if (w->g_ref2) {
+                w->g_ref2[j] = (int8_t)(is_comp ? w->ref2_const : 0);
+                w->g_mv2r[j] = (int16_t)(is_comp ? mv2r : 0);
+                w->g_mv2c[j] = (int16_t)(is_comp ? mv2c : 0);
+            }
             w->g_mode[j] = (uint8_t)mode;
             w->g_bw4[j] = (uint8_t)bw4;
             w->g_bh4[j] = (uint8_t)bh4;
