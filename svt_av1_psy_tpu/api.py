@@ -470,7 +470,8 @@ class Encoder:
             sb_rows = -(-cfg.height // 64)
             sb_cols = -(-cfg.width // 64)
             sb_qindex_map = tpl_sb_qindex_map(qindex, self._tpl[1], sb_rows,
-                                              sb_cols, cfg.input_depth)
+                                              sb_cols, cfg.input_depth,
+                                              unit_px=self._tpl[2])
             if np.all(sb_qindex_map == qindex):
                 sb_qindex_map = None
         if self._tpl is not None:
@@ -556,6 +557,8 @@ class Encoder:
                 psy_knobs=(int(cfg.spy_rd), float(cfg.psy_rd),
                            bool(cfg.sharp_tx)))
 
+        inter_shared = {}
+
         def make_enc():
             if is_key:
                 return IntraFrameEncoder(
@@ -571,6 +574,7 @@ class Encoder:
                 ref_distances=(gop.get("dists", (1, 1)) if gop is not None
                                else (1, 6)),
                 ref_select=(gop is not None and gop.get("future") is not None),
+                shared=inter_shared,
                 **common)
 
         def run_filters(enc):

@@ -70,7 +70,7 @@ class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
                  golden_planes=None, future_planes=None,
-                 ref_distances=(1, 1), ref_select=False, **kw):
+                 ref_distances=(1, 1), ref_select=False, shared=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
@@ -78,12 +78,21 @@ class InterFrameEncoder(IntraFrameEncoder):
         # Other references always code with identity global motion.
         self.gm_mv = tuple(int(v) for v in gm_mv)
         self.pad = 96
+        # `shared` carries expensive per-frame state across the two encode
+        # passes of the LR re-encode (padded refs, ME pyramids, decisions)
+        self.shared = shared if shared is not None else {}
 
         def _add_ref(const, planes):
-            self.refs[const] = self._pad_refs(planes, width, height)
-            self.me[const] = MotionEstimator(np.asarray(
-                self.refs[const][0][self.pad:-self.pad or None,
-                                    self.pad:-self.pad or None]))
+            key = ("ref", const, id(planes))
+            got = self.shared.get(key)
+            if got is None:
+                padded = self._pad_refs(planes, width, height)
+                me = MotionEstimator(np.asarray(
+                    padded[0][self.pad:-self.pad or None,
+                              self.pad:-self.pad or None]))
+                got = (padded, me)
+                self.shared[key] = got
+            self.refs[const], self.me[const] = got
 
         self.refs, self.me = {}, {}
         _add_ref(LAST_FRAME, ref_planes)
@@ -174,7 +183,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         NEWMV/GLOBALMV (+ gated GOLDEN) and an open-loop intra fallback for
         every leaf block; the walk below commits the decisions (the
         reference's MD/EncDec split, re-architected as batch-then-walk)."""
-        self.inter_dec = None
+        self.inter_dec = self.shared.get("inter_dec")
+        if self.inter_dec is not None:
+            return
         if not mc_native.available():
             return
         me = self.me[LAST_FRAME]
@@ -186,6 +197,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             dec = self._pre_walk_device(blk, blocks)
             if dec is not None:
                 self.inter_dec = dec
+                self.shared["inter_dec"] = dec
                 return
         curq = me._cur_pyramid(self.src[0])
         from .spec_tables import get_tables
@@ -225,6 +237,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             if ui and rf == 4:
                 rf = self.ref2
             self.inter_dec[(r, c)] = (ui, rf, md, row[3], row[4])
+        self.shared["inter_dec"] = self.inter_dec
 
     def _pre_walk_device(self, blk, blocks):
         """Device-backend decisions: one jitted SSD-grid search over all

@@ -59,4 +59,6 @@ def preset_config(preset: int) -> PresetConfig:
                         filter_intra_search=row[2], cfl_search=row[3],
                         cdef_search_sample=row[4], restoration=row[5],
                         scene_change=row[6], tpl=row[7],
-                        sgr_eps_step=1 if p <= 4 else (2 if p <= 6 else 4))
+                        # SGR search cost scales with the ep count; fast
+                        # presets go Wiener-only (step 0 = skip SGR)
+                        sgr_eps_step=1 if p <= 4 else (2 if p <= 6 else 0))

@@ -208,6 +208,17 @@ def apply_restoration(cdef_planes, deblock_planes, rsts, bd: int = 8):
 
 # ------------------------------------------------------------------ search
 
+def _lls(X, r):
+    """Least squares via normal equations (the systems are 2x2/3x3; a full
+    SVD per unit was the LR search hot spot)."""
+    A = X.T @ X
+    b = X.T @ r
+    try:
+        return np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(X, r, rcond=None)[0]
+
+
 def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2,
                 chroma: bool = False):
     """Alternating least squares for the separable Wiener taps on one unit.
@@ -243,14 +254,14 @@ def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2,
             cols.append((inter[i : i + h] + inter[6 - i : 6 - i + h]
                          - 2.0 * inter[3 : 3 + h]).ravel())
         if chroma:
-            t, *_ = np.linalg.lstsq(np.stack(cols[1:], axis=1),
-                                    (128.0 * 128.0 * s - base).ravel(), rcond=None)
+            t = _lls(np.stack(cols[1:], axis=1),
+                     (128.0 * 128.0 * s - base).ravel())
             taps_v = [0] + [int(np.clip(round(t[i]), TAPS[i + 1][0], TAPS[i + 1][1]))
                             for i in range(2)]
         else:
             X = np.stack(cols, axis=1)
             r = (128.0 * 128.0 * s - base).ravel()
-            t, *_ = np.linalg.lstsq(X, r, rcond=None)
+            t = _lls(X, r)
             taps_v = [int(np.clip(round(t[i]), TAPS[i][0], TAPS[i][1])) for i in range(3)]
         # fix v, solve h
         interv = conv_v(d, taps_v)              # (h, w+6)
@@ -260,14 +271,14 @@ def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2,
             cols.append((interv[:, i : i + w] + interv[:, 6 - i : 6 - i + w]
                          - 2.0 * interv[:, 3 : 3 + w]).ravel())
         if chroma:
-            t, *_ = np.linalg.lstsq(np.stack(cols[1:], axis=1),
-                                    (128.0 * 128.0 * s - base).ravel(), rcond=None)
+            t = _lls(np.stack(cols[1:], axis=1),
+                     (128.0 * 128.0 * s - base).ravel())
             taps_h = [0] + [int(np.clip(round(t[i]), TAPS[i + 1][0], TAPS[i + 1][1]))
                             for i in range(2)]
         else:
             X = np.stack(cols, axis=1)
             r = (128.0 * 128.0 * s - base).ravel()
-            t, *_ = np.linalg.lstsq(X, r, rcond=None)
+            t = _lls(X, r)
             taps_h = [int(np.clip(round(t[i]), TAPS[i][0], TAPS[i][1])) for i in range(3)]
     return tuple(taps_h), tuple(taps_v)
 
@@ -279,6 +290,9 @@ def pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
     Wiener (alternating LS taps) vs SGRPROJ (projection search over the 16
     parameter sets) vs NONE by exact SSE; the frame type becomes WIENER /
     SGRPROJ when one tool wins everywhere, else RESTORE_SWITCHABLE."""
+    if sgr_eps_step <= 0:
+        enable_sgr = False
+        sgr_eps_step = 1
     pr = PlaneRestoration(crop_w, crop_h, ss, unit_size)
     crop = np.asarray(cdef_plane)[:crop_h, :crop_w].astype(np.int64)
     ext = np.pad(crop, BORDER, mode="edge")
@@ -291,6 +305,10 @@ def pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
             v0, v1, h0, h1 = pr.unit_limits(ui, uj)
             s = src[v0:v1, h0:h1]
             base_sse = int(((crop[v0:v1, h0:h1] - s) ** 2).sum())
+            # near-lossless unit: no restoration tool can pay for its
+            # coefficients (sub-1/16-px avg error) -> skip the search
+            if base_sse < (s.size >> 4):
+                continue
             taps = _solve_taps(ext[v0 : v1 + 6, h0 : h1 + 6], s, chroma=ss > 0)
             info = ("W", taps)
             filt = filter_unit(ext, pr, above, below, v0, v1, h0, h1, info, bd)

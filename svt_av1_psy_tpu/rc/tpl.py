@@ -44,6 +44,15 @@ def tpl_analysis(frames: list, bd: int = 8):
     beta_map is (bh, bw) per-16x16 rk/r0-style quality ratios for frames[0].
     """
     luma = [np.asarray(f) >> (bd - 8) for f in frames]
+    # large frames: run the propagation at half resolution (the reference's
+    # decimated TPL input at fast presets); a 16x16 TPL unit then covers a
+    # 32x32 source area (unit_px doubles), r0/beta semantics unchanged
+    unit_px = BLK
+    if luma[0].shape[0] >= 720:
+        from ..codec.me import decimate
+
+        luma = [decimate(f, 1) for f in luma]
+        unit_px = BLK * 2
     n = len(luma)
     stats = []
     for i, y in enumerate(luma):
@@ -62,6 +71,7 @@ def tpl_analysis(frames: list, bd: int = 8):
         # one int32 view per frame: a fresh astype per block would bust the
         # MotionEstimator's per-frame pyramid cache (id-keyed)
         y32 = np.ascontiguousarray(y, np.int32)
+        diffs = np.empty((bh * bw, BLK, BLK), np.int64)
         k = 0
         for by in range(bh):
             for bx in range(bw):
@@ -72,9 +82,10 @@ def tpl_analysis(frames: list, bd: int = 8):
                 sx = min(max(bx * BLK + dx, 0), W - BLK)
                 pred = luma[i - 1][sy : sy + BLK, sx : sx + BLK].astype(np.int64)
                 cur = y[by * BLK : by * BLK + BLK, bx * BLK : bx * BLK + BLK].astype(np.int64)
-                inter[k] = _satd16((cur - pred)[None])[0]
+                diffs[k] = cur - pred
                 mvs[by, bx] = (sy - by * BLK, sx - bx * BLK)
                 k += 1
+        inter = _satd16(diffs)   # one batched SATD for the whole frame
         inter = np.minimum(np.maximum(inter, 1), intra)
         stats.append(dict(intra=intra.reshape(bh, bw), inter=inter.reshape(bh, bw),
                           mv=mvs, bh=bh, bw=bw))
@@ -110,7 +121,7 @@ def tpl_analysis(frames: list, bd: int = 8):
     r0 = float(intra0.sum() / max(intra0.sum() + dep0.sum(), 1e-9))
     rk = intra0 / np.maximum(intra0 + dep0, 1e-9)
     beta = rk / max(r0, 1e-9)          # >1: less propagated -> can coarsen
-    return r0, beta
+    return r0, beta, unit_px
 
 
 R0_WEIGHT_KEY = 0.75   # r0_weight[I_SLICE] (rc_process.c:775)
@@ -138,14 +149,15 @@ def tpl_qindex(base_qindex: int, r0: float, bd: int,
 
 
 def tpl_sb_qindex_map(base_qindex: int, beta: np.ndarray, sb_rows: int,
-                      sb_cols: int, bd: int, delta_q_res: int = 4):
+                      sb_cols: int, bd: int, delta_q_res: int = 4,
+                      unit_px: int = BLK):
     """Per-SB qindex map from the 16x16 beta ratios
     (svt_aom_sb_qp_derivation_tpl_la analog): offset ~ qindex-equivalent of
     a 1/sqrt(beta) qstep scaling, snapped to delta_q_res multiples."""
     from .rate_control import convert_qindex_to_q
 
     bh, bw = beta.shape
-    per_sb = 64 // BLK
+    per_sb = max(64 // unit_px, 1)
     q = np.full((sb_rows, sb_cols), base_qindex, np.int32)
     base_q = convert_qindex_to_q(base_qindex, bd)
     for r in range(sb_rows):

@@ -26,8 +26,8 @@ def _frames(n, W, H, motion=(2, 3), seed=0, scramble=False):
 def test_r0_low_for_predictable_content():
     # motion in multiples of 4 so the 1/4-res HME sees the exact shift
     pred = _frames(4, 128, 96, motion=(4, 8))
-    r0_pred, beta = tpl_analysis(pred)
-    r0_scram, _ = tpl_analysis(_frames(4, 128, 96, scramble=True))
+    r0_pred, beta, _u = tpl_analysis(pred)
+    r0_scram, _, _ = tpl_analysis(_frames(4, 128, 96, scramble=True))
     # predictable content propagates -> small r0; noise doesn't -> r0 ~ 1
     assert r0_pred < 0.6
     assert r0_scram > 0.9
