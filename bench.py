@@ -90,7 +90,7 @@ def _run(W, H, preset, crf, n_frames, intra_only=False, seed=0):
 def main():
     notes = {}
     # BASELINE.md config 1 analog: 480p, fast preset, IPPP (primary metric)
-    ippp = _run(854, 480, 10, 35, 8)
+    ippp = _run(854, 480, 10, 35, 24)
     notes["480p_p10_ippp"] = ippp
     # all-intra 480p at an RDO preset: the device-search path every frame
     notes["480p_p6_intra"] = _run(854, 480, 6, 35, 4, intra_only=True)

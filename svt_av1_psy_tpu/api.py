@@ -214,7 +214,7 @@ class Encoder:
             if cfg.enable_tf else 0
         neighbors = list(self._tf_past) + [(f[0], f[1], f[2])
                                            for f in list(self._la_queue)[:3]]
-        if (will_key and cfg.enable_tpl_la and self._la_queue
+        if (will_key and cfg.enable_tpl_la and self._pc.tpl and self._la_queue
                 and cfg.rate_control_mode == RateControlMode.CRF_CQP):
             from .rc.tpl import tpl_analysis
 
@@ -301,7 +301,7 @@ class Encoder:
         cfg = self.config
         from .config import RateControlMode as _RCM
 
-        if (cfg.enable_tpl_la and n >= 4
+        if (cfg.enable_tpl_la and self._pc.tpl and n >= 4
                 and cfg.rate_control_mode == _RCM.CRF_CQP):
             from .rc.tpl import tpl_analysis
 
@@ -514,7 +514,7 @@ class Encoder:
                       enable_filter_intra=True, chroma_delta=chroma_delta,
                       allow_sct=getattr(self, "_allow_sct", False))
         gm_mv = (0, 0)
-        if not is_key and cfg.enable_global_motion:
+        if not is_key and cfg.enable_global_motion and self._pc.gm:
             from .codec.global_motion import estimate_global_translation
 
             vh, vw = cfg.height, cfg.width

@@ -35,14 +35,25 @@ def estimate_global_translation(ref_y: np.ndarray, cur_y: np.ndarray,
     dyq, dxq, _ = mc_native.sad_grid(inner, rq, m - rad_q, m + rad_q + 1,
                                      m - rad_q, m + rad_q + 1)
     dyq, dxq = dyq - m, dxq - m
-    # full-res refine around the scaled candidate
-    dy0, dx0 = dyq * 4, dxq * 4
-    mm = 3 + max(abs(dy0), abs(dx0))
+    # half-res refine around the scaled candidate, then a full-res polish
+    # (refining at half resolution first keeps the full-res grid at 3x3)
+    rh = decimate(ref8.astype(np.uint8), 1).astype(np.int32)
+    ch = decimate(cur8.astype(np.uint8), 1).astype(np.int32)
+    hh, hw = ch.shape
+    mh = 2 + 2 * max(abs(dyq), abs(dxq))
+    if hh <= 2 * mh + 16 or hw <= 2 * mh + 16:
+        return (0, 0)
+    innh = ch[mh : hh - mh, mh : hw - mh]
+    y0h, x0h = mh + dyq * 2 - 2, mh + dxq * 2 - 2
+    dyh, dxh, _ = mc_native.sad_grid(innh, rh, y0h, y0h + 5, x0h, x0h + 5)
+    dyh, dxh = dyh - mh, dxh - mh
+    dy0, dx0 = dyh * 2, dxh * 2
+    mm = 1 + max(abs(dy0), abs(dx0))
     if h <= 2 * mm + 16 or w <= 2 * mm + 16:
         return (0, 0)
     innf = cur8[mm : h - mm, mm : w - mm]
-    y0, x0 = mm + dy0 - 3, mm + dx0 - 3
-    dy, dx, sad = mc_native.sad_grid(innf, ref8, y0, y0 + 7, x0, x0 + 7)
+    y0, x0 = mm + dy0 - 1, mm + dx0 - 1
+    dy, dx, sad = mc_native.sad_grid(innf, ref8, y0, y0 + 3, x0, x0 + 3)
     dy, dx = dy - mm, dx - mm
     if dy == 0 and dx == 0:
         return (0, 0)

@@ -137,6 +137,14 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ssim_grid_u16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+    lib.ssim_grid_u16.restype = ctypes.c_double
+    lib.sse_u16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    lib.sse_u16.restype = ctypes.c_double
     _lib = lib
     return lib
 
@@ -444,3 +452,26 @@ def quantize_txb(coeff_flat, scan, pq, log_scale, qm=None, iqm=None):
         (iqm16.ctypes.data if iqm16 is not None else None),
         qcoeff.ctypes.data, dqcoeff.ctypes.data)
     return qcoeff, dqcoeff, int(eob)
+
+
+def ssim_grid(a: np.ndarray, b: np.ndarray, c1: float, c2: float):
+    """Mean 8x8-window SSIM (step 4) via the C kernel, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    au = np.ascontiguousarray(a, np.uint16)
+    bu = np.ascontiguousarray(b, np.uint16)
+    H, W = au.shape
+    return float(lib.ssim_grid_u16(au.ctypes.data, W, bu.ctypes.data, W,
+                                   W, H, float(c1), float(c2)))
+
+
+def plane_sse(a: np.ndarray, b: np.ndarray):
+    """Sum of squared error between two planes via the C kernel, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    au = np.ascontiguousarray(a, np.uint16)
+    bu = np.ascontiguousarray(b, np.uint16)
+    H, W = au.shape
+    return float(lib.sse_u16(au.ctypes.data, W, bu.ctypes.data, W, W, H))

@@ -18,12 +18,15 @@ from . import mc_native
 
 
 def decimate(plane: np.ndarray, times: int) -> np.ndarray:
-    """Simple 2x box decimation (PA pyramid analog)."""
-    x = plane.astype(np.float32)
+    """Simple 2x box decimation (PA pyramid analog). Integer throughout:
+    (a + b + c + d + 2) >> 2 per 2x2 box (round-half-up)."""
+    x = plane.astype(np.uint32)
     for _ in range(times):
         H, W = x.shape
-        x = x[: H & ~1, : W & ~1].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
-    return np.round(x).astype(plane.dtype)
+        x = x[: H & ~1, : W & ~1]
+        s = x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]
+        x = (s + 2) >> 2
+    return x.astype(plane.dtype)
 
 
 def _sad_grid(cur: np.ndarray, ref: np.ndarray, cy: int, cx: int, rad: int,

@@ -9,7 +9,12 @@ import numpy as np
 
 def psnr(src: np.ndarray, recon: np.ndarray, bd: int = 8) -> float:
     peak = (1 << bd) - 1
-    mse = np.mean((src.astype(np.float64) - recon.astype(np.float64)) ** 2)
+    from . import mc_native
+
+    sse = mc_native.plane_sse(src, recon)
+    if sse is None:
+        sse = float(np.sum((src.astype(np.float64) - recon.astype(np.float64)) ** 2))
+    mse = sse / src.size
     if mse <= 0:
         return 100.0
     return float(10 * np.log10(peak * peak / mse))
@@ -21,6 +26,12 @@ def ssim(src: np.ndarray, recon: np.ndarray, bd: int = 8) -> float:
     peak = (1 << bd) - 1
     c1 = (0.01 * peak) ** 2
     c2 = (0.03 * peak) ** 2
+    from . import mc_native
+
+    if src.shape == recon.shape and min(src.shape) >= 8:
+        got = mc_native.ssim_grid(src, recon, c1, c2)
+        if got is not None:
+            return got
     a = src.astype(np.float64)
     b = recon.astype(np.float64)
     H, W = a.shape

@@ -27,6 +27,8 @@ class PresetConfig:
     scene_change: bool
     tpl: bool
     sgr_eps_step: int = 1      # SGR parameter-set sampling stride (1 = all 16)
+    gm: bool = True            # global-motion estimation (gm_level analog:
+                               # the reference disables GM at fast presets)
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
@@ -61,4 +63,5 @@ def preset_config(preset: int) -> PresetConfig:
                         scene_change=row[6], tpl=row[7],
                         # SGR search cost scales with the ep count; fast
                         # presets go Wiener-only (step 0 = skip SGR)
-                        sgr_eps_step=1 if p <= 4 else (2 if p <= 6 else 0))
+                        sgr_eps_step=1 if p <= 4 else (2 if p <= 6 else 0),
+                        gm=p <= 11)

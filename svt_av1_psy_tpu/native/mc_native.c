@@ -1343,3 +1343,53 @@ void me_subpel_refine_blocks(const uint16_t *src, int sstride,
         mvs[2 * i + 1] = mvx;
     }
 }
+
+/* 8x8-windowed SSIM stepped by 4 (aom_ssim2 grid; see metrics.py) in one
+ * pass: integer window sums, float64 per-window SSIM. Returns the mean. */
+double ssim_grid_u16(const uint16_t *a, int as, const uint16_t *b, int bs,
+                     int W, int H, double c1, double c2) {
+    if (W < 8 || H < 8) return 1.0;
+    double total = 0.0;
+    long count = 0;
+    for (int i = 0; i + 8 <= H; i += 4) {
+        for (int j = 0; j + 8 <= W; j += 4) {
+            uint32_t sa = 0, sb = 0;
+            uint64_t saa = 0, sbb = 0, sab = 0;
+            for (int r = 0; r < 8; r++) {
+                const uint16_t *pa = a + (i + r) * as + j;
+                const uint16_t *pb = b + (i + r) * bs + j;
+                for (int c = 0; c < 8; c++) {
+                    uint32_t va = pa[c], vb = pb[c];
+                    sa += va; sb += vb;
+                    saa += (uint64_t)va * va;
+                    sbb += (uint64_t)vb * vb;
+                    sab += (uint64_t)va * vb;
+                }
+            }
+            double mu_a = sa / 64.0, mu_b = sb / 64.0;
+            double var_a = saa / 64.0 - mu_a * mu_a;
+            double var_b = sbb / 64.0 - mu_b * mu_b;
+            double cov = sab / 64.0 - mu_a * mu_b;
+            total += ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                   / ((mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2));
+            count++;
+        }
+    }
+    return count ? total / count : 1.0;
+}
+
+/* Sum of squared error between two u16 planes (PSNR numerator). */
+double sse_u16(const uint16_t *a, int as, const uint16_t *b, int bs,
+               int W, int H) {
+    double total = 0.0;
+    for (int i = 0; i < H; i++) {
+        const uint16_t *pa = a + i * as, *pb = b + i * bs;
+        int64_t row = 0;
+        for (int j = 0; j < W; j++) {
+            int d = (int)pa[j] - (int)pb[j];
+            row += (int64_t)d * d;
+        }
+        total += (double)row;
+    }
+    return total;
+}

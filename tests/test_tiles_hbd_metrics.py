@@ -80,3 +80,43 @@ def test_stat_report():
     # identical planes -> max metrics
     assert psnr(y, y) == 100.0
     assert ssim(y, y) > 0.9999
+
+
+def test_native_metrics_match_numpy():
+    """The C ssim/psnr kernels must match the numpy formulation exactly."""
+    from svt_av1_psy_tpu.codec import mc_native
+    from svt_av1_psy_tpu.codec.metrics import psnr, ssim
+
+    rng = np.random.default_rng(7)
+    for bd in (8, 10):
+        hi = (1 << bd) - 1
+        a = rng.integers(0, hi + 1, (72, 120)).astype(np.uint16)
+        b = np.clip(a.astype(np.int32) + rng.integers(-9, 10, a.shape),
+                    0, hi).astype(np.uint16)
+        peak = hi
+        c1, c2 = (0.01 * peak) ** 2, (0.03 * peak) ** 2
+        got = mc_native.ssim_grid(a, b, c1, c2)
+        if got is None:
+            return  # no toolchain; numpy path is the only tier
+        # numpy reference (integral-image form from metrics.ssim fallback)
+        aa, bb = a.astype(np.float64), b.astype(np.float64)
+
+        def box8(x):
+            cp = np.zeros((x.shape[0] + 1, x.shape[1] + 1), np.float64)
+            np.cumsum(np.cumsum(x, axis=0), axis=1, out=cp[1:, 1:])
+            i = np.arange(0, x.shape[0] - 7, 4)
+            j = np.arange(0, x.shape[1] - 7, 4)
+            return (cp[np.ix_(i + 8, j + 8)] - cp[np.ix_(i, j + 8)]
+                    - cp[np.ix_(i + 8, j)] + cp[np.ix_(i, j)]) / 64.0
+
+        mu_a, mu_b = box8(aa), box8(bb)
+        va = box8(aa * aa) - mu_a * mu_a
+        vb = box8(bb * bb) - mu_b * mu_b
+        cov = box8(aa * bb) - mu_a * mu_b
+        want = float((((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                      / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2))).mean())
+        assert abs(got - want) < 1e-9
+        sse = mc_native.plane_sse(a, b)
+        assert sse == float(np.sum((a.astype(np.int64) - b.astype(np.int64)) ** 2))
+        assert abs(psnr(a, b, bd)
+                   - 10 * np.log10(peak * peak / (sse / a.size))) < 1e-12

@@ -62,7 +62,8 @@ def test_tpl_stream_conformant_and_saves_bits():
         from svt_av1_psy_tpu.config import PredStructure
 
         # low-delay: this test isolates the keyframe-boost right-sizing
-        cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+        # preset <= 9: the preset ladder gates TPL off at faster presets
+        cfg = EncoderConfig(width=W, height=H, recon_enabled=True, preset=6,
                             enable_tpl_la=tpl, enable_tf=0,
                             pred_structure=PredStructure.LOW_DELAY,
                             look_ahead_distance=3 if tpl else -1)
