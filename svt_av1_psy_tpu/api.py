@@ -575,6 +575,7 @@ class Encoder:
                                else (1, 6)),
                 ref_select=(gop is not None and gop.get("future") is not None),
                 shared=inter_shared,
+                inter_depths=self._pc.inter_depths,
                 **common)
 
         def run_filters(enc):

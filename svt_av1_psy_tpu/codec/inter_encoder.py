@@ -70,9 +70,13 @@ class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, qindex, ref_planes, bd=8, monochrome=False,
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
                  golden_planes=None, future_planes=None,
-                 ref_distances=(1, 1), ref_select=False, shared=None, **kw):
+                 ref_distances=(1, 1), ref_select=False, shared=None,
+                 inter_depths=(32,), **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
+        # square leaf sizes the partition DP may choose (preset ladder);
+        # a single entry keeps the fixed-size walk of rounds 1-2
+        self.inter_depths = tuple(sorted(int(d) for d in inter_depths))
         # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
         # (0, 0) = IDENTITY. GLOBALMV blocks and ref-MV stack padding use it.
         # Other references always code with identity global motion.
@@ -178,27 +182,10 @@ class InterFrameEncoder(IntraFrameEncoder):
                 walk(mi_row, mi_col, BlockSize.BLOCK_64X64)
         return out
 
-    def _pre_walk(self):
-        """Whole-frame mode-decision pre-pass: one native call evaluates
-        NEWMV/GLOBALMV (+ gated GOLDEN) and an open-loop intra fallback for
-        every leaf block; the walk below commits the decisions (the
-        reference's MD/EncDec split, re-architected as batch-then-walk)."""
-        self.inter_dec = self.shared.get("inter_dec")
-        if self.inter_dec is not None:
-            return
-        if not mc_native.available():
-            return
+    def _native_decide(self, blocks):
+        """One native call: decision rows (N, 8) for (x0, y0, W, H) blocks
+        (mc_native.inter_decide_frame over the frame's reference state)."""
         me = self.me[LAST_FRAME]
-        blk = self._walk_blocks()
-        blocks = np.array([(mi_col * 4, mi_row * 4,
-                            int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
-                           for (mi_row, mi_col, bs) in blk], np.int32)
-        if SEARCH_BACKEND == "device":
-            dec = self._pre_walk_device(blk, blocks)
-            if dec is not None:
-                self.inter_dec = dec
-                self.shared["inter_dec"] = dec
-                return
         curq = me._cur_pyramid(self.src[0])
         from .spec_tables import get_tables
 
@@ -213,31 +200,244 @@ class InterFrameEncoder(IntraFrameEncoder):
             if self.ref2 == ALTREF_FRAME:
                 ref2_gate = -1  # B frame: always search the future reference
         ref_pad = np.ascontiguousarray(self.refs[LAST_FRAME][0], np.int32)
-        dec = mc_native.inter_decide_frame(
+        return mc_native.inter_decide_frame(
             self.src[0], me.ref, me.ref_q, curq, ref_pad, self.pad, golden,
             me._filters, filters4, self.bd, self.sr[0], self.gm_mv,
             float(self.psy_rd), blocks, ref2_gate=ref2_gate,
             search_range2=self.sr[1])
+
+    def _dec_from_row(self, row):
+        """Kernel row -> decision tuple. The kernel reports the second
+        reference as 4; mode-24 rows are COMPOUND_AVERAGE NEW_NEWMV."""
+        ui, rf, md = row[0], row[1], row[2]
+        if ui and md >= 17:
+            if self.ref_select:
+                return (1, 7, md, row[3], row[4], row[5], row[6])
+            return (1, LAST_FRAME, NEWMV, row[3], row[4])
+        if ui and rf == 4:
+            rf = self.ref2
+        return (ui, rf, md, row[3], row[4])
+
+    def _pre_walk(self):
+        """Whole-frame mode-decision pre-pass: one native call evaluates
+        NEWMV/GLOBALMV (+ gated GOLDEN) and an open-loop intra fallback for
+        every leaf block; the walk below commits the decisions (the
+        reference's MD/EncDec split, re-architected as batch-then-walk)."""
+        self.inter_dec = self.shared.get("inter_dec")
+        if self.inter_dec is not None:
+            self.decisions = self.shared.get("inter_decisions")
+            return
+        if not mc_native.available():
+            return
+        if len(self.inter_depths) > 1 and SEARCH_BACKEND != "device":
+            if self._pre_walk_multi():
+                return
+        blk = self._walk_blocks()
+        blocks = np.array([(mi_col * 4, mi_row * 4,
+                            int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
+                           for (mi_row, mi_col, bs) in blk], np.int32)
+        if SEARCH_BACKEND == "device":
+            dec = self._pre_walk_device(blk, blocks)
+            if dec is not None:
+                self.inter_dec = dec
+                self.shared["inter_dec"] = dec
+                return
+        dec = self._native_decide(blocks)
         if dec is None:
             return
-        # the kernel reports the second reference as 4; map to the actual
-        # one. Mode-24 rows are compound NEW_NEWMV on (LAST, ref2).
         self.inter_dec = {}
         for i, (r, c, _) in enumerate(blk):
-            row = [int(v) for v in dec[i]]
-            ui, rf, md = row[0], row[1], row[2]
-            if ui and md >= 17:
-                if self.ref_select:
-                    self.inter_dec[(r, c)] = (1, 7, md, row[3], row[4],
-                                              row[5], row[6])
-                else:   # compound disabled: take the LAST-side NEWMV
-                    self.inter_dec[(r, c)] = (1, LAST_FRAME, NEWMV,
-                                              row[3], row[4])
-                continue
-            if ui and rf == 4:
-                rf = self.ref2
-            self.inter_dec[(r, c)] = (ui, rf, md, row[3], row[4])
+            self.inter_dec[(r, c)] = self._dec_from_row(
+                [int(v) for v in dec[i]])
         self.shared["inter_dec"] = self.inter_dec
+
+    def _pre_walk_multi(self):
+        """Inter partition RDO: evaluate every center-inside square node at
+        the preset's depths (+ the forced rectangular edge leaves) in one
+        native call, then a bottom-up NONE-vs-SPLIT DP with partition-rate
+        bits picks the tree (the inter analog of intra_rdo's DP; reference:
+        md_encode_block partition recursion, product_coding_loop.c:10862).
+        Emits self.decisions (parts maps) + self.inter_dec (chosen leaves).
+        Returns False to fall back to the fixed-size walk."""
+        from .intra_rdo import IntraDecisions
+        from .rd import intra_rate_model, lambda_sse_per_bit
+
+        dmin, dmax = self.inter_depths[0], self.inter_depths[-1]
+        cands, forced = [], []
+
+        def collect(r, c, S):
+            if r >= self.mi_rows or c >= self.mi_cols:
+                return
+            half = S >> 3
+            has_rows = (r + half) < self.mi_rows
+            has_cols = (c + half) < self.mi_cols
+            bsize = _BSIZE_BY_WH[(S, S)]
+            if has_rows and has_cols:
+                if S <= dmax:
+                    cands.append((r, c, S))
+                if S > dmin:
+                    S2 = S >> 1
+                    collect(r, c, S2)
+                    collect(r, c + half, S2)
+                    collect(r + half, c, S2)
+                    collect(r + half, c + half, S2)
+            elif has_cols:
+                sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
+                forced.append((r, c, sub))
+                if r + half < self.mi_rows:
+                    forced.append((r + half, c, sub))
+            elif has_rows:
+                sub = _partition_subsize(bsize, PartitionType.PARTITION_VERT)
+                forced.append((r, c, sub))
+                if c + half < self.mi_cols:
+                    forced.append((r, c + half, sub))
+            else:
+                S2 = S >> 1
+                collect(r, c, S2)
+                collect(r, c + half, S2)
+                collect(r + half, c, S2)
+                collect(r + half, c + half, S2)
+
+        sb_mi = self.sb_size >> 2
+        for r0 in range(0, self.mi_rows, sb_mi):
+            for c0 in range(0, self.mi_cols, sb_mi):
+                collect(r0, c0, 64)
+
+        jobs = [(r, c, S, S) for (r, c, S) in cands]
+        jobs += [(r, c, int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
+                 for (r, c, bs) in forced]
+        blocks = np.array([(c * 4, r * 4, w, h) for (r, c, w, h) in jobs],
+                          np.int32)
+        rows = self._native_decide(blocks)
+        if rows is None:
+            return False
+        res, costj = {}, {}
+        for (r, c, w, h), row in zip(jobs, rows):
+            k = (r, c, w, h)
+            res[k] = [int(v) for v in row]
+            costj[k] = float(row[7])
+
+        # 0.35x lambda: the kernel cost is SSE-only (no per-candidate rate),
+        # so a full-strength lambda over-merges at high q (blurry 64x64
+        # leaves on B frames); the reduced weight restores the RA-vs-LD margin
+        # while keeping the preset-4 byte savings (measured on the pan set)
+        lam = 0.35 * float(lambda_sse_per_bit(self.qindex, self.bd, "p"))
+        rm = intra_rate_model(int(self.qindex))
+        BSL = {8: 0, 16: 1, 32: 2, 64: 3}
+        LEAF_BITS = 24.0   # flat mode/mv/skip overhead per coded leaf
+        memo = {}
+
+        def ncost(r, c, S):
+            if r >= self.mi_rows or c >= self.mi_cols:
+                return 0.0
+            key = (r, c, S)
+            got = memo.get(key)
+            if got is not None:
+                return got[0]
+            half = S >> 3
+            has_rows = (r + half) < self.mi_rows
+            has_cols = (c + half) < self.mi_cols
+            bsize = _BSIZE_BY_WH[(S, S)]
+            split = False
+            if has_rows and has_cols:
+                none_cost = np.inf
+                if S <= dmax:
+                    none_cost = (costj[(r, c, S, S)]
+                                 + lam * (float(rm.part_none_bits[BSL[S]])
+                                          + LEAF_BITS))
+                split_cost = np.inf
+                if S > dmin:
+                    S2 = S >> 1
+                    split_cost = (ncost(r, c, S2) + ncost(r, c + half, S2)
+                                  + ncost(r + half, c, S2)
+                                  + ncost(r + half, c + half, S2)
+                                  + lam * float(rm.part_split_bits[BSL[S]]))
+                split = split_cost < none_cost
+                cost = min(none_cost, split_cost)
+            elif has_cols:
+                sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
+                w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
+                cost = costj[(r, c, w, h)] + lam * LEAF_BITS
+                if r + half < self.mi_rows:
+                    cost += costj[(r + half, c, w, h)] + lam * LEAF_BITS
+            elif has_rows:
+                sub = _partition_subsize(bsize, PartitionType.PARTITION_VERT)
+                w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
+                cost = costj[(r, c, w, h)] + lam * LEAF_BITS
+                if c + half < self.mi_cols:
+                    cost += costj[(r, c + half, w, h)] + lam * LEAF_BITS
+            else:
+                S2 = S >> 1
+                cost = (ncost(r, c, S2) + ncost(r, c + half, S2)
+                        + ncost(r + half, c, S2)
+                        + ncost(r + half, c + half, S2))
+            memo[key] = (cost, split)
+            return cost
+
+        for r0 in range(0, self.mi_rows, sb_mi):
+            for c0 in range(0, self.mi_cols, sb_mi):
+                ncost(r0, c0, 64)
+
+        parts = {}
+        for S in self.inter_depths:
+            if S > dmin:
+                gr = -((-self.mi_rows * 4) // S)
+                gc = -((-self.mi_cols * 4) // S)
+                parts[S] = np.zeros((gr, gc), bool)
+        dec_map = {}
+
+        def extract(r, c, S):
+            if r >= self.mi_rows or c >= self.mi_cols:
+                return
+            half = S >> 3
+            has_rows = (r + half) < self.mi_rows
+            has_cols = (c + half) < self.mi_cols
+            bsize = _BSIZE_BY_WH[(S, S)]
+            if has_rows and has_cols:
+                split = memo[(r, c, S)][1] if S <= dmax else True
+                if S > dmin and split:
+                    p = parts.get(S)
+                    if p is not None:
+                        p[(r * 4) // S, (c * 4) // S] = True
+                    S2 = S >> 1
+                    extract(r, c, S2)
+                    extract(r, c + half, S2)
+                    extract(r + half, c, S2)
+                    extract(r + half, c + half, S2)
+                else:
+                    dec_map[(r, c)] = self._dec_from_row(res[(r, c, S, S)])
+            elif has_cols:
+                sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
+                w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
+                dec_map[(r, c)] = self._dec_from_row(res[(r, c, w, h)])
+                if r + half < self.mi_rows:
+                    dec_map[(r + half, c)] = self._dec_from_row(
+                        res[(r + half, c, w, h)])
+            elif has_rows:
+                sub = _partition_subsize(bsize, PartitionType.PARTITION_VERT)
+                w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
+                dec_map[(r, c)] = self._dec_from_row(res[(r, c, w, h)])
+                if c + half < self.mi_cols:
+                    dec_map[(r, c + half)] = self._dec_from_row(
+                        res[(r, c + half, w, h)])
+            else:
+                S2 = S >> 1
+                extract(r, c, S2)
+                extract(r, c + half, S2)
+                extract(r + half, c, S2)
+                extract(r + half, c + half, S2)
+
+        for r0 in range(0, self.mi_rows, sb_mi):
+            for c0 in range(0, self.mi_cols, sb_mi):
+                extract(r0, c0, 64)
+
+        dec_obj = IntraDecisions(parts=parts, modes={}, tx_types={},
+                                 max_leaf=dmax, min_leaf=dmin)
+        self.decisions = dec_obj
+        self.inter_dec = dec_map
+        self.shared["inter_dec"] = dec_map
+        self.shared["inter_decisions"] = dec_obj
+        return True
 
     def _pre_walk_device(self, blk, blocks):
         """Device-backend decisions: one jitted SSD-grid search over all

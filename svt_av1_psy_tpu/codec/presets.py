@@ -29,6 +29,8 @@ class PresetConfig:
     sgr_eps_step: int = 1      # SGR parameter-set sampling stride (1 = all 16)
     gm: bool = True            # global-motion estimation (gm_level analog:
                                # the reference disables GM at fast presets)
+    inter_depths: tuple = (32,)  # square leaf sizes searched by the inter
+                                 # partition DP (NONE-vs-SPLIT recursion)
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
@@ -64,4 +66,6 @@ def preset_config(preset: int) -> PresetConfig:
                         # SGR search cost scales with the ep count; fast
                         # presets go Wiener-only (step 0 = skip SGR)
                         sgr_eps_step=1 if p <= 4 else (2 if p <= 6 else 0),
-                        gm=p <= 11)
+                        gm=p <= 11,
+                        inter_depths=((16, 32, 64) if p <= 5
+                                      else (32, 64) if p <= 9 else (32,)))

@@ -303,6 +303,15 @@ def pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
     for ui in range(pr.vunits):
         for uj in range(pr.hunits):
             v0, v1, h0, h1 = pr.unit_limits(ui, uj)
+            # decoder-compat guard: dav1d 1.0.0 (the conformance target on
+            # this host) segfaults filtering a *merged* chroma unit (last
+            # unit wider/taller than the nominal size from the half-unit
+            # merge rule, spec 5.9.20). Leave such units RESTORE_NONE;
+            # libaom decodes them fine, dav1d crashes (verified: widths
+            # 129..158, chroma units 33..47 px wide). Bounded loss: a
+            # <16-px-wide strip stays unrestored at those geometries.
+            if ss and (h1 - h0 > pr.size or v1 - v0 > pr.size):
+                continue
             s = src[v0:v1, h0:h1]
             base_sse = int(((crop[v0:v1, h0:h1] - s) ** 2).sum())
             # near-lossless unit: no restoration tool can pay for its

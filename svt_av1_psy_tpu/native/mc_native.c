@@ -969,7 +969,10 @@ void inter_decide_frame(
         #undef PSY_COST
 
         int32_t *o = out + 8 * i;
-        o[5] = o[6] = o[7] = 0;
+        o[5] = o[6] = 0;
+        /* winning cost (SSE + psy) for the caller's partition DP */
+        int64_t bc = best_inter <= best_icost ? best_inter : best_icost;
+        o[7] = bc > INT32_MAX ? INT32_MAX : (int32_t)bc;
         if (best_inter <= best_icost) {
             if (use_comp) {
                 o[0] = 1; o[1] = 7; o[2] = 24;   /* NEW_NEWMV on (LAST, ref2) */

@@ -100,3 +100,83 @@ def test_device_inter_search_backend_conformant():
     _check(stream, recons, 160, 128)
     stream_n, _ = _encode_seq(160, 128, 5, 45, seed=2)
     assert len(stream) < len(stream_n) * 1.25, (len(stream), len(stream_n))
+
+
+@requires_dav1d
+@pytest.mark.parametrize("case", [
+    # multi-depth partition RDO: preset <= 5 searches 16/32/64,
+    # presets 6..9 search 32/64 (hierarchical GoP default structure)
+    dict(W=192, H=128, n=5, q=40, preset=4),
+    dict(W=160, H=96, n=4, q=45, preset=8),
+    dict(W=130, H=94, n=4, q=45, preset=4),          # odd dims, forced edges
+    dict(W=128, H=96, n=3, q=40, preset=4, bd=10),   # 10-bit
+])
+def test_inter_partition_rdo_conformant(case):
+    rng = np.random.default_rng(11)
+    W, H, n, bd = case["W"], case["H"], case["n"], case.get("bd", 8)
+    peak = (1 << bd) - 1
+    dt = np.uint8 if bd == 8 else np.uint16
+    base = (np.cumsum(rng.normal(0, peak / 60, (H + 64, W + 64)), axis=1)
+            + peak // 2).clip(0, peak).astype(dt)
+    cfg = EncoderConfig(width=W, height=H, input_depth=bd,
+                        recon_enabled=True, preset=case["preset"])
+    cfg.qp = case["q"]
+    enc = Encoder(cfg).init()
+    yy, xx = np.mgrid[0:H, 0:W]
+    for i in range(n):
+        y = base[8 + i * 2 : 8 + i * 2 + H, 8 + i * 3 : 8 + i * 3 + W].copy()
+        disc = ((xx - W // 3 - 9 * i) ** 2 + (yy - H // 2 - 4 * i) ** 2) < (H // 5) ** 2
+        y[disc] = np.clip(3 * peak // 4 + xx[disc] - W // 3, 0, peak).astype(dt)
+        u = (base[: (H + 1) // 2, : (W + 1) // 2] // 2 + peak // 4).astype(dt)
+        enc.send_picture(y, u, u.copy(), pts=i)
+    enc.flush()
+    stream = b""
+    recons = []
+    while (pkt := enc.get_packet()) is not None:
+        stream += pkt.data
+        if pkt.recon is not None:
+            recons.append(pkt.recon)
+    _check(stream, recons, W, H)
+
+
+def test_inter_partition_dp_mixes_sizes():
+    """The DP must actually choose a mixed tree on mixed content (and the
+    chosen leaves must tile the frame exactly)."""
+    from svt_av1_psy_tpu.codec import inter_encoder as IE
+
+    rng = np.random.default_rng(5)
+    W, H = 256, 192
+    flat = np.full((H + 32, W + 32), 120, np.uint8)
+    cfg = EncoderConfig(width=W, height=H, preset=4, recon_enabled=True)
+    cfg.qp = 35
+    enc = Encoder(cfg).init()
+    captured = {}
+    orig = IE.InterFrameEncoder._pre_walk_multi
+
+    def spy(self):
+        ok = orig(self)
+        if ok and "dec" not in captured:
+            captured["dec"] = dict(self.inter_dec)
+            captured["parts"] = {k: v.copy()
+                                 for k, v in self.decisions.parts.items()}
+        return ok
+
+    IE.InterFrameEncoder._pre_walk_multi = spy
+    try:
+        yy, xx = np.mgrid[0:H, 0:W]
+        u = np.full((H // 2, W // 2), 118, np.uint8)
+        for i in range(3):
+            y = flat[i : i + H, i : i + W].copy()
+            # busy textured corner forces small partitions there
+            y[:64, :64] = rng.integers(0, 255, (64, 64))
+            y[(xx + yy + 5 * i) % 97 == 0] = 240
+            enc.send_picture(np.ascontiguousarray(y), u, u.copy(), pts=i)
+        enc.flush()
+        while enc.get_packet() is not None:
+            pass
+    finally:
+        IE.InterFrameEncoder._pre_walk_multi = orig
+    assert captured, "multi-depth pre-pass never ran"
+    split64 = int(captured["parts"][64].sum())
+    assert 0 < split64 < captured["parts"][64].size  # mixed tree
+    assert len(captured["dec"]) > (W // 64) * (H // 64)
