@@ -111,9 +111,11 @@ class Encoder:
                                      and self._pc.restoration))
                                 and cfg.tile_columns == 0 and cfg.tile_rows == 0),
         )
-        # film grain: explicit table takes precedence over the photon-noise
+        # film grain: explicit table takes precedence over the estimation
         # model driven by --film-grain (app_config.c:2869 precedence warning)
         self._film_grain = None
+        self._fg_estimate_pending = False
+        self._fg_noise_floor = None
         if cfg.fgs_table_path:
             from .codec.film_grain import parse_fgs_table
 
@@ -122,11 +124,13 @@ class Encoder:
                 self._film_grain = entries[0][2]
                 self._film_grain.bit_depth = cfg.input_depth
         elif cfg.film_grain_denoise_strength > 0:
-            from .codec.film_grain import photon_noise_params
-
-            self._film_grain = photon_noise_params(
-                cfg.film_grain_denoise_strength, cfg.input_depth)
-        self._seq.film_grain_params_present = self._film_grain is not None
+            # estimation-based grain (noise_model.c path): fitted from the
+            # first source frame in send_picture; the sequence header must
+            # already declare grain support
+            self._fg_estimate_pending = True
+        self._seq.film_grain_params_present = (
+            self._film_grain is not None
+            or cfg.film_grain_denoise_strength > 0)
         # HDR metadata OBUs (MDCV/CLL), attached to key frames (the
         # reference's app-layer metadata array path, metadata_handle.c)
         from .codec.metadata import (METADATA_TYPE_HDR_CLL,
@@ -179,6 +183,39 @@ class Encoder:
         pictures buffer until their TF window fills — call flush() at EOS."""
         self._check_init()
         cfg = self.config
+        if self._fg_estimate_pending:
+            # fit the film-grain noise model to the first source frame
+            # (noise_model.c svt_aom_denoise_and_model_run analog)
+            self._fg_estimate_pending = False
+            from .codec.noise_model import estimate_film_grain
+
+            fg, _ = estimate_film_grain(
+                np.asarray(y), None if u is None else np.asarray(u),
+                None if v is None else np.asarray(v), bd=cfg.input_depth)
+            if fg is None:
+                from .codec.film_grain import photon_noise_params
+
+                # clean content but grain requested: photon-noise profile
+                fg = photon_noise_params(cfg.film_grain_denoise_strength,
+                                         cfg.input_depth)
+            self._film_grain = fg
+        if (cfg.film_grain_denoise_apply
+                and cfg.film_grain_denoise_strength > 0):
+            # encode the denoised source (--film-grain-denoise 1)
+            from .codec.noise_model import analyze_plane, dct_denoise, \
+                noise_dct_floor
+
+            if self._fg_noise_floor is None:
+                got = analyze_plane(np.asarray(y))
+                if got is not None:
+                    blocks, flat, _, resid, _ = got
+                    fi = np.flatnonzero(flat)
+                    if len(fi) >= 4:
+                        self._fg_noise_floor = noise_dct_floor(
+                            resid[fi], cfg.input_depth)
+            if self._fg_noise_floor is not None:
+                y = dct_denoise(np.asarray(y), self._fg_noise_floor,
+                                cfg.input_depth)
         if self._firstpass is not None:
             self._firstpass.push(np.asarray(y), cfg.input_depth)
             self._submitted += 1

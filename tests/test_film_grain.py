@@ -44,6 +44,12 @@ def _encode_grain(W, H, n=2, bd=8, strength=8, fgs_text=None, seed=4, q=40,
     cfg.qp = q
     enc = Encoder(cfg).init()
     if clip:
+        # pin the photon-noise profile (estimation would otherwise fit the
+        # source at the first frame) and exercise the clip syntax path
+        from svt_av1_psy_tpu.codec.film_grain import photon_noise_params
+
+        enc._film_grain = photon_noise_params(strength, bd)
+        enc._fg_estimate_pending = False
         enc._film_grain.clip_to_restricted_range = 1
     for i in range(n):
         y = base[2 * i : 2 * i + H, 3 * i : 3 * i + W].copy()
@@ -131,3 +137,80 @@ def test_grain_deterministic():
     a = apply_film_grain(fg, y, None, None, 8)[0]
     b = apply_film_grain(fg, y, None, None, 8)[0]
     assert np.array_equal(a, b) and not np.array_equal(a, y)
+
+
+@requires_dav1d
+def test_film_grain_estimation_e2e():
+    """--film-grain N with no fgs-table: the noise model fits grain params
+    from the source; the stream must decode bit-exactly (grain synthesis is
+    part of the conformance check) and carry a grain-param payload."""
+    from svt_av1_psy_tpu.codec.film_grain import FilmGrainParams, apply_film_grain
+
+    rng = np.random.default_rng(2)
+    W, H = 192, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    clean = ((xx * 0.5 + yy * 0.25) % 190 + 30).astype(np.uint8)
+    tr = FilmGrainParams(random_seed=99)
+    tr.scaling_points_y = [(0, 56), (255, 56)]
+    tr.ar_coeff_lag = 2
+    tr.ar_coeffs_y = [3, -2, 7, 2, 11, 5, -2, 16, 4, 2, 12, 3]
+    tr.ar_coeff_shift = 7
+    u = np.full((H // 2, W // 2), 119, np.uint8)
+    gy, gu, gv = apply_film_grain(tr, clean, u, u.copy())
+
+    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+                        film_grain_denoise_strength=8)
+    cfg.qp = 40
+    enc = Encoder(cfg).init()
+    enc.send_picture(gy.astype(np.uint8), gu.astype(np.uint8),
+                     gv.astype(np.uint8))
+    pkt = enc.get_packet()
+    assert enc._film_grain is not None and enc._film_grain.num_y_points > 0
+    # dav1d output (WITH grain) must match recon + our normative synthesis
+    dy, du, dv = dav1d.decode(pkt.data, W, H)
+    ry, ru, rv = enc.get_recon()
+    fy, fu, fv = apply_film_grain(enc._film_grain, ry, ru, rv)
+    assert np.array_equal(dy, fy)
+    assert np.array_equal(du, fu)
+    assert np.array_equal(dv, fv)
+    # the synthesized grain level should resemble the source's
+    src_sigma = float((gy.astype(float) - clean.astype(float)).std())
+    out_sigma = float((dy.astype(float) - ry.astype(float)).std())
+    assert 0.4 * src_sigma < out_sigma < 2.0 * src_sigma
+
+
+@requires_dav1d
+def test_film_grain_denoise_apply():
+    """--film-grain-denoise 1: the encoder codes the denoised source, so
+    the recon should sit closer to the clean plate than the grainy input."""
+    from svt_av1_psy_tpu.codec.film_grain import FilmGrainParams, apply_film_grain
+
+    W, H = 192, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    clean = ((xx * 0.5 + yy * 0.25) % 190 + 30).astype(np.uint8)
+    tr = FilmGrainParams(random_seed=99)
+    tr.scaling_points_y = [(0, 56), (255, 56)]
+    tr.ar_coeff_lag = 2
+    tr.ar_coeffs_y = [3, -2, 7, 2, 11, 5, -2, 16, 4, 2, 12, 3]
+    tr.ar_coeff_shift = 7
+    u = np.full((H // 2, W // 2), 119, np.uint8)
+    gy, gu, gv = apply_film_grain(tr, clean, u, u.copy())
+
+    def encode(apply_dn):
+        cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+                            film_grain_denoise_strength=8,
+                            film_grain_denoise_apply=apply_dn)
+        cfg.qp = 30
+        enc = Encoder(cfg).init()
+        enc.send_picture(gy.astype(np.uint8).copy(), gu.astype(np.uint8),
+                         gv.astype(np.uint8))
+        pkt = enc.get_packet()
+        ry = enc.get_recon()[0]
+        dy, _, _ = dav1d.decode(pkt.data, W, H)  # stream stays conformant
+        from svt_av1_psy_tpu.codec.film_grain import apply_film_grain as ag
+        assert np.array_equal(dy, ag(enc._film_grain, *enc.get_recon())[0])
+        return float(np.abs(ry.astype(float) - clean.astype(float)).mean())
+
+    err_plain = encode(False)
+    err_dn = encode(True)
+    assert err_dn < err_plain * 0.75, (err_dn, err_plain)
