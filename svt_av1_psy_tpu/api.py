@@ -549,7 +549,8 @@ class Encoder:
                       seg_params=seg_params, sb_seg_map=sb_seg_map,
                       noise_norm=cfg.noise_norm_strength,
                       enable_filter_intra=True, chroma_delta=chroma_delta,
-                      allow_sct=getattr(self, "_allow_sct", False))
+                      allow_sct=getattr(self, "_allow_sct", False),
+                      palette_level=cfg.palette_level)
         gm_mv = (0, 0)
         if not is_key and cfg.enable_global_motion and self._pc.gm:
             from .codec.global_motion import estimate_global_translation

@@ -156,7 +156,7 @@ class IntraFrameEncoder:
                  seg_params=None, sb_seg_map=None, noise_norm=0,
                  enable_filter_intra=False, chroma_delta=0,
                  decisions=None, filter_intra_search=True, cfl_search=True,
-                 allow_sct=False,
+                 allow_sct=False, palette_level=-1,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -224,10 +224,16 @@ class IntraFrameEncoder:
         # DC blocks carry palette-off flags (write_palette_mode_info,
         # entropy_coding.c:4254)
         self.allow_sct = bool(allow_sct)
+        # palette (screen content): level -1 = auto (on when screen-content
+        # tools are on), 0 = off, 1..6 = on (palette.c candidate ladder)
+        self.palette_enabled = (self.allow_sct and palette_level != 0
+                                and qindex > 0)
         # mi-grid state
         self.tile_mi = (0, self.mi_rows, 0, self.mi_cols)
         self.mi_mode = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.mi_skip = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.pal_size = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.pal_colors = {}   # (mi_row, mi_col) -> tuple of base colors
         self.part_above = np.zeros(self.mi_cols, np.uint8)
         self.part_left = np.zeros(self.mi_rows, np.uint8)
         self.planes: list[PlaneState] = []
@@ -667,6 +673,31 @@ class IntraFrameEncoder:
                     best_mode = PredictionMode.DC_PRED
                     best_pred, best_cost = pred, cost
                     fi_mode = fi
+        # ---- palette candidate (screen content; palette.c:380 ladder)
+        pal_info = None
+        if (self.palette_enabled and W >= 8 and W <= 64 and H <= 64
+                and x0 + W <= self.w and y0 + H <= self.h):
+            from . import palette as PAL
+            from .rd import lambda_sse_per_bit
+
+            sel = PAL.select_palette(src, self.bd)
+            if sel is not None:
+                colors, idx_map, psse = sel
+                pal_pred = colors[idx_map.astype(np.int32)].astype(np.uint16)
+                lam = getattr(self, "_lam_pal", None)
+                if lam is None:
+                    lam = self._lam_pal = float(
+                        lambda_sse_per_bit(self.qindex, self.bd, "kf"))
+                n = len(colors)
+                bits = (2.0 + 3.0 + n * (self.bd - 2)
+                        + PAL.map_rate_estimate(idx_map, n))
+                pcost = psse + self._psy_cost(src, pal_pred) + lam * bits
+                if pcost < best_cost:
+                    best_mode = PredictionMode.DC_PRED
+                    best_pred, best_cost = pal_pred, pcost
+                    fi_mode = None
+                    tx_type_y = 0
+                    pal_info = (colors, idx_map)
         y_mode = best_mode
         uv_mode = UVPredictionMode.UV_DC_PRED
         cfl_alphas = None   # (alpha_u_q3, alpha_v_q3) when uv_mode is CFL
@@ -746,16 +777,22 @@ class IntraFrameEncoder:
             if uv_mode == UVPredictionMode.UV_CFL_PRED:
                 self._write_cfl_alphas(*cfl_alphas)
             # UV_DC / CFL are non-directional: no uv angle delta
-        self._write_palette_off(
-            bsize, int(y_mode),
-            has_uv and uv_mode == UVPredictionMode.UV_DC_PRED)
-        # filter_intra_mode_info (spec 5.11.10 tail; after uv/palette)
+        self._write_palette_info(
+            mi_row, mi_col, bsize, int(y_mode),
+            has_uv and uv_mode == UVPredictionMode.UV_DC_PRED, pal_info)
+        # filter_intra_mode_info (spec 5.11.10 tail; after uv/palette;
+        # gated on palette_size == 0, svt_aom_filter_intra_allowed)
         if (self.enable_filter_intra and int(y_mode) == int(PredictionMode.DC_PRED)
-                and W <= 32 and H <= 32):
+                and W <= 32 and H <= 32 and pal_info is None):
             self.fc.write(self.enc, "filter_intra", (int(bsize),),
                           int(fi_mode is not None), 2)
             if fi_mode is not None:
                 self.fc.write(self.enc, "filter_intra_mode", (), fi_mode, 5)
+        if pal_info is not None:
+            # color-index-map tokens (pack_map_tokens, after fi, before tx)
+            from . import palette as PAL
+
+            PAL.write_color_map(self.fc, self.enc, pal_info[1], len(pal_info[0]))
         # tx_mode LARGEST: no tx size syntax
 
         # ---- residual + recon
@@ -811,6 +848,14 @@ class IntraFrameEncoder:
         c1 = min(mi_col + bw4, self.mi_cols)
         self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
         self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
+        if self.palette_enabled:
+            n_pal = len(pal_info[0]) if pal_info is not None else 0
+            self.pal_size[mi_row:r1, mi_col:c1] = n_pal
+            if pal_info is not None:
+                cols_t = tuple(int(v) for v in pal_info[0])
+                for rr in range(mi_row, r1):
+                    for cc in range(mi_col, c1):
+                        self.pal_colors[(rr, cc)] = cols_t
 
     # per-directional-mode edge unit vectors (mode angle degrees)
     _DIR_MODES = (PredictionMode.V_PRED, PredictionMode.H_PRED, PredictionMode.D45_PRED,
@@ -880,6 +925,43 @@ class IntraFrameEncoder:
         if bsize >= BlockSize.BLOCK_8X8 and 1 <= int(mode) <= 8:
             # directional: angle_delta = 0 -> symbol 3
             self.fc.write(self.enc, "angle_delta", (int(mode) - 1,), 3, 7)
+
+    def _write_palette_info(self, mi_row, mi_col, bsize, y_mode, uv_is_dc,
+                            pal_info):
+        """Palette mode info for key-frame intra blocks: y flag with real
+        neighbor context, size, cache-referenced colors
+        (write_palette_mode_info, entropy_coding.c:4254)."""
+        if not self.allow_sct:
+            return
+        W, H = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+        if W > 64 or H > 64 or bsize < BlockSize.BLOCK_8X8:
+            return
+        from . import palette as PAL
+
+        bctx = PAL.bsize_ctx(W, H)
+        t_r0, _, t_c0, _ = self.tile_mi
+        have_a = mi_row > t_r0
+        have_l = mi_col > t_c0
+        n = len(pal_info[0]) if pal_info is not None else 0
+        if y_mode == int(PredictionMode.DC_PRED):
+            mctx = ((int(self.pal_size[mi_row - 1, mi_col] > 0) if have_a else 0)
+                    + (int(self.pal_size[mi_row, mi_col - 1] > 0) if have_l else 0))
+            self.fc.write(self.enc, "palette_y_mode", (bctx, mctx),
+                          int(n > 0), 2)
+            if n > 0:
+                self.fc.write(self.enc, "palette_y_size", (bctx,),
+                              n - PAL.PALETTE_MIN_SIZE, 7)
+                # color cache: above gated off on SB-row boundaries
+                # (svt_get_palette_cache_y, palette.c:158)
+                above = (self.pal_colors.get((mi_row - 1, mi_col))
+                         if have_a and (mi_row % 16) else None)
+                left = (self.pal_colors.get((mi_row, mi_col - 1))
+                        if have_l else None)
+                cache = PAL.palette_cache(above, left)
+                PAL.write_palette_colors_y(self.enc, cache, pal_info[0],
+                                           self.bd)
+        if uv_is_dc:
+            self.fc.write(self.enc, "palette_uv_mode", (int(n > 0),), 0, 2)
 
     def _write_palette_off(self, bsize, y_mode, uv_is_dc):
         """Palette flags (coded 0: palette unused) for DC-predicted blocks

@@ -148,7 +148,8 @@ def eligible(enc) -> bool:
     if tname != "IntraFrameEncoder":
         return False
     if (enc.decisions is None
-            or (enc.enable_filter_intra and enc.filter_intra_search)):
+            or (enc.enable_filter_intra and enc.filter_intra_search)
+            or getattr(enc, "palette_enabled", False)):
         return False
     # only the searched tx set has transform/scan tables on the C side
     for t in enc.decisions.tx_types.values():

@@ -578,9 +578,7 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
            "luminance-qp-bias out of range [0, 100]")
     _check(not cfg.lossless,
            "lossless coding (WHT 4x4 path) is not implemented yet")
-    _check(cfg.palette_level <= 0,
-           "palette coding is not implemented yet (palette_level must be "
-           "-1/0)")
+    _check(-1 <= cfg.palette_level <= 6, "palette_level out of range [-1, 6]")
     _check(int(cfg.superres_mode) == 0,
            "super-resolution is not implemented yet (superres_mode NONE)")
     _check(0 <= cfg.qp <= MAX_CRF, f"qp/crf {cfg.qp} out of range [0, {MAX_CRF}]")
