@@ -110,6 +110,7 @@ class Encoder:
                                  or (cfg.enable_restoration_filtering < 0
                                      and self._pc.restoration))
                                 and cfg.tile_columns == 0 and cfg.tile_rows == 0),
+            enable_superres=int(cfg.superres_mode) != 0,
         )
         # film grain: explicit table takes precedence over the estimation
         # model driven by --film-grain (app_config.c:2869 precedence warning)
@@ -438,6 +439,32 @@ class Encoder:
             self._allow_sct = sc0
         elif cfg.screen_content_mode == 0:
             self._allow_sct = False
+        # ---- super-resolution (key frames: encode at a downscaled width,
+        # the decoder upscales normatively before loop restoration; inter
+        # frames reference the upscaled recon at full size, so no scaled-MC
+        # path is needed — spec 5.9.8 superres_params, super_res.c)
+        full_w = cfg.width
+        sr_denom = 8
+        y_full = u_full = v_full = None
+        if is_key and int(cfg.superres_mode) != 0:
+            from .codec.superres import downscale_plane, scaled_width
+
+            denom = int(cfg.superres_kf_denom)
+            dw = scaled_width(full_w, denom)
+            if 9 <= denom <= 16 and 16 <= dw < full_w:
+                sr_denom = denom
+                y_full, u_full, v_full = np.asarray(y), u, v
+                import copy as _copy
+
+                cfg = _copy.copy(cfg)
+                cfg.width = dw
+                y = downscale_plane(y_full, dw, cfg.input_depth)
+                if u is not None:
+                    cdw = (dw + 1) >> 1
+                    u = downscale_plane(np.asarray(u_full), cdw, cfg.input_depth)
+                    v = downscale_plane(np.asarray(v_full), cdw, cfg.input_depth)
+                tile_cols_log2, tile_rows_log2 = clamp_tile_log2s(
+                    cfg.width, cfg.height, cfg.tile_columns, cfg.tile_rows)
         # rate control: CRF mapping (+ PSY qp-scale-compress) or 1-pass VBR/CBR
         if cfg.rate_control_mode == RateControlMode.CRF_CQP:
             qindex = _crf_to_qindex(cfg.crf)
@@ -500,7 +527,7 @@ class Encoder:
             # temporal-layer delta (pyramid base boosted, leaves cheapened)
             qindex = int(np.clip(qindex + int(gop["q_offset"]), 1, 255))
         sb_qindex_map = None
-        if (self._tpl is not None and is_key and qindex > 1
+        if (self._tpl is not None and is_key and qindex > 1 and sr_denom == 8
                 and not (cfg.enable_variance_boost and cfg.aq_mode == 2)):
             from .rc.tpl import tpl_sb_qindex_map
 
@@ -599,10 +626,12 @@ class Encoder:
 
         def make_enc():
             if is_key:
-                return IntraFrameEncoder(
+                e = IntraFrameEncoder(
                     cfg.width, cfg.height, qindex, decisions=decisions,
                     filter_intra_search=self._pc.filter_intra_search,
                     cfl_search=self._pc.cfl_search, **common)
+                e.sr_denom = sr_denom   # LR unit mapping scales with superres
+                return e
             from .codec.inter_encoder import InterFrameEncoder
 
             return InterFrameEncoder(
@@ -646,25 +675,58 @@ class Encoder:
 
         from .profiling import stage as _stage
 
+        def upscale_all(planes_list):
+            """Normative horizontal upscale (superres): taps sample the
+            mi-aligned recon extent; step/x0 derive from visible widths."""
+            from .codec.superres import upscale_plane
+
+            mi_w = (2 * ((cfg.width + 7) >> 3)) * 4   # MiCols * MI_SIZE
+            out = []
+            for p, arr in enumerate(planes_list):
+                ss = 0 if p == 0 else 1
+                vh = (cfg.height + ss) >> ss
+                vw = (cfg.width + ss) >> ss
+                aw = min(mi_w >> ss, arr.shape[1])
+                ow = (full_w + ss) >> ss
+                out.append(upscale_plane(np.ascontiguousarray(arr[:vh, :aw]),
+                                         ow, cfg.input_depth, visible_w=vw))
+            return out
+
         enc = make_enc()
         with _stage("host:encode_pass"):
             tiles = enc.encode_tiles(y, u, v, tile_cols_log2, tile_rows_log2)
         with _stage("host:filters"):
             deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
+        up_final = None   # superres: full-width post-LR planes
+        if sr_denom > 8:
+            up_final = upscale_all([ps.recon for ps in enc.planes])
         lr_types = (0, 0, 0)
         if self._seq.enable_restoration:
             from .codec.restoration import RESTORE_NONE, apply_restoration, pick_lr
 
+            # LR operates on the (upscaled, full-width) frame (spec order:
+            # deblock -> cdef -> superres upscale -> loop restoration)
+            if sr_denom > 8:
+                lr_recon = up_final
+                lr_deblocked = upscale_all(deblocked)
+                lr_src = (y_full, u_full, v_full)
+                lr_w = full_w
+            else:
+                lr_recon = [ps.recon for ps in enc.planes]
+                lr_deblocked = deblocked
+                lr_src = (y, u, v)
+                lr_w = cfg.width
             rsts = [None] * len(enc.planes)
-            rsts[0] = pick_lr(np.asarray(y), enc.planes[0].recon, deblocked[0],
-                              cfg.width, cfg.height, 0, cfg.input_depth,
+            rsts[0] = pick_lr(np.asarray(lr_src[0]), lr_recon[0],
+                              lr_deblocked[0], lr_w, cfg.height, 0,
+                              cfg.input_depth,
                               sgr_eps_step=self._pc.sgr_eps_step)
             if len(enc.planes) > 1:
-                cw, ch = (cfg.width + 1) >> 1, (cfg.height + 1) >> 1
-                for plane, srcp in ((1, u), (2, v)):
+                cw, ch = (lr_w + 1) >> 1, (cfg.height + 1) >> 1
+                for plane, srcp in ((1, lr_src[1]), (2, lr_src[2])):
                     rsts[plane] = pick_lr(
-                        np.asarray(srcp), enc.planes[plane].recon,
-                        deblocked[plane], cw, ch, 1, cfg.input_depth,
+                        np.asarray(srcp), lr_recon[plane],
+                        lr_deblocked[plane], cw, ch, 1, cfg.input_depth,
                         sgr_eps_step=self._pc.sgr_eps_step)
             if any(r is not None and r.frame_type != RESTORE_NONE for r in rsts):
                 # LR syntax is coded per SB, so re-encode the tiles with the
@@ -674,8 +736,13 @@ class Encoder:
                 enc.rsts = rsts
                 tiles = enc.encode_tiles(y, u, v, tile_cols_log2, tile_rows_log2)
                 deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping = run_filters(enc)
-                apply_restoration([ps.recon for ps in enc.planes], deblocked,
-                                  rsts, cfg.input_depth)
+                if sr_denom > 8:
+                    up_final = upscale_all([ps.recon for ps in enc.planes])
+                    apply_restoration(up_final, upscale_all(deblocked),
+                                      rsts, cfg.input_depth)
+                else:
+                    apply_restoration([ps.recon for ps in enc.planes], deblocked,
+                                      rsts, cfg.input_depth)
                 lr_types = tuple((r.frame_type if r is not None else 0)
                                  for r in rsts) + (0,) * (3 - len(rsts))
         from .codec.constants import FrameType
@@ -706,7 +773,8 @@ class Encoder:
                          sharpness=max(cfg.sharpness, 0),
                          cdef_damping=cdef_damping, cdef_bits=0,
                          cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
-                         cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),))
+                         cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),),
+                         superres_denom=sr_denom)
         if not is_key:
             if gop is not None:
                 # hierarchical scheduling: explicit DPB slot roles
@@ -727,7 +795,11 @@ class Encoder:
                 if self._golden_planes is not None:
                     fp.ref_frame_idx = (0, 0, 0, 1, 0, 0, 0)
         # reference state: final (post-filter) recon planes, aligned dims
-        ref_planes = [ps.recon.copy() for ps in enc.planes]
+        # (superres: the upscaled full-width planes are the reference)
+        if up_final is not None:
+            ref_planes = [p.copy() for p in up_final]
+        else:
+            ref_planes = [ps.recon.copy() for ps in enc.planes]
         if gop is None or gop.get("update_last", True):
             self._ref_planes = ref_planes
         if is_key:
@@ -742,13 +814,22 @@ class Encoder:
         payload += frame_obu(self._seq, fp, tiles)
         recon = None
         if cfg.recon_enabled or cfg.stat_report:
-            recon = tuple(enc.recon_plane(p) for p in range(1 if self._seq.monochrome else 3))
+            if up_final is not None:
+                recon = tuple(up_final[p] if p < len(up_final) else None
+                              for p in range(1 if self._seq.monochrome else 3))
+            else:
+                recon = tuple(enc.recon_plane(p)
+                              for p in range(1 if self._seq.monochrome else 3))
             self._recon_last = recon
         stats = None
         if cfg.stat_report:
             from .codec.metrics import frame_stats
 
-            srcs = (y,) if self._seq.monochrome else (y, u, v)
+            if up_final is not None:
+                srcs = ((y_full,) if self._seq.monochrome
+                        else (y_full, u_full, v_full))
+            else:
+                srcs = (y,) if self._seq.monochrome else (y, u, v)
             stats = frame_stats(srcs, recon, cfg.input_depth)
         shown = is_key or gop is None or bool(gop.get("show", True))
         self._packets.append(Packet(payload, pts if pts is not None else self._frame_count,

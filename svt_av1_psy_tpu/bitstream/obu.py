@@ -92,6 +92,7 @@ class FrameParams:
     lr_types: tuple = (0, 0, 0)      # RestorationType per plane
     lr_unit_size: int = 64
     lr_uv_unit_size: int = 64
+    superres_denom: int = 8   # 8 = off; 9..16 (spec SuperresDenom)
     gm_trans: tuple = None           # per-ref (row_q3, col_q3) or None
     segmentation: object = None      # codec.segmentation.SegmentationParams
     allow_intrabc: bool = False
@@ -501,9 +502,9 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         # ref_frame_idx for LAST..ALTREF (no short signaling without order hints)
         for i in range(7):
             w.f(fp.ref_frame_idx[i], 3)
-        # frame_size (override 0)
+        # frame_size (override 0); inter frames never downscale here
         if sp.enable_superres:
-            w.f(0, 1)
+            w.f(0, 1)  # use_superres
         w.f(0, 1)  # render_and_frame_size_different
         w.f(int(fp.allow_high_precision_mv), 1)
         w.f(int(fp.interpolation_filter_switchable), 1)
@@ -513,7 +514,11 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         # use_ref_frame_mvs requires seq enable_ref_frame_mvs (off)
     else:
         if sp.enable_superres:
-            w.f(0, 1)  # use_superres
+            # superres_params (spec 5.9.8): denom = coded_denom + 9
+            use_sr = int(fp.superres_denom > 8)
+            w.f(use_sr, 1)
+            if use_sr:
+                w.f(fp.superres_denom - 9, 3)
         w.f(0, 1)  # render_and_frame_size_different
         if fp.allow_screen_content_tools:
             w.f(int(fp.allow_intrabc), 1)

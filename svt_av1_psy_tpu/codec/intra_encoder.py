@@ -543,7 +543,8 @@ class IntraFrameEncoder:
         for plane, pr in enumerate(self.rsts):
             if pr is None or pr.frame_type == RESTORE_NONE:
                 continue
-            for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, self.sb_size >> 2):
+            for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, self.sb_size >> 2,
+                                         getattr(self, 'sr_denom', 8)):
                 write_lr_unit(self.fc, self.enc, pr.frame_type,
                               pr.unit_info[r][c], self._lr_refs[plane],
                               plane > 0)

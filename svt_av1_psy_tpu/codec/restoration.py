@@ -478,13 +478,18 @@ def write_wiener_unit(fc, enc, info, refs, is_chroma: bool):
 
 
 def lr_units_in_sb(pr: PlaneRestoration, mi_row: int, mi_col: int,
-                   sb_mi: int = 16):
+                   sb_mi: int = 16, sr_denom: int = 8):
     """Restoration units whose top-left corner falls inside this SB
-    (svt_av1_loop_restoration_corners_in_sb :1427, single LR tile)."""
+    (svt_av1_loop_restoration_corners_in_sb :1427, single LR tile).
+    With superres the LR grid lives on the UPSCALED frame, so unit
+    columns scale by SuperresDenom/8 (spec 5.11.57 numerator/denominator);
+    rows are unaffected (superres is horizontal-only)."""
     mi_size = 4 >> pr.ss
     size = pr.size
     r0 = (mi_row * mi_size + size - 1) // size
-    c0 = (mi_col * mi_size + size - 1) // size
     r1 = min(((mi_row + sb_mi) * mi_size + size - 1) // size, pr.vunits)
-    c1 = min(((mi_col + sb_mi) * mi_size + size - 1) // size, pr.hunits)
+    numer = mi_size * sr_denom
+    denom = size * 8
+    c0 = (mi_col * numer + denom - 1) // denom
+    c1 = min(((mi_col + sb_mi) * numer + denom - 1) // denom, pr.hunits)
     return [(r, c) for r in range(r0, r1) for c in range(c0, c1)]

@@ -449,7 +449,8 @@ def _record_lr_ops(enc, mi_r0, mi_r1, mi_c0, mi_c1):
             for plane, pr in enumerate(enc.rsts):
                 if pr is None or pr.frame_type == RESTORE_NONE:
                     continue
-                for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, 16):
+                for (r, c) in lr_units_in_sb(pr, mi_row, mi_col, 16,
+                                             getattr(enc, 'sr_denom', 8)):
                     write_lr_unit(rec, rec, pr.frame_type,
                                   pr.unit_info[r][c], lr_refs[plane],
                                   plane > 0)

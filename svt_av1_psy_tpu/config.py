@@ -579,8 +579,14 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     _check(not cfg.lossless,
            "lossless coding (WHT 4x4 path) is not implemented yet")
     _check(-1 <= cfg.palette_level <= 6, "palette_level out of range [-1, 6]")
-    _check(int(cfg.superres_mode) == 0,
-           "super-resolution is not implemented yet (superres_mode NONE)")
+    _check(int(cfg.superres_mode) in (0, 1),
+           "superres_mode: NONE and FIXED are implemented (RANDOM/QTHRESH/"
+           "AUTO are not)")
+    if int(cfg.superres_mode) == 1:
+        _check(8 <= cfg.superres_kf_denom <= 16,
+               "superres-kf-denom out of range [8, 16]")
+        _check(8 <= cfg.superres_denom <= 16,
+               "superres-denom out of range [8, 16]")
     _check(0 <= cfg.qp <= MAX_CRF, f"qp/crf {cfg.qp} out of range [0, {MAX_CRF}]")
     _check(cfg.rate_control_mode in (0, 1, 2), "bad rc mode")
     if cfg.rate_control_mode != 0:
