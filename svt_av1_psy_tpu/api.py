@@ -579,6 +579,7 @@ class Encoder:
                       allow_sct=getattr(self, "_allow_sct", False),
                       palette_level=cfg.palette_level)
         gm_mv = (0, 0)
+        gm_wm = None
         if not is_key and cfg.enable_global_motion and self._pc.gm:
             from .codec.global_motion import estimate_global_translation
 
@@ -590,6 +591,15 @@ class Encoder:
             # the identity ref, so |mv_q3| must stay below 1<<(trans_bits-1)
             gm_mv = (int(np.clip(gm_mv[0], -255, 255)),
                      int(np.clip(gm_mv[1], -255, 255)))
+            if (cfg.preset <= 6 and not getattr(self, "_allow_sct", False)):
+                # ROTZOOM upgrade (gm_level analog): LS fit over a block
+                # motion field, accepted only when it clearly beats the
+                # translation model (codec/global_motion.py)
+                from .codec.global_motion import estimate_global_rotzoom
+
+                gm_wm = estimate_global_rotzoom(
+                    last_planes[0][:vh, :vw], np.asarray(y),
+                    cfg.input_depth, base_mv=gm_mv)
 
         # open-loop device RDO search (partition tree + modes + tx types);
         # the conformant encode pass below executes these decisions
@@ -643,6 +653,7 @@ class Encoder:
                 ref_select=(gop is not None and gop.get("future") is not None),
                 shared=inter_shared,
                 inter_depths=self._pc.inter_depths,
+                gm_wm=gm_wm,
                 **common)
 
         def run_filters(enc):
@@ -762,7 +773,10 @@ class Encoder:
                          lr_unit_size=64, lr_uv_unit_size=32,
                          segmentation=seg_params,
                          gm_trans=((gm_mv, None, None, None, None, None, None)
-                                   if gm_mv != (0, 0) else None),
+                                   if gm_mv != (0, 0) and gm_wm is None
+                                   else None),
+                         gm_rotzoom=(tuple(gm_wm) if gm_wm is not None
+                                     else None),
                          using_qmatrix=qm_levels is not None,
                          qm_y=qm_levels[0] if qm_levels else 15,
                          qm_u=qm_levels[1] if qm_levels else 15,

@@ -94,6 +94,7 @@ class FrameParams:
     lr_uv_unit_size: int = 64
     superres_denom: int = 8   # 8 = off; 9..16 (spec SuperresDenom)
     gm_trans: tuple = None           # per-ref (row_q3, col_q3) or None
+    gm_rotzoom: tuple = None         # LAST-ref ROTZOOM wmmat[6] or None
     segmentation: object = None      # codec.segmentation.SegmentationParams
     allow_intrabc: bool = False
     tile_cols_log2: int = 0
@@ -371,15 +372,30 @@ def _wb_write_signed_refsubexpfin(w: BitWriter, n: int, k: int, ref: int, v: int
 
 
 def _write_global_motion(w: BitWriter, fp: FrameParams):
-    """global_motion_params per ref (entropy_coding.c:2953/3021): IDENTITY
-    or TRANSLATION only (round-1 scope). fp.gm_trans: list of 7 entries,
-    each None or (row_q3, col_q3) in 1/8-pel units (primary_ref NONE, so
-    the coding reference is the default identity params)."""
+    """global_motion_params per ref (entropy_coding.c:2953/3021): IDENTITY,
+    TRANSLATION, or ROTZOOM. fp.gm_trans: list of 7 entries, each None or
+    (row_q3, col_q3) 1/8-pel; fp.gm_rotzoom: optional wmmat[6] for LAST
+    (primary_ref NONE, so the coding reference is the identity params)."""
     gm = fp.gm_trans or (None,) * 7
     allow_hp = bool(fp.allow_high_precision_mv)
     trans_bits = 9 - (not allow_hp)       # GM_ABS_TRANS_ONLY_BITS - !hp
     prec_diff = 13 + (not allow_hp)       # GM_TRANS_ONLY_PREC_DIFF + !hp
     for i in range(7):
+        if i == 0 and fp.gm_rotzoom is not None:
+            mat = [int(v) for v in fp.gm_rotzoom]
+            w.f(1, 1)                     # is_global
+            w.f(1, 1)                     # ROTZOOM
+            # alpha-class params: coded around identity (GM_ALPHA_*)
+            _wb_write_signed_refsubexpfin(w, (1 << 12) + 1, 3, 0,
+                                          (mat[2] >> 1) - (1 << 15))
+            _wb_write_signed_refsubexpfin(w, (1 << 12) + 1, 3, 0,
+                                          mat[3] >> 1)
+            # translation at GM_TRANS precision (non-translation-only)
+            _wb_write_signed_refsubexpfin(w, (1 << 12) + 1, 3, 0,
+                                          mat[0] >> 10)
+            _wb_write_signed_refsubexpfin(w, (1 << 12) + 1, 3, 0,
+                                          mat[1] >> 10)
+            continue
         t = gm[i]
         w.f(int(t is not None), 1)        # is_global
         if t is None:

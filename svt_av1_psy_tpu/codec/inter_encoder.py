@@ -71,12 +71,26 @@ class InterFrameEncoder(IntraFrameEncoder):
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
                  golden_planes=None, future_planes=None,
                  ref_distances=(1, 1), ref_select=False, shared=None,
-                 inter_depths=(32,), **kw):
+                 inter_depths=(32,), gm_wm=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
         # a single entry keeps the fixed-size walk of rounds 1-2
         self.inter_depths = tuple(sorted(int(d) for d in inter_depths))
+        # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
+        # >= 8x8 predict through the normative warp filter, and the model
+        # projects to a per-block MV at the block center (codec/warp.py)
+        self.gm_wm = None
+        self.gm_shear = None
+        if gm_wm is not None:
+            from .warp import get_shear_params
+
+            shear = get_shear_params(gm_wm)
+            if shear is not None:
+                self.gm_wm = [int(v) for v in gm_wm]
+                self.gm_shear = shear
+                # decide-kernel approximation: the model's translation part
+                gm_mv = (int(gm_wm[1]) >> 13, int(gm_wm[0]) >> 13)
         # global motion (TRANSLATION) vector for LAST, 1/8-pel (row, col);
         # (0, 0) = IDENTITY. GLOBALMV blocks and ref-MV stack padding use it.
         # Other references always code with identity global motion.
@@ -246,9 +260,13 @@ class InterFrameEncoder(IntraFrameEncoder):
         if dec is None:
             return
         self.inter_dec = {}
-        for i, (r, c, _) in enumerate(blk):
-            self.inter_dec[(r, c)] = self._dec_from_row(
-                [int(v) for v in dec[i]])
+        for i, (r, c, bs) in enumerate(blk):
+            row = [int(v) for v in dec[i]]
+            t = self._dec_from_row(row)
+            if self.gm_wm is not None:
+                t = self._warp_upgrade_dec(r, c, int(BLOCK_WIDTH[bs]),
+                                           int(BLOCK_HEIGHT[bs]), t, row[7])
+            self.inter_dec[(r, c)] = t
         self.shared["inter_dec"] = self.inter_dec
 
     def _pre_walk_multi(self):
@@ -405,21 +423,31 @@ class InterFrameEncoder(IntraFrameEncoder):
                     extract(r + half, c, S2)
                     extract(r + half, c + half, S2)
                 else:
-                    dec_map[(r, c)] = self._dec_from_row(res[(r, c, S, S)])
+                    t = self._dec_from_row(res[(r, c, S, S)])
+                    if self.gm_wm is not None:
+                        t = self._warp_upgrade_dec(r, c, S, S, t,
+                                                   costj[(r, c, S, S)])
+                    dec_map[(r, c)] = t
             elif has_cols:
                 sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
                 w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
-                dec_map[(r, c)] = self._dec_from_row(res[(r, c, w, h)])
-                if r + half < self.mi_rows:
-                    dec_map[(r + half, c)] = self._dec_from_row(
-                        res[(r + half, c, w, h)])
+                for (rr, cc) in (((r, c),) + (((r + half, c),)
+                                 if r + half < self.mi_rows else ())):
+                    t = self._dec_from_row(res[(rr, cc, w, h)])
+                    if self.gm_wm is not None:
+                        t = self._warp_upgrade_dec(rr, cc, w, h, t,
+                                                   costj[(rr, cc, w, h)])
+                    dec_map[(rr, cc)] = t
             elif has_rows:
                 sub = _partition_subsize(bsize, PartitionType.PARTITION_VERT)
                 w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
-                dec_map[(r, c)] = self._dec_from_row(res[(r, c, w, h)])
-                if c + half < self.mi_cols:
-                    dec_map[(r, c + half)] = self._dec_from_row(
-                        res[(r, c + half, w, h)])
+                for (rr, cc) in (((r, c),) + (((r, c + half),)
+                                 if c + half < self.mi_cols else ())):
+                    t = self._dec_from_row(res[(rr, cc, w, h)])
+                    if self.gm_wm is not None:
+                        t = self._warp_upgrade_dec(rr, cc, w, h, t,
+                                                   costj[(rr, cc, w, h)])
+                    dec_map[(rr, cc)] = t
             else:
                 S2 = S >> 1
                 extract(r, c, S2)
@@ -551,6 +579,73 @@ class InterFrameEncoder(IntraFrameEncoder):
         return dec
 
     # -------------------------------------------------------------- helpers
+    def _gm_block(self, mi_row, mi_col, W, H):
+        """Projected ROTZOOM MV at the block center (gm_get_motion_vector)."""
+        from .warp import ROTZOOM, gm_get_motion_vector
+
+        return gm_get_motion_vector(ROTZOOM, self.gm_wm, mi_row, mi_col, W, H)
+
+    def _gm_stack_mv(self, mi_row, mi_col, W, H, ref_sel):
+        """gm vector used by the ref-MV stack for this block/ref."""
+        if ref_sel == LAST_FRAME:
+            if self.gm_wm is not None:
+                return self._gm_block(mi_row, mi_col, W, H)
+            return self.gm_mv
+        return (0, 0)
+
+    def _warp_pred(self, plane, px, py, pw, ph):
+        """Normative warp prediction from the LAST recon (visible crop).
+        Luma slices the whole-plane cache (8-aligned leaves only exist);
+        chroma blocks can sit off the 8-grid, so they warp per block."""
+        from .warp import ROTZOOM, warp_plane
+
+        if plane == 0:
+            return self._gm_warp_luma()[py : py + ph, px : px + pw]
+        ss = 1
+        vh = (self.h + ss) >> ss
+        vw = (self.w + ss) >> ss
+        ref = self.refs[LAST_FRAME][plane]
+        vis = ref[self.pad : self.pad + vh, self.pad : self.pad + vw]
+        return warp_plane(ROTZOOM, self.gm_wm, self.gm_shear, vis,
+                          px, py, pw, ph, ss, ss, self.bd)
+
+    def _gm_warp_luma(self):
+        """Whole-plane (mi-aligned) luma warp, cached across encode passes.
+        The warp is 8x8-block separable, so any 8-aligned region slice is
+        identical to warping that region directly."""
+        got = self.shared.get("gm_warp_luma")
+        if got is None:
+            from .warp import ROTZOOM, warp_plane
+
+            ref = self.refs[LAST_FRAME][0]
+            vis = ref[self.pad : self.pad + self.h,
+                      self.pad : self.pad + self.w]
+            got = warp_plane(ROTZOOM, self.gm_wm, self.gm_shear, vis, 0, 0,
+                             self.aligned_w, self.aligned_h, 0, 0, self.bd)
+            self.shared["gm_warp_luma"] = got
+        return got
+
+    def _warp_upgrade_dec(self, r, c, W, H, t, cost):
+        """Swap the kernel's decision for GLOBALMV-warp when the warp
+        prediction beats it (the decide kernel costs GLOBALMV with the
+        model's translation part only; this re-scores with the real warp)."""
+        if self.gm_wm is None or min(W, H) < 8:
+            return t
+        if t[0] == 1 and len(t) == 5 and int(t[2]) == GLOBALMV:
+            if t[1] != LAST_FRAME:
+                return t            # other refs keep identity gm (0, 0)
+            # GLOBALMV decided on translation cost: MV comes from projection
+            mv = self._gm_block(r, c, W, H)
+            return (1, LAST_FRAME, GLOBALMV, mv[0], mv[1])
+        x0, y0 = c * 4, r * 4
+        wp = self._gm_warp_luma()[y0 : y0 + H, x0 : x0 + W]
+        src = self.src[0][y0 : y0 + H, x0 : x0 + W]
+        sse = int(np.sum((src.astype(np.int64) - wp) ** 2))
+        if sse + self._psy_cost(src, wp) < cost:
+            mv = self._gm_block(r, c, W, H)
+            return (1, LAST_FRAME, GLOBALMV, mv[0], mv[1])
+        return t
+
     def _mc_pred(self, plane, px, py, pw, ph, mv, ref_frame=LAST_FRAME):
         """Motion-compensated prediction (spec chroma 1/16-pel rules)."""
         ref = self.refs[ref_frame][plane]
@@ -721,8 +816,16 @@ class InterFrameEncoder(IntraFrameEncoder):
                 y_pred = self._mc_pred_compound(0, x0, y0, W, H, mv, mv2)
             elif use_inter:
                 y_mode = dmode
-                mv = (mvr, mvc)
-                y_pred = self._mc_pred(0, x0, y0, W, H, mv, ref_sel)
+                if (int(dmode) == GLOBALMV and ref_sel == LAST_FRAME
+                        and self.gm_wm is not None):
+                    # ROTZOOM GLOBALMV: warp prediction (>=8x8), projected MV
+                    mv = self._gm_block(mi_row, mi_col, W, H)
+                    y_pred = (self._warp_pred(0, x0, y0, W, H)
+                              if min(W, H) >= 8
+                              else self._mc_pred(0, x0, y0, W, H, mv, ref_sel))
+                else:
+                    mv = (mvr, mvc)
+                    y_pred = self._mc_pred(0, x0, y0, W, H, mv, ref_sel)
             else:
                 ref_sel = LAST_FRAME
                 y_mode = dmode
@@ -752,9 +855,16 @@ class InterFrameEncoder(IntraFrameEncoder):
             cost_new = int(np.sum((src.astype(np.int64) - pred_new) ** 2))
             cand.append((LAST_FRAME, NEWMV, me_res.mv, pred_new,
                          cost_new + self._psy_cost(src, pred_new)))
-            pred_zero = self._mc_pred(0, x0, y0, W, H, self.gm_mv)
+            if self.gm_wm is not None:
+                mvg = self._gm_block(mi_row, mi_col, W, H)
+                pred_zero = (self._warp_pred(0, x0, y0, W, H)
+                             if min(W, H) >= 8
+                             else self._mc_pred(0, x0, y0, W, H, mvg))
+            else:
+                mvg = self.gm_mv
+                pred_zero = self._mc_pred(0, x0, y0, W, H, self.gm_mv)
             cost_zero = int(np.sum((src.astype(np.int64) - pred_zero) ** 2))
-            cand.append((LAST_FRAME, GLOBALMV, self.gm_mv, pred_zero,
+            cand.append((LAST_FRAME, GLOBALMV, mvg, pred_zero,
                          cost_zero + self._psy_cost(src, pred_zero)))
             if (self.ref2 is not None
                     and (self.ref2 == ALTREF_FRAME
@@ -781,9 +891,11 @@ class InterFrameEncoder(IntraFrameEncoder):
                     setup_comp_mv_list(self.grid, mi_row, mi_col, n8_w, n8_h,
                                        (LAST_FRAME, self.ref2),
                                        (t_r0, t_r1, t_c0, t_c1),
-                                       gm=(self.gm_mv, (0, 0)))
+                                       gm=(self._gm_stack_mv(mi_row, mi_col,
+                                                             W, H, LAST_FRAME),
+                                           (0, 0)))
             else:
-                gm_ref = self.gm_mv if ref_sel == LAST_FRAME else (0, 0)
+                gm_ref = self._gm_stack_mv(mi_row, mi_col, W, H, ref_sel)
                 stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
                     self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
                     (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
@@ -800,7 +912,11 @@ class InterFrameEncoder(IntraFrameEncoder):
                 if is_comp:
                     pred = self._mc_pred_compound(plane, cx, cy, cw, ch, mv, mv2)
                 elif use_inter:
-                    pred = self._mc_pred(plane, cx, cy, cw, ch, mv, ref_sel)
+                    if (int(y_mode) == GLOBALMV and ref_sel == LAST_FRAME
+                            and self.gm_wm is not None and cw >= 8 and ch >= 8):
+                        pred = self._warp_pred(plane, cx, cy, cw, ch)
+                    else:
+                        pred = self._mc_pred(plane, cx, cy, cw, ch, mv, ref_sel)
                 else:
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
                     pred = self._predict(0, pa, pl, pha, phl, cw, ch)

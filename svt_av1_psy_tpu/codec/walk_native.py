@@ -144,7 +144,9 @@ def eligible(enc) -> bool:
         return False
     tname = type(enc).__name__
     if tname == "InterFrameEncoder":
-        return getattr(enc, "inter_dec", None) is not None
+        # ROTZOOM frames need the Python walk (warp MC lives there)
+        return (getattr(enc, "inter_dec", None) is not None
+                and getattr(enc, "gm_wm", None) is None)
     if tname != "IntraFrameEncoder":
         return False
     if (enc.decisions is None
