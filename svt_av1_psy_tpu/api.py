@@ -94,7 +94,7 @@ class Encoder:
         self._seq = SequenceParams(
             cfg.width,
             cfg.height,
-            still_picture=cfg.avif,
+            still_picture=cfg.avif or int(cfg.tune) == 4,
             reduced_still_picture_header=cfg.avif,
             monochrome=mono,
             bit_depth=cfg.input_depth,
@@ -601,6 +601,25 @@ class Encoder:
                     last_planes[0][:vh, :vw], np.asarray(y),
                     cfg.input_depth, base_mv=gm_mv)
 
+        # PSY tune 3 (subjective SSIM): unipred psy bias on inter costs
+        # (uni_psy_bias/bi_psy_bias, md_process.h:1277; mode_decision.c:4263)
+        inter_bias_pct = 100
+        if int(cfg.tune) == 3:
+            pqp = qindex >> 2
+            uni = 85 if pqp < 16 else (95 if pqp < 48 else 100)
+            if gop is not None and gop.get("future") is not None:
+                bi = 115 if pqp < 16 else (105 if pqp < 48 else 100)
+                inter_bias_pct = uni * bi // 100
+            else:
+                inter_bias_pct = uni
+        # PSY tune 4 (still picture): lambda weight 128 -> up to 200 with
+        # QP ramps (enc_mode_config.c:8843)
+        lambda_scale = 1.0
+        if int(cfg.tune) == 4:
+            pqp = qindex >> 2
+            lambda_scale = (min(max(min(pqp * 4, (63 - pqp) * 3), 0), 72)
+                            + 128) / 128.0
+
         # open-loop device RDO search (partition tree + modes + tx types);
         # the conformant encode pass below executes these decisions
         decisions = None
@@ -629,6 +648,7 @@ class Encoder:
                 padded, qindex, bd=cfg.input_depth, sb_qindex_map=search_qmap,
                 qm_levels=qm_levels, depths=depths,
                 tx_search_depths=self._pc.tx_search_depths,
+                lambda_scale=lambda_scale,
                 psy_knobs=(int(cfg.spy_rd), float(cfg.psy_rd),
                            bool(cfg.sharp_tx)))
 
@@ -654,6 +674,7 @@ class Encoder:
                 shared=inter_shared,
                 inter_depths=self._pc.inter_depths,
                 gm_wm=gm_wm,
+                inter_bias_pct=inter_bias_pct,
                 **common)
 
         def run_filters(enc):
@@ -664,11 +685,15 @@ class Encoder:
                 from .codec.deblock import pick_filter_level
 
                 lvl = pick_filter_level(qindex, cfg.input_depth, is_key=True)
-                # PSY sharpness raises/lowers deblock strength bias
+                # PSY sharpness raises/lowers deblock strength bias; key
+                # frames under tunes 0/3 sharpen by +2 (deblocking_filter.c:1147)
+                sharp = max(cfg.sharpness, 0)
+                if is_key and int(cfg.tune) in (0, 3):
+                    sharp = min(7, sharp + 2)
                 lvl_y = int(np.clip(lvl - cfg.sharpness, 0, 63))
                 lvl_uv = int(np.clip(lvl_y, 0, 63))
                 enc.apply_loop_filter((lvl_y, lvl_y), lvl_uv,
-                                      sharpness=max(cfg.sharpness, 0))
+                                      sharpness=sharp)
             deblocked = [ps.recon.copy() for ps in enc.planes]
             cdef_y = cdef_uv = (0, 0)
             cdef_damping = 3
@@ -784,7 +809,10 @@ class Encoder:
                          frame_type=FrameType.KEY_FRAME if is_key else FrameType.INTER_FRAME,
                          tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
                          filter_level=(lvl_y, lvl_y), filter_level_uv=(lvl_uv, lvl_uv),
-                         sharpness=max(cfg.sharpness, 0),
+                         sharpness=(min(7, max(cfg.sharpness, 0) + 2)
+                                    if (is_key and int(cfg.tune) in (0, 3)
+                                        and cfg.enable_dlf_flag)
+                                    else max(cfg.sharpness, 0)),
                          cdef_damping=cdef_damping, cdef_bits=0,
                          cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),),

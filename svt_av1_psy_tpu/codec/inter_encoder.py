@@ -71,12 +71,15 @@ class InterFrameEncoder(IntraFrameEncoder):
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
                  golden_planes=None, future_planes=None,
                  ref_distances=(1, 1), ref_select=False, shared=None,
-                 inter_depths=(32,), gm_wm=None, **kw):
+                 inter_depths=(32,), gm_wm=None, inter_bias_pct=100, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
         # a single entry keeps the fixed-size walk of rounds 1-2
         self.inter_depths = tuple(sorted(int(d) for d in inter_depths))
+        # tune-3 unipred psy bias percent applied to inter costs in the
+        # decide kernel (uni_psy_bias/bi_psy_bias, md_process.h:1277)
+        self.inter_bias_pct = int(inter_bias_pct)
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
         # >= 8x8 predict through the normative warp filter, and the model
         # projects to a per-block MV at the block center (codec/warp.py)
@@ -218,7 +221,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             self.src[0], me.ref, me.ref_q, curq, ref_pad, self.pad, golden,
             me._filters, filters4, self.bd, self.sr[0], self.gm_mv,
             float(self.psy_rd), blocks, ref2_gate=ref2_gate,
-            search_range2=self.sr[1])
+            search_range2=self.sr[1], inter_bias_pct=self.inter_bias_pct)
 
     def _dec_from_row(self, row):
         """Kernel row -> decision tuple. The kernel reports the second

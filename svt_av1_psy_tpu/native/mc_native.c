@@ -769,6 +769,7 @@ void inter_decide_frame(
     const int32_t *gref_pad, int gpW,
     const int32_t *filters8, const int32_t *filters4,
     int bd, int range, int range2, int gm_row, int gm_col, double psy_rd, int ref2_gate,
+    int inter_bias_pct,
     const int32_t *bx, const int32_t *by,
     const int32_t *bws, const int32_t *bhs, int nb,
     int32_t *out) {
@@ -970,10 +971,14 @@ void inter_decide_frame(
 
         int32_t *o = out + 8 * i;
         o[5] = o[6] = 0;
+        /* tune-3 unipred psy bias (uni_psy_bias, md_process.h:1277): scale
+         * the inter cost before the intra comparison */
+        int64_t inter_biased = best_inter == INT64_MAX
+            ? best_inter : best_inter * inter_bias_pct / 100;
         /* winning cost (SSE + psy) for the caller's partition DP */
-        int64_t bc = best_inter <= best_icost ? best_inter : best_icost;
+        int64_t bc = inter_biased <= best_icost ? inter_biased : best_icost;
         o[7] = bc > INT32_MAX ? INT32_MAX : (int32_t)bc;
-        if (best_inter <= best_icost) {
+        if (inter_biased <= best_icost) {
             if (use_comp) {
                 o[0] = 1; o[1] = 7; o[2] = 24;   /* NEW_NEWMV on (LAST, ref2) */
                 o[3] = comp_mvl_r; o[4] = comp_mvl_c;

@@ -120,3 +120,44 @@ def test_frame_luma_bias_lowers_q_for_dark_frames():
         enc.send_picture(dark2, u, u.copy())  # inter (bias applies)
         sizes[bias] = len(enc.get_packet().data)
     assert sizes[100] > sizes[0], f"dark inter frame should spend more bits: {sizes}"
+
+
+@pytest.mark.parametrize("tune", [3, 4])
+def test_tune_hooks_conformant_and_behavioral(tune):
+    """Tune 3 (subjective SSIM: unipred bias, keyframe deblock sharpening)
+    and tune 4 (still picture: seq flag, lambda weight) must stay
+    dav1d-bit-exact and actually change the stream vs tune 1."""
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.io import dav1d
+
+    if not dav1d.available():
+        pytest.skip("dav1d shim unavailable")
+    rng = np.random.default_rng(9)
+    W, H = 160, 96
+    base = (np.cumsum(rng.normal(0, 4, (H + 32, W + 32)), axis=1) + 128
+            ).clip(0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+
+    def run(t):
+        cfg = EncoderConfig(width=W, height=H, recon_enabled=True, tune=t,
+                            preset=6)
+        cfg.qp = 40
+        enc = Encoder(cfg).init()
+        for i in range(3):
+            yi = np.ascontiguousarray(base[i * 2 : i * 2 + H, i * 3 : i * 3 + W])
+            enc.send_picture(yi, u, u.copy(), pts=i)
+        enc.flush()
+        stream = b""
+        recons = []
+        while (pkt := enc.get_packet()) is not None:
+            stream += pkt.data
+            if pkt.recon is not None:
+                recons.append(pkt.recon)
+        return stream, recons
+
+    s_t, r_t = run(tune)
+    s_ref, _ = run(1)
+    assert s_t != s_ref     # the hooks change coding behavior
+    for i in range(len(r_t)):
+        dy, du, dv = dav1d.decode_nth(s_t, i, W, H)
+        assert np.array_equal(dy, r_t[i][0]), f"tune {tune} frame {i}"
