@@ -675,6 +675,7 @@ class Encoder:
                 inter_depths=self._pc.inter_depths,
                 gm_wm=gm_wm,
                 inter_bias_pct=inter_bias_pct,
+                inter_tx_search=len(self._pc.tx_search_depths) > 0,
                 **common)
 
         def run_filters(enc):

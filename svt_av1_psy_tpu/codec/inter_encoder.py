@@ -45,8 +45,28 @@ SEARCH_BACKEND = "native"
 # inter ext-tx: eset via ext_tx_set_index[1][set_type] (definitions.h:1808):
 # DCT_IDTX -> 3, DTT9_IDTX_1DDCT -> 2, ALL16 -> 1; DCT_DCT symbol per
 # av1_ext_tx_ind rows (cabac_context_model.h:686)
-EXT_TX_IND_INTER = {3: 1, 2: 3, 1: 7}     # eset -> symbol for DCT_DCT
+# eset -> av1_ext_tx_ind row (cabac_context_model.h:686; set types:
+# eset 1 = ALL16 (row 5), eset 2 = DTT9_IDTX_1DDCT (row 4),
+# eset 3 = DCT_IDTX (row 1)); indexed by TxType 0..15
+EXT_TX_IND_INTER = {
+    1: [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6],
+    2: [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+    3: [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+}
 EXT_TX_NSYMS_INTER = {3: 2, 2: 12, 1: 16}
+# inter TX-type search candidates (subset with prebuilt C tables)
+INTER_TX_CANDS = (0, 1, 2, 3, 9)   # DCT, ADST_DCT, DCT_ADST, ADST_ADST, IDTX
+
+
+def inter_chroma_tx_type(luma_tt: int, tx_uv: int) -> int:
+    """Inter chroma inherits the luma tx type when it is in the chroma tx
+    size's set, else DCT (spec 5.11.40 compute_tx_type)."""
+    eset = inter_ext_tx_set(int(tx_uv))
+    if eset == 0:
+        return 0
+    if eset == 3:
+        return luma_tt if luma_tt in (0, 9) else 0
+    return luma_tt
 
 
 def inter_ext_tx_set(tx_size: int) -> int:
@@ -71,7 +91,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                  sharpness=0, sb_qindex_map=None, gm_mv=(0, 0),
                  golden_planes=None, future_planes=None,
                  ref_distances=(1, 1), ref_select=False, shared=None,
-                 inter_depths=(32,), gm_wm=None, inter_bias_pct=100, **kw):
+                 inter_depths=(32,), gm_wm=None, inter_bias_pct=100,
+                 inter_tx_search=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -80,6 +101,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # tune-3 unipred psy bias percent applied to inter costs in the
         # decide kernel (uni_psy_bias/bi_psy_bias, md_process.h:1277)
         self.inter_bias_pct = int(inter_bias_pct)
+        self.inter_tx_search = bool(inter_tx_search)
+        self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
+        self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
         # >= 8x8 predict through the normative warp filter, and the model
         # projects to a per-block MV at the block center (codec/warp.py)
@@ -243,6 +267,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.inter_dec = self.shared.get("inter_dec")
         if self.inter_dec is not None:
             self.decisions = self.shared.get("inter_decisions")
+            self.inter_txt = self.shared.get("inter_txt", {})
             return
         if not mc_native.available():
             return
@@ -266,10 +291,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         for i, (r, c, bs) in enumerate(blk):
             row = [int(v) for v in dec[i]]
             t = self._dec_from_row(row)
+            W, H = int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs])
             if self.gm_wm is not None:
-                t = self._warp_upgrade_dec(r, c, int(BLOCK_WIDTH[bs]),
-                                           int(BLOCK_HEIGHT[bs]), t, row[7])
+                t = self._warp_upgrade_dec(r, c, W, H, t, row[7])
             self.inter_dec[(r, c)] = t
+            self.leaf_geom[(r, c)] = (W, H)
+        self._inter_tx_search()
         self.shared["inter_dec"] = self.inter_dec
 
     def _pre_walk_multi(self):
@@ -431,6 +458,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                         t = self._warp_upgrade_dec(r, c, S, S, t,
                                                    costj[(r, c, S, S)])
                     dec_map[(r, c)] = t
+                    self.leaf_geom[(r, c)] = (S, S)
             elif has_cols:
                 sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
                 w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
@@ -441,6 +469,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                         t = self._warp_upgrade_dec(rr, cc, w, h, t,
                                                    costj[(rr, cc, w, h)])
                     dec_map[(rr, cc)] = t
+                    self.leaf_geom[(rr, cc)] = (w, h)
             elif has_rows:
                 sub = _partition_subsize(bsize, PartitionType.PARTITION_VERT)
                 w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
@@ -451,6 +480,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                         t = self._warp_upgrade_dec(rr, cc, w, h, t,
                                                    costj[(rr, cc, w, h)])
                     dec_map[(rr, cc)] = t
+                    self.leaf_geom[(rr, cc)] = (w, h)
             else:
                 S2 = S >> 1
                 extract(r, c, S2)
@@ -466,6 +496,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                                  max_leaf=dmax, min_leaf=dmin)
         self.decisions = dec_obj
         self.inter_dec = dec_map
+        self._inter_tx_search()
         self.shared["inter_dec"] = dec_map
         self.shared["inter_decisions"] = dec_obj
         return True
@@ -580,6 +611,84 @@ class InterFrameEncoder(IntraFrameEncoder):
                     rfv = self.ref2
                 dec[(r, c)] = (uiv, rfv, mdv, row[3], row[4])
         return dec
+
+    def _leaf_pred_luma(self, r, c, W, H, d):
+        """Luma prediction of a decided inter leaf (mirrors _encode_block's
+        commit exactly, so the search residual equals the coded one)."""
+        x0, y0 = c * 4, r * 4
+        if len(d) >= 7 and d[0] and int(d[2]) >= 17:
+            return self._mc_pred_compound(0, x0, y0, W, H,
+                                          (d[3], d[4]), (d[5], d[6]))
+        if d[0]:
+            if (int(d[2]) == GLOBALMV and d[1] == LAST_FRAME
+                    and self.gm_wm is not None):
+                mv = self._gm_block(r, c, W, H)
+                return (self._warp_pred(0, x0, y0, W, H) if min(W, H) >= 8
+                        else self._mc_pred(0, x0, y0, W, H, mv))
+            return self._mc_pred(0, x0, y0, W, H, (d[3], d[4]), d[1])
+        return None
+
+    def _inter_tx_search(self):
+        """Pre-pass inter TX-type search (the full-loop TX search of
+        full_loop.c:2280, decision-level): batched fwd/quant/inv per
+        candidate over all square inter leaves; picks min SSE + lam*bits.
+        Conformance is untouched -- the walks just code the chosen type."""
+        if not self.inter_tx_search or self.qindex == 0:
+            self.shared["inter_txt"] = self.inter_txt
+            return
+        from .rd import lambda_sse_per_bit
+
+        lam = float(lambda_sse_per_bit(self.qindex, self.bd, "p"))
+        groups = {}
+        for (r, c), d in self.inter_dec.items():
+            if not d[0]:
+                continue
+            geom = self.leaf_geom.get((r, c))
+            if geom is None:
+                continue
+            W, H = geom
+            if W != H or W > 32:       # square 8/16/32 (prebuilt C tables)
+                continue
+            groups.setdefault(W, []).append((r, c, d))
+        mid = 1 << 12   # signed-residual bias for inverse_transform_add
+        for W, items in groups.items():
+            tx = int(MAX_TX_RECT[_BSIZE_BY_WH[(W, W)]])
+            eset = inter_ext_tx_set(tx)
+            cands = (0, 9) if eset == 3 else INTER_TX_CANDS
+            n = len(items)
+            resids = np.empty((n, W, W), np.int32)
+            for k, (r, c, d) in enumerate(items):
+                pred = self._leaf_pred_luma(r, c, W, W, d)
+                x0, y0 = c * 4, r * 4
+                src = self.src[0][y0 : y0 + W, x0 : x0 + W]
+                resids[k] = src.astype(np.int32) - pred.astype(np.int32)
+            costs = np.empty((len(cands), n), np.float64)
+            for ci, tt in enumerate(cands):
+                co = forward_transform_2d(resids.astype(np.int32), tx, tt,
+                                          self.bd)
+                cw = min(W, 32)
+                flat = co[:, :cw, :cw].reshape(n, -1)
+                scan = self.tables.scan(tx, tt)
+                qmt, iqmt = self._get_qm(0, tx, tt)
+                qc, dqc, eob = quantize_b(flat, scan, self.quant[0], tx,
+                                          qm=qmt, iqm=iqmt)
+                full = np.zeros((n, W, W), np.int32)
+                full[:, :cw, :cw] = dqc.reshape(n, cw, cw)
+                rec = inverse_transform_add(
+                    full, np.full((n, W, W), mid, np.uint16), tx, tt, 13)
+                err = rec.astype(np.int64) - mid - resids
+                dist = (err * err).sum(axis=(1, 2)).astype(np.float64)
+                aq = np.abs(qc)
+                bits = ((aq > 0).sum(axis=1) * 2.0
+                        + np.log2(aq.astype(np.float64) + 1).sum(axis=1))
+                bits += (eob > 0) * 4.0 + (2.0 if tt != 0 else 0.0)
+                costs[ci] = dist + lam * bits
+            best = np.argmin(costs, axis=0)
+            for k, (r, c, d) in enumerate(items):
+                tt = int(cands[int(best[k])])
+                if tt:
+                    self.inter_txt[(r, c)] = tt
+        self.shared["inter_txt"] = self.inter_txt
 
     # -------------------------------------------------------------- helpers
     def _gm_block(self, mi_row, mi_col, W, H):
@@ -904,12 +1013,19 @@ class InterFrameEncoder(IntraFrameEncoder):
                     (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
         uv_mode = 0  # UV_DC for intra blocks
 
-        # ---- transforms for all planes
+        # ---- transforms for all planes (luma TX type from the pre-pass
+        # search; inter chroma inherits it per compute_tx_type)
         tx_y = MAX_TX_RECT[BlockSize(bsize)]
-        plane_jobs = [(0, x0, y0, W, H, tx_y, y_pred)]
+        tt_y = (self.inter_txt.get((mi_row, mi_col), 0)
+                if use_inter and self.qindex > 0 else 0)
+        plane_jobs = [(0, x0, y0, W, H, tx_y, y_pred, tt_y)]
         if not self.mono:
             uv_bsize = _BSIZE_BY_WH[(max(W >> 1, 4), max(H >> 1, 4))]
             tx_uv = MAX_TX_RECT[uv_bsize]
+            # chroma inherits only a *stored* luma type: with luma eob 0 the
+            # decoder's TxTypes map stays DCT (spec read_tx_type gating), so
+            # the luma plane must be quantized first (see below)
+            tt_uv = inter_chroma_tx_type(tt_y, tx_uv) if use_inter else 0
             for plane in (1, 2):
                 cx, cy, cw, ch = x0 >> 1, y0 >> 1, W >> 1, H >> 1
                 if is_comp:
@@ -923,17 +1039,20 @@ class InterFrameEncoder(IntraFrameEncoder):
                 else:
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
                     pred = self._predict(0, pa, pl, pha, phl, cw, ch)
-                plane_jobs.append((plane, cx, cy, cw, ch, tx_uv, pred))
+                plane_jobs.append((plane, cx, cy, cw, ch, tx_uv, pred, tt_uv))
 
         results = []
-        for plane, px, py, pw, ph, tx_size, pred in plane_jobs:
+        for plane, px, py, pw, ph, tx_size, pred, tt in plane_jobs:
+            if plane > 0 and results and results[0][9] == 0 and tt != 0:
+                tt = 0   # luma eob 0 -> decoder chroma type is DCT
             psrc = self.src[plane][py : py + ph, px : px + pw]
             resid = psrc.astype(np.int16) - pred.astype(np.int16)
-            coeffs = forward_transform_2d(resid[None].astype(np.int32), int(tx_size), 0, self.bd)[0]
+            coeffs = forward_transform_2d(resid[None].astype(np.int32),
+                                          int(tx_size), int(tt), self.bd)[0]
             cw_t, ch_t = min(pw, 32), min(ph, 32)
             flat = coeffs[:ch_t, :cw_t].reshape(1, -1)
-            scan = self.tables.scan(int(tx_size), 0)
-            qm, iqm = self._get_qm(plane, int(tx_size))
+            scan = self.tables.scan(int(tx_size), int(tt))
+            qm, iqm = self._get_qm(plane, int(tx_size), int(tt))
             qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
                                       qm=qm, iqm=iqm)
             eob0 = int(eob[0])
@@ -943,7 +1062,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                 eob0 = noise_normalize(flat[0], qc[0], dqc[0], eob0, scan,
                                        self.quant[plane], int(tx_size),
                                        self.noise_norm, iqm=iqm)
-            results.append((plane, px, py, pw, ph, tx_size, pred, qc[0], dqc[0], eob0))
+            results.append((plane, px, py, pw, ph, tx_size, pred, qc[0],
+                            dqc[0], eob0, int(tt)))
         skip = all(r[9] == 0 for r in results)
 
         # ---- syntax
@@ -986,7 +1106,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                 self.fc.write(self.enc, "filter_intra", (int(bsize),), 0, 2)
 
         # ---- residual + recon (+ maps) — mirrors the intra tail
-        for plane, px, py, pw, ph, tx_size, pred, qc, dqc, eob in results:
+        for plane, px, py, pw, ph, tx_size, pred, qc, dqc, eob, tt in results:
             ps = self.planes[plane]
             xu, yu = px >> 2, py >> 2
             from .constants import TX_HEIGHT, TX_WIDTH
@@ -1001,9 +1121,10 @@ class InterFrameEncoder(IntraFrameEncoder):
                     True, False)
                 ttw = None
                 if plane == 0:
-                    ttw = (lambda ts=tx_size: self._write_tx_type_any(ts, y_mode, use_inter))
+                    ttw = (lambda ts=tx_size, t=tt:
+                           self._write_tx_type_any(ts, y_mode, use_inter, t))
                 writer = write_coeffs_txb_native if self.use_native_ec else write_coeffs_txb
-                cul = writer(self.fc, self.enc, qc, eob, int(tx_size), 0,
+                cul = writer(self.fc, self.enc, qc, eob, int(tx_size), int(tt),
                              plane_type, txb_skip_ctx, dc_sign_ctx, tx_type_writer=ttw)
             else:
                 cul = 0
@@ -1013,7 +1134,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             full = np.zeros((ph, pw), np.int32)
             full[:ch_t, :cw_t] = dqc.reshape(ch_t, cw_t)
             recon = inverse_transform_add(full[None], pred[None].astype(np.uint16),
-                                          int(tx_size), 0, self.bd)[0]
+                                          int(tx_size), int(tt), self.bd)[0]
             wr = min(pw, ps.width - px)
             hr = min(ph, ps.height - py)
             ps.recon[py : py + hr, px : px + wr] = recon[:hr, :wr]
@@ -1152,7 +1273,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         if bsize >= BlockSize.BLOCK_8X8 and 1 <= int(mode) <= 8:
             self.fc.write(self.enc, "angle_delta", (int(mode) - 1,), 3, 7)
 
-    def _write_tx_type_any(self, tx_size, y_mode, is_inter):
+    def _write_tx_type_any(self, tx_size, y_mode, is_inter, tx_type=0):
         if self.qindex == 0:
             return
         if is_inter:
@@ -1160,6 +1281,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             if eset == 0:
                 return
             self.fc.write(self.enc, "inter_ext_tx", (eset, int(_SQR[int(tx_size)])),
-                          EXT_TX_IND_INTER[eset], EXT_TX_NSYMS_INTER[eset])
+                          EXT_TX_IND_INTER[eset][int(tx_type)],
+                          EXT_TX_NSYMS_INTER[eset])
         else:
             self._write_tx_type(tx_size, y_mode)

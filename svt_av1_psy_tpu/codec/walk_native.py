@@ -91,6 +91,8 @@ class _CWalk(ctypes.Structure):
         ("cdf_comp_inter", _VP), ("cdf_comp_ref_type", _VP),
         ("cdf_comp_ref", _VP), ("cdf_comp_bwdref", _VP),
         ("cdf_comp_mode", _VP),
+        # ---- inter TX-type search extension ----
+        ("d_txt", _VP),
     ]
 
 
@@ -144,7 +146,8 @@ def eligible(enc) -> bool:
         return False
     tname = type(enc).__name__
     if tname == "InterFrameEncoder":
-        # ROTZOOM frames need the Python walk (warp MC lives there)
+        # ROTZOOM frames need the Python walk (warp MC lives there); TX-type
+        # search results flow through the C walk's d_txt map
         return (getattr(enc, "inter_dec", None) is not None
                 and getattr(enc, "gm_wm", None) is None)
     if tname != "IntraFrameEncoder":
@@ -255,6 +258,12 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         w.d_ref, w.d_mode = _ptr(d_ref), _ptr(d_mode)
         w.d_mvr, w.d_mvc = _ptr(d_mvr), _ptr(d_mvc)
         w.d_mvr2, w.d_mvc2 = _ptr(d_mvr2), _ptr(d_mvc2)
+        if getattr(enc, "inter_txt", None):
+            d_txt = np.zeros(shape, np.int32)
+            for (r, c), tt in enc.inter_txt.items():
+                d_txt[r, c] = tt
+            keep.append(d_txt)
+            w.d_txt = _ptr(d_txt)
         for ri, rf in ((0, LAST_FRAME), (1, enc.ref2)):
             if rf is not None and rf in enc.refs:
                 for p in range(enc.nplanes):
@@ -354,7 +363,8 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
 
     # ---- transforms + scans for the (tx_size, tx_type) combos in use
     for ts in tx_sizes:
-        types = _SEARCH_TX if ts in (0, 1, 2) else (0,)
+        types = (_SEARCH_TX if ts in (0, 1, 2)
+                 else ((0, int(TxType.IDTX)) if ts == 3 else (0,)))
         for tt in types:
             fp = _fwd_params(ts, tt)
             ip = _inv_params(ts, tt, enc.bd)

@@ -190,6 +190,8 @@ typedef struct {
     uint16_t *cdf_comp_ref;          /* (3,3,3) */
     uint16_t *cdf_comp_bwdref;       /* (3,2,3) */
     uint16_t *cdf_comp_mode;         /* (8,9) inter_compound_mode */
+    /* ---- inter TX-type search extension ---- */
+    const int32_t *d_txt;            /* mi grid: luma TxType per leaf */
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -514,15 +516,23 @@ static int64_t cfl_sse_for_alpha(const Walk *w, int plane, int alpha,
 }
 
 /* ----------------------------------------------- shared coefficient pass */
-static void write_tx_type_inter(Walk *w, int tx_size) {
-    /* inter ext-tx set (inter_encoder.inter_ext_tx_set); DCT_DCT symbol per
-       av1_ext_tx_ind; qindex 0 writes nothing (lossless has no tx types) */
+static void write_tx_type_inter(Walk *w, int tx_size, int tx_type) {
+    /* inter ext-tx sets (inter_encoder.inter_ext_tx_set); symbols per
+       av1_ext_tx_ind rows (cabac_context_model.h:686); qindex 0 writes
+       nothing (lossless has no tx types) */
     if (w->qindex == 0 || SQR_UP[tx_size] > 3) return;
     int eset = SQR_UP[tx_size] == 3 ? 3 : (SQR[tx_size] == 2 ? 2 : 1);
-    static const int sym[4] = {0, 7, 3, 1};
+    static const int ind1[16] = {7, 8, 9, 12, 10, 11, 13, 14, 15,
+                                 0, 1, 2, 3, 4, 5, 6};           /* ALL16 */
+    static const int ind2[16] = {3, 4, 5, 8, 6, 7, 9, 10, 11,
+                                 0, 1, 2, 0, 0, 0, 0};    /* DTT9_IDTX_1DDCT */
+    static const int ind3[16] = {1, 0, 0, 0, 0, 0, 0, 0, 0,
+                                 0, 0, 0, 0, 0, 0, 0};           /* DCT_IDTX */
     static const int nsyms[4] = {0, 16, 12, 2};
+    int sym = eset == 1 ? ind1[tx_type]
+            : eset == 2 ? ind2[tx_type] : ind3[tx_type];
     uint16_t *row = w->cdf_inter_ext_tx + (eset * 4 + SQR[tx_size]) * 17;
-    ec_symbol(w->enc, sym[eset], row, nsyms[eset], w->adapt);
+    ec_symbol(w->enc, sym, row, nsyms[eset], w->adapt);
 }
 
 /* coefficients + recon for all planes of one block (shared by the intra and
@@ -566,7 +576,8 @@ static void code_residual_planes(Walk *w, PlaneRes *res, int nres, int skip,
                       w->adapt);
             if (r->eob) {
                 if (r->plane == 0) {
-                    if (inter_blk) write_tx_type_inter(w, r->tx_size);
+                    if (inter_blk) write_tx_type_inter(w, r->tx_size,
+                                                       r->tx_type);
                     else write_tx_type(w, r->tx_size, eff_mode, r->tx_type);
                 }
                 int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
@@ -1686,7 +1697,11 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     int nres = 1;
     PlaneRes *ry = &res[0];
     ry->plane = 0; ry->px = x0; ry->py = y0; ry->pw = W; ry->ph = H;
-    ry->tx_size = MAX_TX[bsize]; ry->tx_type = 0;
+    ry->tx_size = MAX_TX[bsize];
+    /* luma TX type from the pre-pass search (qindex 0 codes none) */
+    int tt_y = (use_inter && w->d_txt && w->qindex > 0) ? w->d_txt[mi] : 0;
+    if (SQR_UP[ry->tx_size] > 3) tt_y = 0;
+    ry->tx_type = tt_y;
     if (is_comp) {
         mc_pred_compound(w, 0, x0, y0, W, H, mvr, mvc, mv2r, mv2c, ry->pred);
     } else if (use_inter) {
@@ -1709,7 +1724,14 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         for (int pl = 1; pl <= 2; pl++) {
             PlaneRes *r = &res[nres++];
             r->plane = pl; r->px = cx; r->py = cy; r->pw = cw; r->ph = ch;
-            r->tx_size = tx_uv; r->tx_type = 0;
+            r->tx_size = tx_uv;
+            /* inter chroma inherits the luma type when in the chroma tx
+               size's set (spec 5.11.40 compute_tx_type) */
+            int tt_uv = use_inter ? tt_y : 0;
+            if (res[0].eob == 0) tt_uv = 0;   /* luma eob 0: stored type DCT */
+            if (SQR_UP[tx_uv] > 3) tt_uv = 0;
+            else if (SQR_UP[tx_uv] == 3 && tt_uv != 0 && tt_uv != 9) tt_uv = 0;
+            r->tx_type = tt_uv;
             if (is_comp) {
                 mc_pred_compound(w, pl, cx, cy, cw, ch, mvr, mvc, mv2r, mv2c,
                                  r->pred);

