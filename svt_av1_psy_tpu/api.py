@@ -78,6 +78,7 @@ class Encoder:
         self._prev_sub_y = None
         self._rc = None
         self._tpl = None
+        self._ipp_hist = []    # [(dpb_slot, planes)] of recent LAST frames
         self._prev_src_y = None
         self._frames_since_key = 0
         self._la_queue: deque = deque()   # TF lookahead (y, u, v, pts)
@@ -654,6 +655,34 @@ class Encoder:
 
         inter_shared = {}
 
+        # ---- IPP second reference: LAST2 (previous LAST, alternating DPB
+        # slots 0/2) vs the GOLDEN key frame, picked by decimated SAD
+        # (pic_manager multi-ref lists, pic_manager_process.c:305)
+        ipp_ref2_planes = None
+        ipp_ref2_const = 4          # GOLDEN_FRAME
+        ipp_ref2_dist = 6
+        if not is_key and gop is None:
+            from .codec.me import decimate
+
+            ipp_ref2_planes = self._golden_planes
+            if len(self._ipp_hist) >= 2:
+                last2_planes = self._ipp_hist[-2][1]
+                if self._golden_planes is None:
+                    pick_l2 = True
+                else:
+                    vh, vw = cfg.height, cfg.width
+                    cq = decimate(np.asarray(y)[:vh, :vw].astype(np.uint16), 2)
+                    gq = decimate(self._golden_planes[0][:vh, :vw]
+                                  .astype(np.uint16), 2)
+                    lq = decimate(last2_planes[0][:vh, :vw]
+                                  .astype(np.uint16), 2)
+                    pick_l2 = (np.abs(cq.astype(np.int32) - lq).sum()
+                               < np.abs(cq.astype(np.int32) - gq).sum())
+                if pick_l2:
+                    ipp_ref2_planes = last2_planes
+                    ipp_ref2_const = 2    # LAST2_FRAME
+                    ipp_ref2_dist = 2
+
         def make_enc():
             if is_key:
                 e = IntraFrameEncoder(
@@ -666,10 +695,11 @@ class Encoder:
 
             return InterFrameEncoder(
                 cfg.width, cfg.height, qindex, last_planes, gm_mv=gm_mv,
-                golden_planes=(None if gop is not None else self._golden_planes),
+                golden_planes=(None if gop is not None else ipp_ref2_planes),
+                golden_const=(None if gop is not None else ipp_ref2_const),
                 future_planes=(gop.get("future") if gop is not None else None),
                 ref_distances=(gop.get("dists", (1, 1)) if gop is not None
-                               else (1, 6)),
+                               else (1, ipp_ref2_dist)),
                 ref_select=(gop is not None and gop.get("future") is not None),
                 shared=inter_shared,
                 inter_depths=self._pc.inter_depths,
@@ -832,11 +862,14 @@ class Encoder:
                     fp.reference_select = True
                 fp.ref_frame_idx = tuple(idx)
             else:
-                # DPB: slot 0 = LAST (refreshed every frame); slot 1 = GOLDEN
-                # (the most recent key frame, refreshed only by keys via 0xFF)
-                fp.refresh_frame_flags = 0x01
-                if self._golden_planes is not None:
-                    fp.ref_frame_idx = (0, 0, 0, 1, 0, 0, 0)
+                # DPB: LAST alternates slots 0/2 so the previous LAST stays
+                # addressable as LAST2; slot 1 = GOLDEN (key frames via 0xFF)
+                ls = self._ipp_hist[-1][0] if self._ipp_hist else 0
+                l2s = self._ipp_hist[-2][0] if len(self._ipp_hist) >= 2 else ls
+                new_slot = 2 if ls == 0 else 0
+                fp.refresh_frame_flags = 1 << new_slot
+                fp.ref_frame_idx = (ls, l2s, ls, 1, ls, ls, ls)
+                self._ipp_new_slot = new_slot
         # reference state: final (post-filter) recon planes, aligned dims
         # (superres: the upscaled full-width planes are the reference)
         if up_final is not None:
@@ -845,6 +878,13 @@ class Encoder:
             ref_planes = [ps.recon.copy() for ps in enc.planes]
         if gop is None or gop.get("update_last", True):
             self._ref_planes = ref_planes
+        if gop is None:
+            if is_key:
+                self._ipp_hist = [(0, ref_planes)]
+            else:
+                self._ipp_hist.append((getattr(self, "_ipp_new_slot", 0),
+                                       ref_planes))
+                self._ipp_hist = self._ipp_hist[-2:]
         if is_key:
             # ref_planes is rebound (never mutated) per frame, so the golden
             # snapshot can alias the key frame's recon list

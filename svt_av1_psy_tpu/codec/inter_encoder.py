@@ -92,7 +92,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  golden_planes=None, future_planes=None,
                  ref_distances=(1, 1), ref_select=False, shared=None,
                  inter_depths=(32,), gm_wm=None, inter_bias_pct=100,
-                 inter_tx_search=False, **kw):
+                 inter_tx_search=False, golden_const=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -142,14 +142,16 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.refs, self.me = {}, {}
         _add_ref(LAST_FRAME, ref_planes)
         # second reference: a future (higher display order) ALTREF in the
-        # hierarchical GoP, else the GOLDEN long-term key reference. Single
-        # extra ref per frame keeps the decide kernel's 2-ref shape.
+        # hierarchical GoP, else a past single ref -- the GOLDEN key frame
+        # or LAST2 (the caller picks via golden_const). One extra ref per
+        # frame keeps the decide kernel's 2-ref shape.
+        gconst = GOLDEN_FRAME if golden_const is None else int(golden_const)
         if future_planes is not None:
             _add_ref(ALTREF_FRAME, future_planes)
         elif golden_planes is not None:
-            _add_ref(GOLDEN_FRAME, golden_planes)
+            _add_ref(gconst, golden_planes)
         self.ref2 = (ALTREF_FRAME if future_planes is not None
-                     else GOLDEN_FRAME if golden_planes is not None else None)
+                     else gconst if golden_planes is not None else None)
         # ME range scales with temporal distance (pyramid leaves search a
         # small window; the GoP top searches wide)
         self.sr = tuple(int(np.clip(16 + 8 * d, 16, 64)) for d in ref_distances)
@@ -1204,7 +1206,8 @@ class InterFrameEncoder(IntraFrameEncoder):
             self.fc.write(self.enc, "single_ref", (ctx_p5, 4), 1, 2)  # GOLDEN
         else:
             ctx_p4 = 1 if counts[1] == counts[2] else (0 if counts[1] < counts[2] else 2)
-            self.fc.write(self.enc, "single_ref", (ctx_p4, 3), 0, 2)  # LAST
+            self.fc.write(self.enc, "single_ref", (ctx_p4, 3),
+                          int(ref == 2), 2)   # LAST vs LAST2
 
     def _write_inter_mode(self, mode, mode_ctx):
         newmv_ctx = mode_ctx & 7

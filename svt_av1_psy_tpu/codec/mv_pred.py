@@ -34,6 +34,7 @@ GLOBAL_MODES = frozenset((GLOBALMV, GLOBAL_GLOBALMV))
 
 INTRA_FRAME = 0
 LAST_FRAME = 1
+LAST2_FRAME = 2
 GOLDEN_FRAME = 4
 ALTREF_FRAME = 7
 

@@ -1127,8 +1127,8 @@ static void write_ref_frames(Walk *w, int mi_row, int mi_col, int ref) {
                   w->adapt);
     } else {
         int ctx_p4 = counts[1] == counts[2] ? 1 : (counts[1] < counts[2] ? 0 : 2);
-        ec_symbol(w->enc, 0, w->cdf_single_ref + (ctx_p4 * 6 + 3) * 3, 2,
-                  w->adapt);
+        ec_symbol(w->enc, ref == 2, w->cdf_single_ref + (ctx_p4 * 6 + 3) * 3,
+                  2, w->adapt);   /* LAST vs LAST2 */
     }
 }
 

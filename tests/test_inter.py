@@ -233,3 +233,49 @@ def test_inter_tx_type_search():
         IE.InterFrameEncoder._inter_tx_search = orig
     assert picked[0] > 0, "search never chose a non-DCT type"
     _check(s_on, recons, W, H)
+
+
+@requires_dav1d
+def test_last2_reference_conformant():
+    """IPP multi-ref: LAST alternates DPB slots 0/2 so LAST2 stays
+    addressable; a flickering occluder makes LAST2 the better second ref
+    (pick over GOLDEN by decimated SAD). Stream must stay bit-exact."""
+    import svt_av1_psy_tpu.codec.inter_encoder as IE
+    from svt_av1_psy_tpu.config import PredStructure
+
+    rng = np.random.default_rng(8)
+    W, H = 192, 128
+    bg = (np.cumsum(rng.normal(0, 5, (H, W + 64)), axis=1) + 128
+          ).clip(0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+    v = np.full((H // 2, W // 2), 137, np.uint8)
+    used = {"l2": 0}
+    orig = IE.InterFrameEncoder.__init__
+
+    def spy(self, *a, **k):
+        orig(self, *a, **k)
+        if self.ref2 == 2:
+            used["l2"] += 1
+
+    IE.InterFrameEncoder.__init__ = spy
+    try:
+        cfg = EncoderConfig(width=W, height=H, recon_enabled=True, preset=6,
+                            pred_structure=PredStructure.LOW_DELAY)
+        cfg.qp = 40
+        enc = Encoder(cfg).init()
+        for i in range(6):
+            y = bg[:, i : i + W].copy()
+            if i % 2 == 1:
+                y[40:90, 60:130] = 30
+            enc.send_picture(np.ascontiguousarray(y), u, v.copy(), pts=i)
+        enc.flush()
+        stream = b""
+        recons = []
+        while (pkt := enc.get_packet()) is not None:
+            stream += pkt.data
+            if pkt.recon is not None:
+                recons.append(pkt.recon)
+    finally:
+        IE.InterFrameEncoder.__init__ = orig
+    assert used["l2"] > 0, "LAST2 never selected"
+    _check(stream, recons, W, H)
