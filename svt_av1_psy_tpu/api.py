@@ -602,6 +602,11 @@ class Encoder:
                     last_planes[0][:vh, :vw], np.asarray(y),
                     cfg.input_depth, base_mv=gm_mv)
 
+        # OBMC (motion_mode OBMC_CAUSAL): switchable on inter frames at the
+        # slower presets, single tile (enc_mode_config obmc_level analog)
+        mm_switchable = (not is_key and cfg.preset <= 6
+                         and tile_cols_log2 == 0 and tile_rows_log2 == 0)
+
         # PSY tune 3 (subjective SSIM): unipred psy bias on inter costs
         # (uni_psy_bias/bi_psy_bias, md_process.h:1277; mode_decision.c:4263)
         inter_bias_pct = 100
@@ -706,6 +711,7 @@ class Encoder:
                 gm_wm=gm_wm,
                 inter_bias_pct=inter_bias_pct,
                 inter_tx_search=len(self._pc.tx_search_depths) > 0,
+                motion_mode_switchable=mm_switchable,
                 **common)
 
         def run_filters(enc):
@@ -849,6 +855,7 @@ class Encoder:
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),),
                          superres_denom=sr_denom)
         if not is_key:
+            fp.is_motion_mode_switchable = mm_switchable
             if gop is not None:
                 # hierarchical scheduling: explicit DPB slot roles
                 fp.show_frame = bool(gop.get("show", True))

@@ -92,7 +92,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                  golden_planes=None, future_planes=None,
                  ref_distances=(1, 1), ref_select=False, shared=None,
                  inter_depths=(32,), gm_wm=None, inter_bias_pct=100,
-                 inter_tx_search=False, golden_const=None, **kw):
+                 inter_tx_search=False, golden_const=None,
+                 motion_mode_switchable=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -102,6 +103,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # decide kernel (uni_psy_bias/bi_psy_bias, md_process.h:1277)
         self.inter_bias_pct = int(inter_bias_pct)
         self.inter_tx_search = bool(inter_tx_search)
+        # frame-level switchable_motion_mode: eligible single-ref blocks
+        # code an OBMC flag and may blend neighbor-motion predictions
+        self.motion_mode_switchable = bool(motion_mode_switchable)
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
@@ -692,6 +696,20 @@ class InterFrameEncoder(IntraFrameEncoder):
                     self.inter_txt[(r, c)] = tt
         self.shared["inter_txt"] = self.inter_txt
 
+    def _obmc_eligible(self, mi_row, mi_col, W, H, y_mode, ref_sel, is_comp):
+        """motion_mode_allowed == OBMC_CAUSAL (entropy_coding.c:1234):
+        the obmc flag is coded (and OBMC may be used) exactly here."""
+        if not self.motion_mode_switchable or is_comp:
+            return False
+        if min(W, H) < 8:
+            return False
+        if (int(y_mode) == GLOBALMV and ref_sel == LAST_FRAME
+                and self.gm_wm is not None):
+            return False    # is_global_mv_block: warp model, no motion mode
+        from .obmc import overlappable_count
+
+        return overlappable_count(self, mi_row, mi_col, W >> 2, H >> 2) > 0
+
     # -------------------------------------------------------------- helpers
     def _gm_block(self, mi_row, mi_col, W, H):
         """Projected ROTZOOM MV at the block center (gm_get_motion_vector)."""
@@ -1015,6 +1033,23 @@ class InterFrameEncoder(IntraFrameEncoder):
                     (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
         uv_mode = 0  # UV_DC for intra blocks
 
+        # ---- OBMC decision (motion_mode OBMC_CAUSAL): blend neighbor
+        # predictions and keep them when they beat the simple prediction
+        obmc_used = False
+        if (use_inter and self._obmc_eligible(mi_row, mi_col, W, H,
+                                              y_mode, ref_sel, is_comp)):
+            from . import obmc as OB
+
+            oy = y_pred.copy()
+            OB.build_obmc_preds(self, mi_row, mi_col, W, H, {0: oy})
+            c_simple = (int(np.sum((src.astype(np.int64) - y_pred) ** 2))
+                        + self._psy_cost(src, y_pred))
+            c_obmc = (int(np.sum((src.astype(np.int64) - oy) ** 2))
+                      + self._psy_cost(src, oy))
+            if c_obmc < c_simple:
+                obmc_used = True
+                y_pred = oy
+
         # ---- transforms for all planes (luma TX type from the pre-pass
         # search; inter chroma inherits it per compute_tx_type)
         tx_y = MAX_TX_RECT[BlockSize(bsize)]
@@ -1028,6 +1063,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             # decoder's TxTypes map stays DCT (spec read_tx_type gating), so
             # the luma plane must be quantized first (see below)
             tt_uv = inter_chroma_tx_type(tt_y, tx_uv) if use_inter else 0
+            uv_preds = {}
             for plane in (1, 2):
                 cx, cy, cw, ch = x0 >> 1, y0 >> 1, W >> 1, H >> 1
                 if is_comp:
@@ -1041,7 +1077,15 @@ class InterFrameEncoder(IntraFrameEncoder):
                 else:
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
                     pred = self._predict(0, pa, pl, pha, phl, cw, ch)
-                plane_jobs.append((plane, cx, cy, cw, ch, tx_uv, pred, tt_uv))
+                uv_preds[plane] = pred.copy() if obmc_used else pred
+            if obmc_used:
+                from . import obmc as OB
+
+                OB.build_obmc_preds(self, mi_row, mi_col, W, H, uv_preds)
+            for plane in (1, 2):
+                cx, cy, cw, ch = x0 >> 1, y0 >> 1, W >> 1, H >> 1
+                plane_jobs.append((plane, cx, cy, cw, ch, tx_uv,
+                                   uv_preds[plane], tt_uv))
 
         results = []
         for plane, px, py, pw, ph, tx_size, pred, tt in plane_jobs:
@@ -1093,6 +1137,13 @@ class InterFrameEncoder(IntraFrameEncoder):
                 if y_mode == NEWMV:
                     self._write_drl(stack, weights, refmv_count)
                     self._write_mv(mv, stack[0])
+            if self.motion_mode_switchable:
+                # motion_mode (write_motion_mode, entropy_coding.c:1265):
+                # obmc_cdf flag when OBMC is the max allowed mode
+                if self._obmc_eligible(mi_row, mi_col, W, H, y_mode,
+                                       ref_sel, is_comp):
+                    self.fc.write(self.enc, "obmc", (int(bsize),),
+                                  int(obmc_used), 2)
             # frame-level interpolation filter: no per-block syntax
         else:
             self._write_y_mode_inter(bsize, y_mode)

@@ -149,7 +149,8 @@ def eligible(enc) -> bool:
         # ROTZOOM frames need the Python walk (warp MC lives there); TX-type
         # search results flow through the C walk's d_txt map
         return (getattr(enc, "inter_dec", None) is not None
-                and getattr(enc, "gm_wm", None) is None)
+                and getattr(enc, "gm_wm", None) is None
+                and not getattr(enc, "motion_mode_switchable", False))
     if tname != "IntraFrameEncoder":
         return False
     if (enc.decisions is None

@@ -279,3 +279,51 @@ def test_last2_reference_conformant():
         IE.InterFrameEncoder.__init__ = orig
     assert used["l2"] > 0, "LAST2 never selected"
     _check(stream, recons, W, H)
+
+
+@requires_dav1d
+def test_obmc_conformant_and_used():
+    """OBMC (motion_mode OBMC_CAUSAL) at preset <= 6: eligible blocks code
+    the obmc flag, some choose overlapped prediction, and the stream stays
+    dav1d-bit-exact (the blend is normative)."""
+    import svt_av1_psy_tpu.bitstream.frame_context as FC
+    from svt_av1_psy_tpu.config import PredStructure
+
+    rng = np.random.default_rng(5)
+    W, H = 256, 160
+    yy, xx = np.mgrid[0:H + 32, 0:W + 32]
+    base = ((xx * 0.9 + yy * 0.5) % 200
+            + rng.normal(0, 6, (H + 32, W + 32))).clip(0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+    v = np.full((H // 2, W // 2), 137, np.uint8)
+    used = [0, 0]
+    orig = FC.FrameContext.write
+
+    def spy(self, enc, name, idx, val, n):
+        if name == "obmc":
+            used[int(bool(val))] += 1
+        return orig(self, enc, name, idx, val, n)
+
+    FC.FrameContext.write = spy
+    try:
+        cfg = EncoderConfig(width=W, height=H, recon_enabled=True, preset=6,
+                            pred_structure=PredStructure.LOW_DELAY)
+        cfg.qp = 40
+        enc = Encoder(cfg).init()
+        yy2, xx2 = np.mgrid[0:H, 0:W]
+        for i in range(4):
+            y = base[i * 2 : i * 2 + H, i * 3 : i * 3 + W].copy()
+            dd = ((xx2 - 80 - 6 * i) ** 2 + (yy2 - 70 - 3 * i) ** 2) < 28 ** 2
+            y[dd] = np.clip(180 + (xx2[dd] - 80) // 2, 0, 255)
+            enc.send_picture(np.ascontiguousarray(y), u, v.copy(), pts=i)
+        enc.flush()
+        stream = b""
+        recons = []
+        while (pkt := enc.get_packet()) is not None:
+            stream += pkt.data
+            if pkt.recon is not None:
+                recons.append(pkt.recon)
+    finally:
+        FC.FrameContext.write = orig
+    assert used[1] > 0, "OBMC never chosen"
+    _check(stream, recons, W, H)
