@@ -607,6 +607,14 @@ class Encoder:
         mm_switchable = (not is_key and cfg.preset <= 6
                          and tile_cols_log2 == 0 and tile_rows_log2 == 0)
 
+        # IBC (intra block copy): screen-content key frames; the spec turns
+        # ALL in-loop filters off for intrabc frames (intra_bc_tools,
+        # EbCodingUnit allow_intrabc; frame header reads allow_intrabc only
+        # when allow_screen_content_tools)
+        allow_ibc = (is_key and getattr(self, "_allow_sct", False)
+                     and cfg.preset <= 6 and sr_denom == 8
+                     and cfg.intrabc_mode != 0)
+
         # PSY tune 3 (subjective SSIM): unipred psy bias on inter costs
         # (uni_psy_bias/bi_psy_bias, md_process.h:1277; mode_decision.c:4263)
         inter_bias_pct = 100
@@ -693,7 +701,8 @@ class Encoder:
                 e = IntraFrameEncoder(
                     cfg.width, cfg.height, qindex, decisions=decisions,
                     filter_intra_search=self._pc.filter_intra_search,
-                    cfl_search=self._pc.cfl_search, **common)
+                    cfl_search=self._pc.cfl_search, allow_intrabc=allow_ibc,
+                    **common)
                 e.sr_denom = sr_denom   # LR unit mapping scales with superres
                 return e
             from .codec.inter_encoder import InterFrameEncoder
@@ -717,6 +726,10 @@ class Encoder:
         def run_filters(enc):
             """DLF + CDEF on the encoder's recon; returns the post-DLF copy
             (LR boundary source) and the cdef parameters used."""
+            if allow_ibc:
+                # intrabc frames: loop filters are normatively disabled
+                return ([ps.recon.copy() for ps in enc.planes],
+                        0, 0, (0, 0), (0, 0), 3)
             lvl_y = lvl_uv = 0
             if cfg.enable_dlf_flag:
                 from .codec.deblock import pick_filter_level
@@ -774,7 +787,7 @@ class Encoder:
         if sr_denom > 8:
             up_final = upscale_all([ps.recon for ps in enc.planes])
         lr_types = (0, 0, 0)
-        if self._seq.enable_restoration:
+        if self._seq.enable_restoration and not allow_ibc:
             from .codec.restoration import RESTORE_NONE, apply_restoration, pick_lr
 
             # LR operates on the (upscaled, full-width) frame (spec order:
@@ -853,7 +866,8 @@ class Encoder:
                          cdef_damping=cdef_damping, cdef_bits=0,
                          cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),),
-                         superres_denom=sr_denom)
+                         superres_denom=sr_denom,
+                         allow_intrabc=allow_ibc)
         if not is_key:
             fp.is_motion_mode_switchable = mm_switchable
             if gop is not None:

@@ -58,6 +58,10 @@ class FrameContext:
         }
         for key, arr in comp.items():
             t[key] = np.stack([arr.copy(), arr.copy()])
+        # the DV coder (intrabc) adapts its own nmv instance (ndvc)
+        t["ndv_joints"] = t["nmv_joints"].copy()
+        for key in comp:
+            t["ndv" + key[3:]] = t[key].copy()
 
     def write(self, enc, name: str, idx: tuple, symbol: int, nsyms: int):
         cdf = self.tables[name]

@@ -156,7 +156,7 @@ class IntraFrameEncoder:
                  seg_params=None, sb_seg_map=None, noise_norm=0,
                  enable_filter_intra=False, chroma_delta=0,
                  decisions=None, filter_intra_search=True, cfl_search=True,
-                 allow_sct=False, palette_level=-1,
+                 allow_sct=False, palette_level=-1, allow_intrabc=False,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
                                   PredictionMode.H_PRED, PredictionMode.D45_PRED,
                                   PredictionMode.D135_PRED, PredictionMode.D113_PRED,
@@ -234,6 +234,13 @@ class IntraFrameEncoder:
         self.mi_skip = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.pal_size = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.pal_colors = {}   # (mi_row, mi_col) -> tuple of base colors
+        # intra block copy (screen content): DVs tracked in a MiGrid so the
+        # decoder-normative DV-ref stack (ref INTRA_FRAME) reproduces
+        self.allow_intrabc_on = bool(allow_intrabc)
+        if self.allow_intrabc_on:
+            from .mv_pred import MiGrid
+
+            self.ibc_grid = MiGrid(self.mi_rows, self.mi_cols)
         self.part_above = np.zeros(self.mi_cols, np.uint8)
         self.part_left = np.zeros(self.mi_rows, np.uint8)
         self.planes: list[PlaneState] = []
@@ -699,6 +706,29 @@ class IntraFrameEncoder:
                     fi_mode = None
                     tx_type_y = 0
                     pal_info = (colors, idx_map)
+        # ---- intra block copy candidate (use_intrabc; screen content)
+        ibc_dv = None
+        if self.allow_intrabc_on:
+            got = self._ibc_search(mi_row, mi_col, W, H, src)
+            if got is not None:
+                (dvy, dvx), sse = got
+                from .rd import lambda_sse_per_bit
+
+                lam = getattr(self, "_lam_pal", None)
+                if lam is None:
+                    lam = self._lam_pal = float(
+                        lambda_sse_per_bit(self.qindex, self.bd, "kf"))
+                rec = self.planes[0].recon
+                cand = rec[y0 + dvy : y0 + dvy + H, x0 + dvx : x0 + dvx + W]
+                cost = (sse + self._psy_cost(src, cand) + lam * 20.0)
+                if cost < best_cost:
+                    best_mode = PredictionMode.DC_PRED
+                    best_pred = cand.copy()
+                    best_cost = cost
+                    fi_mode = None
+                    tx_type_y = 0
+                    pal_info = None
+                    ibc_dv = (dvy * 8, dvx * 8)
         y_mode = best_mode
         uv_mode = UVPredictionMode.UV_DC_PRED
         cfl_alphas = None   # (alpha_u_q3, alpha_v_q3) when uv_mode is CFL
@@ -746,10 +776,19 @@ class IntraFrameEncoder:
             in_frame = (x0 + W <= self.planes[0].width
                         and y0 + H <= self.planes[0].height)
             dc_preds = []
-            for plane in (1, 2):
-                pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
-                dc_preds.append(self._predict(0, pa, pl, pha, phl, cw, ch))
-            if cfl_allowed and in_frame and self.enable_cfl:
+            if ibc_dv is not None:
+                dvy, dvx = ibc_dv[0] >> 3, ibc_dv[1] >> 3
+                for plane in (1, 2):
+                    rc = self.planes[plane].recon
+                    dc_preds.append(rc[cy + (dvy >> 1) : cy + (dvy >> 1) + ch,
+                                       cx + (dvx >> 1) : cx + (dvx >> 1) + cw]
+                                    .copy())
+            else:
+                for plane in (1, 2):
+                    pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
+                    dc_preds.append(self._predict(0, pa, pl, pha, phl, cw, ch))
+            if (cfl_allowed and in_frame and self.enable_cfl
+                    and ibc_dv is None):
                 ac = self._cfl_ac(luma_recon, cw, ch)
                 alphas, cfl_preds, gain = self._cfl_search(ac, dc_preds, cx, cy, cw, ch)
                 if gain > 0 and alphas != (0, 0):
@@ -771,20 +810,29 @@ class IntraFrameEncoder:
         if (self._sb_delta_pending and (mi_row & 15) == 0 and (mi_col & 15) == 0
                 and (bsize != BlockSize.BLOCK_64X64 or not skip)):
             self._write_delta_q_index()
-        self._write_y_mode_kf(mi_row, mi_col, bsize, y_mode)
-        if has_uv:
+        if self.allow_intrabc_on:
+            # use_intrabc + DV (write_intrabc_info, entropy_coding.c:4299)
+            self.fc.write(self.enc, "intrabc", (), int(ibc_dv is not None), 2)
+            if ibc_dv is not None:
+                self._write_dv(ibc_dv,
+                               self._dv_ref(mi_row, mi_col, W >> 2, H >> 2))
+        if ibc_dv is None:
+            self._write_y_mode_kf(mi_row, mi_col, bsize, y_mode)
+        if has_uv and ibc_dv is None:
             self.fc.write(self.enc, "uv_mode", (int(cfl_allowed), int(y_mode)),
                           int(uv_mode), 14 if cfl_allowed else 13)
             if uv_mode == UVPredictionMode.UV_CFL_PRED:
                 self._write_cfl_alphas(*cfl_alphas)
             # UV_DC / CFL are non-directional: no uv angle delta
-        self._write_palette_info(
-            mi_row, mi_col, bsize, int(y_mode),
-            has_uv and uv_mode == UVPredictionMode.UV_DC_PRED, pal_info)
+        if ibc_dv is None:
+            self._write_palette_info(
+                mi_row, mi_col, bsize, int(y_mode),
+                has_uv and uv_mode == UVPredictionMode.UV_DC_PRED, pal_info)
         # filter_intra_mode_info (spec 5.11.10 tail; after uv/palette;
         # gated on palette_size == 0, svt_aom_filter_intra_allowed)
         if (self.enable_filter_intra and int(y_mode) == int(PredictionMode.DC_PRED)
-                and W <= 32 and H <= 32 and pal_info is None):
+                and W <= 32 and H <= 32 and pal_info is None
+                and ibc_dv is None):
             self.fc.write(self.enc, "filter_intra", (int(bsize),),
                           int(fi_mode is not None), 2)
             if fi_mode is not None:
@@ -815,8 +863,13 @@ class IntraFrameEncoder:
                     from .intra import FIMODE_TO_INTRADIR
 
                     eff_mode = FIMODE_TO_INTRADIR[fi_mode]
-                ttw = (lambda ts=tx_size, ym=eff_mode, t=tt:
-                       self._write_tx_type(ts, ym, t)) if plane == 0 else None
+                if plane != 0:
+                    ttw = None
+                elif ibc_dv is not None:
+                    ttw = (lambda ts=tx_size: self._write_tx_type_ibc(ts))
+                else:
+                    ttw = (lambda ts=tx_size, ym=eff_mode, t=tt:
+                           self._write_tx_type(ts, ym, t))
                 writer = write_coeffs_txb_native if self.use_native_ec else write_coeffs_txb
                 cul = writer(self.fc, self.enc, qc, eob, int(tx_size), int(tt),
                              plane_type, txb_skip_ctx, dc_sign_ctx,
@@ -849,6 +902,16 @@ class IntraFrameEncoder:
         c1 = min(mi_col + bw4, self.mi_cols)
         self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
         self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
+        if self.allow_intrabc_on:
+            # shadow grid for DV prediction: only IBC blocks are candidates
+            # (is_inter_block includes intrabc; plain intra is skipped by the
+            # mode < NEARESTMV guard), ref2=-1 so the pair scan can't match
+            from .mv_pred import NEARESTMV as _NRST
+
+            self.ibc_grid.set_block(mi_row, mi_col, bw4, bh4, 0,
+                                    ibc_dv if ibc_dv is not None else (0, 0),
+                                    _NRST if ibc_dv is not None else 0,
+                                    ref_frame2=-1)
         if self.palette_enabled:
             n_pal = len(pal_info[0]) if pal_info is not None else 0
             self.pal_size[mi_row:r1, mi_col:c1] = n_pal
@@ -926,6 +989,152 @@ class IntraFrameEncoder:
         if bsize >= BlockSize.BLOCK_8X8 and 1 <= int(mode) <= 8:
             # directional: angle_delta = 0 -> symbol 3
             self.fc.write(self.enc, "angle_delta", (int(mode) - 1,), 3, 7)
+
+    # --------------------------------------------------------- intra bc
+    def _dv_valid(self, mi_row, mi_col, W, H, dvy, dvx):
+        """svt_aom_is_dv_valid (adaptive_mv_pred.c:1831), full-pel DV in
+        pixels, 64px superblocks."""
+        t_r0, t_r1, t_c0, t_c1 = self.tile_mi
+        src_top = mi_row * 4 + dvy
+        src_left = mi_col * 4 + dvx
+        src_bottom = mi_row * 4 + H + dvy
+        src_right = mi_col * 4 + W + dvx
+        if (src_top < t_r0 * 4 or src_left < t_c0 * 4
+                or src_bottom > t_r1 * 4 or src_right > t_c1 * 4):
+            return False
+        if not self.mono:
+            if W < 8 and src_left < t_c0 * 4 + 4:
+                return False
+            if H < 8 and src_top < t_r0 * 4 + 4:
+                return False
+        # already-coded-SB + hardware-delay wavefront constraints
+        active_sb_row = mi_row >> 4
+        active_sb64_col = (mi_col * 4) >> 6
+        src_sb_row = (src_bottom - 1) // 64
+        src_sb64_col = (src_right - 1) >> 6
+        total_sb64_per_row = ((t_c1 - t_c0 - 1) >> 4) + 1
+        active_sb64 = active_sb_row * total_sb64_per_row + active_sb64_col
+        src_sb64 = src_sb_row * total_sb64_per_row + src_sb64_col
+        if src_sb64 >= active_sb64 - 4:      # INTRABC_DELAY_SB64
+            return False
+        gradient = 1 + 4                      # 64px superblocks
+        wf_offset = gradient * (active_sb_row - src_sb_row)
+        if (src_sb_row > active_sb_row
+                or src_sb64_col >= active_sb64_col - 4 + wf_offset):
+            return False
+        if src_sb64_col > active_sb64_col + (active_sb_row - src_sb_row):
+            return False
+        return True
+
+    def _dv_ref(self, mi_row, mi_col, bw4, bh4):
+        """DV prediction: stack[0] else stack[1] else the default ref DV
+        (mode_decision.c:3415 + svt_aom_find_ref_dv)."""
+        from .mv_pred import setup_ref_mv_list
+
+        t = self.tile_mi
+        stack, weights, mode_ctx, cnt = setup_ref_mv_list(
+            self.ibc_grid, mi_row, mi_col, bw4, bh4, 0,
+            (t[0], t[1], t[2], t[3]), gm_mv=(0, 0))
+        dv = tuple(int(v) for v in stack[0]) if cnt >= 1 else (0, 0)
+        if dv == (0, 0) and cnt >= 2:
+            dv = tuple(int(v) for v in stack[1])
+        if dv == (0, 0):
+            t_r0 = t[0]
+            if mi_row - 16 < t_r0:
+                dv = (0, (-64 - 256) * 8)
+            else:
+                dv = (-64 * 8, 0)
+        # "Ref DV should not have sub-pel" (read_intrabc_info): truncate
+        return ((dv[0] >> 3) * 8, (dv[1] >> 3) * 8)
+
+    def _ibc_search(self, mi_row, mi_col, W, H, src):
+        """Candidate-set DV search (intra_bc search analog): the reference
+        DV, neighbor DVs, same-row horizontal copies, same-column vertical
+        copies, and a coarse 2D grid reaching past the 256px hardware-delay
+        wavefront (INTRABC_DELAY_PXLS); even offsets only (integer chroma
+        DVs -> pure copies). Early-out on an exact match. Returns
+        (dv_px, sse) or None."""
+        x0, y0 = mi_col * 4, mi_row * 4
+        rec = self.planes[0].recon
+        cands = []
+        rdv = self._dv_ref(mi_row, mi_col, W >> 2, H >> 2)
+        if rdv[0] % 16 == 0 and rdv[1] % 16 == 0:
+            cands.append((rdv[0] >> 3, rdv[1] >> 3))
+        if mi_col > 0:   # left neighbor's DV
+            ndv = (int(self.ibc_grid.mv_row[mi_row, mi_col - 1]),
+                   int(self.ibc_grid.mv_col[mi_row, mi_col - 1]))
+            if ndv != (0, 0) and ndv[0] % 16 == 0 and ndv[1] % 16 == 0:
+                cands.append((ndv[0] >> 3, ndv[1] >> 3))
+        if mi_row > 0:   # above neighbor's DV
+            ndv = (int(self.ibc_grid.mv_row[mi_row - 1, mi_col]),
+                   int(self.ibc_grid.mv_col[mi_row - 1, mi_col]))
+            if ndv != (0, 0) and ndv[0] % 16 == 0 and ndv[1] % 16 == 0:
+                cands.append((ndv[0] >> 3, ndv[1] >> 3))
+        for k in range(2, 258, 2):
+            cands.append((-k, 0))
+        for k in range(2, 130, 2):
+            cands.append((0, -k))
+        for dy in range(-32, -257, -32):
+            for dx in range(-128, 129, 16):
+                if dx != 0:
+                    cands.append((dy, dx))
+        best = None
+        seen = set()
+        src64 = src.astype(np.int64)
+        for (dy, dx) in cands:
+            if (dy, dx) in seen:
+                continue
+            seen.add((dy, dx))
+            if not self._dv_valid(mi_row, mi_col, W, H, dy, dx):
+                continue
+            blk = rec[y0 + dy : y0 + dy + H, x0 + dx : x0 + dx + W]
+            sse = int(np.sum((src64 - blk) ** 2))
+            if best is None or sse < best[1]:
+                best = ((dy, dx), sse)
+                if sse == 0:
+                    break
+        return best
+
+    def _write_dv(self, dv, ref_dv):
+        """svt_av1_encode_dv: nmv coding on the ndv context set, integer
+        precision (no fr/hp bits)."""
+        diff = (dv[0] - ref_dv[0], dv[1] - ref_dv[1])
+        joint = (0 if diff[0] == 0 and diff[1] == 0 else
+                 1 if diff[0] == 0 else 2 if diff[1] == 0 else 3)
+        self.fc.write(self.enc, "ndv_joints", (), joint, 4)
+        from .inter_encoder import _mv_class
+
+        for comp in range(2):
+            d = diff[comp]
+            if d == 0:
+                continue
+            sign = int(d < 0)
+            mag = -d if sign else d
+            cls, offset = _mv_class(mag - 1)
+            di = offset >> 3
+            self.fc.write(self.enc, "ndv_sign", (comp,), sign, 2)
+            self.fc.write(self.enc, "ndv_classes", (comp,), cls, 11)
+            if cls == 0:
+                self.fc.write(self.enc, "ndv_class0", (comp,), di, 2)
+            else:
+                for i in range(cls):
+                    self.fc.write(self.enc, "ndv_bits", (comp, i),
+                                  (di >> i) & 1, 2)
+            # MV_SUBPEL_NONE: fr/hp are not coded
+
+    def _write_tx_type_ibc(self, tx_size):
+        """IBC blocks use the inter tx sets (use_intrabc -> is_inter)."""
+        from .inter_encoder import (EXT_TX_IND_INTER, EXT_TX_NSYMS_INTER,
+                                    inter_ext_tx_set)
+
+        if self.qindex == 0:
+            return
+        eset = inter_ext_tx_set(int(tx_size))
+        if eset == 0:
+            return
+        self.fc.write(self.enc, "inter_ext_tx",
+                      (eset, int(_SQR[int(tx_size)])),
+                      EXT_TX_IND_INTER[eset][0], EXT_TX_NSYMS_INTER[eset])
 
     def _write_palette_info(self, mi_row, mi_col, bsize, y_mode, uv_is_dc,
                             pal_info):

@@ -155,7 +155,8 @@ def eligible(enc) -> bool:
         return False
     if (enc.decisions is None
             or (enc.enable_filter_intra and enc.filter_intra_search)
-            or getattr(enc, "palette_enabled", False)):
+            or getattr(enc, "palette_enabled", False)
+            or getattr(enc, "allow_intrabc_on", False)):
         return False
     # only the searched tx set has transform/scan tables on the C side
     for t in enc.decisions.tx_types.values():

@@ -579,6 +579,7 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     _check(not cfg.lossless,
            "lossless coding (WHT 4x4 path) is not implemented yet")
     _check(-1 <= cfg.palette_level <= 6, "palette_level out of range [-1, 6]")
+    _check(-1 <= cfg.intrabc_mode <= 3, "intrabc_mode out of range [-1, 3]")
     _check(int(cfg.superres_mode) in (0, 1),
            "superres_mode: NONE and FIXED are implemented (RANDOM/QTHRESH/"
            "AUTO are not)")

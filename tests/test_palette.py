@@ -111,3 +111,53 @@ def test_palette_inter_sequence_conformant():
     for i in range(len(recons)):
         dy, du, dv = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, recons[i][0]), f"frame {i}"
+
+
+def test_intrabc_conformant_and_effective():
+    """IBC (use_intrabc) on screen-content key frames: tiled content codes
+    mostly as block copies, the stream shrinks vs IBC-off, and dav1d decodes
+    bit-exactly (write_intrabc_info, entropy_coding.c:4299; is_dv_valid,
+    adaptive_mv_pred.c:1831)."""
+    import svt_av1_psy_tpu.codec.intra_encoder as IE
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.io import dav1d
+
+    rng = np.random.default_rng(5)
+    tile = (rng.integers(0, 2, (32, 32)) * 235 + 10).astype(np.uint8)
+    W, H = 320, 128
+    y = np.tile(tile, (H // 32, W // 32)).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 128, np.uint8)
+
+    orig = IE.IntraFrameEncoder._write_dv
+    n = [0]
+
+    def spy(self, *a, **k):
+        n[0] += 1
+        return orig(self, *a, **k)
+
+    IE.IntraFrameEncoder._write_dv = spy
+    try:
+        sizes = {}
+        rec = None
+        pkt = None
+        for ibc in (-1, 0):
+            cfg = EncoderConfig(width=W, height=H, preset=4,
+                                recon_enabled=True)
+            cfg.qp = 40
+            cfg.screen_content_mode = 1
+            cfg.intrabc_mode = ibc
+            enc = Encoder(cfg).init()
+            enc.send_picture(y, u, u.copy())
+            p = enc.get_packet()
+            sizes[ibc] = len(p.data)
+            if ibc == -1:
+                pkt, rec = p, enc.get_recon()
+    finally:
+        IE.IntraFrameEncoder._write_dv = orig
+    assert n[0] > 50, f"IBC should win on tiled content ({n[0]} blocks)"
+    assert sizes[-1] < sizes[0] * 0.6, f"IBC should shrink the stream: {sizes}"
+    if dav1d.available():
+        dy, du, dv = dav1d.decode(pkt.data, W, H)
+        assert np.array_equal(dy, rec[0])
+        assert np.array_equal(du, rec[1])
+        assert np.array_equal(dv, rec[2])
