@@ -99,12 +99,35 @@ int64_t mc_subpel_sad(const int32_t *src, int src_stride, int w, int h,
 /* Full-pel SAD grid over offsets dy in [y0, y1), dx in [x0, x1) (relative to
  * ref top-left). cur: (h, w) int32; ref: int32 with stride. Writes argmin to
  * best[3] = {dy, dx, sad}. Caller guarantees all windows are in bounds. */
+static int64_t sad_one(const int32_t *cur, int w, int h,
+                       const int32_t *ref, int ref_stride, int dy, int dx,
+                       int64_t lim) {
+    int64_t sad = 0;
+    for (int r = 0; r < h; r++) {
+        const int32_t *rp = ref + (dy + r) * ref_stride + dx;
+        const int32_t *cp = cur + r * w;
+        for (int c = 0; c < w; c++) {
+            int32_t d = rp[c] - cp[c];
+            sad += d < 0 ? -d : d;
+        }
+        if (sad >= lim) return sad;
+    }
+    return sad;
+}
+
 void me_sad_grid(const int32_t *cur, int w, int h,
                  const int32_t *ref, int ref_stride,
                  int y0, int y1, int x0, int x1, int step,
                  int64_t *best) {
     int64_t best_sad = INT64_MAX;
     int best_dy = y0, best_dx = x0;
+    /* seed with the grid centre: the predicted position usually wins, and a
+     * tight initial bound lets the per-row early-exit cut most candidates */
+    int cy = (y0 + y1 - 1) >> 1, cx = (x0 + x1 - 1) >> 1;
+    if (cy >= y0 && cx >= x0) {
+        best_sad = sad_one(cur, w, h, ref, ref_stride, cy, cx, INT64_MAX);
+        best_dy = cy; best_dx = cx;
+    }
     for (int dy = y0; dy < y1; dy += step) {
         for (int dx = x0; dx < x1; dx += step) {
             int64_t sad = 0;
@@ -146,6 +169,33 @@ static int64_t subpel_try(const int32_t *cur, int w, int h,
                          bd, cur);
 }
 
+/* grid search with an external pruning bound: candidates that cannot beat
+ * `bound` are cut by the per-row early exit; if nothing in the grid beats
+ * it, best[2] = INT64_MAX (exact for a strictly-smaller comparison). */
+static void me_sad_grid_bounded(const int32_t *cur, int w, int h,
+                                const int32_t *ref, int ref_stride,
+                                int y0, int y1, int x0, int x1,
+                                int64_t bound, int64_t *best) {
+    int64_t best_sad = bound;
+    int best_dy = -1, best_dx = 0;
+    for (int dy = y0; dy < y1; dy++)
+        for (int dx = x0; dx < x1; dx++) {
+            int64_t sad = sad_one(cur, w, h, ref, ref_stride, dy, dx, best_sad);
+            if (sad < best_sad) {
+                best_sad = sad;
+                best_dy = dy;
+                best_dx = dx;
+            }
+        }
+    if (best_dy < 0) {
+        best[2] = INT64_MAX;
+    } else {
+        best[0] = best_dy;
+        best[1] = best_dx;
+        best[2] = best_sad;
+    }
+}
+
 static void sad_grid_clamped(const int32_t *cur, int w, int h,
                              const int32_t *ref, int refH, int refW,
                              int cy, int cx, int rad, int64_t *best) {
@@ -182,11 +232,19 @@ void me_search_block(const int32_t *cur, int w, int h,
     sad_grid_clamped(cur, w, h, ref, refH, refW, y0 + dyq * 4, x0 + dxq * 4, 7, b);
     if (dyq != 0 || dxq != 0) {
         int64_t b2[3];
-        sad_grid_clamped(cur, w, h, ref, refH, refW, y0, x0, 7, b2);
-        if (b2[2] < b[2]) {
-            b[0] = b2[0];
-            b[1] = b2[1];
-            b[2] = b2[2];
+        int zy0 = y0 - 7, zx0 = x0 - 7, zy1 = y0 + 8, zx1 = x0 + 8;
+        if (zy0 < 0) zy0 = 0;
+        if (zx0 < 0) zx0 = 0;
+        if (zy1 > refH - h + 1) zy1 = refH - h + 1;
+        if (zx1 > refW - w + 1) zx1 = refW - w + 1;
+        if (zy1 > zy0 && zx1 > zx0) {
+            me_sad_grid_bounded(cur, w, h, ref, refW, zy0, zy1, zx0, zx1,
+                                b[2], b2);
+            if (b2[2] < b[2]) {
+                b[0] = b2[0];
+                b[1] = b2[1];
+                b[2] = b2[2];
+            }
         }
     }
     int fy, fx;
@@ -476,33 +534,83 @@ void cdef_filter_blocks(const int32_t *pad, int pstride, int32_t *dst,
                         int nblk, const int32_t *dirs, const int32_t *pri_str,
                         int sec_str, int pri_damp, int sec_damp, int bw,
                         int bh, int bd) {
+    /* constrain() as lookup tables per distinct (strength, damping): the
+     * per-tap branchy clamp becomes one load. Sentinel border pixels
+     * (CDEF_VERY_LARGE) constrain to 0 at any codable strength, so they are
+     * handled by a skip branch, keeping the table at +/-(1<<bd). */
+    enum { MAXTAB = 8 };
+    const int off = 1 << bd;
+    const int tabn = 2 * (1 << bd) + 1;
+    static __thread int16_t *tabmem = NULL;
+    static __thread int tabcap = 0;
+    if (tabcap < MAXTAB * tabn) {
+        free(tabmem);
+        tabmem = (int16_t *)malloc(sizeof(int16_t) * MAXTAB * tabn);
+        tabcap = MAXTAB * tabn;
+    }
+    int tkey[MAXTAB], tcnt = 0, tevict = 0;
+    /* slot 0 is pinned to the secondary strength (its pointer outlives the
+     * block loop); eviction cycles through slots 1..MAXTAB-1 only */
+    #define GET_TAB(TH, DAMP, OUT) do { \
+        int key_ = ((TH) << 5) | (DAMP); \
+        int fi_ = -1; \
+        for (int q_ = 0; q_ < tcnt; q_++) \
+            if (tkey[q_] == key_) { fi_ = q_; break; } \
+        if (fi_ < 0) { \
+            fi_ = tcnt < MAXTAB ? tcnt++ \
+                                : 1 + (tevict++ % (MAXTAB - 1)); \
+            tkey[fi_] = key_; \
+            int16_t *t_ = tabmem + fi_ * tabn; \
+            for (int d_ = -off; d_ <= off; d_++) \
+                t_[d_ + off] = (int16_t)cdef_constrain(d_, (TH), (DAMP)); \
+        } \
+        (OUT) = tabmem + fi_ * tabn + off; \
+    } while (0)
+    const int16_t *stab;
+    GET_TAB(sec_str, sec_damp, stab);
     for (int n = 0; n < nblk; n++) {
         const int dir = dirs[n];
         const int pri = pri_str[n];
         const int ti = (pri >> (bd - 8)) & 1;
         const int y0 = by[n] * bh, x0 = bx[n] * bw;
+        const int16_t *ptab;
+        GET_TAB(pri, pri_damp, ptab);
+        /* hoisted tap geometry: 4 primary + 8 secondary (offset, tap) */
+        int poff[4], ptap[4], soff[8], stap[8], np = 0, ns = 0;
+        for (int k = 0; k < 2; k++) {
+            int dy = cdef_dirs[dir][k][0], dx = cdef_dirs[dir][k][1];
+            for (int sgn = 1; sgn >= -1; sgn -= 2) {
+                poff[np] = sgn * dy * pstride + sgn * dx;
+                ptap[np++] = cdef_pri_taps[ti][k];
+            }
+            for (int delta = 2; delta >= -2; delta -= 4) {
+                int d2 = (dir + delta) & 7;
+                int sdy = cdef_dirs[d2][k][0], sdx = cdef_dirs[d2][k][1];
+                for (int sgn = 1; sgn >= -1; sgn -= 2) {
+                    soff[ns] = sgn * sdy * pstride + sgn * sdx;
+                    stap[ns++] = cdef_sec_taps[ti][k];
+                }
+            }
+        }
         for (int r = 0; r < bh; r++)
             for (int c = 0; c < bw; c++) {
                 const int32_t *px = pad + (y0 + r + 2) * pstride + x0 + c + 2;
                 int32_t x = *px;
                 int32_t sum = 0, mx = x, mn = x;
-                for (int k = 0; k < 2; k++) {
-                    int dy = cdef_dirs[dir][k][0], dx = cdef_dirs[dir][k][1];
-                    for (int sgn = 1; sgn >= -1; sgn -= 2) {
-                        int32_t p = px[sgn * dy * pstride + sgn * dx];
-                        sum += cdef_pri_taps[ti][k] * cdef_constrain(p - x, pri, pri_damp);
-                        if (p != CDEF_VERY_LARGE && p > mx) mx = p;
+                for (int k = 0; k < 4; k++) {
+                    int32_t p = px[poff[k]];
+                    if (p != CDEF_VERY_LARGE) {
+                        sum += ptap[k] * ptab[p - x];
+                        if (p > mx) mx = p;
                         if (p < mn) mn = p;
                     }
-                    for (int delta = 2; delta >= -2; delta -= 4) {
-                        int d2 = (dir + delta) & 7;
-                        int sdy = cdef_dirs[d2][k][0], sdx = cdef_dirs[d2][k][1];
-                        for (int sgn = 1; sgn >= -1; sgn -= 2) {
-                            int32_t s = px[sgn * sdy * pstride + sgn * sdx];
-                            sum += cdef_sec_taps[ti][k] * cdef_constrain(s - x, sec_str, sec_damp);
-                            if (s != CDEF_VERY_LARGE && s > mx) mx = s;
-                            if (s < mn) mn = s;
-                        }
+                }
+                for (int k = 0; k < 8; k++) {
+                    int32_t p = px[soff[k]];
+                    if (p != CDEF_VERY_LARGE) {
+                        sum += stap[k] * stab[p - x];
+                        if (p > mx) mx = p;
+                        if (p < mn) mn = p;
                     }
                 }
                 int32_t y = x + ((8 + sum - (sum < 0)) >> 4);
@@ -511,6 +619,7 @@ void cdef_filter_blocks(const int32_t *pad, int pstride, int32_t *dst,
                 dst[(y0 + r) * dstride + x0 + c] = y;
             }
     }
+    #undef GET_TAB
 }
 
 /* ---- Intra predictors (spec 7.11.2; reference intra_prediction.c
@@ -745,6 +854,24 @@ static int64_t sse_pred_u16(const uint16_t *src, int sstride,
     return s;
 }
 
+/* bounded SSE: once the partial sum reaches `lim` the candidate has lost
+ * every comparison it feeds (psy cost >= 0), so bail (exact pruning) */
+static int64_t sse_pred_u16_b(const uint16_t *src, int sstride,
+                              const uint16_t *pred, int W, int H,
+                              int64_t lim) {
+    int64_t s = 0;
+    for (int r = 0; r < H; r++) {
+        const uint16_t *sp = src + r * sstride;
+        const uint16_t *pp = pred + r * W;
+        for (int c = 0; c < W; c++) {
+            int32_t d = (int32_t)sp[c] - (int32_t)pp[c];
+            s += (int64_t)d * d;
+        }
+        if (s >= lim) return s;
+    }
+    return s;
+}
+
 static void mc_pred_luma(const int32_t *ref_pad, int pW, int pad,
                          int x0, int y0, int W, int H, int mvr, int mvc,
                          const int32_t *filters8, const int32_t *filters4,
@@ -846,8 +973,10 @@ void inter_decide_frame(
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
             /* PSY_COST >= 0: skip it when SSE alone already loses (exact) */
-            int64_t sse = sse_pred_u16(sblk, sstride, pred, W, H);
-            int64_t full = sse + PSY_COST(pred);
+            int64_t plim = primary2 ? best_a : best_l;
+            if (best_inter > plim) plim = best_inter;
+            int64_t sse = sse_pred_u16_b(sblk, sstride, pred, W, H, plim);
+            int64_t full = sse < plim ? sse + PSY_COST(pred) : INT64_MAX;
             if (primary2) {
                 if (full < best_a) {
                     best_a = full; mva_r = (int)me_out[0]; mva_c = (int)me_out[1];
@@ -882,8 +1011,10 @@ void inter_decide_frame(
             mc_pred_luma(gref_pad, gpW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
-            int64_t sse_g = sse_pred_u16(sblk, sstride, pred, W, H);
-            int64_t full_g = sse_g + PSY_COST(pred);
+            int64_t glim = best_inter;
+            if (two_ref && best_a > glim) glim = best_a;
+            int64_t sse_g = sse_pred_u16_b(sblk, sstride, pred, W, H, glim);
+            int64_t full_g = sse_g < glim ? sse_g + PSY_COST(pred) : INT64_MAX;
             if (two_ref && full_g < best_a) {
                 best_a = full_g; mva_r = (int)me_out[0]; mva_c = (int)me_out[1];
                 memcpy(pred_a, pred, sizeof(uint16_t) * W * H);
@@ -902,8 +1033,9 @@ void inter_decide_frame(
             mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
-            int64_t sse1 = sse_pred_u16(sblk, sstride, pred, W, H);
-            int64_t full1 = sse1 + PSY_COST(pred);
+            int64_t lim1 = best_inter > best_l ? best_inter : best_l;
+            int64_t sse1 = sse_pred_u16_b(sblk, sstride, pred, W, H, lim1);
+            int64_t full1 = sse1 < lim1 ? sse1 + PSY_COST(pred) : INT64_MAX;
             if (full1 < best_l) {
                 best_l = full1; mvl_r = (int)me_out[0]; mvl_c = (int)me_out[1];
                 memcpy(pred_l, pred, sizeof(uint16_t) * W * H);
@@ -926,8 +1058,9 @@ void inter_decide_frame(
         if (two_ref) {
             for (int k = 0; k < W * H; k++)
                 pred[k] = (uint16_t)((pred_l[k] + pred_a[k] + 1) >> 1);
-            int64_t sse_c = sse_pred_u16(sblk, sstride, pred, W, H);
-            if (sse_c < best_inter - (best_inter >> 4)) {
+            int64_t clim = best_inter - (best_inter >> 4);
+            int64_t sse_c = sse_pred_u16_b(sblk, sstride, pred, W, H, clim);
+            if (sse_c < clim) {
                 int64_t cost_c = sse_c + PSY_COST(pred);
                 if (cost_c < best_inter - (best_inter >> 4)) {
                     best_inter = cost_c;
@@ -958,10 +1091,10 @@ void inter_decide_frame(
         static const int pmodes[5] = {0, 1, 2, 9, 12};  /* PredictionMode */
         int64_t prune = best_inter;   /* intra only matters below this */
         for (int m = 0; m < 5; m++) {
+            int64_t lim = best_icost < prune ? best_icost : prune;
             intra_pred_block(cmodes[m], nb_above, nb_left, corner,
                              have_a, have_l, W, H, bd, pred);
-            int64_t sse_i = sse_pred_u16(sblk, sstride, pred, W, H);
-            int64_t lim = best_icost < prune ? best_icost : prune;
+            int64_t sse_i = sse_pred_u16_b(sblk, sstride, pred, W, H, lim);
             if (sse_i >= lim) continue;   /* exact prune: PSY_COST >= 0 */
             int64_t c = sse_i + PSY_COST(pred);
             if (c < best_icost) { best_icost = c; best_imode = pmodes[m]; }
