@@ -26,7 +26,7 @@ from .intra_encoder import (
 )
 from .me import MotionEstimator
 from .mv_pred import (ALTREF_FRAME, GLOBALMV, GOLDEN_FRAME, LAST_FRAME,
-                      MiGrid, NEWMV, NEW_NEWMV, REF_CAT_LEVEL,
+                      MiGrid, NEARESTMV, NEWMV, NEW_NEWMV, REF_CAT_LEVEL,
                       mode_context_analyzer, setup_comp_mv_list,
                       setup_ref_mv_list)
 from .quant import quantize_b
@@ -1031,6 +1031,15 @@ class InterFrameEncoder(IntraFrameEncoder):
                 stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
                     self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
                     (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
+                # NEWMV whose MV equals the stack head is re-coded as
+                # NEARESTMV: same prediction, no DRL/MV syntax (the
+                # inject_mvp-candidate == ME-result collapse in MD)
+                if y_mode == NEWMV and tuple(mv) == tuple(stack[0]):
+                    y_mode = NEARESTMV
+            if (is_comp and y_mode == NEW_NEWMV
+                    and tuple(mv) == tuple(stack[0])
+                    and tuple(mv2) == tuple(stack2[0])):
+                y_mode = 17   # NEAREST_NEARESTMV
         uv_mode = 0  # UV_DC for intra blocks
 
         # ---- OBMC decision (motion_mode OBMC_CAUSAL): blend neighbor
@@ -1131,6 +1140,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                     self._write_drl(stack, weights, refmv_count)
                     self._write_mv(mv, stack[0])
                     self._write_mv(mv2, stack2[0])
+                # NEAREST_NEARESTMV: no drl, no mv syntax
             else:
                 self._write_ref_frames(mi_row, mi_col, ref_sel)
                 self._write_inter_mode(y_mode, mode_ctx)

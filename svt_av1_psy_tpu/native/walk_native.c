@@ -1763,6 +1763,14 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         ref_mv_list(w, mi_row, mi_col, bw4, bh4, ref, gm_r, gm_c,
                     st_r, st_c, st_w, &mode_ctx, &refmv_count, &nstack);
     }
+    /* NEWMV whose MV equals the stack head re-codes as NEARESTMV (same
+     * prediction, no DRL/MV syntax); ditto NEW_NEWMV -> NEAREST_NEARESTMV */
+    if (use_inter && !is_comp && mode == 16
+        && mvr == st_r[0] && mvc == st_c[0])
+        mode = 13;
+    if (is_comp && mode == 24 && mvr == st_r[0] && mvc == st_c[0]
+        && mv2r == s1r[0] && mv2c == s1c[0])
+        mode = 17;
 
     /* ---- syntax (order: skip, delta-q, is_inter, mode info) */
     {
