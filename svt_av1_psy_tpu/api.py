@@ -36,12 +36,15 @@ class Packet:
     stats: Optional[dict] = None
 
 
-def _chroma_qindex_delta(base_q: int, tune: int, color_primaries: int) -> int:
+def _chroma_qindex_delta(base_q: int, tune: int, color_primaries: int,
+                         ext_crf_offset: int = 0) -> int:
     """Tune-specific chroma qindex offset (rc_process.c:3436-3473): tunes
     2/3/4 boost chroma with qindex-dependent ramps; BT.2020 primaries get an
-    extra boost. Returned delta is the coded u/v dc+ac delta q."""
+    extra boost; the extended-CRF quarter-step remainder is added to chroma
+    unconditionally (rc_process.c:3466). Returned delta is the coded u/v
+    dc+ac delta q."""
     adj = base_q
-    chroma_q = base_q
+    chroma_q = base_q + ext_crf_offset
     if tune == 2:
         a2 = max(0, adj - 48)
         chroma_q -= int(np.clip(round(a2 ** 1.4 / 9.0), 0, 16))
@@ -568,8 +571,11 @@ class Encoder:
                 int(cfg.variance_boost_curve))
         from .codec.qm import frame_qm_levels
 
+        # extended CRF (63.25-70 + quarter steps): qindex_offset =
+        # crf*4 - qp*4 with qp = min(63, floor(crf)) (enc_settings.c:1518)
+        ext_off = int(round(float(cfg.crf) * 4)) - min(63, int(cfg.crf)) * 4
         chroma_delta = _chroma_qindex_delta(qindex, int(cfg.tune),
-                                            cfg.color_primaries)
+                                            cfg.color_primaries, ext_off)
         qm_levels = frame_qm_levels(cfg, qindex, chroma_delta, chroma_delta)
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,

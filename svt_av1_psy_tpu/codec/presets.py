@@ -67,5 +67,8 @@ def preset_config(preset: int) -> PresetConfig:
                         # presets go Wiener-only (step 0 = skip SGR)
                         sgr_eps_step=1 if p <= 4 else (2 if p <= 6 else 0),
                         gm=p <= 11,
-                        inter_depths=((16, 32, 64) if p <= 5
+                        # research presets (-3/-2/0) search the full inter
+                        # partition depth set (ENC_MRS analog)
+                        inter_depths=((8, 16, 32, 64) if preset <= 0
+                                      else (16, 32, 64) if p <= 5
                                       else (32, 64) if p <= 9 else (32,)))
