@@ -115,6 +115,13 @@ class Encoder:
                                      and self._pc.restoration))
                                 and cfg.tile_columns == 0 and cfg.tile_rows == 0),
             enable_superres=int(cfg.superres_mode) != 0,
+            # inter-intra compound: the syntax is seq-gated only, so the bit
+            # is on exactly when every inter frame takes the II-aware walk
+            # (single tile, slower presets; matches the OBMC gate)
+            enable_interintra_compound=(cfg.preset <= 6
+                                        and cfg.tile_columns == 0
+                                        and cfg.tile_rows == 0
+                                        and not mono),
         )
         # film grain: explicit table takes precedence over the estimation
         # model driven by --film-grain (app_config.c:2869 precedence warning)
@@ -727,6 +734,7 @@ class Encoder:
                 inter_bias_pct=inter_bias_pct,
                 inter_tx_search=len(self._pc.tx_search_depths) > 0,
                 motion_mode_switchable=mm_switchable,
+                enable_interintra=self._seq.enable_interintra_compound,
                 **common)
 
         def run_filters(enc):

@@ -35,6 +35,47 @@ from .transforms import forward_transform_2d, inverse_transform_add
 # size_group_lookup (definitions.h) for the non-kf y-mode cdf
 SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3]
 
+# inter-intra smooth blending (inter_prediction.c:2140 ii_weights1d /
+# build_smooth_interintra_mask; blend = AOM_BLEND_A64)
+II_WEIGHTS1D = np.array([
+    60, 58, 56, 54, 52, 50, 48, 47, 45, 44, 42, 41, 39, 38, 37, 35, 34, 33,
+    32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 22, 21, 20, 19, 19, 18, 18,
+    17, 16, 16, 15, 15, 14, 14, 13, 13, 12, 12, 12, 11, 11, 10, 10, 10, 9,
+    9, 9, 8, 8, 8, 8, 7, 7, 7, 7, 6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 4, 4, 4, 4,
+    4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1], np.int32)
+II_SIZE_SCALE = {4: 32, 8: 16, 16: 8, 32: 4, 64: 2}   # square plane bsizes
+II_TO_INTRA = (0, 1, 2, 9)   # II_DC/V/H/SMOOTH -> DC/V/H/SMOOTH_PRED
+_II_MASKS = {}
+
+
+def ii_mask(mode: int, W: int, H: int) -> np.ndarray:
+    """Smooth interintra mask (64 = full intra weight)."""
+    key = (mode, W, H)
+    m = _II_MASKS.get(key)
+    if m is None:
+        ss = II_SIZE_SCALE[max(W, H)]
+        i = np.arange(H, dtype=np.int64)[:, None]
+        j = np.arange(W, dtype=np.int64)[None, :]
+        if mode == 1:      # II_V
+            m = np.broadcast_to(II_WEIGHTS1D[i * ss], (H, W)).copy()
+        elif mode == 2:    # II_H
+            m = np.broadcast_to(II_WEIGHTS1D[j * ss], (H, W)).copy()
+        elif mode == 3:    # II_SMOOTH
+            m = II_WEIGHTS1D[np.minimum(i, j) * ss]
+        else:              # II_DC
+            m = np.full((H, W), 32, np.int32)
+        _II_MASKS[key] = m
+    return m
+
+
+def ii_blend(inter: np.ndarray, intra: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """AOM_BLEND_A64(mask, intra, inter)."""
+    out = (mask * intra.astype(np.int64)
+           + (64 - mask) * inter.astype(np.int64) + 32) >> 6
+    return out.astype(inter.dtype)
+
 # inter mode-decision backend: "native" (one C call per frame; the fast
 # path on hosts where the TPU sits behind a high-latency link) or "device"
 # (ops/inter_search.py: batched SSD-grid search as one jitted program,
@@ -93,7 +134,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                  ref_distances=(1, 1), ref_select=False, shared=None,
                  inter_depths=(32,), gm_wm=None, inter_bias_pct=100,
                  inter_tx_search=False, golden_const=None,
-                 motion_mode_switchable=False, **kw):
+                 motion_mode_switchable=False, enable_interintra=False,
+                 **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -106,6 +148,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # frame-level switchable_motion_mode: eligible single-ref blocks
         # code an OBMC flag and may blend neighbor-motion predictions
         self.motion_mode_switchable = bool(motion_mode_switchable)
+        # seq enable_interintra_compound: eligible single-ref 8..32 blocks
+        # code an interintra flag (read_interintra_mode, spec 5.11.23)
+        self.enable_interintra = bool(enable_interintra)
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
@@ -1042,6 +1087,32 @@ class InterFrameEncoder(IntraFrameEncoder):
                 y_mode = 17   # NEAREST_NEARESTMV
         uv_mode = 0  # UV_DC for intra blocks
 
+        # ---- inter-intra decision (combine_interintra): blend the inter
+        # prediction with a DC/V/H/SMOOTH intra prediction under the smooth
+        # mask; mutually exclusive with OBMC (RefFrame[1]=INTRA_FRAME forces
+        # SIMPLE motion). Evaluate II and OBMC against the simple pred and
+        # keep the best.
+        ii_mode = None
+        ii_eligible = (use_inter and not is_comp and self.enable_interintra
+                       and 8 <= W <= 32 and 8 <= H <= 32)
+        c_simple = None
+        if ii_eligible or (use_inter and self._obmc_eligible(
+                mi_row, mi_col, W, H, y_mode, ref_sel, is_comp)):
+            c_simple = (int(np.sum((src.astype(np.int64) - y_pred) ** 2))
+                        + self._psy_cost(src, y_pred))
+        if ii_eligible:
+            ab, lb, ha, hl = self._gather_neighbors(0, x0, y0, W, H)
+            best_ii = None
+            for m in range(4):
+                ip = self._predict(II_TO_INTRA[m], ab, lb, ha, hl, W, H)
+                bp = ii_blend(y_pred, ip, ii_mask(m, W, H))
+                c = (int(np.sum((src.astype(np.int64) - bp) ** 2))
+                     + self._psy_cost(src, bp))
+                if c < c_simple and (best_ii is None or c < best_ii[0]):
+                    best_ii = (c, m, bp)
+            if best_ii is not None:
+                ii_mode = best_ii[1]
+
         # ---- OBMC decision (motion_mode OBMC_CAUSAL): blend neighbor
         # predictions and keep them when they beat the simple prediction
         obmc_used = False
@@ -1051,13 +1122,15 @@ class InterFrameEncoder(IntraFrameEncoder):
 
             oy = y_pred.copy()
             OB.build_obmc_preds(self, mi_row, mi_col, W, H, {0: oy})
-            c_simple = (int(np.sum((src.astype(np.int64) - y_pred) ** 2))
-                        + self._psy_cost(src, y_pred))
             c_obmc = (int(np.sum((src.astype(np.int64) - oy) ** 2))
                       + self._psy_cost(src, oy))
-            if c_obmc < c_simple:
+            c_beat = c_simple if ii_mode is None else best_ii[0]
+            if c_obmc < c_beat:
                 obmc_used = True
+                ii_mode = None
                 y_pred = oy
+        if ii_mode is not None:
+            y_pred = best_ii[2]
 
         # ---- transforms for all planes (luma TX type from the pre-pass
         # search; inter chroma inherits it per compute_tx_type)
@@ -1086,6 +1159,11 @@ class InterFrameEncoder(IntraFrameEncoder):
                 else:
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
                     pred = self._predict(0, pa, pl, pha, phl, cw, ch)
+                if use_inter and ii_mode is not None:
+                    pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
+                    ip = self._predict(II_TO_INTRA[ii_mode], pa, pl, pha, phl,
+                                       cw, ch)
+                    pred = ii_blend(pred, ip, ii_mask(ii_mode, cw, ch))
                 uv_preds[plane] = pred.copy() if obmc_used else pred
             if obmc_used:
                 from . import obmc as OB
@@ -1147,7 +1225,19 @@ class InterFrameEncoder(IntraFrameEncoder):
                 if y_mode == NEWMV:
                     self._write_drl(stack, weights, refmv_count)
                     self._write_mv(mv, stack[0])
-            if self.motion_mode_switchable:
+            if (self.enable_interintra and not is_comp
+                    and 8 <= W <= 32 and 8 <= H <= 32):
+                # read_interintra_mode (spec 5.11.23; entropy_coding.c
+                # write_inter_intra_info): flag, mode, wedge flag (0)
+                grp = SIZE_GROUP[int(bsize)]
+                self.fc.write(self.enc, "interintra", (grp,),
+                              int(ii_mode is not None), 2)
+                if ii_mode is not None:
+                    self.fc.write(self.enc, "interintra_mode", (grp,),
+                                  int(ii_mode), 4)
+                    self.fc.write(self.enc, "wedge_interintra",
+                                  (int(bsize),), 0, 2)
+            if self.motion_mode_switchable and ii_mode is None:
                 # motion_mode (write_motion_mode, entropy_coding.c:1265):
                 # obmc_cdf flag when OBMC is the max allowed mode
                 if self._obmc_eligible(mi_row, mi_col, W, H, y_mode,

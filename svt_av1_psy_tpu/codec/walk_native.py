@@ -150,7 +150,8 @@ def eligible(enc) -> bool:
         # search results flow through the C walk's d_txt map
         return (getattr(enc, "inter_dec", None) is not None
                 and getattr(enc, "gm_wm", None) is None
-                and not getattr(enc, "motion_mode_switchable", False))
+                and not getattr(enc, "motion_mode_switchable", False)
+                and not getattr(enc, "enable_interintra", False))
     if tname != "IntraFrameEncoder":
         return False
     if (enc.decisions is None

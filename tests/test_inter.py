@@ -327,3 +327,51 @@ def test_obmc_conformant_and_used():
         FC.FrameContext.write = orig
     assert used[1] > 0, "OBMC never chosen"
     _check(stream, recons, W, H)
+
+
+def test_interintra_conformant_and_used():
+    """Inter-intra compound (combine_interintra, inter_prediction.c:2140):
+    the smooth-mask II blend must be chosen on gradient+motion content and
+    stay dav1d-bit-exact (seq enable_interintra_compound gating)."""
+    import svt_av1_psy_tpu.bitstream.frame_context as FCM
+    from svt_av1_psy_tpu.config import PredStructure
+
+    if not dav1d.available():
+        pytest.skip("dav1d shim unavailable")
+    rng = np.random.default_rng(21)
+    W, H = 256, 160
+    grad = np.clip(np.arange(H)[:, None] * 1.5
+                   + np.arange(W)[None, :] * 0.3 + 40, 0, 255)
+    tex = np.cumsum(rng.normal(0, 5, (H + 64, W + 64)), axis=1)
+    u = np.full((H // 2, W // 2), 128, np.uint8)
+
+    n_ii = [0]
+    origw = FCM.FrameContext.write
+
+    def spyw(self, enc, name, idx, symbol, nsyms):
+        if name == "interintra" and symbol == 1:
+            n_ii[0] += 1
+        return origw(self, enc, name, idx, symbol, nsyms)
+
+    FCM.FrameContext.write = spyw
+    try:
+        cfg = EncoderConfig(width=W, height=H, preset=5, recon_enabled=True,
+                            pred_structure=PredStructure.LOW_DELAY)
+        cfg.qp = 40
+        enc = Encoder(cfg).init()
+        stream = b""
+        rec = []
+        for i in range(4):
+            yi = np.clip(grad + tex[i * 5 : i * 5 + H, i * 9 : i * 9 + W]
+                         * (0.5 + 0.2 * i), 0, 255).astype(np.uint8)
+            enc.send_picture(np.ascontiguousarray(yi), u, u.copy(), pts=i)
+            while (pk := enc.get_packet()) is not None:
+                stream += pk.data
+                rec.append(pk.recon)
+    finally:
+        FCM.FrameContext.write = origw
+    assert n_ii[0] > 10, f"interintra should be used ({n_ii[0]} blocks)"
+    for i in range(4):
+        dy, du, dv = dav1d.decode_nth(stream, i, W, H)
+        assert np.array_equal(dy, rec[i][0]), f"frame {i} luma"
+        assert np.array_equal(du, rec[i][1]), f"frame {i} chroma"
