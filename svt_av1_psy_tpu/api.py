@@ -122,6 +122,10 @@ class Encoder:
                                         and cfg.tile_columns == 0
                                         and cfg.tile_rows == 0
                                         and not mono),
+            # masked compound (wedge): same walk gate as inter-intra
+            enable_masked_compound=(cfg.preset <= 6
+                                    and cfg.tile_columns == 0
+                                    and cfg.tile_rows == 0),
         )
         # film grain: explicit table takes precedence over the estimation
         # model driven by --film-grain (app_config.c:2869 precedence warning)
@@ -735,6 +739,7 @@ class Encoder:
                 inter_tx_search=len(self._pc.tx_search_depths) > 0,
                 motion_mode_switchable=mm_switchable,
                 enable_interintra=self._seq.enable_interintra_compound,
+                enable_masked_compound=self._seq.enable_masked_compound,
                 **common)
 
         def run_filters(enc):

@@ -135,7 +135,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  inter_depths=(32,), gm_wm=None, inter_bias_pct=100,
                  inter_tx_search=False, golden_const=None,
                  motion_mode_switchable=False, enable_interintra=False,
-                 **kw):
+                 enable_masked_compound=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -151,6 +151,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # seq enable_interintra_compound: eligible single-ref 8..32 blocks
         # code an interintra flag (read_interintra_mode, spec 5.11.23)
         self.enable_interintra = bool(enable_interintra)
+        # seq enable_masked_compound: compound blocks code comp_group_idx
+        # and may pick COMPOUND_WEDGE (read_compound_type)
+        self.enable_masked_compound = bool(enable_masked_compound)
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
@@ -838,9 +841,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         patch = ref[y0 - 3 : y0 + ph + 4, x0 - 3 : x0 + pw + 4]
         return mc_native.convolve_block(patch, pw, ph, frac_x, frac_y, bd=self.bd)
 
-    def _mc_pred_compound(self, plane, px, py, pw, ph, mv0, mv1):
-        """COMPOUND_AVERAGE prediction from the (LAST, ref2) pair
-        (codec/compound.py jnt convolve pair, oracle-bit-exact)."""
+    def _jnt_bufs(self, plane, px, py, pw, ph, mv0, mv1):
+        """The (LAST, ref2) pair's ConvBuf-domain predictions (jnt
+        convolve; codec/compound.py, oracle-bit-exact)."""
         from . import compound as cmp
         from .convolve import get_filter_kernel
 
@@ -859,7 +862,29 @@ class InterFrameEncoder(IntraFrameEncoder):
             fxk = get_filter_kernel(0, fx, pw)
             fyk = get_filter_kernel(0, fy, ph)
             bufs.append(cmp.jnt_conv(patch, pw, ph, fxk, fyk, fx, fy, self.bd))
-        return cmp.compound_average(bufs[0], bufs[1], self.bd)
+        return bufs
+
+    def _mc_pred_compound(self, plane, px, py, pw, ph, mv0, mv1):
+        """COMPOUND_AVERAGE prediction from the (LAST, ref2) pair."""
+        from . import compound as cmp
+
+        b0, b1 = self._jnt_bufs(plane, px, py, pw, ph, mv0, mv1)
+        return cmp.compound_average(b0, b1, self.bd)
+
+    def _comp_group_ctx(self, mi_row, mi_col):
+        """get_comp_group_idx_context: sum of neighbor comp_group flags
+        (ALTREF single-ref neighbors count 3), capped at 5."""
+        t_r0, _, t_c0, _ = self.tile_mi
+        ctx = 0
+        for r, c, avail in ((mi_row - 1, mi_col, mi_row > t_r0),
+                            (mi_row, mi_col - 1, mi_col > t_c0)):
+            if not avail:
+                continue
+            if int(self.grid.ref_frame2[r, c]) > 0:
+                ctx += int(self.grid.comp_group[r, c])
+            elif int(self.grid.ref_frame[r, c]) == ALTREF_FRAME:
+                ctx += 3
+        return min(5, ctx)
 
     def _neighbor_ref_counts(self, mi_row, mi_col):
         """Reference-frame counts over the above/left neighbors, including
@@ -1100,9 +1125,11 @@ class InterFrameEncoder(IntraFrameEncoder):
                 mi_row, mi_col, W, H, y_mode, ref_sel, is_comp)):
             c_simple = (int(np.sum((src.astype(np.int64) - y_pred) ** 2))
                         + self._psy_cost(src, y_pred))
+        ii_wedge = None
         if ii_eligible:
             ab, lb, ha, hl = self._gather_neighbors(0, x0, y0, W, H)
             best_ii = None
+            best_ip = None
             for m in range(4):
                 ip = self._predict(II_TO_INTRA[m], ab, lb, ha, hl, W, H)
                 bp = ii_blend(y_pred, ip, ii_mask(m, W, H))
@@ -1110,6 +1137,20 @@ class InterFrameEncoder(IntraFrameEncoder):
                      + self._psy_cost(src, bp))
                 if c < c_simple and (best_ii is None or c < best_ii[0]):
                     best_ii = (c, m, bp)
+                    best_ip = ip
+            if best_ii is not None and W == H:
+                # wedge interintra: try the 16 sign-1 wedge masks with the
+                # winning II mode's intra prediction (pick_interintra_wedge)
+                from . import wedge as WG
+
+                for widx in range(16):
+                    wm = WG.wedge_mask(W, widx, 0)
+                    bp = ii_blend(y_pred, best_ip, wm)
+                    c = (int(np.sum((src.astype(np.int64) - bp) ** 2))
+                         + self._psy_cost(src, bp))
+                    if c < best_ii[0] - (best_ii[0] >> 5):
+                        best_ii = (c, best_ii[1], bp)
+                        ii_wedge = widx
             if best_ii is not None:
                 ii_mode = best_ii[1]
 
@@ -1128,9 +1169,38 @@ class InterFrameEncoder(IntraFrameEncoder):
             if c_obmc < c_beat:
                 obmc_used = True
                 ii_mode = None
+                ii_wedge = None
                 y_pred = oy
         if ii_mode is not None:
             y_pred = best_ii[2]
+
+        # ---- COMPOUND_WEDGE decision: blend the pair's ConvBuf predictions
+        # under each of the 16 masks x 2 signs, keep a clear winner over the
+        # average (pick_interinter_wedge analog)
+        wedge_info = None
+        if (is_comp and self.enable_masked_compound and W == H
+                and 8 <= W <= 32):
+            from . import wedge as WG
+
+            b0, b1 = self._jnt_bufs(0, x0, y0, W, H, mv, mv2)
+            src64 = src.astype(np.int64)
+            c_avg = (int(np.sum((src64 - y_pred) ** 2))
+                     + self._psy_cost(src, y_pred))
+            best_w = None
+            for widx in range(16):
+                for sign in (0, 1):
+                    bp = WG.blend_d16(b0, b1, WG.wedge_mask(W, widx, sign),
+                                      self.bd)
+                    c = int(np.sum((src64 - bp) ** 2))
+                    if best_w is not None and c >= best_w[0]:
+                        continue
+                    c += self._psy_cost(src, bp)
+                    if best_w is None or c < best_w[0]:
+                        best_w = (c, widx, sign, bp)
+            # the wedge syntax costs ~7 bits over the average's 1
+            if best_w is not None and best_w[0] < c_avg - (c_avg >> 5):
+                wedge_info = (best_w[1], best_w[2])
+                y_pred = best_w[3]
 
         # ---- transforms for all planes (luma TX type from the pre-pass
         # search; inter chroma inherits it per compute_tx_type)
@@ -1149,7 +1219,17 @@ class InterFrameEncoder(IntraFrameEncoder):
             for plane in (1, 2):
                 cx, cy, cw, ch = x0 >> 1, y0 >> 1, W >> 1, H >> 1
                 if is_comp:
-                    pred = self._mc_pred_compound(plane, cx, cy, cw, ch, mv, mv2)
+                    if wedge_info is not None:
+                        from . import wedge as WG
+
+                        cb0, cb1 = self._jnt_bufs(plane, cx, cy, cw, ch, mv, mv2)
+                        pred = WG.blend_d16(
+                            cb0, cb1,
+                            WG.wedge_mask_chroma(W, wedge_info[0],
+                                                 wedge_info[1]), self.bd)
+                    else:
+                        pred = self._mc_pred_compound(plane, cx, cy, cw, ch,
+                                                      mv, mv2)
                 elif use_inter:
                     if (int(y_mode) == GLOBALMV and ref_sel == LAST_FRAME
                             and self.gm_wm is not None and cw >= 8 and ch >= 8):
@@ -1163,7 +1243,13 @@ class InterFrameEncoder(IntraFrameEncoder):
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
                     ip = self._predict(II_TO_INTRA[ii_mode], pa, pl, pha, phl,
                                        cw, ch)
-                    pred = ii_blend(pred, ip, ii_mask(ii_mode, cw, ch))
+                    if ii_wedge is not None:
+                        from . import wedge as WG
+
+                        cm = WG.wedge_mask_chroma(W, ii_wedge, 0)
+                        pred = ii_blend(pred, ip, cm)
+                    else:
+                        pred = ii_blend(pred, ip, ii_mask(ii_mode, cw, ch))
                 uv_preds[plane] = pred.copy() if obmc_used else pred
             if obmc_used:
                 from . import obmc as OB
@@ -1236,7 +1322,10 @@ class InterFrameEncoder(IntraFrameEncoder):
                     self.fc.write(self.enc, "interintra_mode", (grp,),
                                   int(ii_mode), 4)
                     self.fc.write(self.enc, "wedge_interintra",
-                                  (int(bsize),), 0, 2)
+                                  (int(bsize),), int(ii_wedge is not None), 2)
+                    if ii_wedge is not None:
+                        self.fc.write(self.enc, "wedge_idx", (int(bsize),),
+                                      int(ii_wedge), 16)
             if self.motion_mode_switchable and ii_mode is None:
                 # motion_mode (write_motion_mode, entropy_coding.c:1265):
                 # obmc_cdf flag when OBMC is the max allowed mode
@@ -1244,6 +1333,19 @@ class InterFrameEncoder(IntraFrameEncoder):
                                        ref_sel, is_comp):
                     self.fc.write(self.enc, "obmc", (int(bsize),),
                                   int(obmc_used), 2)
+            if is_comp and self.enable_masked_compound:
+                # read_compound_type (spec 5.11.23): comp_group_idx, then
+                # the masked type + wedge geometry (enable_jnt_comp off ->
+                # compound_idx is implied 1 for group 0)
+                ctx = self._comp_group_ctx(mi_row, mi_col)
+                self.fc.write(self.enc, "comp_group_idx", (ctx,),
+                              int(wedge_info is not None), 2)
+                if wedge_info is not None:
+                    self.fc.write(self.enc, "compound_type", (int(bsize),),
+                                  0, 2)   # COMPOUND_WEDGE
+                    self.fc.write(self.enc, "wedge_idx", (int(bsize),),
+                                  int(wedge_info[0]), 16)
+                    self.enc.encode_literal(int(wedge_info[1]), 1)
             # frame-level interpolation filter: no per-block syntax
         else:
             self._write_y_mode_inter(bsize, y_mode)
@@ -1312,6 +1414,8 @@ class InterFrameEncoder(IntraFrameEncoder):
             self.grid.set_block(mi_row, mi_col, bw4, bh4, ref_sel, mv, y_mode,
                                 ref_frame2=(self.ref2 if is_comp else 0),
                                 mv2=(mv2 if is_comp else (0, 0)))
+            self.grid.comp_group[mi_row:r1, mi_col:c1] = \
+                int(is_comp and wedge_info is not None)
         else:
             self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
             self.grid.set_block(mi_row, mi_col, bw4, bh4, 0, (0, 0), int(y_mode))

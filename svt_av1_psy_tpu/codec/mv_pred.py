@@ -66,6 +66,8 @@ class MiGrid:
         self.mode = np.zeros(shape, np.uint8)
         self.bw4 = np.ones(shape, np.uint8)
         self.bh4 = np.ones(shape, np.uint8)
+        # comp_group_idx of coded compound blocks (masked-compound ctx)
+        self.comp_group = np.zeros(shape, np.uint8)
 
     def set_block(self, mi_row, mi_col, bw4, bh4, ref_frame, mv, mode,
                   ref_frame2=0, mv2=(0, 0)):

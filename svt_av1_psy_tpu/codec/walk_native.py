@@ -151,7 +151,8 @@ def eligible(enc) -> bool:
         return (getattr(enc, "inter_dec", None) is not None
                 and getattr(enc, "gm_wm", None) is None
                 and not getattr(enc, "motion_mode_switchable", False)
-                and not getattr(enc, "enable_interintra", False))
+                and not getattr(enc, "enable_interintra", False)
+                and not getattr(enc, "enable_masked_compound", False))
     if tname != "IntraFrameEncoder":
         return False
     if (enc.decisions is None

@@ -375,3 +375,59 @@ def test_interintra_conformant_and_used():
         dy, du, dv = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, rec[i][0]), f"frame {i} luma"
         assert np.array_equal(du, rec[i][1]), f"frame {i} chroma"
+
+
+def test_wedge_compound_and_interintra_wedge_conformant():
+    """COMPOUND_WEDGE (read_compound_type; blend_a64_mask.c d16 blend) and
+    wedge inter-intra: masks rebuilt from the spec primary rows must decode
+    bit-exactly and actually be chosen on oblique-edge content."""
+    import svt_av1_psy_tpu.bitstream.frame_context as FCM
+
+    if not dav1d.available():
+        pytest.skip("dav1d shim unavailable")
+    n = {"wedge": 0, "iiwedge": 0}
+    origw = FCM.FrameContext.write
+
+    def spyw(self, enc, name, idx, symbol, nsyms):
+        if name == "comp_group_idx" and symbol == 1:
+            n["wedge"] += 1
+        if name == "wedge_interintra" and symbol == 1:
+            n["iiwedge"] += 1
+        return origw(self, enc, name, idx, symbol, nsyms)
+
+    rng = np.random.default_rng(31)
+    W, H = 256, 160
+    base = (np.cumsum(rng.normal(0, 4, (H + 96, W + 96)), axis=1) + 128
+            ).clip(0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 128, np.uint8)
+    yy, xx = np.mgrid[0:H, 0:W]
+    FCM.FrameContext.write = spyw
+    try:
+        cfg = EncoderConfig(width=W, height=H, preset=5, recon_enabled=True)
+        cfg.qp = 40
+        enc = Encoder(cfg).init()
+        stream = b""
+        rec = []
+
+        def drain():
+            nonlocal stream
+            while (pk := enc.get_packet()) is not None:
+                stream += pk.data
+                if pk.recon is not None:
+                    rec.append(pk.recon)
+
+        for i in range(9):
+            yi = base[i * 3 : i * 3 + H, i * 5 : i * 5 + W].copy()
+            m = (yy - 2 * i) * 2 + (xx - 4 * i) < 160
+            yi[m] = np.clip(200 - (xx[m] // 3), 0, 255)
+            enc.send_picture(np.ascontiguousarray(yi), u, u.copy(), pts=i)
+            drain()
+        enc.flush()
+        drain()
+    finally:
+        FCM.FrameContext.write = origw
+    assert n["wedge"] > 5, f"wedge compound should be used: {n}"
+    for i in range(len(rec)):
+        dy, du, dv = dav1d.decode_nth(stream, i, W, H)
+        assert np.array_equal(dy, rec[i][0]), f"frame {i} luma"
+        assert np.array_equal(du, rec[i][1]), f"frame {i} chroma"
