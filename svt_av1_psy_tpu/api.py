@@ -740,6 +740,7 @@ class Encoder:
                 motion_mode_switchable=mm_switchable,
                 enable_interintra=self._seq.enable_interintra_compound,
                 enable_masked_compound=self._seq.enable_masked_compound,
+                rdoq_fast=self._pc.rdoq_fast,
                 **common)
 
         def run_filters(enc):

@@ -135,7 +135,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  inter_depths=(32,), gm_wm=None, inter_bias_pct=100,
                  inter_tx_search=False, golden_const=None,
                  motion_mode_switchable=False, enable_interintra=False,
-                 enable_masked_compound=False, **kw):
+                 enable_masked_compound=False, rdoq_fast=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -154,6 +154,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # seq enable_masked_compound: compound blocks code comp_group_idx
         # and may pick COMPOUND_WEDGE (read_compound_type)
         self.enable_masked_compound = bool(enable_masked_compound)
+        # RDOQ eob-fast tier (svt_fast_optimize_b): trim soft eob tails on
+        # inter residual blocks (rdoq_ctrls eob_fast analog)
+        self.rdoq_fast = bool(rdoq_fast)
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
@@ -1275,6 +1278,11 @@ class InterFrameEncoder(IntraFrameEncoder):
             qc, dqc, eob = quantize_b(flat, scan, self.quant[plane], int(tx_size),
                                       qm=qm, iqm=iqm)
             eob0 = int(eob[0])
+            if self.rdoq_fast and use_inter and eob0 and not self.noise_norm:
+                from .quant import eob_fast_trim
+
+                eob0 = eob_fast_trim(flat[0], qc[0], dqc[0], eob0, scan,
+                                     self.quant[plane], int(tx_size))
             if self.noise_norm and plane == 0:
                 from .quant import noise_normalize
 

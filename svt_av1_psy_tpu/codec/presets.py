@@ -31,6 +31,8 @@ class PresetConfig:
                                # the reference disables GM at fast presets)
     inter_depths: tuple = (32,)  # square leaf sizes searched by the inter
                                  # partition DP (NONE-vs-SPLIT recursion)
+    rdoq_fast: bool = False      # RDOQ eob-fast tier on inter residuals
+                                 # (rdoq_ctrls eob_fast analog)
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
@@ -71,4 +73,5 @@ def preset_config(preset: int) -> PresetConfig:
                         # partition depth set (ENC_MRS analog)
                         inter_depths=((8, 16, 32, 64) if preset <= 0
                                       else (16, 32, 64) if p <= 5
-                                      else (32, 64) if p <= 9 else (32,)))
+                                      else (32, 64) if p <= 9 else (32,)),
+                        rdoq_fast=p >= 5)

@@ -96,6 +96,28 @@ def build_plane_quant(
     return PlaneQuant(tuple(zbin), tuple(rnd), tuple(quant), tuple(qshift), tuple(deq))
 
 
+def eob_fast_trim(coeffs_flat, qc, dqc, eob, scan, pq, tx_size):
+    """RDOQ eob-fast tier (update_coeff_eob_fast, full_loop.c:1092): walk
+    back from eob zeroing trailing coefficients whose scaled magnitude sits
+    under a widened zbin (dequant * ~1.547). Mutates qc/dqc, returns the new
+    eob. Non-normative (encoder-side rate optimization)."""
+    shift = int(TX_SCALE[int(tx_size)])
+    deq_dc, deq_ac = int(pq.dequant[0]), int(pq.dequant[1])
+    zbin = (deq_dc + ((deq_dc * 70 + 64) >> 7),
+            deq_ac + ((deq_ac * 70 + 64) >> 7))
+    e = int(eob)
+    for i in range(e - 1, -1, -1):
+        rc = int(scan[i])
+        if ((int(abs(int(coeffs_flat[rc]))) << (1 + shift)) < zbin[rc != 0]
+                or qc[rc] == 0):
+            e -= 1
+            qc[rc] = 0
+            dqc[rc] = 0
+        else:
+            break
+    return e
+
+
 def quantize_b(
     coeffs: np.ndarray,
     scan: np.ndarray,

@@ -93,6 +93,8 @@ class _CWalk(ctypes.Structure):
         ("cdf_comp_mode", _VP),
         # ---- inter TX-type search extension ----
         ("d_txt", _VP),
+        # ---- RDOQ ----
+        ("rdoq_fast", _I),
     ]
 
 
@@ -290,6 +292,8 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         from .mv_pred import ALTREF_FRAME as _ALT
 
         w.ref2_const = int(enc.ref2) if enc.ref2 is not None else _ALT
+        w.rdoq_fast = int(getattr(enc, "rdoq_fast", False)
+                          and enc.noise_norm == 0)
         t = enc.fc.tables
         w.cdf_intra_inter = _ptr(t["intra_inter"])
         w.cdf_single_ref = _ptr(t["single_ref"])

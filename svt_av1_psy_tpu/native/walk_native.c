@@ -191,7 +191,9 @@ typedef struct {
     uint16_t *cdf_comp_bwdref;       /* (3,2,3) */
     uint16_t *cdf_comp_mode;         /* (8,9) inter_compound_mode */
     /* ---- inter TX-type search extension ---- */
-    const int32_t *d_txt;            /* mi grid: luma TxType per leaf */
+    const int32_t *d_txt;
+    /* ---- RDOQ ---- */
+    int rdoq_fast;            /* mi grid: luma TxType per leaf */
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -409,7 +411,13 @@ typedef struct {
     int32_t qc[32 * 32], dqc[32 * 32];
 } PlaneRes;
 
+static void run_plane_rdoq(Walk *w, PlaneRes *r, int sb_r, int sb_c, int rdoq);
+
 static void run_plane(Walk *w, PlaneRes *r, int sb_r, int sb_c) {
+    run_plane_rdoq(w, r, sb_r, sb_c, 0);
+}
+
+static void run_plane_rdoq(Walk *w, PlaneRes *r, int sb_r, int sb_c, int rdoq) {
     int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
     int32_t resid[64 * 64];
     const uint16_t *src = w->src[r->plane];
@@ -434,6 +442,26 @@ static void run_plane(Walk *w, PlaneRes *r, int sb_r, int sb_c) {
                           qp[0], qp[1], qp[2], qp[3], qp[4], qp[5], qp[6],
                           qp[7], qp[8], qp[9], log_scale, qm, iqm,
                           r->qc, r->dqc);
+    if (rdoq && r->eob) {
+        /* RDOQ eob-fast tier (update_coeff_eob_fast, full_loop.c:1092):
+         * trim the eob tail under a widened non-QM zbin */
+        int zbin[2] = {qp[8] + ((qp[8] * 70 + 64) >> 7),
+                       qp[9] + ((qp[9] * 70 + 64) >> 7)};
+        const int16_t *scan = w->scans[r->tx_size][r->tx_type];
+        int e = r->eob;
+        for (int i = e - 1; i >= 0; i--) {
+            int rc = scan[i];
+            int64_t a = flat[rc] < 0 ? -flat[rc] : flat[rc];
+            if ((a << (1 + log_scale)) < zbin[rc != 0] || r->qc[rc] == 0) {
+                e--;
+                r->qc[rc] = 0;
+                r->dqc[rc] = 0;
+            } else {
+                break;
+            }
+        }
+        r->eob = e;
+    }
 }
 
 static void recon_plane_res(Walk *w, const PlaneRes *r, int skip) {
@@ -1712,7 +1740,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         gather_neighbors(w, 0, x0, y0, W, H, ab, lb, &ha, &hl);
         predict_mode(w, mode, ab, lb, ha, hl, W, H, ry->pred);
     }
-    run_plane(w, ry, sb_r, sb_c);
+    run_plane_rdoq(w, ry, sb_r, sb_c, w->rdoq_fast && use_inter);
 
     int has_uv = w->nplanes > 1;
     int cfl_allowed = W <= 32 && H <= 32;
@@ -1743,7 +1771,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
                 gather_neighbors(w, pl, cx, cy, cw, ch, ab, lb, &ha, &hl);
                 predict_mode(w, 0, ab, lb, ha, hl, cw, ch, r->pred);
             }
-            run_plane(w, r, sb_r, sb_c);
+            run_plane_rdoq(w, r, sb_r, sb_c, w->rdoq_fast && use_inter);
         }
     }
 
