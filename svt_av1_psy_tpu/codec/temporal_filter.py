@@ -1,12 +1,13 @@
 """Temporal filtering (alt-ref style source denoising).
 
-Behavior reference: temporal_filtering.c (svt_av1_init_temporal_filtering,
-block-error-adaptive accumulation; PSY tf-strength / kf-tf-strength
-rescaling). Round-1 scope: full-pel 32x32 block ME against each neighbor
-source frame, error-weighted accumulation in fixed point (center weight 16,
-neighbor weights 0..16 by exp decay of block MSE). Subpel TF-ME and the
-per-pixel weight refinement are future work; the filter is encoder-side
-only (no conformance impact).
+Behavior reference: temporal_filtering.c (svt_av1_init_temporal_filtering:
+block ME + 16x16 sub-block refinement when the 32x32 error is high, and the
+per-pixel windowed-error weight modifiers of apply_filtering_c; PSY
+tf-strength / kf-tf-strength rescaling). Weights: center 16; each neighbor
+pixel gets round(16 * exp(-err/thresh)) where err mixes the 5x5 windowed
+squared difference with the block MSE — the bilateral shape of the
+reference's modifier, with its exp decay. Full-pel TF-ME (the filter is
+encoder-side only; no conformance impact).
 """
 
 from __future__ import annotations
@@ -19,6 +20,17 @@ from .me import MotionEstimator
 
 _BLK = 32
 _CENTER_W = 16
+
+
+def _box5_mean(d2: np.ndarray) -> np.ndarray:
+    """5x5 windowed mean via an integral image (edge-padded)."""
+    p = np.pad(d2, 2, mode="edge").astype(np.int64)
+    ii = np.zeros((p.shape[0] + 1, p.shape[1] + 1), np.int64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(p, axis=0), axis=1)
+    H, W = d2.shape
+    s = (ii[5 : 5 + H, 5 : 5 + W] - ii[5 : 5 + H, :W]
+         - ii[:H, 5 : 5 + W] + ii[:H, :W])
+    return s / 25.0
 
 
 def _filter_plane(center: np.ndarray, preds: list, weights: list) -> np.ndarray:
@@ -51,6 +63,7 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8):
         pred_y = np.empty_like(cy)
         w_map = np.zeros(((H + _BLK - 1) // _BLK, (W + _BLK - 1) // _BLK), np.int32)
         mv_map = np.zeros(w_map.shape + (2,), np.int32)
+        mse_map = np.zeros(w_map.shape, np.float64)
         for by in range(0, H, _BLK):
             for bx in range(0, W, _BLK):
                 h = min(_BLK, H - by)
@@ -60,14 +73,46 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8):
                 sy = min(max(by + dy, 0), H - h)
                 sx = min(max(bx + dx, 0), W - w)
                 blk = np.asarray(ny)[sy : sy + h, sx : sx + w]
-                pred_y[by : by + h, bx : bx + w] = blk
                 mse = float(np.mean((blk.astype(np.int64)
                                      - cy[by : by + h, bx : bx + w]) ** 2))
+                # 16x16 sub-block refinement when the whole-block match is
+                # poor (use_subblock rule, temporal_filtering.c)
+                if mse > thresh and min(h, w) == _BLK:
+                    blk = blk.copy()
+                    half = _BLK >> 1
+                    errs = []
+                    for oy in (0, half):
+                        for ox in (0, half):
+                            r2 = me.search_block(np.asarray(cy), bx + ox,
+                                                 by + oy, half, half,
+                                                 subpel=False)
+                            d2y, d2x = r2.mv[0] >> 3, r2.mv[1] >> 3
+                            s2y = min(max(by + oy + d2y, 0), H - half)
+                            s2x = min(max(bx + ox + d2x, 0), W - half)
+                            sb = np.asarray(ny)[s2y : s2y + half,
+                                                s2x : s2x + half]
+                            blk[oy : oy + half, ox : ox + half] = sb
+                            errs.append(np.mean(
+                                (sb.astype(np.int64)
+                                 - cy[by + oy : by + oy + half,
+                                      bx + ox : bx + ox + half]) ** 2))
+                    mse2 = float(np.mean(errs))
+                    if mse2 < mse:
+                        mse = mse2
+                pred_y[by : by + h, bx : bx + w] = blk
                 wgt = int(round(_CENTER_W * math.exp(-mse / thresh))) if mse < 8 * thresh else 0
                 w_map[by // _BLK, bx // _BLK] = wgt
+                mse_map[by // _BLK, bx // _BLK] = mse
                 mv_map[by // _BLK, bx // _BLK] = (sy - by, sx - bx)
-        # per-block weights expanded to pixels
-        wy = np.kron(w_map, np.ones((_BLK, _BLK), np.int32))[:H, :W]
+        # per-pixel weights: blend the 5x5 windowed squared difference with
+        # the block MSE (the reference's pixel-wise modifier), gated by the
+        # per-block acceptance
+        gate = np.kron(w_map > 0, np.ones((_BLK, _BLK), bool))[:H, :W]
+        bmse = np.kron(mse_map, np.ones((_BLK, _BLK)))[:H, :W]
+        d2 = (pred_y.astype(np.int64) - cy.astype(np.int64)) ** 2
+        err = 0.5 * _box5_mean(d2) + 0.5 * bmse
+        wy = np.rint(_CENTER_W * np.exp(-err / thresh)).astype(np.int32)
+        wy[~gate] = 0
         n_preds_y.append(pred_y)
         n_w.append(wy)
         if not mono:
