@@ -26,7 +26,8 @@ from .intra_encoder import (
 )
 from .me import MotionEstimator
 from .mv_pred import (ALTREF_FRAME, GLOBALMV, GOLDEN_FRAME, LAST_FRAME,
-                      MiGrid, NEARESTMV, NEWMV, NEW_NEWMV, REF_CAT_LEVEL,
+                      MiGrid, NEARESTMV, NEARMV, NEWMV, NEW_NEWMV,
+                      REF_CAT_LEVEL,
                       mode_context_analyzer, setup_comp_mv_list,
                       setup_ref_mv_list)
 from .quant import quantize_b
@@ -1109,6 +1110,9 @@ class InterFrameEncoder(IntraFrameEncoder):
                 # inject_mvp-candidate == ME-result collapse in MD)
                 if y_mode == NEWMV and tuple(mv) == tuple(stack[0]):
                     y_mode = NEARESTMV
+                elif (y_mode == NEWMV and refmv_count >= 2
+                        and len(stack) > 1 and tuple(mv) == tuple(stack[1])):
+                    y_mode = NEARMV   # RefMvIdx 1 via read_drl_idx
             if (is_comp and y_mode == NEW_NEWMV
                     and tuple(mv) == tuple(stack[0])
                     and tuple(mv2) == tuple(stack2[0])):
@@ -1319,6 +1323,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                 if y_mode == NEWMV:
                     self._write_drl(stack, weights, refmv_count)
                     self._write_mv(mv, stack[0])
+                elif y_mode == NEARMV:
+                    self._write_drl_near(weights, refmv_count)
             if (self.enable_interintra and not is_comp
                     and 8 <= W <= 32 and 8 <= H <= 32):
                 # read_interintra_mode (spec 5.11.23; entropy_coding.c
@@ -1497,6 +1503,19 @@ class InterFrameEncoder(IntraFrameEncoder):
                 self.fc.write(self.enc, "drl", (ctx,), int(0 != idx), 2)
                 if idx == 0:
                     return
+
+    def _write_drl_near(self, weights, refmv_count):
+        """read_drl_idx NEARMV branch, RefMvIdx = 1 (first bit 0)."""
+        if refmv_count > 2:
+            w1 = weights[1] if len(weights) > 1 else 0
+            w2 = weights[2] if len(weights) > 2 else 0
+            if w1 >= REF_CAT_LEVEL and w2 >= REF_CAT_LEVEL:
+                ctx = 0
+            elif w1 >= REF_CAT_LEVEL:
+                ctx = 1
+            else:
+                ctx = 2
+            self.fc.write(self.enc, "drl", (ctx,), 0, 2)
 
     def _write_mv(self, mv, ref_mv):
         diff = (mv[0] - ref_mv[0], mv[1] - ref_mv[1])

@@ -1796,6 +1796,9 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     if (use_inter && !is_comp && mode == 16
         && mvr == st_r[0] && mvc == st_c[0])
         mode = 13;
+    else if (use_inter && !is_comp && mode == 16 && refmv_count >= 2
+             && nstack > 1 && mvr == st_r[1] && mvc == st_c[1])
+        mode = 14;   /* NEARMV: RefMvIdx 1 via read_drl_idx */
     if (is_comp && mode == 24 && mvr == st_r[0] && mvc == st_c[0]
         && mv2r == s1r[0] && mv2c == s1c[0])
         mode = 17;
@@ -1829,6 +1832,14 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             if (mode == 16) {
                 write_drl(w, st_w, nstack, refmv_count);
                 write_mv(w, mvr, mvc, st_r[0], st_c[0]);
+            } else if (mode == 14) {
+                /* read_drl_idx NEARMV branch: first bit 0 -> RefMvIdx 1 */
+                if (refmv_count > 2) {
+                    int w1 = nstack > 1 ? st_w[1] : 0;
+                    int w2 = nstack > 2 ? st_w[2] : 0;
+                    int ctx = (w1 >= 640 && w2 >= 640) ? 0 : (w1 >= 640 ? 1 : 2);
+                    ec_symbol(w->enc, 0, w->cdf_drl + ctx * 3, 2, w->adapt);
+                }
             }
         }
         /* frame-level interpolation filter: no per-block syntax */
