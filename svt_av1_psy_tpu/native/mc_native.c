@@ -212,14 +212,25 @@ static void sad_grid_clamped(const int32_t *cur, int w, int h,
     me_sad_grid(cur, w, h, ref, refW, y0, y1, x0, x1, 1, best);
 }
 
-void me_search_block(const int32_t *cur, int w, int h,
-                     const int32_t *ref, int refH, int refW,
-                     const int32_t *curq, int qw, int qh,
-                     const int32_t *refq, int qH, int qW,
-                     int x0, int y0, int range,
-                     const int32_t *filters, int bd, int subpel,
-                     int64_t *out) {
+void me_search_block_seeded(const int32_t *cur, int w, int h,
+                            const int32_t *ref, int refH, int refW,
+                            const int32_t *curq, int qw, int qh,
+                            const int32_t *refq, int qH, int qW,
+                            int x0, int y0, int range,
+                            const int32_t *filters, int bd, int subpel,
+                            int seed_valid, int seed_dy, int seed_dx,
+                            int64_t *out) {
     int64_t b[3];
+    /* neighbour-MV seed: evaluated first, it both adds a (usually good)
+     * candidate and hands the grids a tight pruning bound */
+    int64_t seed_sad = INT64_MAX;
+    if (seed_valid) {
+        int sy = y0 + seed_dy, sx = x0 + seed_dx;
+        if (sy >= 0 && sx >= 0 && sy + h <= refH && sx + w <= refW)
+            seed_sad = sad_one(cur, w, h, ref, refW, sy, sx, INT64_MAX);
+        else
+            seed_valid = 0;
+    }
     /* HME on the 1/4 pyramid */
     int rad_q = range >> 2;
     if (rad_q < 2) rad_q = 2;
@@ -230,6 +241,11 @@ void me_search_block(const int32_t *cur, int w, int h,
      * from zero also check the zero-MV neighborhood (HME can miss sub-pel
      * pans at quarter resolution) and keep the better region */
     sad_grid_clamped(cur, w, h, ref, refH, refW, y0 + dyq * 4, x0 + dxq * 4, 7, b);
+    if (seed_sad < b[2]) {
+        b[0] = y0 + seed_dy;
+        b[1] = x0 + seed_dx;
+        b[2] = seed_sad;
+    }
     if (dyq != 0 || dxq != 0) {
         int64_t b2[3];
         int zy0 = y0 - 7, zx0 = x0 - 7, zy1 = y0 + 8, zx1 = x0 + 8;
@@ -284,6 +300,18 @@ void me_search_block(const int32_t *cur, int w, int h,
     out[0] = mvy;
     out[1] = mvx;
     out[2] = sad;
+}
+
+void me_search_block(const int32_t *cur, int w, int h,
+                     const int32_t *ref, int refH, int refW,
+                     const int32_t *curq, int qw, int qh,
+                     const int32_t *refq, int qH, int qW,
+                     int x0, int y0, int range,
+                     const int32_t *filters, int bd, int subpel,
+                     int64_t *out) {
+    me_search_block_seeded(cur, w, h, ref, refH, refW, curq, qw, qh, refq,
+                           qH, qW, x0, y0, range, filters, bd, subpel,
+                           0, 0, 0, out);
 }
 
 /* Quantize one txb (mirror of codec/quant.quantize_b: highbd semantics,
@@ -906,6 +934,7 @@ void inter_decide_frame(
     uint16_t pred[64 * 64];
     uint16_t pred_l[64 * 64], pred_a[64 * 64];   /* best pred per reference */
     int64_t eng[64];
+    int prev_valid = 0, prev_dy = 0, prev_dx = 0;   /* LAST-ref seed */
     for (int i = 0; i < nb; i++) {
         int x0 = bx[i], y0 = by[i], W = bws[i], H = bhs[i];
         const uint16_t *sblk = src + y0 * sstride + x0;
@@ -965,9 +994,10 @@ void inter_decide_frame(
                                 grefq, gqH, gqW, x0, y0, range2, filters8,
                                 bd, 1, me_out);
             else
-                me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq,
-                                qH, qW, x0, y0, range, filters8, bd, 1,
-                                me_out);
+                me_search_block_seeded(cur, W, H, ref_me, rH, rW, cq, qw, qh,
+                                       refq, qH, qW, x0, y0, range, filters8,
+                                       bd, 1, prev_valid, prev_dy, prev_dx,
+                                       me_out);
             mc_pred_luma(primary2 ? gref_pad : ref_pad,
                          primary2 ? gpW : pW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
@@ -1028,8 +1058,9 @@ void inter_decide_frame(
                 best_mvc = (int)me_out[1];
             }
         } else if (try1) {
-            me_search_block(cur, W, H, ref_me, rH, rW, cq, qw, qh, refq, qH,
-                            qW, x0, y0, range, filters8, bd, 1, me_out);
+            me_search_block_seeded(cur, W, H, ref_me, rH, rW, cq, qw, qh,
+                                   refq, qH, qW, x0, y0, range, filters8, bd,
+                                   1, prev_valid, prev_dy, prev_dx, me_out);
             mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
@@ -1101,6 +1132,12 @@ void inter_decide_frame(
         }
         }
         #undef PSY_COST
+
+        /* seed for the next (raster-adjacent) block: this block's best
+         * LAST-ref full-pel MV */
+        prev_valid = 1;
+        prev_dy = mvl_r >> 3;
+        prev_dx = mvl_c >> 3;
 
         int32_t *o = out + 8 * i;
         o[5] = o[6] = 0;
