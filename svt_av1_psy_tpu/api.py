@@ -741,6 +741,7 @@ class Encoder:
                 enable_interintra=self._seq.enable_interintra_compound,
                 enable_masked_compound=self._seq.enable_masked_compound,
                 rdoq_fast=self._pc.rdoq_fast,
+                seed_grid=getattr(self, "_prev_mv_grid", None),
                 **common)
 
         def run_filters(enc):
@@ -911,6 +912,13 @@ class Encoder:
                 fp.refresh_frame_flags = 1 << new_slot
                 fp.ref_frame_idx = (ls, l2s, ls, 1, ls, ls, ls)
                 self._ipp_new_slot = new_slot
+        # temporal ME seeds for the next frame: this frame's coded MV grid
+        # (keyframes reset it — their grid is all-intra)
+        if is_key:
+            self._prev_mv_grid = None
+        elif getattr(enc, "grid", None) is not None:
+            self._prev_mv_grid = (enc.grid.mv_row.copy(),
+                                  enc.grid.mv_col.copy())
         # reference state: final (post-filter) recon planes, aligned dims
         # (superres: the upscaled full-width planes are the reference)
         if up_final is not None:

@@ -136,7 +136,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                  inter_depths=(32,), gm_wm=None, inter_bias_pct=100,
                  inter_tx_search=False, golden_const=None,
                  motion_mode_switchable=False, enable_interintra=False,
-                 enable_masked_compound=False, rdoq_fast=False, **kw):
+                 enable_masked_compound=False, rdoq_fast=False,
+                 seed_grid=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -158,6 +159,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # RDOQ eob-fast tier (svt_fast_optimize_b): trim soft eob tails on
         # inter residual blocks (rdoq_ctrls eob_fast analog)
         self.rdoq_fast = bool(rdoq_fast)
+        # previous frame's (mv_row, mv_col) mi grids: temporal co-located
+        # ME seeds for the decide kernel (mv-merge candidate analog)
+        self.seed_grid = seed_grid
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
@@ -299,11 +303,22 @@ class InterFrameEncoder(IntraFrameEncoder):
             if self.ref2 == ALTREF_FRAME:
                 ref2_gate = -1  # B frame: always search the future reference
         ref_pad = np.ascontiguousarray(self.refs[LAST_FRAME][0], np.int32)
+        tseed = None
+        if self.seed_grid is not None:
+            pr, pc = self.seed_grid
+            b = np.asarray(blocks, np.int32)
+            r = np.clip(b[:, 1] >> 2, 0, pr.shape[0] - 1)
+            c = np.clip(b[:, 0] >> 2, 0, pr.shape[1] - 1)
+            tdy = (pr[r, c].astype(np.int32) >> 3)
+            tdx = (pc[r, c].astype(np.int32) >> 3)
+            tseed = (np.ascontiguousarray(tdy, np.int32),
+                     np.ascontiguousarray(tdx, np.int32))
         return mc_native.inter_decide_frame(
             self.src[0], me.ref, me.ref_q, curq, ref_pad, self.pad, golden,
             me._filters, filters4, self.bd, self.sr[0], self.gm_mv,
             float(self.psy_rd), blocks, ref2_gate=ref2_gate,
-            search_range2=self.sr[1], inter_bias_pct=self.inter_bias_pct)
+            search_range2=self.sr[1], inter_bias_pct=self.inter_bias_pct,
+            tseed=tseed)
 
     def _dec_from_row(self, row):
         """Kernel row -> decision tuple. The kernel reports the second

@@ -212,24 +212,31 @@ static void sad_grid_clamped(const int32_t *cur, int w, int h,
     me_sad_grid(cur, w, h, ref, refW, y0, y1, x0, x1, 1, best);
 }
 
-void me_search_block_seeded(const int32_t *cur, int w, int h,
-                            const int32_t *ref, int refH, int refW,
-                            const int32_t *curq, int qw, int qh,
-                            const int32_t *refq, int qH, int qW,
-                            int x0, int y0, int range,
-                            const int32_t *filters, int bd, int subpel,
-                            int seed_valid, int seed_dy, int seed_dx,
-                            int64_t *out) {
+void me_search_block_seeded2(const int32_t *cur, int w, int h,
+                             const int32_t *ref, int refH, int refW,
+                             const int32_t *curq, int qw, int qh,
+                             const int32_t *refq, int qH, int qW,
+                             int x0, int y0, int range,
+                             const int32_t *filters, int bd, int subpel,
+                             int n_seeds, const int *seeds_dy,
+                             const int *seeds_dx, int64_t *out) {
     int64_t b[3];
-    /* neighbour-MV seed: evaluated first, it both adds a (usually good)
-     * candidate and hands the grids a tight pruning bound */
+    /* seed MVs (spatial neighbour, temporal co-located): evaluated first,
+     * they both add (usually good) candidates and hand the grids a tight
+     * pruning bound */
     int64_t seed_sad = INT64_MAX;
-    if (seed_valid) {
-        int sy = y0 + seed_dy, sx = x0 + seed_dx;
-        if (sy >= 0 && sx >= 0 && sy + h <= refH && sx + w <= refW)
-            seed_sad = sad_one(cur, w, h, ref, refW, sy, sx, INT64_MAX);
-        else
-            seed_valid = 0;
+    int sbest_dy = 0, sbest_dx = 0, seed_valid = 0;
+    for (int k = 0; k < n_seeds; k++) {
+        int sy = y0 + seeds_dy[k], sx = x0 + seeds_dx[k];
+        if (sy < 0 || sx < 0 || sy + h > refH || sx + w > refW)
+            continue;
+        int64_t sd = sad_one(cur, w, h, ref, refW, sy, sx, seed_sad);
+        if (sd < seed_sad) {
+            seed_sad = sd;
+            sbest_dy = seeds_dy[k];
+            sbest_dx = seeds_dx[k];
+            seed_valid = 1;
+        }
     }
     /* HME on the 1/4 pyramid */
     int rad_q = range >> 2;
@@ -241,9 +248,9 @@ void me_search_block_seeded(const int32_t *cur, int w, int h,
      * from zero also check the zero-MV neighborhood (HME can miss sub-pel
      * pans at quarter resolution) and keep the better region */
     sad_grid_clamped(cur, w, h, ref, refH, refW, y0 + dyq * 4, x0 + dxq * 4, 7, b);
-    if (seed_sad < b[2]) {
-        b[0] = y0 + seed_dy;
-        b[1] = x0 + seed_dx;
+    if (seed_valid && seed_sad < b[2]) {
+        b[0] = y0 + sbest_dy;
+        b[1] = x0 + sbest_dx;
         b[2] = seed_sad;
     }
     if (dyq != 0 || dxq != 0) {
@@ -309,9 +316,9 @@ void me_search_block(const int32_t *cur, int w, int h,
                      int x0, int y0, int range,
                      const int32_t *filters, int bd, int subpel,
                      int64_t *out) {
-    me_search_block_seeded(cur, w, h, ref, refH, refW, curq, qw, qh, refq,
-                           qH, qW, x0, y0, range, filters, bd, subpel,
-                           0, 0, 0, out);
+    me_search_block_seeded2(cur, w, h, ref, refH, refW, curq, qw, qh, refq,
+                            qH, qW, x0, y0, range, filters, bd, subpel,
+                            0, 0, 0, out);
 }
 
 /* Quantize one txb (mirror of codec/quant.quantize_b: highbd semantics,
@@ -927,6 +934,7 @@ void inter_decide_frame(
     int inter_bias_pct,
     const int32_t *bx, const int32_t *by,
     const int32_t *bws, const int32_t *bhs, int nb,
+    const int32_t *tseed_dy, const int32_t *tseed_dx,
     int32_t *out) {
     int32_t cur[64 * 64];
     int32_t cq[16 * 16];
@@ -993,11 +1001,16 @@ void inter_decide_frame(
                 me_search_block(cur, W, H, gref_me, grH, grW, cq, qw, qh,
                                 grefq, gqH, gqW, x0, y0, range2, filters8,
                                 bd, 1, me_out);
-            else
-                me_search_block_seeded(cur, W, H, ref_me, rH, rW, cq, qw, qh,
-                                       refq, qH, qW, x0, y0, range, filters8,
-                                       bd, 1, prev_valid, prev_dy, prev_dx,
-                                       me_out);
+            else {
+                int sdy[2], sdx[2], ns = 0;
+                if (prev_valid) { sdy[ns] = prev_dy; sdx[ns] = prev_dx; ns++; }
+                if (tseed_dy && tseed_dy[i] != INT32_MAX) {
+                    sdy[ns] = tseed_dy[i]; sdx[ns] = tseed_dx[i]; ns++;
+                }
+                me_search_block_seeded2(cur, W, H, ref_me, rH, rW, cq, qw, qh,
+                                        refq, qH, qW, x0, y0, range, filters8,
+                                        bd, 1, ns, sdy, sdx, me_out);
+            }
             mc_pred_luma(primary2 ? gref_pad : ref_pad,
                          primary2 ? gpW : pW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
@@ -1058,9 +1071,14 @@ void inter_decide_frame(
                 best_mvc = (int)me_out[1];
             }
         } else if (try1) {
-            me_search_block_seeded(cur, W, H, ref_me, rH, rW, cq, qw, qh,
-                                   refq, qH, qW, x0, y0, range, filters8, bd,
-                                   1, prev_valid, prev_dy, prev_dx, me_out);
+            int sdy[2], sdx[2], ns = 0;
+            if (prev_valid) { sdy[ns] = prev_dy; sdx[ns] = prev_dx; ns++; }
+            if (tseed_dy && tseed_dy[i] != INT32_MAX) {
+                sdy[ns] = tseed_dy[i]; sdx[ns] = tseed_dx[i]; ns++;
+            }
+            me_search_block_seeded2(cur, W, H, ref_me, rH, rW, cq, qw, qh,
+                                    refq, qH, qW, x0, y0, range, filters8, bd,
+                                    1, ns, sdy, sdx, me_out);
             mc_pred_luma(ref_pad, pW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
