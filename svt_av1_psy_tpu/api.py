@@ -824,9 +824,12 @@ class Encoder:
                 lr_src = (y, u, v)
                 lr_w = cfg.width
             rsts = [None] * len(enc.planes)
+            # 256px luma / 128px chroma units (the reference's
+            # RESTORATION_UNITSIZE_MAX sizing): 16x fewer unit searches
+            # than 64px units and less coefficient rate
             rsts[0] = pick_lr(np.asarray(lr_src[0]), lr_recon[0],
                               lr_deblocked[0], lr_w, cfg.height, 0,
-                              cfg.input_depth,
+                              cfg.input_depth, unit_size=256,
                               sgr_eps_step=self._pc.sgr_eps_step)
             if len(enc.planes) > 1:
                 cw, ch = (lr_w + 1) >> 1, (cfg.height + 1) >> 1
@@ -834,6 +837,7 @@ class Encoder:
                     rsts[plane] = pick_lr(
                         np.asarray(srcp), lr_recon[plane],
                         lr_deblocked[plane], cw, ch, 1, cfg.input_depth,
+                        unit_size=256,
                         sgr_eps_step=self._pc.sgr_eps_step)
             if any(r is not None and r.frame_type != RESTORE_NONE for r in rsts):
                 # LR syntax is coded per SB, so re-encode the tiles with the
@@ -866,7 +870,7 @@ class Encoder:
                          u_dc_delta_q=chroma_delta, u_ac_delta_q=chroma_delta,
                          v_dc_delta_q=chroma_delta, v_ac_delta_q=chroma_delta,
                          film_grain=fg, lr_types=lr_types,
-                         lr_unit_size=64, lr_uv_unit_size=32,
+                         lr_unit_size=256, lr_uv_unit_size=128,
                          segmentation=seg_params,
                          gm_trans=((gm_mv, None, None, None, None, None, None)
                                    if gm_mv != (0, 0) and gm_wm is None
