@@ -1199,9 +1199,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # ---- COMPOUND_WEDGE decision: blend the pair's ConvBuf predictions
         # under each of the 16 masks x 2 signs, keep a clear winner over the
         # average (pick_interinter_wedge analog)
-        wedge_info = None
+        wedge_info = None    # ("w", idx, sign) | ("d", mask_type, mask)
         if (is_comp and self.enable_masked_compound and W == H
-                and 8 <= W <= 32):
+                and 8 <= W <= 64):
             from . import wedge as WG
 
             b0, b1 = self._jnt_bufs(0, x0, y0, W, H, mv, mv2)
@@ -1209,20 +1209,32 @@ class InterFrameEncoder(IntraFrameEncoder):
             c_avg = (int(np.sum((src64 - y_pred) ** 2))
                      + self._psy_cost(src, y_pred))
             best_w = None
-            for widx in range(16):
-                for sign in (0, 1):
-                    bp = WG.blend_d16(b0, b1, WG.wedge_mask(W, widx, sign),
-                                      self.bd)
-                    c = int(np.sum((src64 - bp) ** 2))
-                    if best_w is not None and c >= best_w[0]:
-                        continue
-                    c += self._psy_cost(src, bp)
-                    if best_w is None or c < best_w[0]:
-                        best_w = (c, widx, sign, bp)
-            # the wedge syntax costs ~7 bits over the average's 1
+            if W <= 32:   # wedge codebooks exist for 8..32
+                for widx in range(16):
+                    for sign in (0, 1):
+                        bp = WG.blend_d16(b0, b1,
+                                          WG.wedge_mask(W, widx, sign),
+                                          self.bd)
+                        c = int(np.sum((src64 - bp) ** 2))
+                        if best_w is not None and c >= best_w[0]:
+                            continue
+                        c += self._psy_cost(src, bp)
+                        if best_w is None or c < best_w[0]:
+                            best_w = (c, ("w", widx, sign), bp)
+            # COMPOUND_DIFFWTD: the two normative difference-weight masks
+            dm0, dm1 = WG.diffwtd_masks(b0, b1, self.bd)
+            for mt, dm in ((0, dm0), (1, dm1)):
+                bp = WG.blend_d16(b0, b1, dm, self.bd)
+                c = int(np.sum((src64 - bp) ** 2))
+                if best_w is not None and c >= best_w[0]:
+                    continue
+                c += self._psy_cost(src, bp)
+                if best_w is None or c < best_w[0]:
+                    best_w = (c, ("d", mt, dm), bp)
+            # the masked syntax costs ~7 bits over the average's 1
             if best_w is not None and best_w[0] < c_avg - (c_avg >> 5):
-                wedge_info = (best_w[1], best_w[2])
-                y_pred = best_w[3]
+                wedge_info = best_w[1]
+                y_pred = best_w[2]
 
         # ---- transforms for all planes (luma TX type from the pre-pass
         # search; inter chroma inherits it per compute_tx_type)
@@ -1245,10 +1257,12 @@ class InterFrameEncoder(IntraFrameEncoder):
                         from . import wedge as WG
 
                         cb0, cb1 = self._jnt_bufs(plane, cx, cy, cw, ch, mv, mv2)
-                        pred = WG.blend_d16(
-                            cb0, cb1,
-                            WG.wedge_mask_chroma(W, wedge_info[0],
-                                                 wedge_info[1]), self.bd)
+                        if wedge_info[0] == "w":
+                            cm = WG.wedge_mask_chroma(W, wedge_info[1],
+                                                      wedge_info[2])
+                        else:
+                            cm = WG.subsample_mask(wedge_info[2])
+                        pred = WG.blend_d16(cb0, cb1, cm, self.bd)
                     else:
                         pred = self._mc_pred_compound(plane, cx, cy, cw, ch,
                                                       mv, mv2)
@@ -1370,11 +1384,17 @@ class InterFrameEncoder(IntraFrameEncoder):
                 self.fc.write(self.enc, "comp_group_idx", (ctx,),
                               int(wedge_info is not None), 2)
                 if wedge_info is not None:
-                    self.fc.write(self.enc, "compound_type", (int(bsize),),
-                                  0, 2)   # COMPOUND_WEDGE
-                    self.fc.write(self.enc, "wedge_idx", (int(bsize),),
-                                  int(wedge_info[0]), 16)
-                    self.enc.encode_literal(int(wedge_info[1]), 1)
+                    if W <= 32:   # wedge available -> explicit type symbol
+                        self.fc.write(self.enc, "compound_type",
+                                      (int(bsize),),
+                                      int(wedge_info[0] == "d"), 2)
+                    # else compound_type is implied COMPOUND_DIFFWTD
+                    if wedge_info[0] == "w":
+                        self.fc.write(self.enc, "wedge_idx", (int(bsize),),
+                                      int(wedge_info[1]), 16)
+                        self.enc.encode_literal(int(wedge_info[2]), 1)
+                    else:
+                        self.enc.encode_literal(int(wedge_info[1]), 1)
             # frame-level interpolation filter: no per-block syntax
         else:
             self._write_y_mode_inter(bsize, y_mode)

@@ -148,3 +148,21 @@ def blend_d16(p0: np.ndarray, p1: np.ndarray, mask: np.ndarray,
     res = (mask * p0 + (64 - mask) * p1) >> 6
     res = res - round_offset
     return np.clip(_rpot(res, round_bits), 0, (1 << bd) - 1).astype(np.uint16)
+
+
+def diffwtd_masks(p0: np.ndarray, p1: np.ndarray, bd: int):
+    """COMPOUND_DIFFWTD masks from the pair's ConvBuf-domain predictions
+    (av1_build_compound_diffwtd_mask_d16: base 38, diff/16, and the
+    inverse). Returns (mask_38, mask_38_inv) int32 arrays."""
+    from .compound import FILTER_BITS, ROUND_0, ROUND_1, _rpot
+
+    rnd = 2 * FILTER_BITS - ROUND_0 - ROUND_1 + (bd - 8)
+    diff = _rpot(np.abs(p0 - p1), rnd)
+    m = np.clip(38 + diff // 16, 0, 64).astype(np.int32)
+    return m, 64 - m
+
+
+def subsample_mask(m: np.ndarray) -> np.ndarray:
+    """4:2:0 chroma mask from a luma-plane mask (2x2 average)."""
+    return (m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2]
+            + m[1::2, 1::2] + 2) >> 2

@@ -238,6 +238,14 @@ void me_search_block_seeded2(const int32_t *cur, int w, int h,
             seed_valid = 1;
         }
     }
+    /* near-perfect seed: the grids cannot pay for themselves (subpel
+     * refinement is also skipped below this SAD) */
+    if (seed_valid && seed_sad < (int64_t)(w * h) / 2) {
+        out[0] = sbest_dy * 8;
+        out[1] = sbest_dx * 8;
+        out[2] = seed_sad;
+        return;
+    }
     /* HME on the 1/4 pyramid */
     int rad_q = range >> 2;
     if (rad_q < 2) rad_q = 2;
