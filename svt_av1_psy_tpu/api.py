@@ -624,6 +624,11 @@ class Encoder:
         mm_switchable = (not is_key and cfg.preset <= 6
                          and tile_cols_log2 == 0 and tile_rows_log2 == 0)
 
+        # switchable interpolation filters: per-block filter syntax on the
+        # Python-walk presets (read_interpolation_filter; dual filter off)
+        filt_switchable = (not is_key and cfg.preset <= 6
+                           and tile_cols_log2 == 0 and tile_rows_log2 == 0)
+
         # IBC (intra block copy): screen-content key frames; the spec turns
         # ALL in-loop filters off for intrabc frames (intra_bc_tools,
         # EbCodingUnit allow_intrabc; frame header reads allow_intrabc only
@@ -742,6 +747,7 @@ class Encoder:
                 enable_masked_compound=self._seq.enable_masked_compound,
                 rdoq_fast=self._pc.rdoq_fast,
                 seed_grid=getattr(self, "_prev_mv_grid", None),
+                switchable_filters=filt_switchable,
                 **common)
 
         def run_filters(enc):
@@ -892,7 +898,8 @@ class Encoder:
                          cdef_y_strengths=((cdef_y[0], cdef_y[1]),),
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),),
                          superres_denom=sr_denom,
-                         allow_intrabc=allow_ibc)
+                         allow_intrabc=allow_ibc,
+                         interpolation_filter_switchable=filt_switchable)
         if not is_key:
             fp.is_motion_mode_switchable = mm_switchable
             if gop is not None:

@@ -21,9 +21,10 @@ SUBPEL_MASK = 15
 # InterpFilter enum: EIGHTTAP_REGULAR=0, EIGHTTAP_SMOOTH=1, MULTITAP_SHARP=2, BILINEAR=3
 _FILTER_KEY = {0: "interp_sub_pel_filters_8", 1: "interp_sub_pel_filters_8smooth",
                2: "interp_sub_pel_filters_8sharp", 3: "interp_bilinear_filters"}
-# short (4-tap) variants used when block dim <= 4
+# short (4-tap) variants used when block dim <= 4 (spec 7.11.3.10:
+# REGULAR and SHARP both map to the 4-tap regular set, SMOOTH to 4smooth)
 _FILTER_KEY_W4 = {0: "interp_sub_pel_filters_4", 1: "interp_sub_pel_filters_4smooth",
-                  2: "interp_sub_pel_filters_8sharp", 3: "interp_bilinear_filters"}
+                  2: "interp_sub_pel_filters_4", 3: "interp_bilinear_filters"}
 
 
 def get_filter_kernel(interp_filter: int, subpel_q4: int, dim: int) -> np.ndarray:

@@ -137,7 +137,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  inter_tx_search=False, golden_const=None,
                  motion_mode_switchable=False, enable_interintra=False,
                  enable_masked_compound=False, rdoq_fast=False,
-                 seed_grid=None, **kw):
+                 seed_grid=None, switchable_filters=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -162,6 +162,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # previous frame's (mv_row, mv_col) mi grids: temporal co-located
         # ME seeds for the decide kernel (mv-merge candidate analog)
         self.seed_grid = seed_grid
+        # frame-level interpolation_filter == SWITCHABLE: eligible blocks
+        # code interp_filter[0] (dual off) and may use SMOOTH/SHARP MC
+        self.switchable_filters = bool(switchable_filters)
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
@@ -845,8 +848,10 @@ class InterFrameEncoder(IntraFrameEncoder):
             return (1, LAST_FRAME, GLOBALMV, mv[0], mv[1])
         return t
 
-    def _mc_pred(self, plane, px, py, pw, ph, mv, ref_frame=LAST_FRAME):
-        """Motion-compensated prediction (spec chroma 1/16-pel rules)."""
+    def _mc_pred(self, plane, px, py, pw, ph, mv, ref_frame=LAST_FRAME,
+                 filt=0):
+        """Motion-compensated prediction (spec chroma 1/16-pel rules);
+        filt: interp filter (0 REGULAR / 1 SMOOTH / 2 SHARP)."""
         ref = self.refs[ref_frame][plane]
         ss = 0 if plane == 0 else 1
         if ss == 0:
@@ -858,9 +863,15 @@ class InterFrameEncoder(IntraFrameEncoder):
         y0 = py + ipart_y + self.pad
         x0 = px + ipart_x + self.pad
         patch = ref[y0 - 3 : y0 + ph + 4, x0 - 3 : x0 + pw + 4]
-        return mc_native.convolve_block(patch, pw, ph, frac_x, frac_y, bd=self.bd)
+        if filt == 0:
+            return mc_native.convolve_block(patch, pw, ph, frac_x, frac_y,
+                                            bd=self.bd)
+        from .convolve import convolve_2d_sr
 
-    def _jnt_bufs(self, plane, px, py, pw, ph, mv0, mv1):
+        return convolve_2d_sr(patch[None], pw, ph, frac_x, frac_y,
+                              interp_x=filt, interp_y=filt, bd=self.bd)[0]
+
+    def _jnt_bufs(self, plane, px, py, pw, ph, mv0, mv1, filt=0):
         """The (LAST, ref2) pair's ConvBuf-domain predictions (jnt
         convolve; codec/compound.py, oracle-bit-exact)."""
         from . import compound as cmp
@@ -878,8 +889,8 @@ class InterFrameEncoder(IntraFrameEncoder):
             y0 = py + ipy + self.pad
             x0 = px + ipx + self.pad
             patch = ref[y0 - 3 : y0 + ph + 4, x0 - 3 : x0 + pw + 4]
-            fxk = get_filter_kernel(0, fx, pw)
-            fyk = get_filter_kernel(0, fy, ph)
+            fxk = get_filter_kernel(filt, fx, pw)
+            fyk = get_filter_kernel(filt, fy, ph)
             bufs.append(cmp.jnt_conv(patch, pw, ph, fxk, fyk, fx, fy, self.bd))
         return bufs
 
@@ -889,6 +900,33 @@ class InterFrameEncoder(IntraFrameEncoder):
 
         b0, b1 = self._jnt_bufs(plane, px, py, pw, ph, mv0, mv1)
         return cmp.compound_average(b0, b1, self.bd)
+
+    def _switchable_filter_ctx(self, mi_row, mi_col, ref, is_comp):
+        """av1_get_pred_context_switchable_interp (dir 0, dual off):
+        ctx = comp_offset + combined left/above same-ref filter type."""
+        t_r0, _, t_c0, _ = self.tile_mi
+
+        def ftype(r, c):
+            g = self.grid
+            if int(g.ref_frame[r, c]) <= 0:
+                return 3
+            if (int(g.ref_frame[r, c]) == ref
+                    or int(g.ref_frame2[r, c]) == ref):
+                f = int(g.filt[r, c])
+                return f if f < 3 else 0
+            return 3
+        left = ftype(mi_row, mi_col - 1) if mi_col > t_c0 else 3
+        above = ftype(mi_row - 1, mi_col) if mi_row > t_r0 else 3
+        ctx = 4 if is_comp else 0   # INTER_FILTER_COMP_OFFSET
+        if left == above:
+            ctx += left
+        elif left == 3:
+            ctx += above
+        elif above == 3:
+            ctx += left
+        else:
+            ctx += 3
+        return ctx
 
     def _comp_group_ctx(self, mi_row, mi_col):
         """get_comp_group_idx_context: sum of neighbor comp_group flags
@@ -1134,6 +1172,45 @@ class InterFrameEncoder(IntraFrameEncoder):
                 y_mode = 17   # NEAREST_NEARESTMV
         uv_mode = 0  # UV_DC for intra blocks
 
+        # ---- switchable interpolation filter decision: rebuild the luma
+        # prediction with SMOOTH/SHARP and keep the best (needs_interp_filter
+        # gating per spec 5.11.27; dual filter off -> one filter both dirs)
+        blk_filt = 0
+        filt_coded = False
+        if use_inter and self.switchable_filters:
+            large = min(W, H) >= 8
+            if large and int(y_mode) == GLOBALMV:
+                # coded only for a TRANSLATION gm on this ref; IDENTITY /
+                # ROTZOOM imply EIGHTTAP without syntax
+                filt_coded = (ref_sel == LAST_FRAME and self.gm_wm is None
+                              and tuple(self.gm_mv) != (0, 0))
+            else:
+                filt_coded = True
+        if filt_coded:
+            src64f = src.astype(np.int64)
+            best_f = (int(np.sum((src64f - y_pred) ** 2))
+                      + self._psy_cost(src, y_pred), 0, y_pred)
+            for f in (1, 2):
+                if is_comp:
+                    from . import compound as cmp
+
+                    fb0, fb1 = self._jnt_bufs(0, x0, y0, W, H, mv, mv2,
+                                              filt=f)
+                    fp = cmp.compound_average(fb0, fb1, self.bd)
+                elif (int(y_mode) == GLOBALMV and ref_sel == LAST_FRAME
+                        and self.gm_wm is not None and min(W, H) >= 8):
+                    break   # warp path: no filter
+                else:
+                    fp = self._mc_pred(0, x0, y0, W, H, mv, ref_sel, filt=f)
+                c = int(np.sum((src64f - fp) ** 2))
+                if c >= best_f[0]:
+                    continue
+                c += self._psy_cost(src, fp)
+                if c < best_f[0]:
+                    best_f = (c, f, fp)
+            blk_filt = best_f[1]
+            y_pred = best_f[2]
+
         # ---- inter-intra decision (combine_interintra): blend the inter
         # prediction with a DC/V/H/SMOOTH intra prediction under the smooth
         # mask; mutually exclusive with OBMC (RefFrame[1]=INTRA_FRAME forces
@@ -1204,7 +1281,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                 and 8 <= W <= 64):
             from . import wedge as WG
 
-            b0, b1 = self._jnt_bufs(0, x0, y0, W, H, mv, mv2)
+            b0, b1 = self._jnt_bufs(0, x0, y0, W, H, mv, mv2, filt=blk_filt)
             src64 = src.astype(np.int64)
             c_avg = (int(np.sum((src64 - y_pred) ** 2))
                      + self._psy_cost(src, y_pred))
@@ -1256,7 +1333,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                     if wedge_info is not None:
                         from . import wedge as WG
 
-                        cb0, cb1 = self._jnt_bufs(plane, cx, cy, cw, ch, mv, mv2)
+                        cb0, cb1 = self._jnt_bufs(plane, cx, cy, cw, ch,
+                                                  mv, mv2, filt=blk_filt)
                         if wedge_info[0] == "w":
                             cm = WG.wedge_mask_chroma(W, wedge_info[1],
                                                       wedge_info[2])
@@ -1264,14 +1342,18 @@ class InterFrameEncoder(IntraFrameEncoder):
                             cm = WG.subsample_mask(wedge_info[2])
                         pred = WG.blend_d16(cb0, cb1, cm, self.bd)
                     else:
-                        pred = self._mc_pred_compound(plane, cx, cy, cw, ch,
-                                                      mv, mv2)
+                        from . import compound as cmp
+
+                        cb0, cb1 = self._jnt_bufs(plane, cx, cy, cw, ch,
+                                                  mv, mv2, filt=blk_filt)
+                        pred = cmp.compound_average(cb0, cb1, self.bd)
                 elif use_inter:
                     if (int(y_mode) == GLOBALMV and ref_sel == LAST_FRAME
                             and self.gm_wm is not None and cw >= 8 and ch >= 8):
                         pred = self._warp_pred(plane, cx, cy, cw, ch)
                     else:
-                        pred = self._mc_pred(plane, cx, cy, cw, ch, mv, ref_sel)
+                        pred = self._mc_pred(plane, cx, cy, cw, ch, mv,
+                                             ref_sel, filt=blk_filt)
                 else:
                     pa, pl, pha, phl = self._gather_neighbors(plane, cx, cy, cw, ch)
                     pred = self._predict(0, pa, pl, pha, phl, cw, ch)
@@ -1395,7 +1477,14 @@ class InterFrameEncoder(IntraFrameEncoder):
                         self.enc.encode_literal(int(wedge_info[2]), 1)
                     else:
                         self.enc.encode_literal(int(wedge_info[1]), 1)
-            # frame-level interpolation filter: no per-block syntax
+            if filt_coded:
+                # read_interpolation_filter (spec 5.11.27): one symbol,
+                # dual filter off -> filter[1] = filter[0]
+                fctx = self._switchable_filter_ctx(mi_row, mi_col,
+                                                   1 if is_comp else ref_sel,
+                                                   is_comp)
+                self.fc.write(self.enc, "switchable_interp", (fctx,),
+                              int(blk_filt), 3)
         else:
             self._write_y_mode_inter(bsize, y_mode)
             if not self.mono:
@@ -1465,6 +1554,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                                 mv2=(mv2 if is_comp else (0, 0)))
             self.grid.comp_group[mi_row:r1, mi_col:c1] = \
                 int(is_comp and wedge_info is not None)
+            # neighbor-ctx + OBMC filter state (uncoded blocks are REGULAR)
+            self.grid.filt[mi_row:r1, mi_col:c1] = int(blk_filt)
         else:
             self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
             self.grid.set_block(mi_row, mi_col, bw4, bh4, 0, (0, 0), int(y_mode))

@@ -68,6 +68,9 @@ class MiGrid:
         self.bh4 = np.ones(shape, np.uint8)
         # comp_group_idx of coded compound blocks (masked-compound ctx)
         self.comp_group = np.zeros(shape, np.uint8)
+        # interp filter of coded inter blocks (switchable-filter ctx);
+        # 3 = none/SWITCHABLE sentinel
+        self.filt = np.full(shape, 3, np.uint8)
 
     def set_block(self, mi_row, mi_col, bw4, bh4, ref_frame, mv, mode,
                   ref_frame2=0, mv2=(0, 0)):

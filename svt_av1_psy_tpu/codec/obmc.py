@@ -106,8 +106,9 @@ def build_obmc_preds(enc, mi_row, mi_col, W, H, preds):
                            else [])
     planes_left = luma + ([1, 2] if has_uv else [])
 
-    def blend(plane, px, py, bw, bh, mv, ref_const, vertical):
-        tmp = enc._mc_pred(plane, px, py, bw, bh, mv, ref_const).astype(np.int32)
+    def blend(plane, px, py, bw, bh, mv, ref_const, filt, vertical):
+        tmp = enc._mc_pred(plane, px, py, bw, bh, mv, ref_const,
+                           filt=filt).astype(np.int32)
         ss = 0 if plane == 0 else 1
         ox = px - ((mi_col * 4) >> ss)
         oy = py - ((mi_row * 4) >> ss)
@@ -126,13 +127,15 @@ def build_obmc_preds(enc, mi_row, mi_col, W, H, preds):
             MAX_NEIGHBOR_OBMC[int(np.log2(n4_w))]):
         mv = (int(g.mv_row[mi_row - 1, nbc]), int(g.mv_col[mi_row - 1, nbc]))
         ref = int(g.ref_frame[mi_row - 1, nbc])
+        nf = int(g.filt[mi_row - 1, nbc])   # neighbor's interp filter
+        nf = nf if nf < 3 else 0
         for plane in planes_above:
             ss = 0 if plane == 0 else 1
             bw = (width_mi * 4) >> ss
             bh = overlap_v >> ss
             px = (c0 * 4) >> ss
             py = (mi_row * 4) >> ss
-            blend(plane, px, py, bw, bh, mv, ref, vertical=True)
+            blend(plane, px, py, bw, bh, mv, ref, nf, vertical=True)
 
     overlap_h = min(W, 64) >> 1
     for (r0, height_mi, nbr) in _left_neighbors(
@@ -140,11 +143,13 @@ def build_obmc_preds(enc, mi_row, mi_col, W, H, preds):
             MAX_NEIGHBOR_OBMC[int(np.log2(n4_h))]):
         mv = (int(g.mv_row[nbr, mi_col - 1]), int(g.mv_col[nbr, mi_col - 1]))
         ref = int(g.ref_frame[nbr, mi_col - 1])
+        nf = int(g.filt[nbr, mi_col - 1])
+        nf = nf if nf < 3 else 0
         for plane in planes_left:
             ss = 0 if plane == 0 else 1
             bw = overlap_h >> ss
             bh = (height_mi * 4) >> ss
             px = (mi_col * 4) >> ss
             py = (r0 * 4) >> ss
-            blend(plane, px, py, bw, bh, mv, ref, vertical=False)
+            blend(plane, px, py, bw, bh, mv, ref, nf, vertical=False)
     return preds

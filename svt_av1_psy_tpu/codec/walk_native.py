@@ -154,7 +154,8 @@ def eligible(enc) -> bool:
                 and getattr(enc, "gm_wm", None) is None
                 and not getattr(enc, "motion_mode_switchable", False)
                 and not getattr(enc, "enable_interintra", False)
-                and not getattr(enc, "enable_masked_compound", False))
+                and not getattr(enc, "enable_masked_compound", False)
+                and not getattr(enc, "switchable_filters", False))
     if tname != "IntraFrameEncoder":
         return False
     if (enc.decisions is None

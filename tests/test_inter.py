@@ -431,3 +431,52 @@ def test_wedge_compound_and_interintra_wedge_conformant():
         dy, du, dv = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, rec[i][0]), f"frame {i} luma"
         assert np.array_equal(du, rec[i][1]), f"frame {i} chroma"
+
+
+def test_switchable_interp_filters_conformant_and_used():
+    """Per-block switchable interpolation filters (read_interpolation_filter,
+    dual off): SMOOTH/SHARP must be chosen on subpel motion and the streams
+    decode bit-exactly (incl. the w<=4 SHARP->4-tap-regular rule)."""
+    import svt_av1_psy_tpu.bitstream.frame_context as FCM
+
+    if not dav1d.available():
+        pytest.skip("dav1d shim unavailable")
+    n = {0: 0, 1: 0, 2: 0}
+    origw = FCM.FrameContext.write
+
+    def spyw(self, enc, name, idx, symbol, nsyms):
+        if name == "switchable_interp":
+            n[symbol] += 1
+        return origw(self, enc, name, idx, symbol, nsyms)
+
+    import bench
+
+    frames, u, v = bench._video(320, 192, 8)
+    FCM.FrameContext.write = spyw
+    try:
+        cfg = EncoderConfig(width=320, height=192, preset=5,
+                            recon_enabled=True)
+        cfg.qp = 38
+        enc = Encoder(cfg).init()
+        stream = b""
+        rec = []
+
+        def drain():
+            nonlocal stream
+            while (p := enc.get_packet()) is not None:
+                stream += p.data
+                if p.recon is not None:
+                    rec.append(p.recon)
+
+        for i in range(8):
+            enc.send_picture(frames[i], u, v.copy(), pts=i)
+            drain()
+        enc.flush()
+        drain()
+    finally:
+        FCM.FrameContext.write = origw
+    assert n[1] + n[2] > 5, f"SMOOTH/SHARP should be used: {n}"
+    for i in range(len(rec)):
+        dy, du, dv = dav1d.decode_nth(stream, i, 320, 192)
+        assert np.array_equal(dy, rec[i][0]), f"frame {i} luma"
+        assert np.array_equal(du, rec[i][1]), f"frame {i} chroma"
