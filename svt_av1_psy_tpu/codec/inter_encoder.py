@@ -218,6 +218,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         # ME range scales with temporal distance (pyramid leaves search a
         # small window; the GoP top searches wide)
         self.sr = tuple(int(np.clip(16 + 8 * d, 16, 64)) for d in ref_distances)
+        self.ref_distances = tuple(int(max(1, abs(d))) for d in ref_distances)
         # compound (REFERENCE_MODE_SELECT): two-ref frames may code blocks
         # with the (LAST, ALTREF) pair averaged (COMPOUND_AVERAGE)
         self.ref_select = bool(ref_select) and self.ref2 == ALTREF_FRAME
@@ -321,7 +322,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             me._filters, filters4, self.bd, self.sr[0], self.gm_mv,
             float(self.psy_rd), blocks, ref2_gate=ref2_gate,
             search_range2=self.sr[1], inter_bias_pct=self.inter_bias_pct,
-            tseed=tseed)
+            tseed=tseed, ref_dists=self.ref_distances)
 
     def _dec_from_row(self, row):
         """Kernel row -> decision tuple. The kernel reports the second

@@ -119,6 +119,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,                           # tseeds
+        ctypes.c_int, ctypes.c_int,                                 # dists
         ctypes.c_void_p]
     lib.me_subpel_refine_blocks.argtypes = [
         ctypes.c_void_p, ctypes.c_int,
@@ -234,7 +235,7 @@ def search_block(cur, ref, curq, refq, x0, y0, search_range, filters,
 def inter_decide_frame(src_u16, ref_me, refq, curq, ref_pad, pad, golden,
                        filters8, filters4, bd, search_range, gm_mv, psy_rd,
                        blocks, ref2_gate=4, search_range2=None,
-                       inter_bias_pct=100, tseed=None):
+                       inter_bias_pct=100, tseed=None, ref_dists=(1, 1)):
     """Whole-frame open-loop P-frame mode decision in one native call.
     src_u16: padded source luma (uint16 contiguous); ref_me/refq/ref_pad:
     LAST recon (int32), its 1/4 pyramid and the 96-padded MC plane; curq:
@@ -279,6 +280,7 @@ def inter_decide_frame(src_u16, ref_me, refq, curq, ref_pad, pad, golden,
         n,
         tseed[0].ctypes.data if tseed is not None else None,
         tseed[1].ctypes.data if tseed is not None else None,
+        int(ref_dists[0]), int(ref_dists[1]),
         out.ctypes.data)
     return out
 

@@ -7,6 +7,8 @@
  */
 #include <stdint.h>
 #include <stdlib.h>
+#include <time.h>
+#include <stdio.h>
 #include <string.h>
 
 #define FILTER_BITS 7
@@ -943,6 +945,7 @@ void inter_decide_frame(
     const int32_t *bx, const int32_t *by,
     const int32_t *bws, const int32_t *bhs, int nb,
     const int32_t *tseed_dy, const int32_t *tseed_dx,
+    int dist1, int dist2,
     int32_t *out) {
     int32_t cur[64 * 64];
     int32_t cq[16 * 16];
@@ -951,6 +954,9 @@ void inter_decide_frame(
     uint16_t pred_l[64 * 64], pred_a[64 * 64];   /* best pred per reference */
     int64_t eng[64];
     int prev_valid = 0, prev_dy = 0, prev_dx = 0;   /* LAST-ref seed */
+    int prev2_valid = 0, prev2_dy = 0, prev2_dx = 0; /* second-ref seed */
+    if (dist1 < 1) dist1 = 1;
+    if (dist2 < 1) dist2 = 1;
     for (int i = 0; i < nb; i++) {
         int x0 = bx[i], y0 = by[i], W = bws[i], H = bhs[i];
         const uint16_t *sblk = src + y0 * sstride + x0;
@@ -1005,10 +1011,14 @@ void inter_decide_frame(
         /* NEWMV on the primary (better zero-cost) reference */
         int primary2 = two_ref && cost_zero2 < cost_zero;
         if (best_inter > ((int64_t)(W * H) << 2)) {
-            if (primary2)
-                me_search_block(cur, W, H, gref_me, grH, grW, cq, qw, qh,
-                                grefq, gqH, gqW, x0, y0, range2, filters8,
-                                bd, 1, me_out);
+            if (primary2) {
+                int sdy[1], sdx[1], ns = 0;
+                if (prev2_valid) { sdy[0] = prev2_dy; sdx[0] = prev2_dx; ns = 1; }
+                me_search_block_seeded2(cur, W, H, gref_me, grH, grW, cq, qw,
+                                        qh, grefq, gqH, gqW, x0, y0, range2,
+                                        filters8, bd, 1, ns, sdy, sdx,
+                                        me_out);
+            }
             else {
                 int sdy[2], sdx[2], ns = 0;
                 if (prev_valid) { sdy[ns] = prev_dy; sdx[ns] = prev_dx; ns++; }
@@ -1056,9 +1066,16 @@ void inter_decide_frame(
             try2 = gref_pad && best_inter > ((int64_t)(W * H) << ref2_gate);
         int try1 = two_ref && primary2 && best_inter > ((int64_t)(W * H) << 3);
         if (try2) {
-            me_search_block(cur, W, H, gref_me, grH, grW, cq, qw, qh,
-                            grefq, gqH, gqW, x0, y0, range2, filters8, bd, 1,
-                            me_out);
+            /* seeds: this block's LAST MV scaled by the distance ratio +
+             * the previous block's second-ref MV */
+            int sdy[2], sdx[2], ns = 0;
+            sdy[ns] = (mvl_r >> 3) * dist2 / dist1;
+            sdx[ns] = (mvl_c >> 3) * dist2 / dist1;
+            ns++;
+            if (prev2_valid) { sdy[ns] = prev2_dy; sdx[ns] = prev2_dx; ns++; }
+            me_search_block_seeded2(cur, W, H, gref_me, grH, grW, cq, qw, qh,
+                                    grefq, gqH, gqW, x0, y0, range2, filters8,
+                                    bd, 1, ns, sdy, sdx, me_out);
             mc_pred_luma(gref_pad, gpW, pad, x0, y0, W, H,
                          (int)me_out[0], (int)me_out[1],
                          filters8, filters4, bd, pred);
@@ -1164,6 +1181,11 @@ void inter_decide_frame(
         prev_valid = 1;
         prev_dy = mvl_r >> 3;
         prev_dx = mvl_c >> 3;
+        if (best_a != INT64_MAX) {
+            prev2_valid = 1;
+            prev2_dy = mva_r >> 3;
+            prev2_dx = mva_c >> 3;
+        }
 
         int32_t *o = out + 8 * i;
         o[5] = o[6] = 0;
