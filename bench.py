@@ -59,6 +59,8 @@ def _run(W, H, preset, crf, n_frames, intra_only=False, seed=0):
     enc = Encoder(cfg).init()
     enc.send_picture(frames[0], u, v.copy())   # warm-up (compiles, tables)
     enc.get_packet()
+    if getattr(enc, "_me_pipe", None) is not None:
+        enc._me_pipe.drain()   # device-search warm compile off the clock
 
     profiling.reset()
     t0 = time.perf_counter()

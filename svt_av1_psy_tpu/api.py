@@ -23,7 +23,8 @@ from .bitstream.obu import (
     temporal_delimiter_obu,
 )
 from .codec.intra_encoder import IntraFrameEncoder
-from .config import EncoderConfig, RateControlMode, verify_settings
+from .config import (EncoderConfig, PredStructure, RateControlMode,
+                     verify_settings)
 from .errors import ErrorCode, SvtAv1Error
 
 
@@ -87,6 +88,12 @@ class Encoder:
         self._la_queue: deque = deque()   # TF lookahead (y, u, v, pts)
         self._tf_past: list = []          # last original sources for TF
         self._submitted = 0
+        # device (TPU) inter-search pipeline state
+        self._use_device_me = False
+        self._me_pipe = None
+        self._pending_gops: list = []     # held GoPs (search in flight)
+        self._queue_base_src = None       # open-loop base ref source
+        self._gop_seq = 0
 
     # -------------------------------------------------------------- lifecycle
     def init(self):
@@ -179,6 +186,24 @@ class Encoder:
             stats = parse_stats(Path(cfg.stats_file).read_bytes())
             self._budgets = second_pass_budgets(
                 stats, cfg.target_bit_rate, cfg.fps_num / max(cfg.fps_denom, 1))
+        # device (TPU) inter mode-decision search: prefetch whole mini-GoP
+        # chunks through a worker thread, overlapped with the commit walk
+        # (parallel/pipeline.py). "auto" = on when an accelerator exists.
+        if not cfg.avif and cfg.pred_structure == PredStructure.RANDOM_ACCESS:
+            from .parallel.pipeline import (device_backend_default,
+                                            get_pipeline)
+
+            mode = str(cfg.inter_me_backend)
+            if mode == "device" or (mode == "auto"
+                                    and device_backend_default()):
+                try:
+                    self._me_pipe = get_pipeline(
+                        bd=cfg.input_depth, depths=self._pc.inter_depths)
+                    # async pre-compile for this session's frame dims
+                    self._me_pipe.warm(cfg.height, cfg.width)
+                    self._use_device_me = True
+                except Exception:
+                    self._me_pipe = None
         self._initialized = True
         return self
 
@@ -273,7 +298,11 @@ class Encoder:
 
             group = [y] + [f[0] for f in list(self._la_queue)[:3]]
             self._tpl = tpl_analysis(group, cfg.input_depth)
-        fy, fu, fv = temporal_filter((y, u, v), neighbors, strength, cfg.input_depth)
+        from .profiling import stage as _stage
+
+        with _stage("host:tf"):
+            fy, fu, fv = temporal_filter((y, u, v), neighbors, strength,
+                                         cfg.input_depth)
         self._tf_past.append((y, u, v))
         if len(self._tf_past) > 2:
             self._tf_past.pop(0)
@@ -305,6 +334,7 @@ class Encoder:
         if is_key:
             self._drain_gop()
             self._encode_frame(y, u, v, pts, gop={"is_key": True})
+            self._queue_base_src = y
             self._last_slot = 0
             self._sub_since_key = 1
             return
@@ -313,16 +343,98 @@ class Encoder:
         gop_n = 1 << min(max(cfg.hierarchical_levels, 2), 5)
         if len(self._gop_buf) == gop_n:
             buf, self._gop_buf = self._gop_buf, []
-            self._encode_gop(buf)
+            self._queue_gop(buf)
+
+    def _queue_gop(self, buf):
+        """Kick off the device search for this GoP, hold it, and commit
+        the previous GoP (whose search has been running meanwhile) — the
+        two-stage search/commit pipeline replacing the reference's SRM
+        stage concurrency."""
+        prefetch = self._prefetch_gop(buf) if self._use_device_me else None
+        self._pending_gops.append((buf, prefetch))
+        self._queue_base_src = buf[-1][0]
+        while len(self._pending_gops) > 1:
+            b, p = self._pending_gops.pop(0)
+            self._encode_gop(b, prefetch=p)
 
     def _drain_gop(self):
         """Encode any buffered frames (partial GoP at a key boundary or
-        EOS) as a smaller pyramid."""
+        EOS) as a smaller pyramid, plus every held GoP."""
         buf, self._gop_buf = self._gop_buf, []
         if buf:
-            self._encode_gop(buf)
+            self._queue_gop(buf)
+        while self._pending_gops:
+            b, p = self._pending_gops.pop(0)
+            self._encode_gop(b, prefetch=p)
 
-    def _encode_gop(self, buf):
+    def _prefetch_gop(self, buf):
+        """Assemble + submit the open-loop device search jobs for one GoP
+        (references are SOURCE frames — the reference encoder's own
+        open-loop ME choice, me_process.c:97). Returns {display_idx:
+        (key, gm_mv)} used by _encode_gop's commits."""
+        cfg = self.config
+        base_src = self._queue_base_src
+        if base_src is None or self._me_pipe is None:
+            return None
+        from .codec.rd import lambda_sse_per_bit
+
+        frames = [np.asarray(base_src)] + [np.asarray(f[0]) for f in buf]
+        n = len(buf)
+        self._gop_seq += 1
+        seq = self._gop_seq
+        qbase = (_crf_to_qindex(cfg.crf)
+                 if cfg.rate_control_mode == RateControlMode.CRF_CQP
+                 else int(np.clip(cfg.qp * 4, 1, 255)))
+        OFF = (0, 10, 16, 18, 20)
+        do_gm = cfg.enable_global_motion and self._pc.gm
+        jobs, keys = [], {}
+
+        def add(idx, lo, hi, depth):
+            q = int(np.clip(qbase + OFF[min(depth, 4)], 1, 255))
+            gm = (0, 0)
+            if do_gm:
+                from .codec.global_motion import estimate_global_translation
+
+                gm = estimate_global_translation(frames[lo], frames[idx],
+                                                 cfg.input_depth)
+                gm = (int(np.clip(gm[0], -255, 255)),
+                      int(np.clip(gm[1], -255, 255)))
+            bias = 100
+            if int(cfg.tune) == 3:
+                pqp = q >> 2
+                uni = 85 if pqp < 16 else (95 if pqp < 48 else 100)
+                if hi is not None:
+                    bi = 115 if pqp < 16 else (105 if pqp < 48 else 100)
+                    bias = uni * bi // 100
+                else:
+                    bias = uni
+            lam = 0.35 * float(lambda_sse_per_bit(q, cfg.input_depth, "p"))
+            key = (seq, idx)
+            jobs.append(dict(key=key, src=idx, ref_l=lo, ref_a=hi, gm=gm,
+                             lam=lam, psy_rd=float(cfg.psy_rd),
+                             bias_pct=float(bias)))
+            keys[idx] = (key, gm)
+
+        def walk(lo, hi, depth):
+            if hi - lo == 1:
+                return
+            if hi - lo == 2:
+                add(lo + 1, lo, hi, 4)
+                return
+            mid = (lo + hi) // 2
+            add(mid, lo, hi, depth)
+            walk(lo, mid, depth + 1)
+            walk(mid, hi, depth + 1)
+
+        add(n, 0, None, 0)
+        walk(0, n, 1)
+        try:
+            self._me_pipe.submit(frames, jobs)
+        except Exception:
+            return None
+        return keys
+
+    def _encode_gop(self, buf, prefetch=None):
         """Dyadic pyramid over n display frames d1..dn (d0 = previous base
         recon). Coding order: dn first (unshown base-layer ALTREF), then a
         recursive bisection — interval midpoints code as unshown B frames,
@@ -331,13 +443,15 @@ class Encoder:
         single-ref (LAST past / ALTREF future); no compound. DPB slots are
         allocated per live node (depth+2 <= 8 up to 32-frame GoPs)."""
         n = len(buf)
+        pf = prefetch or {}
         if n == 1:
             y, u, v, pts = buf[0]
             scratch = 2 if self._last_slot != 2 else 3
             self._encode_frame(y, u, v, pts, gop=dict(
                 show=True, last=self._ref_planes, future=None,
                 refresh=1 << scratch, last_slot=self._last_slot,
-                future_slot=None, q_offset=0, update_last=True))
+                future_slot=None, q_offset=0, update_last=True,
+                prefetch=pf.get(1)))
             self._last_slot = scratch
             return
         free = [s for s in range(8) if s not in (self._last_slot, 1)]
@@ -372,7 +486,8 @@ class Encoder:
                 future_slot=(slots[hi] if hi is not None else None),
                 q_offset=OFF[min(depth, 4)], update_last=False,
                 dists=(idx - lo, (hi - idx) if hi is not None else 1),
-                tpl_r0=(tpl_r0 if depth == 0 else None)))
+                tpl_r0=(tpl_r0 if depth == 0 else None),
+                prefetch=pf.get(idx)))
             slots[idx], recs[idx], disp[idx] = slot, r, rec
 
         def walk(lo, hi, depth):
@@ -382,7 +497,8 @@ class Encoder:
                 self._encode_frame(*buf[lo], gop=dict(
                     show=True, last=recs[lo], future=recs[hi], refresh=0,
                     last_slot=slots[lo], future_slot=slots[hi],
-                    q_offset=OFF[4], update_last=False, dists=(1, 1)))
+                    q_offset=OFF[4], update_last=False, dists=(1, 1),
+                    prefetch=pf.get(lo + 1)))
                 return
             mid = (lo + hi) // 2
             enc_unshown(mid, lo, hi, depth)
@@ -598,17 +714,24 @@ class Encoder:
                       palette_level=cfg.palette_level)
         gm_mv = (0, 0)
         gm_wm = None
+        prefetch = gop.get("prefetch") if gop is not None else None
         if not is_key and cfg.enable_global_motion and self._pc.gm:
-            from .codec.global_motion import estimate_global_translation
-
             vh, vw = cfg.height, cfg.width
-            gm_mv = estimate_global_translation(
-                last_planes[0][:vh, :vw], np.asarray(y), cfg.input_depth)
-            # clamp to the TRANSLATION-only codable range: the header codes
-            # wmmat>>prec_diff with a (1<<trans_bits)+1 subexp alphabet around
-            # the identity ref, so |mv_q3| must stay below 1<<(trans_bits-1)
-            gm_mv = (int(np.clip(gm_mv[0], -255, 255)),
-                     int(np.clip(gm_mv[1], -255, 255)))
+            if prefetch is not None:
+                # the open-loop (source-vs-source) estimate the device
+                # search already used; the commit must agree with it
+                gm_mv = tuple(prefetch[1])
+            else:
+                from .codec.global_motion import estimate_global_translation
+
+                gm_mv = estimate_global_translation(
+                    last_planes[0][:vh, :vw], np.asarray(y), cfg.input_depth)
+                # clamp to the TRANSLATION-only codable range: the header
+                # codes wmmat>>prec_diff with a (1<<trans_bits)+1 subexp
+                # alphabet around the identity ref, so |mv_q3| must stay
+                # below 1<<(trans_bits-1)
+                gm_mv = (int(np.clip(gm_mv[0], -255, 255)),
+                         int(np.clip(gm_mv[1], -255, 255)))
             if (cfg.preset <= 6 and not getattr(self, "_allow_sct", False)):
                 # ROTZOOM upgrade (gm_level analog): LS fit over a block
                 # motion field, accepted only when it clearly beats the
@@ -689,6 +812,10 @@ class Encoder:
                            bool(cfg.sharp_tx)))
 
         inter_shared = {}
+        if prefetch is not None and self._me_pipe is not None and not is_key:
+            rows = self._me_pipe.get(prefetch[0])
+            if rows is not None:
+                inter_shared["device_rows"] = rows
 
         # ---- IPP second reference: LAST2 (previous LAST, alternating DPB
         # slots 0/2) vs the GOLDEN key frame, picked by decimated SAD

@@ -77,12 +77,13 @@ def ii_blend(inter: np.ndarray, intra: np.ndarray, mask: np.ndarray) -> np.ndarr
            + (64 - mask) * inter.astype(np.int64) + 32) >> 6
     return out.astype(inter.dtype)
 
-# inter mode-decision backend: "native" (one C call per frame; the fast
-# path on hosts where the TPU sits behind a high-latency link) or "device"
-# (ops/inter_search.py: batched SSD-grid search as one jitted program,
-# shardable over the frame/tile mesh). Decisions differ between backends
-# (different search metrics) but both commit conformantly.
-SEARCH_BACKEND = "native"
+# inter mode-decision backends: the native C kernel (one call per frame)
+# and the device (TPU) open-loop search (ops/inter_search.py). The device
+# rows arrive prefetched through shared["device_rows"] (api.py's
+# parallel/pipeline worker, overlapped with the previous frame's commit);
+# blocks it does not cover (forced odd-size edge leaves) still go through
+# the native kernel. Decisions differ between backends (full-pel grid +
+# host subpel refine vs native subpel search) but both commit conformantly.
 
 # inter ext-tx: eset via ext_tx_set_index[1][set_type] (definitions.h:1808):
 # DCT_IDTX -> 3, DTT9_IDTX_1DDCT -> 2, ALL16 -> 1; DCT_DCT symbol per
@@ -185,7 +186,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         # (0, 0) = IDENTITY. GLOBALMV blocks and ref-MV stack padding use it.
         # Other references always code with identity global motion.
         self.gm_mv = tuple(int(v) for v in gm_mv)
-        self.pad = 96
+        # MC reference padding emulates the decoder's clamp-to-visible-frame
+        # reads (spec 7.11.3.2): must cover the longest decided MV — the
+        # device search reaches REACH(120) + grid R(12) + subpel + taps
+        self.pad = 160
         # `shared` carries expensive per-frame state across the two encode
         # passes of the LR re-encode (padded refs, ME pyramids, decisions)
         self.shared = shared if shared is not None else {}
@@ -289,9 +293,106 @@ class InterFrameEncoder(IntraFrameEncoder):
                 walk(mi_row, mi_col, BlockSize.BLOCK_64X64)
         return out
 
+    def _decide_jobs(self, jobs):
+        """Decision rows + costs for (r, c, W, H) candidate jobs, from the
+        prefetched device search where it covers the block (square,
+        grid-aligned, depth computed on device) and the native kernel for
+        the rest (forced odd-size edge leaves). Returns (res, costj) dicts
+        keyed by (r, c, W, H), or None when no backend is available."""
+        dr = self.shared.get("device_rows")
+        res, costj = {}, {}
+        native_jobs = []
+        if dr is not None:
+            from ..ops.inter_search import pad_dims
+
+            Hp, Wp = pad_dims(self.h, self.w)
+            any_dev = False
+            for (r, c, w, h) in jobs:
+                dv = dr.get(w) if w == h else None
+                if dv is not None and (r * 4) % w == 0 and (c * 4) % w == 0:
+                    idx = (r * 4 // w) * (Wp // w) + (c * 4 // w)
+                    row = [int(v) for v in dv[0][idx]]
+                    if row[0] == 1 and row[2] == 15:
+                        # GLOBALMV rows carry the real (subpel) global MV
+                        mv = self.gm_mv if row[1] == 1 else (0, 0)
+                        row[3], row[4] = int(mv[0]), int(mv[1])
+                    res[(r, c, w, h)] = row
+                    costj[(r, c, w, h)] = float(dv[1][idx])
+                    any_dev = True
+                else:
+                    native_jobs.append((r, c, w, h))
+            if any_dev:
+                self.shared["device_fullpel"] = True
+        else:
+            native_jobs = list(jobs)
+        if native_jobs:
+            blocks = np.array([(c * 4, r * 4, w, h)
+                               for (r, c, w, h) in native_jobs], np.int32)
+            rows = self._native_decide(blocks)
+            if rows is None:
+                if dr is None or not res:
+                    return None
+                # no native library: code uncovered edge leaves as intra DC
+                for (r, c, w, h) in native_jobs:
+                    x0, y0 = c * 4, r * 4
+                    blkpx = self.src[0][y0 : y0 + h, x0 : x0 + w] \
+                        .astype(np.int64)
+                    sse = float(((blkpx - int(blkpx.mean())) ** 2).sum())
+                    res[(r, c, w, h)] = [0, 0, 0, 0, 0, 0, 0, 0]
+                    costj[(r, c, w, h)] = sse
+            else:
+                for (r, c, w, h), row in zip(native_jobs, rows):
+                    res[(r, c, w, h)] = [int(v) for v in row]
+                    costj[(r, c, w, h)] = float(row[7])
+        return res, costj
+
+    def _refine_fullpel(self, dec_map):
+        """Sub-pel diamond refinement against the real reconstructed
+        references of the device search's full-pel NEWMV / NEW_NEWMV
+        decisions (the closed-loop MD half of the reference's
+        open-loop-ME split; native kernel does this inline)."""
+        if not self.shared.pop("device_fullpel", False):
+            return
+        if not mc_native.available():
+            return
+        per_ref = {}    # ref const -> [(key, mv_slot), ...]
+        for key, d in dec_map.items():
+            if not d[0]:
+                continue
+            if len(d) >= 7 and int(d[2]) >= 17:
+                per_ref.setdefault(LAST_FRAME, []).append((key, 3))
+                if self.ref2 is not None:
+                    per_ref.setdefault(self.ref2, []).append((key, 5))
+            elif int(d[2]) == NEWMV:
+                rf = d[1] if d[1] in self.me else LAST_FRAME
+                per_ref.setdefault(rf, []).append((key, 3))
+        filters = self.me[LAST_FRAME]._filters
+        for rf, items in per_ref.items():
+            blocks = np.empty((len(items), 4), np.int32)
+            mvs = np.empty((len(items), 2), np.int32)
+            for i, ((r, c), slot) in enumerate(items):
+                W, H = self.leaf_geom[(r, c)]
+                blocks[i] = (c * 4, r * 4, W, H)
+                d = dec_map[(r, c)]
+                mvs[i] = (int(d[slot]), int(d[slot + 1]))
+            refine = np.ones(len(items), np.uint8)
+            if mc_native.subpel_refine_blocks(
+                    self.src[0], self.me[rf].ref, filters, self.bd,
+                    blocks, refine, mvs) is None:
+                return
+            for i, ((r, c), slot) in enumerate(items):
+                d = list(dec_map[(r, c)])
+                d[slot], d[slot + 1] = int(mvs[i, 0]), int(mvs[i, 1])
+                dec_map[(r, c)] = tuple(d)
+
     def _native_decide(self, blocks):
         """One native call: decision rows (N, 8) for (x0, y0, W, H) blocks
         (mc_native.inter_decide_frame over the frame's reference state)."""
+        from ..profiling import stage
+        with stage("host:inter_decide"):
+            return self._native_decide_timed(blocks)
+
+    def _native_decide_timed(self, blocks):
         me = self.me[LAST_FRAME]
         curq = me._cur_pyramid(self.src[0])
         from .spec_tables import get_tables
@@ -337,30 +438,26 @@ class InterFrameEncoder(IntraFrameEncoder):
         return (ui, rf, md, row[3], row[4])
 
     def _pre_walk(self):
-        """Whole-frame mode-decision pre-pass: one native call evaluates
-        NEWMV/GLOBALMV (+ gated GOLDEN) and an open-loop intra fallback for
-        every leaf block; the walk below commits the decisions (the
-        reference's MD/EncDec split, re-architected as batch-then-walk)."""
+        """Whole-frame mode-decision pre-pass: device-prefetched rows or
+        one native call evaluate NEWMV/GLOBALMV (+ gated ref2/compound)
+        and an open-loop intra fallback for every leaf block; the walk
+        below commits the decisions (the reference's MD/EncDec split,
+        re-architected as batch-then-walk)."""
         self.inter_dec = self.shared.get("inter_dec")
         if self.inter_dec is not None:
             self.decisions = self.shared.get("inter_decisions")
             self.inter_txt = self.shared.get("inter_txt", {})
             return
-        if not mc_native.available():
+        have_dev = self.shared.get("device_rows") is not None
+        if not mc_native.available() and not have_dev:
             return
-        if len(self.inter_depths) > 1 and SEARCH_BACKEND != "device":
+        if len(self.inter_depths) > 1 or have_dev:
             if self._pre_walk_multi():
                 return
         blk = self._walk_blocks()
         blocks = np.array([(mi_col * 4, mi_row * 4,
                             int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
                            for (mi_row, mi_col, bs) in blk], np.int32)
-        if SEARCH_BACKEND == "device":
-            dec = self._pre_walk_device(blk, blocks)
-            if dec is not None:
-                self.inter_dec = dec
-                self.shared["inter_dec"] = dec
-                return
         dec = self._native_decide(blocks)
         if dec is None:
             return
@@ -431,16 +528,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         jobs = [(r, c, S, S) for (r, c, S) in cands]
         jobs += [(r, c, int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
                  for (r, c, bs) in forced]
-        blocks = np.array([(c * 4, r * 4, w, h) for (r, c, w, h) in jobs],
-                          np.int32)
-        rows = self._native_decide(blocks)
-        if rows is None:
+        got = self._decide_jobs(jobs)
+        if got is None:
             return False
-        res, costj = {}, {}
-        for (r, c, w, h), row in zip(jobs, rows):
-            k = (r, c, w, h)
-            res[k] = [int(v) for v in row]
-            costj[k] = float(row[7])
+        res, costj = got
 
         # 0.35x lambda: the kernel cost is SSE-only (no per-candidate rate),
         # so a full-strength lambda over-merges at high q (blurry 64x64
@@ -569,6 +660,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             for c0 in range(0, self.mi_cols, sb_mi):
                 extract(r0, c0, 64)
 
+        self._refine_fullpel(dec_map)
         dec_obj = IntraDecisions(parts=parts, modes={}, tx_types={},
                                  max_leaf=dmax, min_leaf=dmin)
         self.decisions = dec_obj
@@ -577,117 +669,6 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.shared["inter_dec"] = dec_map
         self.shared["inter_decisions"] = dec_obj
         return True
-
-    def _pre_walk_device(self, blk, blocks):
-        """Device-backend decisions: one jitted SSD-grid search over all
-        full-size (S x S) blocks (ops/inter_search.decide_blocks, shardable
-        over the encode mesh), host sub-pel refinement of the winning MVs,
-        and the native kernel for edge-forced odd-size blocks. Returns the
-        decision dict, or None to fall back entirely."""
-        from ..ops import inter_search as dev
-        from ..ops.intra_search import LINEAR_MODES, mode_matrix_bank
-        from ..profiling import stage
-        from .intra_rdo import _block_refs
-
-        S = int(BLOCK_WIDTH[self.target_bsize])
-        main = [i for i, (_r, _c, bs) in enumerate(blk)
-                if int(BLOCK_WIDTH[bs]) == S and int(BLOCK_HEIGHT[bs]) == S]
-        if not main:
-            return None
-        rest = [i for i in range(len(blk)) if int(BLOCK_WIDTH[blk[i][2]]) != S
-                or int(BLOCK_HEIGHT[blk[i][2]]) != S]
-        mb = blocks[main]
-        last_pad = self.refs[LAST_FRAME][0]
-        win_l = dev.gather_windows(last_pad, self.pad, mb, S)
-        two_ref = self.ref2 == ALTREF_FRAME
-        win_a = (dev.gather_windows(self.refs[self.ref2][0], self.pad, mb, S)
-                 if two_ref else win_l)
-        # intra reference lines for the S-grid (open loop, source pixels)
-        refs_all = _block_refs(self.src[0], S, self.bd)
-        cols = self.src[0].shape[1] // S
-        ridx = [(r * 4) // S * cols + (c * 4) // S for (r, c, _b) in
-                (blk[i] for i in main)]
-        refs = refs_all[ridx]
-        G = mode_matrix_bank(S).astype(np.float32)
-        gm_dy = int(np.clip(int(round(self.gm_mv[0] / 8)), -8, 8))
-        gm_dx = int(np.clip(int(round(self.gm_mv[1] / 8)), -8, 8))
-        src_blocks = np.stack([self.src[0][y0:y0 + S, x0:x0 + S]
-                               for (x0, y0, _w, _h) in mb]).astype(np.float32)
-        n0 = src_blocks.shape[0]
-        args = (src_blocks, win_l.astype(np.float32),
-                win_a.astype(np.float32), refs)
-        from ..parallel import mesh as pmesh
-
-        m = pmesh.get_encode_mesh()
-        if m is not None:
-            # shard the block batch over the frame/tile mesh; decisions are
-            # per-block argmins, so the results are mesh-size invariant
-            args = pmesh.shard_blocks(m, *args)
-        with stage("device:inter_search"):
-            out = dev.decide_blocks(
-                args[0], args[1], args[2], gm_dy, gm_dx, args[3], G,
-                S=S, two_ref=two_ref, n_imodes=len(LINEAR_MODES))
-            ui, rf, md, mvr, mvc, im = (np.asarray(a)[:n0] for a in out)
-        # sub-pel refinement of NEWMV winners, per reference (host C)
-        mvs = np.stack([mvr, mvc], axis=1).astype(np.int32)
-        mvs = np.ascontiguousarray(mvs)
-        for ref_const, ri in ((LAST_FRAME, 1), (self.ref2, 4)):
-            if ref_const is None:
-                continue
-            refine = ((ui == 1) & (md == 16) & (rf == ri)).astype(np.uint8)
-            if refine.any():
-                mc_native.subpel_refine_blocks(
-                    self.src[0], self.me[ref_const].ref,
-                    self.me[LAST_FRAME]._filters, self.bd, mb, refine, mvs)
-        dec = {}
-        for k, i in enumerate(main):
-            r, c, _bs = blk[i]
-            if ui[k]:
-                ref_const = self.ref2 if rf[k] == 4 else LAST_FRAME
-                mv = ((int(mvs[k, 0]), int(mvs[k, 1])) if md[k] == 16
-                      else (self.gm_mv if ref_const == LAST_FRAME else (0, 0)))
-                dec[(r, c)] = (1, ref_const, int(md[k]), mv[0], mv[1])
-            else:
-                dec[(r, c)] = (0, 0, int(LINEAR_MODES[im[k]]), 0, 0)
-        if rest:
-            # odd-size edge blocks: native kernel
-            me = self.me[LAST_FRAME]
-            from .spec_tables import get_tables
-
-            filters4 = np.ascontiguousarray(
-                get_tables()._raw["interp_sub_pel_filters_4"], np.int32)
-            golden = None
-            gate = 4
-            if self.ref2 is not None:
-                mg = self.me[self.ref2]
-                golden = (mg.ref, mg.ref_q,
-                          np.ascontiguousarray(self.refs[self.ref2][0],
-                                               np.int32))
-                if self.ref2 == ALTREF_FRAME:
-                    gate = -1
-            nd = mc_native.inter_decide_frame(
-                self.src[0], me.ref, me.ref_q, me._cur_pyramid(self.src[0]),
-                np.ascontiguousarray(self.refs[LAST_FRAME][0], np.int32),
-                self.pad, golden, me._filters, filters4, self.bd, self.sr[0],
-                self.gm_mv, float(self.psy_rd), blocks[rest], ref2_gate=gate,
-                search_range2=self.sr[1])
-            if nd is None:
-                return None
-            for k, i in enumerate(rest):
-                r, c, _bs = blk[i]
-                row = [int(v) for v in nd[k]]
-                uiv, rfv, mdv = row[0], row[1], row[2]
-                if uiv and mdv >= 17:
-                    if self.ref_select:
-                        dec[(r, c)] = (1, 7, mdv, row[3], row[4],
-                                       row[5], row[6])
-                    else:
-                        dec[(r, c)] = (1, LAST_FRAME, NEWMV, row[3], row[4])
-                    continue
-                if uiv and rfv == 4:
-                    rfv = self.ref2
-                dec[(r, c)] = (uiv, rfv, mdv, row[3], row[4])
-        return dec
 
     def _leaf_pred_luma(self, r, c, W, H, d):
         """Luma prediction of a decided inter leaf (mirrors _encode_block's
@@ -713,6 +694,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         if not self.inter_tx_search or self.qindex == 0:
             self.shared["inter_txt"] = self.inter_txt
             return
+        from ..profiling import stage
+
+        with stage("host:tx_search"):
+            self._inter_tx_search_timed()
+
+    def _inter_tx_search_timed(self):
         from .rd import lambda_sse_per_bit
 
         lam = float(lambda_sse_per_bit(self.qindex, self.bd, "p"))

@@ -528,7 +528,10 @@ class IntraFrameEncoder:
         from . import walk_native
 
         if walk_native.eligible(self):
-            walk_native.encode_tile(self, mi_r0, mi_r1, mi_c0, mi_c1)
+            from ..profiling import stage
+
+            with stage("host:walk"):
+                walk_native.encode_tile(self, mi_r0, mi_r1, mi_c0, mi_c1)
             return self.enc.done()
         for mi_row in range(mi_r0, mi_r1, sb_mi):
             for mi_col in range(mi_c0, mi_c1, sb_mi):

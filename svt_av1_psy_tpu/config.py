@@ -232,6 +232,10 @@ class EncoderConfig:
     cdef_level: int = -1                 # -1 auto
     enable_restoration_filtering: int = -1
     enable_global_motion: bool = True
+    # inter mode-decision search backend: "auto" picks the batched device
+    # (TPU) open-loop search when an accelerator is attached and the host
+    # C kernel otherwise; "device"/"native" force one
+    inter_me_backend: str = "auto"
     enable_mfmv: int = -1
     enable_overlays: bool = False
     enable_paeth: int = -1
@@ -466,6 +470,7 @@ _SIMPLE_PARAMS = {
     "enable-cdef": ("cdef_level", _to_int),
     "enable-restoration": ("enable_restoration_filtering", _to_int),
     "enable-global-motion": ("enable_global_motion", _to_bool),
+    "inter-me-backend": ("inter_me_backend", str),
     "enable-mfmv": ("enable_mfmv", _to_int),
     "enable-overlays": ("enable_overlays", _to_bool),
     "scm": ("screen_content_mode", _to_int),

@@ -1,25 +1,41 @@
-"""Device (TPU) open-loop inter mode decision: batched full-pel motion
-search + candidate costing for every block of a P/B frame in ONE jitted
-program.
+"""Device (TPU) open-loop inter mode decision: hierarchical multi-depth
+motion search + candidate costing for every square block of an inter frame
+in ONE jitted program per frame.
 
-The design is MXU-first: the full-pel motion metric is SSD, decomposed as
-sum(ref^2) - 2*corr(ref, blk) + sum(blk^2); the cross term is a batched
-depthwise correlation (`lax.conv_general_dilated` with
-feature_group_count = N), which XLA tiles onto the systolic array. The
-zero-MV / global-MV candidates fall out of the same SSD grid for free, and
-the intra fallback reuses the intra-search mode-matrix bank (matmuls).
-Sub-pel refinement of the winning MV is a tiny host step on the chosen
-reference only (codec/mc_native.me_subpel_refine).
+TPU-first design (not a translation of the reference's per-block C loops):
 
-Behavioral analog: the native decide kernel (mc_native.inter_decide_frame),
-which mirrors the reference's open-loop MD candidate ladder
-(product_coding_loop.c). The two backends make independent (but equally
-conformant) decisions: the device path optimizes SSD at full pel, the host
-path SAD+subpel; the commit walk executes either decision map exactly.
+- **HME** runs on 4x-decimated planes: the SSD of every 64x64 superblock
+  against every offset in +/-16 decimated pels (+/-64 full-pel) is computed
+  as a vectorized shifted-frame reduction (33 dx-slices per dy scan step,
+  VPU element-wise + tiled box sums).
+- **Full-pel refinement** re-centers each SB window on its HME winner and
+  computes the 8x8-child SSD grids over +/-12 pels with an MXU im2col
+  matmul: window patches (N_sb, 81, 81, 64) x source children
+  (N_sb, 64, 64) -> correlation surfaces; the reference-energy term falls
+  out of an integral image. SSDs for 16/32/64 blocks are exact sums of
+  their children's grids at the same offset -- the same aggregation the
+  reference's `integer_search_b64` (motion_estimation.c:1249) uses to price
+  every partition from one 64x64 SAD grid, re-expressed as tensor reshapes.
+- **Candidate ladder** mirrors the native decide kernel
+  (native/mc_native.c inter_decide_frame, itself the open-loop analog of
+  product_coding_loop.c's MD ladder): GLOBALMV on LAST at the gm offset,
+  identity zero-MV on the second reference, NEWMV per reference (grid
+  argmin with a lambda-weighted MV-rate surface), COMPOUND_AVERAGE of the
+  two per-reference best predictions gated by a 1/16 win margin, a tune-3
+  unipred bias, and a 5-mode open-loop intra fallback (DC/V/H/SMOOTH/PAETH
+  from source neighbors). Candidate cost = SSE + psy-rd energy distortion
+  (SA8D via Hadamard matmuls) like the host kernel.
 
-Sharding: all arrays are (N, ...) block batches -> shard over the
-("frame", "tile") mesh with parallel/mesh.shard_blocks; results are
-value-identical regardless of mesh size (argmin over per-block data only).
+The host consumes per-depth decision rows in the native kernel's (N, 8)
+layout plus f32 costs for the partition DP (codec/inter_encoder), then
+sub-pel-refines winning MVs against the real reconstructed references
+(mc_native.subpel_refine_blocks) -- the reference's own open-loop-ME /
+closed-loop-MD split (me_process.c:97).
+
+Search is open-loop: references are SOURCE frames, so every frame of a
+mini-GoP / lookahead chunk searches independently -- the whole chunk
+dispatches to the device at once and overlaps with the host commit walk
+(parallel/pipeline.py).
 """
 
 from __future__ import annotations
@@ -28,106 +44,590 @@ import functools
 
 import numpy as np
 
-R_PAD = 24          # full-pel search radius (device grid)
+R_HME = 16          # decimated-by-8 search radius (+/-128 full-pel)
+HME_DEC = 8         # HME decimation (coarse centers; the +/-R full-res
+                    # grid covers the quantization, subpel refine the rest)
+REACH = 120         # max |HME center| kept (full-pel, within PAD)
+R = 12              # full-res grid radius around the HME center
+G = 2 * R + 1       # grid side (25)
+PAD = 144           # reference plane padding (>= REACH + R + slack)
+DEPTHS = (8, 16, 32, 64)
+
+# smooth-prediction weight vectors (spec 7.11.2; mirror of the native
+# kernel's sm_weights tables)
+_SM_W = {
+    4: np.array([255, 149, 85, 64], np.float32),
+    8: np.array([255, 197, 146, 105, 73, 50, 37, 32], np.float32),
+    16: np.array([255, 225, 196, 170, 145, 123, 102, 84, 68, 54, 43, 33,
+                  26, 20, 17, 16], np.float32),
+    32: np.array([255, 240, 225, 210, 196, 182, 169, 157, 145, 133, 122,
+                  111, 101, 92, 83, 74, 66, 59, 52, 45, 39, 34, 29, 25,
+                  21, 17, 14, 12, 10, 9, 8, 8], np.float32),
+    64: np.array([255, 248, 240, 233, 225, 218, 210, 203, 196, 189, 182,
+                  176, 169, 163, 156, 150, 144, 138, 133, 127, 121, 116,
+                  111, 106, 101, 96, 91, 86, 82, 77, 73, 69, 65, 61, 57,
+                  54, 50, 47, 44, 41, 38, 35, 32, 29, 27, 25, 22, 20, 18,
+                  16, 15, 13, 12, 10, 9, 8, 7, 6, 6, 5, 5, 4, 4, 4],
+                 np.float32),
+}
+
+# MV-rate surface (bits) over the +/-R full-pel grid: a smooth proxy for
+# svt_av1_encode_mv's class+offset cost around the predicted (HME-center)
+# vector. Keeps NEWMV from beating zero/global on noise alone.
+_d = np.abs(np.arange(G, dtype=np.float64) - R)
+_comp_bits = np.log2(1.0 + 8.0 * _d)
+MV_BITS = (1.2 * (_comp_bits[:, None] + _comp_bits[None, :]) + 6.0) \
+    .astype(np.float32)
+MV_BITS.setflags(write=False)
+
+# intra pmodes emitted (PredictionMode): DC, V, H, SMOOTH, PAETH
+_INTRA_PMODES = np.array([0, 1, 2, 9, 12], np.int32)
+
+_HAD8 = np.array([[1, 1, 1, 1, 1, 1, 1, 1],
+                  [1, -1, 1, -1, 1, -1, 1, -1],
+                  [1, 1, -1, -1, 1, 1, -1, -1],
+                  [1, -1, -1, 1, 1, -1, -1, 1],
+                  [1, 1, 1, 1, -1, -1, -1, -1],
+                  [1, -1, 1, -1, -1, 1, -1, 1],
+                  [1, 1, -1, -1, -1, -1, 1, 1],
+                  [1, -1, -1, 1, -1, 1, 1, -1]], np.float32)
 
 
-def gather_windows(plane_pad: np.ndarray, pad: int, blocks: np.ndarray,
-                   S: int) -> np.ndarray:
-    """(N, S + 2R, S + 2R) int32 search windows centered on each block.
-    plane_pad: reference plane padded by `pad` >= R_PAD on every side;
-    blocks: (N, 4) of (x0, y0, W, H) with W == H == S."""
-    n = blocks.shape[0]
-    win = S + 2 * R_PAD
-    out = np.empty((n, win, win), np.int32)
-    for i, (x0, y0, _w, _h) in enumerate(blocks):
-        yy = y0 + pad - R_PAD
-        xx = x0 + pad - R_PAD
-        out[i] = plane_pad[yy : yy + win, xx : xx + win]
-    return out
+def pad_dims(h: int, w: int):
+    """Frame dims padded up to whole 64x64 superblocks."""
+    return -(-h // 64) * 64, -(-w // 64) * 64
 
 
-@functools.partial(__import__("jax").jit, static_argnames=("S",))
-def _ssd_grid(blocks, windows, S: int):
-    """(N, 2R+1, 2R+1) SSD of each block against every full-pel offset of
-    its window. blocks (N, S, S) f32; windows (N, S+2R, S+2R) f32."""
-    import jax.lax as lax
+def _jnp():
     import jax.numpy as jnp
+    return jnp
 
-    n = blocks.shape[0]
-    # cross-correlation via depthwise conv: lhs (1, N, H, W), rhs (N, 1, S, S)
-    corr = lax.conv_general_dilated(
-        windows[None], blocks[:, None], window_strides=(1, 1),
-        padding="VALID", feature_group_count=n,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]   # (N, 2R+1, 2R+1)
-    # sum of squares over each window position via depthwise box conv
-    ref2 = lax.conv_general_dilated(
-        (windows * windows)[None], jnp.ones((n, 1, S, S), blocks.dtype),
-        window_strides=(1, 1), padding="VALID", feature_group_count=n,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
-    blk2 = jnp.sum(blocks * blocks, axis=(1, 2))[:, None, None]
-    return ref2 - 2.0 * corr + blk2
+
+# --------------------------------------------------------------- prep
+@functools.partial(__import__("jax").jit, static_argnames=("Hp", "Wp"))
+def prep_frame(y_u16, Hp: int, Wp: int):
+    """One uploaded source plane -> (src (Hp, Wp) f32, ref (Hp+2P, Wp+2P)
+    f32 edge-padded). Upload once; a frame serves as both source and
+    reference for its chunk."""
+    jnp = _jnp()
+    h, w = y_u16.shape
+    x = y_u16.astype(jnp.float32)
+    src = jnp.pad(x, ((0, Hp - h), (0, Wp - w)), mode="edge")
+    ref = jnp.pad(src, ((PAD, PAD), (PAD, PAD)), mode="edge")
+    return src, ref
+
+
+# --------------------------------------------------------------- pieces
+def _pool(x, f):
+    h, w = x.shape
+    return x.reshape(h // f, f, w // f, f).mean(axis=(1, 3))
+
+
+def _hme(dec_src, dec_ref, nsr, nsc):
+    """Per-SB full-pel HME centers from 8x-decimated planes: the same
+    im2col + MXU matmul shape as the full-res stage, at 8x8-per-SB
+    granularity over +/-R_HME decimated pels (+/-128 full-pel — reaches
+    the cross-GoP motion of 32-frame pyramids). (A shifted-frame VPU scan
+    measured ~25x slower on TPU.)
+    dec_src (Hd, Wd); dec_ref (Hd + 2*PD, Wd + 2*PD), PD = PAD//HME_DEC.
+    Returns (ctr_y, ctr_x) int32 (N,) full-res pels, clipped to REACH."""
+    import jax.lax as lax
+    jnp = _jnp()
+
+    n = nsr * nsc
+    PD = PAD // HME_DEC
+    b = 64 // HME_DEC                  # SB side in decimated pels (8)
+    side = 2 * R_HME + 1
+    blk = dec_src.reshape(nsr, b, nsc, b).swapaxes(1, 2).reshape(n, b * b)
+    # windows at static SB positions (no data-dependent gather)
+    wins = jnp.stack(
+        [dec_ref[(i // nsc) * b + PD - R_HME :
+                 (i // nsc) * b + PD + R_HME + b,
+                 (i % nsc) * b + PD - R_HME :
+                 (i % nsc) * b + PD + R_HME + b] for i in range(n)])
+    p = lax.conv_general_dilated_patches(
+        wins[:, None], (b, b), (1, 1), "VALID")            # (n, b*b, s, s)
+    corr = jnp.einsum("nkij,nk->nij", p, blk,
+                      preferred_element_type=jnp.float32)
+    sq = wins * wins
+    ii = jnp.pad(sq, ((0, 0), (1, 0), (1, 0))).cumsum(axis=1).cumsum(axis=2)
+    box = (ii[:, b:, b:] - ii[:, b:, :-b]
+           - ii[:, :-b, b:] + ii[:, :-b, :-b])
+    ssd = box - 2.0 * corr + (blk * blk).sum(-1)[:, None, None]
+    flat = ssd.reshape(n, side * side)
+    # slight center preference: ties (flat regions) resolve to zero motion
+    flat = flat.at[:, R_HME * side + R_HME].mul(0.995)
+    idx = jnp.argmin(flat, axis=1)
+    dy = jnp.clip((idx // side - R_HME) * HME_DEC, -REACH, REACH)
+    dx = jnp.clip((idx % side - R_HME) * HME_DEC, -REACH, REACH)
+    return dy.astype(jnp.int32), dx.astype(jnp.int32)
+
+
+def _sb_windows(ref, ctr_y, ctr_x, nsr, nsc):
+    """(N, 64+2R, 64+2R) reference windows re-centered on the HME MVs.
+
+    Two-level extraction: a STATIC tall row band per SB row (covers every
+    possible HME center), then one small dynamic slice per SB from its
+    band. A flat vmapped dynamic_slice on the full plane lowers to a
+    scalarized gather (~16x slower measured)."""
+    import jax
+    import jax.lax as lax
+    jnp = _jnp()
+
+    n = nsr * nsc
+    Wr = ref.shape[1]
+    reach = REACH                        # max |HME center|
+    band_h = 64 + 2 * R + 2 * reach
+    win = 64 + 2 * R
+    i = jnp.arange(n, dtype=jnp.int32)
+    x0 = (i % nsc) * 64 + PAD - R + ctr_x
+    bands = jnp.stack([
+        lax.dynamic_slice(ref, (r * 64 + PAD - R - reach, 0), (band_h, Wr))
+        for r in range(nsr)])            # (nsr, band_h, Wr)
+    yin = ctr_y + reach                  # window start within its band
+
+    def sl(b, y, x):
+        return lax.dynamic_slice(b, (y, x), (win, win))
+
+    return jax.vmap(sl)(bands[i // nsc], yin, x0)
+
+
+def _child_grids(wins, kids, kids2):
+    """(N, 8, 8, G, G) SSD grids of every 8x8 child of every SB against
+    its +/-R window offsets. wins (N, 88, 88); kids (N, 64, 64) flattened
+    child pixels; kids2 (N, 64) child sum-of-squares."""
+    import jax.lax as lax
+    jnp = _jnp()
+
+    # im2col via conv_general_dilated_patches (one fused extraction — a
+    # hand-rolled 64-slice stack measured ~9x slower on TPU), then one
+    # batched MXU matmul against the source children
+    patches = lax.conv_general_dilated_patches(
+        wins[:, None], (8, 8), (1, 1), "VALID")            # (N, 64, P, P)
+    corr = jnp.einsum("nkij,nbk->nbij", patches, kids,
+                      preferred_element_type=jnp.float32)  # (N, 64, P, P)
+    sq = wins * wins
+    ii = jnp.pad(sq, ((0, 0), (1, 0), (1, 0))).cumsum(axis=1).cumsum(axis=2)
+    box8 = (ii[:, 8:, 8:] - ii[:, 8:, :-8]
+            - ii[:, :-8, 8:] + ii[:, :-8, :-8])            # (N, P, P)
+    rows = []
+    for byi in range(8):
+        for bxi in range(8):
+            b = byi * 8 + bxi
+            c = corr[:, b, byi * 8 : byi * 8 + G, bxi * 8 : bxi * 8 + G]
+            e = box8[:, byi * 8 : byi * 8 + G, bxi * 8 : bxi * 8 + G]
+            rows.append(e - 2.0 * c + kids2[:, b, None, None])
+    n = wins.shape[0]
+    return jnp.stack(rows, axis=1).reshape(n, 8, 8, G, G)
+
+
+def _tile_energy(x):
+    """psy 8x8 tile energy: SA8D - SAD/4 (mc_native psy_block_energy).
+    x: (..., 8, 8) f32 -> (...)."""
+    jnp = _jnp()
+    h = jnp.asarray(_HAD8)
+    t = jnp.einsum("ij,...jk->...ik", h, x)
+    t = jnp.einsum("...ik,lk->...il", t, h)
+    sa8d = (jnp.abs(t).sum(axis=(-1, -2)) + 2.0) * 0.25
+    sad = x.sum(axis=(-1, -2)) * 0.25
+    return sa8d - sad
+
+
+def _block_tiles(x, S):
+    """(Gr, Gc, S, S) -> (Gr, Gc, (S//8)**2, 8, 8) tile view."""
+    gr, gc = x.shape[:2]
+    k = S // 8
+    return (x.reshape(gr, gc, k, 8, k, 8).transpose(0, 1, 2, 4, 3, 5)
+            .reshape(gr, gc, k * k, 8, 8))
+
+
+def _sb_to_grid(x, nsr, nsc, k):
+    """(N, k, k, ...) per-SB-child layout -> (nsr*k, nsc*k, ...) grid."""
+    tail = x.shape[3:]
+    return (x.reshape((nsr, nsc, k, k) + tail).swapaxes(1, 2)
+            .reshape((nsr * k, nsc * k) + tail))
+
+
+def _gather_blocks(ref, mv_y, mv_x, S):
+    """(Gr, Gc, S, S) predictions from `ref` (padded) at per-block
+    full-pel MVs (Gr, Gc)."""
+    import jax
+    import jax.lax as lax
+    jnp = _jnp()
+
+    gr, gc = mv_y.shape
+    by = (jnp.arange(gr, dtype=jnp.int32)[:, None] * S + PAD
+          + mv_y.astype(jnp.int32))
+    bx = (jnp.arange(gc, dtype=jnp.int32)[None, :] * S + PAD
+          + mv_x.astype(jnp.int32))
+
+    def g(y, x):
+        return lax.dynamic_slice(ref, (y, x), (S, S))
+
+    return jax.vmap(jax.vmap(g))(by, jnp.broadcast_to(bx, (gr, gc)))
+
+
+def _intra_candidates(src, S, Hp, Wp, bd):
+    """Open-loop intra fallback preds from SOURCE neighbors (native
+    intra_pred_block semantics incl. availability rules).
+    Returns (Gr, Gc, 5, S, S) predictions (DC, V, H, SMOOTH, PAETH)."""
+    jnp = _jnp()
+
+    gr, gc = Hp // S, Wp // S
+    base = float(1 << (bd - 1))
+    # above rows: src[by*S - 1, bx*S : bx*S + S] for by >= 1
+    ab_rows = src[S - 1 : Hp - 1 : S, :].reshape(gr - 1, gc, S)
+    ab = jnp.concatenate([jnp.zeros((1, gc, S), src.dtype), ab_rows], axis=0)
+    lf_cols = src[:, S - 1 : Wp - 1 : S].reshape(gr, S, gc - 1).swapaxes(1, 2)
+    lf = jnp.concatenate([jnp.zeros((gr, 1, S), src.dtype), lf_cols], axis=1)
+    # first-left / first-above pixels for the unavailable-side fill
+    l0 = lf[:, :, 0]
+    a0 = ab[:, :, 0]
+    have_a = (jnp.arange(gr) > 0)[:, None]          # (Gr, 1)
+    have_l = (jnp.arange(gc) > 0)[None, :]          # (1, Gc)
+    fill_a = jnp.where(have_l, l0, base)            # above row when !have_a
+    fill_l = jnp.where(have_a, a0, base)            # left col when !have_l
+    A = jnp.where(have_a[..., None], ab, fill_a[..., None])   # (Gr, Gc, S)
+    L = jnp.where(have_l[..., None], lf, fill_l[..., None])
+    corner_true = jnp.pad(src[S - 1 : Hp - 1 : S, S - 1 : Wp - 1 : S],
+                          ((1, 0), (1, 0)))
+    corner = jnp.where(have_a & have_l, corner_true,
+                       jnp.where(have_a, A[:, :, 0],
+                                 jnp.where(have_l, L[:, :, 0], base)))
+    both = have_a & have_l
+    dc = jnp.where(
+        both,
+        jnp.floor((A.sum(-1) + L.sum(-1) + S) / (2.0 * S)),
+        jnp.where(have_a, jnp.floor((A.sum(-1) + S // 2) / S),
+                  jnp.where(have_l, jnp.floor((L.sum(-1) + S // 2) / S),
+                            base)))
+    p_dc = jnp.broadcast_to(dc[..., None, None], (gr, gc, S, S))
+    p_v = jnp.broadcast_to(A[:, :, None, :], (gr, gc, S, S))
+    p_h = jnp.broadcast_to(L[:, :, :, None], (gr, gc, S, S))
+    w = jnp.asarray(_SM_W[S])
+    below = L[:, :, -1]
+    right = A[:, :, -1]
+    sm = (w[None, None, :, None] * A[:, :, None, :]
+          + (256.0 - w)[None, None, :, None] * below[..., None, None]
+          + w[None, None, None, :] * L[:, :, :, None]
+          + (256.0 - w)[None, None, None, :] * right[..., None, None])
+    p_sm = jnp.floor((sm + 256.0) / 512.0)
+    t = A[:, :, None, :]
+    l = L[:, :, :, None]
+    tl = corner[..., None, None]
+    pbase = t + l - tl
+    pl = jnp.abs(pbase - l)
+    pt = jnp.abs(pbase - t)
+    ptl = jnp.abs(pbase - tl)
+    p_pa = jnp.where((pl <= pt) & (pl <= ptl), l, jnp.where(pt <= ptl, t, tl))
+    p_pa = jnp.broadcast_to(p_pa, (gr, gc, S, S))
+    return jnp.stack([p_dc, p_v, p_h, p_sm, p_pa], axis=2)
+
+
+# --------------------------------------------------------------- stages
+# The search is split into small jitted stages (grids per reference, then
+# one decide program per depth) rather than one mega-program: each stage
+# compiles in seconds where the fused whole blew up XLA's optimizer, and
+# intermediates (the 8x8-child SSD grids) stay resident on device between
+# stages.
+@__import__("jax").jit
+def grids_stage(src, ref):
+    """Per-reference motion surfaces: HME centers + 8x8-child SSD grids.
+    src (Hp, Wp) f32; ref (Hp+2P, Wp+2P) f32.
+    Returns (ctr_y (N,), ctr_x (N,), ssd8 (N, 8, 8, G, G))."""
+    Hp, Wp = src.shape
+    nsr, nsc = Hp // 64, Wp // 64
+    n = nsr * nsc
+    kids = (src.reshape(nsr, 64, nsc, 64).swapaxes(1, 2)
+            .reshape(n, 8, 8, 8, 8).transpose(0, 1, 3, 2, 4)
+            .reshape(n, 64, 64))
+    kids2 = (kids * kids).sum(axis=-1)
+    cy, cx = _hme(_pool(src, HME_DEC), _pool(ref, HME_DEC), nsr, nsc)
+    wins = _sb_windows(ref, cy, cx, nsr, nsc)
+    # fence: keep the (gathered) windows materialized instead of fused
+    # into the patch extraction (fusing the gather blew up XLA compile)
+    wins = __import__("jax").lax.optimization_barrier(wins)
+    ssd8 = _child_grids(wins, kids, kids2)
+    return cy, cx, ssd8
 
 
 @functools.partial(__import__("jax").jit,
-                   static_argnames=("S", "two_ref", "n_imodes"))
-def decide_blocks(blocks, win_last, win_alt, gm_dy, gm_dx, refs, G,
-                  S: int, two_ref: bool, n_imodes: int):
-    """Device decision for N blocks of one inter frame.
+                   static_argnames=("S", "two_ref", "bd"))
+def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
+                pvec, S: int, two_ref: bool, bd: int):
+    """Candidate ladder + decision for every SxS block of the frame.
+    Consumes grids_stage outputs per reference; pvec is the (5,) f32
+    per-frame parameter vector [gm_y, gm_x, lam, psy_rd, bias_pct]
+    (full-pel gm), kept device-resident so a chunk needs no per-frame
+    scalar uploads. Returns rows (Gr*Gc, 8) int32 (native
+    inter_decide_frame layout, full-pel MVs x8) and costs (Gr*Gc,) f32
+    for the host partition DP."""
+    jnp = _jnp()
+    import jax.lax as lax
 
-    blocks: (N, S, S) f32 source; win_last/win_alt: (N, S+2R, S+2R) f32
-    reference windows (win_alt ignored when two_ref is False); gm_dy/gm_dx:
-    full-pel global-motion offset (LAST); refs: (N, L) f32 intra reference
-    lines (intra_search layout); G: (L, n_imodes * S * S) mode matrices.
+    gm = pvec[:2].astype(jnp.int32)
+    lam = pvec[2]
+    psy_rd = pvec[3]
+    bias_pct = pvec[4]
+    Hp, Wp = src.shape
+    nsr, nsc = Hp // 64, Wp // 64
+    n = nsr * nsc
+    k = 64 // S
+    gr, gc = Hp // S, Wp // S
+    kk = S // 8
+    psy_scale = psy_rd * (0.5 if bd == 8 else 4.0)
 
-    Returns (use_inter, ref_sel, mode, mv_row, mv_col, intra_mode) int32
-    arrays; MVs in 1/8-pel units (full-pel resolution).
-    """
-    import jax.numpy as jnp
+    src_e = _tile_energy(
+        src.reshape(Hp // 8, 8, Wp // 8, 8).swapaxes(1, 2))   # (Hp/8, Wp/8)
 
-    n, _, _ = blocks.shape
-    g1 = _ssd_grid(blocks, win_last, S)
-    side = 2 * R_PAD + 1
+    def blocks_of(x):
+        return x.reshape(gr, S, gc, S).swapaxes(1, 2)
 
-    def best_of(grid):
-        flat = grid.reshape(n, -1)
-        idx = jnp.argmin(flat, axis=1)
-        return (idx // side - R_PAD, idx % side - R_PAD,
-                jnp.take_along_axis(flat, idx[:, None], 1)[:, 0])
+    src_blk = blocks_of(src)
+    src_e_blk = (src_e.reshape(gr, kk, gc, kk).swapaxes(1, 2)
+                 .reshape(gr, gc, kk * kk))
 
-    dy1, dx1, ssd1 = best_of(g1)
-    # zero / global candidates read from the same grid
-    zero1 = g1[:, R_PAD + gm_dy, R_PAD + gm_dx]
+    def cand_cost(pred):
+        d = src_blk - pred
+        sse = (d * d).sum(axis=(-1, -2))
+        pe = _tile_energy(_block_tiles(pred, S))
+        psy = jnp.abs(src_e_blk - pe).sum(axis=-1) * psy_scale
+        return sse + psy
+
+    mvb = jnp.asarray(MV_BITS)
+    gm_full = lax.dynamic_slice(ref_l, (PAD + gm[0], PAD + gm[1]), (Hp, Wp))
+
+    ref_best = []
+    per_ref = [(ref_l, cy_l, cx_l, g_l)]
     if two_ref:
-        g2 = _ssd_grid(blocks, win_alt, S)
-        dy2, dx2, ssd2 = best_of(g2)
-        zero2 = g2[:, R_PAD, R_PAD]
+        per_ref.append((ref_a, cy_a, cx_a, g_a))
+    for ri, (ref, cy, cx, ssd8) in enumerate(per_ref):
+        agg = ssd8.reshape(n, k, kk, k, kk, G, G).sum(axis=(2, 4))
+        grid = _sb_to_grid(agg, nsr, nsc, k)              # (Gr, Gc, G, G)
+        rated = grid + lam * mvb[None, None]
+        flat = rated.reshape(gr, gc, G * G)
+        idx = jnp.argmin(flat, axis=-1)
+        dy = idx // G - R
+        dx = idx % G - R
+        ctr_y = _sb_to_grid(jnp.broadcast_to(cy.reshape(n, 1, 1), (n, k, k)),
+                            nsr, nsc, k)
+        ctr_x = _sb_to_grid(jnp.broadcast_to(cx.reshape(n, 1, 1), (n, k, k)),
+                            nsr, nsc, k)
+        mv_y = ctr_y + dy.astype(jnp.int32)
+        mv_x = ctr_x + dx.astype(jnp.int32)
+        p_new = _gather_blocks(ref, mv_y, mv_x, S)
+        mv_rate = lam * mvb.reshape(-1)[idx]
+        c_new = cand_cost(p_new) + mv_rate
+        if ri == 0:
+            p_zg = blocks_of(gm_full)
+            zg_mv = (jnp.broadcast_to(gm[0], (gr, gc)),
+                     jnp.broadcast_to(gm[1], (gr, gc)))
+        else:
+            p_zg = blocks_of(lax.dynamic_slice(ref, (PAD, PAD), (Hp, Wp)))
+            z = jnp.zeros((gr, gc), jnp.int32)
+            zg_mv = (z, z)
+        c_zg = cand_cost(p_zg)
+        new_wins = c_new < c_zg
+        best_c = jnp.where(new_wins, c_new, c_zg)
+        best_my = jnp.where(new_wins, mv_y, zg_mv[0])
+        best_mx = jnp.where(new_wins, mv_x, zg_mv[1])
+        best_p = jnp.where(new_wins[..., None, None], p_new, p_zg)
+        ref_best.append((best_c, best_my, best_mx, best_p, new_wins))
+
+    c_l, my_l, mx_l, p_l, new_l = ref_best[0]
+    if two_ref:
+        c_a, my_a, mx_a, p_a, new_a = ref_best[1]
+        a_wins = c_a < c_l
+        best_single = jnp.where(a_wins, c_a, c_l)
+        # compound average of the two per-ref best predictions, 1/16 win
+        # margin (native inter_decide_frame ladder)
+        p_c = 0.5 * (p_l + p_a)
+        c_c = cand_cost(p_c)
+        use_comp = c_c < best_single - best_single * 0.0625
+        inter_cost = jnp.where(use_comp, c_c, best_single)
     else:
-        dy2 = dx2 = jnp.zeros_like(dy1)
-        ssd2 = jnp.full_like(ssd1, jnp.inf)
-        zero2 = jnp.full_like(zero1, jnp.inf)
+        my_a, mx_a, new_a = my_l, mx_l, new_l
+        a_wins = jnp.zeros_like(c_l, bool)
+        use_comp = jnp.zeros_like(c_l, bool)
+        inter_cost = c_l
 
-    # intra fallback: the first n_imodes columns of the mode-matrix bank
-    preds = jnp.einsum("nl,lm->nm", refs, G[:, : n_imodes * S * S])
-    preds = jnp.floor(preds + 0.5).reshape(n, n_imodes, S, S)
-    isse = jnp.sum((preds - blocks[:, None]) ** 2, axis=(2, 3))
-    best_im = jnp.argmin(isse, axis=1)
-    icost = jnp.min(isse, axis=1)
+    inter_biased = inter_cost * (bias_pct * 0.01)
 
-    # candidate ladder (mirrors the native kernel's ordering): zero/global
-    # first, NEWMV per ref, intra last
-    cands = jnp.stack([zero1, zero2, ssd1, ssd2, icost], axis=1)
-    pick = jnp.argmin(cands, axis=1)
-    use_inter = (pick != 4).astype(jnp.int32)
-    ref_sel = jnp.where((pick == 1) | (pick == 3), 4, 1).astype(jnp.int32)
-    mode = jnp.where(pick >= 2, 16, 15).astype(jnp.int32)   # NEWMV / GLOBALMV
-    mv_r = jnp.where(pick == 0, gm_dy * 8,
-                     jnp.where(pick == 1, 0,
-                               jnp.where(pick == 2, dy1 * 8, dy2 * 8)))
-    mv_c = jnp.where(pick == 0, gm_dx * 8,
-                     jnp.where(pick == 1, 0,
-                               jnp.where(pick == 2, dx1 * 8, dx2 * 8)))
-    mv_r = jnp.where(use_inter == 1, mv_r, 0).astype(jnp.int32)
-    mv_c = jnp.where(use_inter == 1, mv_c, 0).astype(jnp.int32)
-    ref_sel = ref_sel * use_inter
-    return use_inter, ref_sel, mode * use_inter, mv_r, mv_c, \
-        best_im.astype(jnp.int32)
+    # ---- open-loop intra fallback (gated like the native kernel)
+    ip = _intra_candidates(src, S, Hp, Wp, bd)   # (Gr, Gc, 5, S, S)
+    d = src_blk[:, :, None] - ip
+    i_sse = (d * d).sum(axis=(-1, -2))
+    pe = _tile_energy(
+        ip.reshape(gr, gc, 5, kk, 8, kk, 8).transpose(0, 1, 2, 3, 5, 4, 6)
+        .reshape(gr, gc, 5, kk * kk, 8, 8))
+    i_psy = jnp.abs(src_e_blk[:, :, None] - pe).sum(axis=-1) * psy_scale
+    i_cost = i_sse + i_psy
+    best_im = jnp.argmin(i_cost, axis=-1)
+    best_ic = jnp.min(i_cost, axis=-1)
+    gate = inter_cost > float((S * S) << 1)
+    best_ic = jnp.where(gate, best_ic, jnp.inf)
+
+    use_inter = (inter_biased <= best_ic).astype(jnp.int32)
+    imode = jnp.asarray(_INTRA_PMODES)[best_im]
+
+    single_ref = jnp.where(a_wins, 4, 1)
+    single_mode = jnp.where(jnp.where(a_wins, new_a, new_l), 16, 15)
+    single_my = jnp.where(a_wins, my_a, my_l)
+    single_mx = jnp.where(a_wins, mx_a, mx_l)
+
+    col_ref = jnp.where(use_comp, 7, single_ref)
+    col_mode = jnp.where(use_comp, 24, single_mode)
+    col_my = jnp.where(use_comp, my_l, single_my) * 8
+    col_mx = jnp.where(use_comp, mx_l, single_mx) * 8
+    col_m2y = jnp.where(use_comp, my_a * 8, 0)
+    col_m2x = jnp.where(use_comp, mx_a * 8, 0)
+
+    zeros = jnp.zeros_like(use_inter)
+    rows = jnp.stack([
+        use_inter,
+        jnp.where(use_inter == 1, col_ref, 0).astype(jnp.int32),
+        jnp.where(use_inter == 1, col_mode, imode).astype(jnp.int32),
+        jnp.where(use_inter == 1, col_my, 0).astype(jnp.int32),
+        jnp.where(use_inter == 1, col_mx, 0).astype(jnp.int32),
+        jnp.where(use_inter == 1, col_m2y, 0).astype(jnp.int32),
+        jnp.where(use_inter == 1, col_m2x, 0).astype(jnp.int32),
+        zeros,
+    ], axis=-1).reshape(gr * gc, 8)
+    cost = jnp.minimum(inter_biased, best_ic).reshape(gr * gc)
+    return rows, cost
+
+
+@__import__("jax").jit
+def _pack_stage(*arrs):
+    """Flatten all per-depth outputs into ONE f32 vector so the host pays
+    a single tunnel round trip per frame (all values < 2^24: exact)."""
+    jnp = _jnp()
+    return jnp.concatenate([a.astype(jnp.float32).reshape(-1) for a in arrs])
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("Hp", "Wp"))
+def prep_stack(stack, Hp: int, Wp: int):
+    """(U, h, w) uint8/uint16 source stack -> (srcs (U, Hp, Wp) f32,
+    refs (U, Hp+2P, Wp+2P) f32). One upload covers a whole chunk."""
+    jnp = _jnp()
+    u, h, w = stack.shape
+    x = stack.astype(jnp.float32)
+    src = jnp.pad(x, ((0, 0), (0, Hp - h), (0, Wp - w)), mode="edge")
+    ref = jnp.pad(src, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
+    return src, ref
+
+
+def decide_frame_staged(src, ref_l, ref_a, pvec, two_ref: bool, bd: int,
+                        depths: tuple = DEPTHS):
+    """Dispatch the staged pipeline for one frame (device arrays in,
+    device arrays out, all calls async). Returns one packed f32 device
+    vector (decode with unpack_frame)."""
+    cy_l, cx_l, g_l = grids_stage(src, ref_l)
+    if two_ref:
+        cy_a, cx_a, g_a = grids_stage(src, ref_a)
+    else:
+        cy_a, cx_a, g_a = cy_l, cx_l, g_l
+    flat = []
+    for S in depths:
+        rows, costs = depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l,
+                                  cy_a, cx_a, g_a, pvec,
+                                  S=S, two_ref=two_ref, bd=bd)
+        flat.append(rows)
+        flat.append(costs)
+    return _pack_stage(*flat)
+
+
+def unpack_frame(vec: np.ndarray, Hp: int, Wp: int, depths: tuple = DEPTHS):
+    """Host-side decode of a packed result vector -> {S: (rows, costs)}."""
+    res = {}
+    off = 0
+    for S in depths:
+        nblk = (Hp // S) * (Wp // S)
+        rows = vec[off : off + nblk * 8].reshape(nblk, 8).astype(np.int32)
+        off += nblk * 8
+        costs = vec[off : off + nblk].astype(np.float32)
+        off += nblk
+        res[S] = (rows, costs)
+    return res
+
+
+def frame_result_len(Hp: int, Wp: int, depths: tuple = DEPTHS) -> int:
+    return sum((Hp // S) * (Wp // S) * 9 for S in depths)
+
+
+# --------------------------------------------------------------- host API
+def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS):
+    """Search a whole chunk of frames in one device round trip.
+
+    frames: list of (h, w) numpy source planes (uint8/uint16); jobs: list
+    of dicts {src, ref_l, ref_a (index into frames or None), gm (1/8-pel
+    (row, col)), lam, psy_rd, bias_pct}. Returns one {S: (rows, costs)}
+    per job. Everything dispatches async; the single packed fetch at the
+    end is the only tunnel round trip that scales with chunk size.
+    """
+    h, w = frames[0].shape
+    Hp, Wp = pad_dims(h, w)
+    dt = np.uint8 if (bd == 8 and all(f.dtype == np.uint8 or f.max() < 256
+                                      for f in frames)) else np.uint16
+    stack = np.stack([np.ascontiguousarray(f, dt) for f in frames])
+    params = np.zeros((len(jobs), 5), np.float32)
+    for j, job in enumerate(jobs):
+        params[j] = (round(job["gm"][0] / 8.0), round(job["gm"][1] / 8.0),
+                     job["lam"], job["psy_rd"], job["bias_pct"])
+    import jax
+
+    from ..parallel import mesh as pmesh
+
+    m = pmesh.get_encode_mesh()
+    devs = (list(m.devices.flat)
+            if m is not None and m.devices.size > 1 else None)
+    depths = tuple(depths)
+    if devs:
+        # multi-chip: frames/jobs are the parallel axis (the reference's
+        # picture-level thread arrays); sources replicate to every device
+        # and each job's whole stage chain runs where its inputs live.
+        # Per-job results are placement-independent, so the bitstream is
+        # mesh-size invariant (tests/test_multichip.py).
+        preps = [prep_stack(jax.device_put(stack, d), Hp=Hp, Wp=Wp)
+                 for d in devs]
+        pdevs = [jax.device_put(params, d) for d in devs]
+        out = []
+        vecs = []
+        for j, job in enumerate(jobs):
+            d = j % len(devs)
+            srcs, refs = preps[d]
+            two = job["ref_a"] is not None
+            vecs.append(decide_frame_staged(
+                srcs[job["src"]], refs[job["ref_l"]],
+                refs[job["ref_a"] if two else job["ref_l"]], pdevs[d][j],
+                two_ref=two, bd=bd, depths=depths))
+        return [unpack_frame(np.asarray(v), Hp, Wp, depths) for v in vecs]
+    srcs, refs = prep_stack(stack, Hp=Hp, Wp=Wp)
+    pdev = jax.device_put(params)
+    vecs = []
+    for j, job in enumerate(jobs):
+        two = job["ref_a"] is not None
+        vecs.append(decide_frame_staged(
+            srcs[job["src"]], refs[job["ref_l"]],
+            refs[job["ref_a"] if two else job["ref_l"]], pdev[j],
+            two_ref=two, bd=bd, depths=depths))
+    # one eager concat + ONE fetch: the only round trip scaling with J
+    jnp = _jnp()
+    packed = np.asarray(jnp.concatenate(vecs)) if vecs else np.zeros(0)
+    out = []
+    flen = frame_result_len(Hp, Wp, depths)
+    for j in range(len(jobs)):
+        out.append(unpack_frame(packed[j * flen : (j + 1) * flen], Hp, Wp,
+                                depths))
+    return out
+
+
+def search_frame_np(y, ref_l_y, ref_a_y, gm, lam, psy_rd, bias_pct, bd,
+                    depths: tuple = DEPTHS):
+    """Synchronous single-frame convenience wrapper (tests): numpy planes
+    in, {S: (rows (Gr*Gc, 8) i32, costs (Gr*Gc,) f32)} out. `gm` is the
+    frame's LAST global MV in 1/8-pel units (rounded to full pel)."""
+    frames = [y, ref_l_y] + ([ref_a_y] if ref_a_y is not None else [])
+    job = dict(src=0, ref_l=1, ref_a=(2 if ref_a_y is not None else None),
+               gm=gm, lam=lam, psy_rd=psy_rd, bias_pct=bias_pct)
+    return chunk_search(frames, [job], bd, depths)[0]

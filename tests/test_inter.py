@@ -10,7 +10,8 @@ from svt_av1_psy_tpu.io import dav1d
 requires_dav1d = pytest.mark.skipif(not dav1d.available(), reason="dav1d shim unavailable")
 
 
-def _encode_seq(W, H, n, q, bd=8, tiles=(0, 0), vb=False, motion=(3, 5), keyint=-2, seed=0):
+def _encode_seq(W, H, n, q, bd=8, tiles=(0, 0), vb=False, motion=(3, 5), keyint=-2, seed=0,
+                me_backend="native"):
     rng = np.random.default_rng(seed)
     peak = (1 << bd) - 1
     dt = np.uint8 if bd == 8 else np.uint16
@@ -19,7 +20,8 @@ def _encode_seq(W, H, n, q, bd=8, tiles=(0, 0), vb=False, motion=(3, 5), keyint=
             + peak // 2).clip(0, peak).astype(dt)
     cfg = EncoderConfig(width=W, height=H, input_depth=bd, recon_enabled=True,
                         tile_columns=tiles[0], tile_rows=tiles[1],
-                        enable_variance_boost=vb, intra_period_length=keyint)
+                        enable_variance_boost=vb, intra_period_length=keyint,
+                        inter_me_backend=me_backend)
     cfg.qp = q
     enc = Encoder(cfg).init()
     for i in range(n):
@@ -88,18 +90,14 @@ def test_inter_beats_intra_rate():
 
 @requires_dav1d
 def test_device_inter_search_backend_conformant():
-    """The device (ops/inter_search) decision backend must produce
+    """The device (ops/inter_search) decision backend — prefetched rows
+    through the api pipeline + host subpel refine — must produce
     conformant streams with compression comparable to the native kernel."""
-    import svt_av1_psy_tpu.codec.inter_encoder as ie
-
-    ie.SEARCH_BACKEND = "device"
-    try:
-        stream, recons = _encode_seq(160, 128, 5, 45, seed=2)
-    finally:
-        ie.SEARCH_BACKEND = "native"
+    stream, recons = _encode_seq(160, 128, 5, 45, seed=2,
+                                 me_backend="device")
     _check(stream, recons, 160, 128)
     stream_n, _ = _encode_seq(160, 128, 5, 45, seed=2)
-    assert len(stream) < len(stream_n) * 1.25, (len(stream), len(stream_n))
+    assert len(stream) < len(stream_n) * 1.35, (len(stream), len(stream_n))
 
 
 @requires_dav1d

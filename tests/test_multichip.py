@@ -121,7 +121,6 @@ def test_inter_device_search_identical_across_meshes():
     meshes."""
     from svt_av1_psy_tpu.api import Encoder
     from svt_av1_psy_tpu.config import EncoderConfig
-    import svt_av1_psy_tpu.codec.inter_encoder as ie
 
     rng = np.random.default_rng(7)
     W, H = 192, 128
@@ -131,7 +130,8 @@ def test_inter_device_search_identical_across_meshes():
     u = np.full((H // 2, W // 2), 120, np.uint8)
 
     def run():
-        cfg = EncoderConfig(width=W, height=H, preset=8)
+        cfg = EncoderConfig(width=W, height=H, preset=8,
+                            inter_me_backend="device")
         cfg.qp = 40
         enc = Encoder(cfg).init()
         for i, y in enumerate(ys):
@@ -142,16 +142,12 @@ def test_inter_device_search_identical_across_meshes():
             out += p.data
         return out
 
-    ie.SEARCH_BACKEND = "device"
-    try:
-        streams = {}
-        for n in (1, 2, 8):
-            set_encode_mesh(encode_mesh(n))
-            try:
-                streams[n] = run()
-            finally:
-                set_encode_mesh(None)
-    finally:
-        ie.SEARCH_BACKEND = "native"
+    streams = {}
+    for n in (1, 2, 8):
+        set_encode_mesh(encode_mesh(n))
+        try:
+            streams[n] = run()
+        finally:
+            set_encode_mesh(None)
     assert streams[1] == streams[2] == streams[8], \
         {k: len(v) for k, v in streams.items()}
