@@ -297,7 +297,10 @@ class Encoder:
             from .rc.tpl import tpl_analysis
 
             group = [y] + [f[0] for f in list(self._la_queue)[:3]]
-            self._tpl = tpl_analysis(group, cfg.input_depth)
+            from .profiling import stage as _st
+
+            with _st("host:tpl"):
+                self._tpl = tpl_analysis(group, cfg.input_depth)
         from .profiling import stage as _stage
 
         with _stage("host:tf"):
@@ -329,7 +332,11 @@ class Encoder:
                 and self._prev_sub_y is not None):
             from .codec.scene_change import detect_scene_change
 
-            is_key = detect_scene_change(self._prev_sub_y, y, cfg.input_depth)
+            from .profiling import stage as _st
+
+            with _st("host:analysis"):
+                is_key = detect_scene_change(self._prev_sub_y, y,
+                                             cfg.input_depth)
         self._prev_sub_y = y.copy()
         if is_key:
             self._drain_gop()
@@ -474,8 +481,11 @@ class Encoder:
 
             deps = [buf[i][0] for i in
                     sorted({0, (n - 1) // 2, max(n - 2, 0)})][:3]
-            tpl_r0 = tpl_analysis([buf[n - 1][0]] + deps,
-                                  cfg.input_depth)[0]
+            from .profiling import stage as _st
+
+            with _st("host:tpl"):
+                tpl_r0 = tpl_analysis([buf[n - 1][0]] + deps,
+                                      cfg.input_depth)[0]
 
         def enc_unshown(idx, lo, hi, depth):
             slot = free.pop()
@@ -1100,7 +1110,8 @@ class Encoder:
                         else (y_full, u_full, v_full))
             else:
                 srcs = (y,) if self._seq.monochrome else (y, u, v)
-            stats = frame_stats(srcs, recon, cfg.input_depth)
+            with _stage("host:stats"):
+                stats = frame_stats(srcs, recon, cfg.input_depth)
         shown = is_key or gop is None or bool(gop.get("show", True))
         self._packets.append(Packet(payload, pts if pts is not None else self._frame_count,
                                     recon=recon if (cfg.recon_enabled and shown) else None,

@@ -140,7 +140,9 @@ def enable_compile_cache(path: str = "/tmp/svt_av1_tpu_jax_cache"):
         import jax
 
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # only the big staged programs are worth the (slow, tunneled)
+        # serialization round trip
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
 
