@@ -885,6 +885,8 @@ class Encoder:
                 rdoq_fast=self._pc.rdoq_fast,
                 seed_grid=getattr(self, "_prev_mv_grid", None),
                 switchable_filters=filt_switchable,
+                device_commit=(None if cfg.commit_backend == "auto"
+                               else cfg.commit_backend == "device"),
                 **common)
 
         def run_filters(enc):

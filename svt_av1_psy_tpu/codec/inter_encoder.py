@@ -138,7 +138,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                  inter_tx_search=False, golden_const=None,
                  motion_mode_switchable=False, enable_interintra=False,
                  enable_masked_compound=False, rdoq_fast=False,
-                 seed_grid=None, switchable_filters=False, **kw):
+                 seed_grid=None, switchable_filters=False,
+                 device_commit=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -168,6 +169,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.switchable_filters = bool(switchable_filters)
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
+        # device residual commit (ops/commit.py): None = auto (on when an
+        # accelerator is attached), True/False forces
+        self.device_commit = device_commit
+        self.pre_commit = None
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
         # >= 8x8 predict through the normative warp filter, and the model
         # projects to a per-block MV at the block center (codec/warp.py)
@@ -443,6 +448,47 @@ class InterFrameEncoder(IntraFrameEncoder):
         and an open-loop intra fallback for every leaf block; the walk
         below commits the decisions (the reference's MD/EncDec split,
         re-architected as batch-then-walk)."""
+        self._pre_walk_decide()
+        self._device_commit()
+
+    def _device_commit(self):
+        """Device residual commit (ops/commit.py): batch-run pred/TX/
+        quant/recon for the decided inter leaves on the accelerator; the
+        C walk then only does syntax + range coding for them."""
+        want = self.device_commit
+        if want is None:
+            from ..parallel.pipeline import device_backend_default
+
+            want = device_backend_default()
+        if not want or getattr(self, "inter_dec", None) is None:
+            return
+        from . import walk_native
+
+        if not walk_native.eligible(self):
+            return
+        from ..profiling import stage
+
+        if "pre_commit" in self.shared:    # LR re-encode / later tiles
+            res = self.shared["pre_commit"]
+        else:
+            try:
+                from ..ops.commit import commit_frame
+
+                with stage("device:commit"):
+                    res = commit_frame(self)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+                res = None
+            self.shared["pre_commit"] = res
+        if res is None:
+            return
+        self.pre_commit = res
+        for p in range(self.nplanes):
+            self.planes[p].recon[:] = res.recon[p]
+
+    def _pre_walk_decide(self):
         self.inter_dec = self.shared.get("inter_dec")
         if self.inter_dec is not None:
             self.decisions = self.shared.get("inter_decisions")

@@ -95,6 +95,9 @@ class _CWalk(ctypes.Structure):
         ("d_txt", _VP),
         # ---- RDOQ ----
         ("rdoq_fast", _I),
+        # ---- device-precomputed residuals (ops/commit.py) ----
+        ("pre_slot", _VP), ("pre_off", _VP), ("pre_eob", _VP),
+        ("pre_qc", _VP),
     ]
 
 
@@ -130,6 +133,20 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def prof_snapshot(reset: bool = False) -> dict:
+    """C-walk section timers (seconds): pred / txq / recon / coeff_ec /
+    total (walk_native.c walk_prof_ns)."""
+    lib = _load()
+    if lib is None:
+        return {}
+    buf = (ctypes.c_longlong * 8)()
+    lib.walk_prof_get(buf)
+    if reset:
+        lib.walk_prof_reset()
+    keys = ("pred", "txq", "recon", "coeff_ec", "total")
+    return {k: buf[i] / 1e9 for i, k in enumerate(keys)}
 
 
 # decided tx types can only be these; transforms params are prebuilt for them
@@ -295,6 +312,13 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         w.ref2_const = int(enc.ref2) if enc.ref2 is not None else _ALT
         w.rdoq_fast = int(getattr(enc, "rdoq_fast", False)
                           and enc.noise_norm == 0)
+        pre = getattr(enc, "pre_commit", None)
+        if pre is not None:
+            keep += [pre.pre_slot, pre.pre_off, pre.pre_eob, pre.pre_qc]
+            w.pre_slot = _ptr(pre.pre_slot)
+            w.pre_off = _ptr(pre.pre_off)
+            w.pre_eob = _ptr(pre.pre_eob)
+            w.pre_qc = _ptr(pre.pre_qc)
         t = enc.fc.tables
         w.cdf_intra_inter = _ptr(t["intra_inter"])
         w.cdf_single_ref = _ptr(t["single_ref"])

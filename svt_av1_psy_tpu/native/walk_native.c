@@ -17,6 +17,23 @@
 
 #include <stdint.h>
 #include <string.h>
+#include <time.h>
+
+/* ---- section timers (ns), SVT-style perf context for the walk:
+ * 0 pred (MC/intra), 1 fwdTX+quant, 2 invTX+recon, 3 coeff EC,
+ * 4 tile total. Read via walk_prof_get from profiling-aware callers. */
+static long long walk_prof_ns[8];
+static inline long long wp_now(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (long long)ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+void walk_prof_get(long long *out) {
+    for (int i = 0; i < 8; i++) out[i] = walk_prof_ns[i];
+}
+void walk_prof_reset(void) {
+    for (int i = 0; i < 8; i++) walk_prof_ns[i] = 0;
+}
 
 /* ---- from ec_native.c ---- */
 typedef struct EcEnc EcEnc;
@@ -194,6 +211,14 @@ typedef struct {
     const int32_t *d_txt;
     /* ---- RDOQ ---- */
     int rdoq_fast;            /* mi grid: luma TxType per leaf */
+    /* ---- device-precomputed residual results (ops/commit.py): when a
+       leaf's pre_slot entry is nonzero, its pred/TX/quant/recon already
+       ran on the TPU — the walk reads qcoeffs/eobs here and its recon
+       buffer was prefilled with the device reconstruction. ---- */
+    const int32_t *pre_slot;  /* per-mi: slot+1 at leaf top-left, else 0 */
+    const int32_t *pre_off;   /* per slot: 3 offsets into pre_qc */
+    const int32_t *pre_eob;   /* per slot: 3 eobs (y, u, v) */
+    const int32_t *pre_qc;    /* packed quantized coeffs (raster order) */
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -407,6 +432,8 @@ static const int32_t *qp_row(const Walk *w, int sb_r, int sb_c, int plane) {
 /* ------------------------------------------------------------ block encode */
 typedef struct {
     int plane, px, py, pw, ph, tx_size, tx_type, eob;
+    int pre;                   /* device-precomputed: qc/recon ready */
+    const int32_t *pre_qc_p;   /* packed device qcoeffs when pre */
     uint16_t pred[64 * 64];
     int32_t qc[32 * 32], dqc[32 * 32];
 } PlaneRes;
@@ -418,6 +445,8 @@ static void run_plane(Walk *w, PlaneRes *r, int sb_r, int sb_c) {
 }
 
 static void run_plane_rdoq(Walk *w, PlaneRes *r, int sb_r, int sb_c, int rdoq) {
+    long long wp_t0 = wp_now();
+    r->pre = 0;
     int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
     int32_t resid[64 * 64];
     const uint16_t *src = w->src[r->plane];
@@ -462,26 +491,31 @@ static void run_plane_rdoq(Walk *w, PlaneRes *r, int sb_r, int sb_c, int rdoq) {
         }
         r->eob = e;
     }
+    walk_prof_ns[1] += wp_now() - wp_t0;
 }
 
 static void recon_plane_res(Walk *w, const PlaneRes *r, int skip) {
-    int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
-    int32_t full[64 * 64];
-    memset(full, 0, sizeof(int32_t) * r->pw * r->ph);
-    if (!skip)
-        for (int y = 0; y < ch; y++)
-            for (int x = 0; x < cw; x++)
-                full[y * r->pw + x] = r->dqc[y * cw + x];
-    uint16_t rec[64 * 64];
-    txfm2d_inv_add_p(w->invp[r->tx_size][r->tx_type], full, r->pred, 1, rec);
-    uint16_t *dst = w->recon[r->plane];
-    int rs = w->rec_stride[r->plane];
+    long long wp_t0 = wp_now();
     int wr = r->pw, hr = r->ph;
     if (r->px + wr > w->pw[r->plane]) wr = w->pw[r->plane] - r->px;
     if (r->py + hr > w->ph[r->plane]) hr = w->ph[r->plane] - r->py;
-    for (int y = 0; y < hr; y++)
-        memcpy(dst + (r->py + y) * rs + r->px, rec + y * r->pw,
-               sizeof(uint16_t) * wr);
+    if (!r->pre) {   /* device-pre blocks: recon buffer already filled */
+        int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
+        int32_t full[64 * 64];
+        memset(full, 0, sizeof(int32_t) * r->pw * r->ph);
+        if (!skip)
+            for (int y = 0; y < ch; y++)
+                for (int x = 0; x < cw; x++)
+                    full[y * r->pw + x] = r->dqc[y * cw + x];
+        uint16_t rec[64 * 64];
+        txfm2d_inv_add_p(w->invp[r->tx_size][r->tx_type], full, r->pred, 1,
+                         rec);
+        uint16_t *dst = w->recon[r->plane];
+        int rs = w->rec_stride[r->plane];
+        for (int y = 0; y < hr; y++)
+            memcpy(dst + (r->py + y) * rs + r->px, rec + y * r->pw,
+                   sizeof(uint16_t) * wr);
+    }
     /* decoded bitmap + dlf maps */
     int ds = w->dec_stride[r->plane];
     int yu0 = r->py >> 2, yu1 = (r->py + hr) >> 2;
@@ -500,6 +534,7 @@ static void recon_plane_res(Walk *w, const PlaneRes *r, int skip) {
         }
     for (int y = yu0; y < yu1; y++) w->dlf_bv[r->plane][y * ls + xu0] = 1;
     for (int x = xu0; x < xu1; x++) w->dlf_bh[r->plane][yu0 * ls + x] = 1;
+    walk_prof_ns[2] += wp_now() - wp_t0;
 }
 
 /* CFL: AC contributions + alpha search (intra_encoder._cfl_ac/_cfl_search) */
@@ -568,6 +603,7 @@ static void write_tx_type_inter(Walk *w, int tx_size, int tx_type) {
 static void code_residual_planes(Walk *w, PlaneRes *res, int nres, int skip,
                                  int inter_blk, int eff_mode) {
     for (int i = 0; i < nres; i++) {
+        long long wp_t0 = wp_now();
         PlaneRes *r = &res[i];
         int xu = r->px >> 2, yu = r->py >> 2;
         int wu = TXW[r->tx_size] >> 2, hu = TXH[r->tx_size] >> 2;
@@ -611,7 +647,7 @@ static void code_residual_planes(Walk *w, PlaneRes *res, int nres, int skip,
                 int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
                 int lg = TXLOG2M4[r->tx_size];
                 cul = ec_write_coeffs_txb_full(
-                    w->enc, r->qc, cw, ch, r->eob,
+                    w->enc, r->pre ? r->pre_qc_p : r->qc, cw, ch, r->eob,
                     w->scans[r->tx_size][r->tx_type],
                     TX_CLASS[r->tx_type], w->nzoff[r->tx_size], w->adapt,
                     w->cdf_eob[lg] + (plane_type * 2
@@ -626,6 +662,7 @@ static void code_residual_planes(Walk *w, PlaneRes *res, int nres, int skip,
         }
         for (int k = 0; k < wu; k++) actx[xu + k] = (uint8_t)cul;
         for (int k = 0; k < hu; k++) lctx[yu + k] = (uint8_t)cul;
+        walk_prof_ns[3] += wp_now() - wp_t0;
         recon_plane_res(w, r, skip || r->eob == 0);
     }
 }
@@ -795,6 +832,7 @@ static const uint8_t SIZE_GROUP[22] = {0,0,0,1,1,1,2,2,2,3,3,3,3,3,3,3,1,1,2,2,3
 static void mc_pred_plane(const Walk *w, int ref_idx, int plane, int px,
                           int py, int pw_, int ph_, int mvr, int mvc,
                           uint16_t *out) {
+    long long wp_t0 = wp_now();
     const int32_t *ref = w->refp[ref_idx * 3 + plane];
     int stride = w->refp_stride[ref_idx * 3 + plane];
     int ipy, ipx, fy, fx;
@@ -810,6 +848,7 @@ static void mc_pred_plane(const Walk *w, int ref_idx, int plane, int px,
     const int32_t *fyk = (ph_ > 4 ? w->filters8 : w->filters4) + 8 * fy;
     mc_convolve_2d_sr(ref + (yy - 3) * stride + (xx - 3), stride, pw_, ph_,
                       fxk, fyk, fx != 0, fy != 0, w->bd, out);
+    walk_prof_ns[0] += wp_now() - wp_t0;
 }
 
 /* ---- normative reference-MV stack (mirror of mv_pred.setup_ref_mv_list,
@@ -1290,6 +1329,7 @@ static void jnt_conv(const int32_t *patch, int pstride, int w_, int h_,
 static void mc_pred_compound(const Walk *w, int plane, int px, int py,
                              int pw_, int ph_, int mv0r, int mv0c,
                              int mv1r, int mv1c, uint16_t *out) {
+    long long wp_t0 = wp_now();
     int32_t buf0[64 * 64], buf1[64 * 64];
     int32_t *bufs[2] = {buf0, buf1};
     const int mvr[2] = {mv0r, mv1r}, mvc[2] = {mv0c, mv1c};
@@ -1324,6 +1364,7 @@ static void mc_pred_compound(const Walk *w, int plane, int px, int py,
         if (tmp > peak) tmp = peak;
         out[k] = (uint16_t)tmp;
     }
+    walk_prof_ns[0] += wp_now() - wp_t0;
 }
 
 /* compound reference-MV stack (mirror of mv_pred.setup_comp_mv_list) */
@@ -1730,7 +1771,13 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     int tt_y = (use_inter && w->d_txt && w->qindex > 0) ? w->d_txt[mi] : 0;
     if (SQR_UP[ry->tx_size] > 3) tt_y = 0;
     ry->tx_type = tt_y;
-    if (is_comp) {
+    /* device-precomputed leaf (ops/commit.py)? */
+    int pslot = (w->pre_slot && use_inter) ? w->pre_slot[mi] - 1 : -1;
+    if (pslot >= 0) {
+        ry->pre = 1;
+        ry->pre_qc_p = w->pre_qc + w->pre_off[pslot * 3];
+        ry->eob = w->pre_eob[pslot * 3];
+    } else if (is_comp) {
         mc_pred_compound(w, 0, x0, y0, W, H, mvr, mvc, mv2r, mv2c, ry->pred);
     } else if (use_inter) {
         mc_pred_plane(w, ref_idx, 0, x0, y0, W, H, mvr, mvc, ry->pred);
@@ -1740,7 +1787,8 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         gather_neighbors(w, 0, x0, y0, W, H, ab, lb, &ha, &hl);
         predict_mode(w, mode, ab, lb, ha, hl, W, H, ry->pred);
     }
-    run_plane_rdoq(w, ry, sb_r, sb_c, w->rdoq_fast && use_inter);
+    if (pslot < 0)
+        run_plane_rdoq(w, ry, sb_r, sb_c, w->rdoq_fast && use_inter);
 
     int has_uv = w->nplanes > 1;
     int cfl_allowed = W <= 32 && H <= 32;
@@ -1760,6 +1808,12 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             if (SQR_UP[tx_uv] > 3) tt_uv = 0;
             else if (SQR_UP[tx_uv] == 3 && tt_uv != 0 && tt_uv != 9) tt_uv = 0;
             r->tx_type = tt_uv;
+            if (pslot >= 0) {
+                r->pre = 1;
+                r->pre_qc_p = w->pre_qc + w->pre_off[pslot * 3 + pl];
+                r->eob = w->pre_eob[pslot * 3 + pl];
+                continue;
+            }
             if (is_comp) {
                 mc_pred_compound(w, pl, cx, cy, cw, ch, mvr, mvc, mv2r, mv2c,
                                  r->pred);
@@ -1951,6 +2005,7 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
 /* Entry: encode one tile's superblock range. The Walk struct is built by
  * Python (ctypes mirror). Returns 0. */
 int walk_encode_tile(Walk *w) {
+    long long wp_t0 = wp_now();
     w->prev_qindex = w->base_qindex;
     for (int mi_row = w->tile_r0; mi_row < w->tile_r1; mi_row += 16) {
         for (int mi_col = w->tile_c0; mi_col < w->tile_c1; mi_col += 16) {
@@ -1978,5 +2033,6 @@ int walk_encode_tile(Walk *w) {
             walk(w, mi_row, mi_col, 12 /* BLOCK_64X64 */, sb_r, sb_c);
         }
     }
+    walk_prof_ns[4] += wp_now() - wp_t0;
     return 0;
 }

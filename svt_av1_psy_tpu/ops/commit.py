@@ -1,0 +1,664 @@
+"""Device residual commit for inter frames (the EncDec compute half).
+
+The reference's conformant encode pass interleaves prediction, transforms,
+quantization and reconstruction with the entropy walk inside one thread
+(coding_loop.c:1697, enc_dec_process.c:3530).  Profiling the TPU build's C
+walk shows ~87% of its time is exactly that compute (fwd TX + quant + inv
+TX + recon), while the serial part the walk actually needs — range coding
+and syntax state — is ~10%.  This module lifts the compute onto the device:
+for every *inter-predicted* leaf the mode decision produced, one batched
+program per (block shape, tx type, compound?) group runs
+
+    MC prediction -> residual -> forward TX -> QM quantize (+ RDOQ
+    eob-fast trim) -> dequantize -> inverse TX -> reconstruction
+
+bit-exactly (integer ops only), scatters the recon into full frame planes
+on device, and hands the host packed quantized coefficients + eobs.  The C
+walk then only performs syntax + coefficient range coding, reading the
+precomputed results through its `pre_*` fields (walk_native.c).
+
+Bit-exactness notes:
+- MC: AV1's convolve rounding is designed so the 2D subpel path with a
+  delta kernel (the tables' phase-0 row: 128 at tap 3) reproduces the
+  copy/H-only/V-only paths exactly; one unified 2D kernel with per-leaf
+  (fx, fy) rows therefore covers every MV phase (verified against
+  mc_native.c in tests/test_commit.py).
+- Quantize: `((tmpw*quant)>>16 + tmpw)` equals `(tmpw*m)>>16` with
+  m = quant + 2^16 (positive), so the whole quantizer runs in uint32 with
+  exact hi/lo split multiplies — no int64 on device.
+- Transforms: ops/txfm.py int32 butterfly graphs (oracle-tested).
+
+Behavior references: coding_loop.c:1697 (encode pass), full_loop.c:81-220
+(quantize_b), full_loop.c:1092 (update_coeff_eob_fast), convolve_2d_avx2.c
+/ jnt_convolve_avx2.c (MC rounding), spec 5.11.40 (chroma tx type).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..codec.constants import TxType
+from ..codec.quant import TX_SCALE, build_plane_quant
+
+# tx types with prebuilt C-side tables (walk_native._SEARCH_TX)
+SEARCH_TX = (0, int(TxType.ADST_DCT), int(TxType.DCT_ADST),
+             int(TxType.ADST_ADST), int(TxType.IDTX))
+
+# square-up index of a tx size (walk_native.c SQR_UP)
+_SQR_UP = (0, 1, 2, 3, 4, 1, 1, 2, 2, 3, 3, 4, 4, 2, 2, 3, 3, 4, 4)
+
+_BUCKETS = (8, 32, 128, 512, 2048, 8192)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _tx_size_of(w: int, h: int) -> int:
+    """tx_size index for an exact (w, h) block (codec/constants tables)."""
+    from ..codec.constants import TX_HEIGHT, TX_WIDTH
+
+    for ts in range(19):
+        if int(TX_WIDTH[ts]) == w and int(TX_HEIGHT[ts]) == h:
+            return ts
+    raise KeyError((w, h))
+
+
+def _luma_tt(W: int, H: int, tt: int) -> int:
+    """Effective luma tx type (walk_native.c: SQR_UP > 3 forces DCT)."""
+    return tt if _SQR_UP[_tx_size_of(min(W, 64), min(H, 64))] <= 3 else 0
+
+
+def _chroma_geom(W: int, H: int):
+    """(cw, ch, ts_uv) for a 4:2:0 chroma residual block."""
+    cw, ch = W >> 1, H >> 1
+    ts_uv = _tx_size_of(min(max(cw, 4), 32), min(max(ch, 4), 32))
+    return cw, ch, ts_uv
+
+
+def _chroma_tt(W: int, H: int, tt: int) -> int:
+    """Chroma tx type when luma eob != 0 (spec 5.11.40 compute_tx_type
+    via walk_native.c encode_block_inter)."""
+    t = _luma_tt(W, H, tt)
+    _, _, ts_uv = _chroma_geom(W, H)
+    if _SQR_UP[ts_uv] > 3:
+        return 0
+    if _SQR_UP[ts_uv] == 3 and t not in (0, 9):
+        return 0
+    return t
+
+
+# --------------------------------------------------------------- kernels
+
+def _conv2d_batched(patches, fx, fy, w: int, h: int, bd: int):
+    """Unified single-ref 2D convolve: patches (B, h+7, w+7) int32,
+    fx/fy (B, 8) int32 per-leaf kernel rows (phase-0 rows are deltas)."""
+    jnp = _jnp()
+    x = patches
+    off = 1 << (bd + 6)
+    im = jnp.zeros((x.shape[0], h + 7, w), jnp.int32)
+    for k in range(8):
+        im = im + fx[:, k, None, None] * x[:, :, k : k + w]
+    im = (im + off + 4) >> 3
+    out = jnp.zeros((x.shape[0], h, w), jnp.int32)
+    for k in range(8):
+        out = out + fy[:, k, None, None] * im[:, k : k + h, :]
+    offset_bits = bd + 14 - 3
+    out = ((out + (1 << offset_bits) + (1 << 10)) >> 11) - (
+        (1 << (offset_bits - 11)) + (1 << (offset_bits - 12)))
+    # bits = 14 - round0 - round1 = 0 -> no final shift
+    return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+def _jnt_conv_batched(patches, fx, fy, w: int, h: int, bd: int):
+    """Jnt convolve into the ConvBuf domain (walk_native.c jnt_conv;
+    delta kernels cover the copy/H/V paths exactly)."""
+    jnp = _jnp()
+    R0, R1, FB = 3, 7, 7
+    offset_bits = bd + 2 * FB - R0
+    im = jnp.full((patches.shape[0], h + 7, w), 1 << (bd + FB - 1), jnp.int32)
+    for k in range(8):
+        im = im + fx[:, k, None, None] * patches[:, :, k : k + w]
+    im = (im + (1 << (R0 - 1))) >> R0
+    out = jnp.full((patches.shape[0], h, w), 1 << offset_bits, jnp.int32)
+    for k in range(8):
+        out = out + fy[:, k, None, None] * im[:, k : k + h, :]
+    return (out + (1 << (R1 - 1))) >> R1
+
+
+def _compound_avg(buf0, buf1, bd: int):
+    """COMPOUND_AVERAGE tail (walk_native.c mc_pred_compound)."""
+    jnp = _jnp()
+    R0, R1, FB = 3, 7, 7
+    offset_bits = bd + 2 * FB - R0
+    round_offset = (1 << (offset_bits - R1)) + (1 << (offset_bits - R1 - 1))
+    round_bits = 2 * FB - R0 - R1
+    tmp = ((buf0 + buf1) >> 1) - round_offset
+    tmp = (tmp + (1 << (round_bits - 1))) >> round_bits
+    return jnp.clip(tmp, 0, (1 << bd) - 1)
+
+
+def _mul_shift_u32(a, b, s: int):
+    """floor((a * b) >> s) exact for 0 <= a < 2^30, 0 <= b <= 2^16+1,
+    0 <= s <= 24, in uint32 (no 64-bit on device)."""
+    jnp = _jnp()
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    hi = a >> 14
+    lo = a & 16383
+    p = hi * b           # <= 2^14 * (2^16+1) < 2^31
+    q = lo * b           # < 2^31
+    if s >= 14:
+        return (p >> (s - 14)) + (
+            (((p & ((1 << (s - 14)) - 1)) << 14) + q) >> s)
+    return (p << (14 - s)) + (q >> s)
+
+
+def _quantize_batched(flat, qp, qm, iqm, log_scale: int, n: int):
+    """Device quantize_b (mirror of mc_native.c quantize_txb).
+
+    flat: (B, n) int32 clipped coeffs (raster); qp: (B, 10) int32 rows
+    [zbin_dc, zbin_ac, rnd_dc, rnd_ac, quant_dc, quant_ac, qshift_dc,
+    qshift_ac, deq_dc, deq_ac]; qm/iqm: (n,) int32 or None.
+    Returns (qcoeff, dqcoeff) (B, n) int32.
+    """
+    jnp = _jnp()
+    is_ac = (jnp.arange(n) != 0)[None, :]
+
+    def rpot(v):
+        if log_scale:
+            return (v + (1 << (log_scale - 1))) >> log_scale
+        return v
+
+    def sel(dc_i, ac_i):
+        return jnp.where(is_ac, qp[:, ac_i, None], qp[:, dc_i, None])
+
+    zbin = rpot(sel(0, 1))
+    rnd = rpot(sel(2, 3))
+    m = sel(4, 5) + (1 << 16)       # quant + 2^16, positive (<= 2^16+1)
+    qs = sel(6, 7)
+    deq = sel(8, 9)
+    wt = (qm[None, :] if qm is not None
+          else jnp.full((1, n), 32, jnp.int32))
+    iwt = (iqm[None, :] if iqm is not None
+           else jnp.full((1, n), 32, jnp.int32))
+
+    sign = flat < 0
+    a = jnp.abs(flat)
+    live = a * wt >= (zbin << 5)
+    tmpw = (a + rnd) * wt                          # <= 2^28
+    x = _mul_shift_u32(tmpw, m, 16)                # ((tmpw*q)>>16)+tmpw
+    abs_q = _mul_shift_u32(x, qs, 16 - log_scale + 5).astype(jnp.int32)
+    abs_q = jnp.where(live, abs_q, 0)
+    dequant = (deq * iwt + 16) >> 5
+    abs_dq = _mul_shift_u32(abs_q, dequant, log_scale).astype(jnp.int32)
+    qcoeff = jnp.where(sign, -abs_q, abs_q)
+    dqcoeff = jnp.where(sign, -abs_dq, abs_dq)
+    return qcoeff, dqcoeff
+
+
+def _eob_batched(qcoeff, scan):
+    """eob per row: 1 + last scan index with a nonzero coeff (0 if none)."""
+    jnp = _jnp()
+    nz = qcoeff[:, scan] != 0
+    idx = jnp.arange(1, scan.shape[0] + 1)[None, :]
+    return jnp.max(jnp.where(nz, idx, 0), axis=1).astype(jnp.int32)
+
+
+def _rdoq_trim(flat, qcoeff, dqcoeff, eob, qp, scan, log_scale: int):
+    """RDOQ eob-fast tier (full_loop.c:1092 update_coeff_eob_fast): from
+    the tail inward, zero coefficients under a widened non-QM zbin until
+    the first survivor. Vectorized: the new eob is the last scan position
+    (within the old eob) that fails the trim condition."""
+    jnp = _jnp()
+    n = scan.shape[0]
+    deq_dc, deq_ac = qp[:, 8, None], qp[:, 9, None]
+    zbin_dc = deq_dc + ((deq_dc * 70 + 64) >> 7)
+    zbin_ac = deq_ac + ((deq_ac * 70 + 64) >> 7)
+    a_s = jnp.abs(flat[:, scan])
+    is_ac = (scan != 0)[None, :]
+    zbin = jnp.where(is_ac, zbin_ac, zbin_dc)
+    cond = ((a_s << (1 + log_scale)) < zbin) | (qcoeff[:, scan] == 0)
+    idx = jnp.arange(1, n + 1)[None, :]
+    live = jnp.where(~cond & (idx <= eob[:, None]), idx, 0)
+    new_eob = jnp.max(live, axis=1).astype(jnp.int32)
+    # zero scan positions >= new_eob (raster mask via inverse permutation)
+    spos = jnp.zeros((n,), jnp.int32).at[scan].set(
+        jnp.arange(n, dtype=jnp.int32))
+    keep = spos[None, :] < new_eob[:, None]
+    return (jnp.where(keep, qcoeff, 0), jnp.where(keep, dqcoeff, 0), new_eob)
+
+
+# ---------------------------------------------------------- group program
+
+def _gather_ref(ref2, starts, ph: int, pw: int):
+    """ref2: (2, Hp, Wp) uint16; starts (B, 3) int32 (ref_idx, y, x)
+    -> (B, ph, pw) int32 patches."""
+    import jax
+
+    jnp = _jnp()
+
+    def one(s):
+        return jax.lax.dynamic_slice(ref2, (s[0], s[1], s[2]), (1, ph, pw))[0]
+
+    return jax.vmap(one)(starts).astype(jnp.int32)
+
+
+def _gather_src(srcp, py, px, ph: int, pw: int):
+    import jax
+
+    jnp = _jnp()
+
+    def one(s):
+        return jax.lax.dynamic_slice(srcp, (s[0], s[1]), (ph, pw))
+
+    return jax.vmap(one)(jnp.stack([py, px], axis=1)).astype(jnp.int32)
+
+
+def _plane_run(src_blk, pred, sel, tx_size: int, tts, qp, qms, iqms,
+               scans, bd: int, rdoq: bool):
+    """One plane's residual pipeline. tts: static tuple of tx-type
+    variants; sel (B,) selects the variant per leaf (ignored when one).
+    Returns (qc (B,n), eob (B,), recon (B,H,W) int32)."""
+    jnp = _jnp()
+    from .txfm import forward_transform_2d, inverse_transform_add
+
+    B, H, W = src_blk.shape
+    cw, ch = min(W, 32), min(H, 32)
+    n = cw * ch
+    log_scale = int(TX_SCALE[tx_size])
+    resid = src_blk - pred
+    outs = []
+    for vi, tt in enumerate(tts):
+        co = forward_transform_2d(resid, tx_size, int(tt))
+        flat = co[:, :ch, :cw].reshape(B, n)
+        qc, dqc = _quantize_batched(flat, qp, qms[vi], iqms[vi], log_scale, n)
+        eob = _eob_batched(qc, scans[vi])
+        if rdoq:
+            qc, dqc, eob = _rdoq_trim(flat, qc, dqc, eob, qp, scans[vi],
+                                      log_scale)
+        full = jnp.zeros((B, H, W), jnp.int32)
+        full = full.at[:, :ch, :cw].set(dqc.reshape(B, ch, cw))
+        rec = inverse_transform_add(full, pred, tx_size, int(tt), bd)
+        outs.append((qc, eob, rec))
+    if len(tts) == 1:
+        return outs[0]
+    qc = jnp.stack([o[0] for o in outs])
+    eob = jnp.stack([o[1] for o in outs])
+    rec = jnp.stack([o[2] for o in outs])
+    bi = jnp.arange(B)
+    return qc[sel, bi], eob[sel, bi], rec[sel, bi]
+
+
+def _group_program(refs, srcs, posy, mv, mv2, ref_idx, qp_y, qp_uv,
+                   f8, f4, tabs_y, tabs_uv, *, W: int, H: int, bd: int,
+                   is_comp: bool, tt: int, nplanes: int, rdoq: bool,
+                   pad: int):
+    """One (W, H, tt, is_comp) group. refs/srcs: per-plane lists; tabs_*:
+    (qms, iqms, scans) per-variant tuples. Returns output dict."""
+    jnp = _jnp()
+
+    def phases(mvp, plane):
+        if plane == 0:
+            return mvp >> 3, (mvp & 7) << 1
+        return mvp >> 4, mvp & 15
+
+    def pred_plane(refp, plane, pw_, ph_, px, py):
+        fxt = f8 if pw_ > 4 else f4
+        fyt = f8 if ph_ > 4 else f4
+        ip, phs = phases(mv, plane)
+        starts = jnp.stack(
+            [jnp.zeros_like(ref_idx) if is_comp else ref_idx,
+             py + ip[:, 0] + pad - 3,
+             px + ip[:, 1] + pad - 3], axis=1)
+        fx = fxt[phs[:, 1]]
+        fy = fyt[phs[:, 0]]
+        p0 = _gather_ref(refp, starts, ph_ + 7, pw_ + 7)
+        if not is_comp:
+            return _conv2d_batched(p0, fx, fy, pw_, ph_, bd)
+        b0 = _jnt_conv_batched(p0, fx, fy, pw_, ph_, bd)
+        ip2, phs2 = phases(mv2, plane)
+        starts2 = jnp.stack(
+            [jnp.ones_like(ref_idx),
+             py + ip2[:, 0] + pad - 3,
+             px + ip2[:, 1] + pad - 3], axis=1)
+        p1 = _gather_ref(refp, starts2, ph_ + 7, pw_ + 7)
+        b1 = _jnt_conv_batched(p1, fxt[phs2[:, 1]], fyt[phs2[:, 0]],
+                               pw_, ph_, bd)
+        return _compound_avg(b0, b1, bd)
+
+    py_, px_ = posy[:, 0], posy[:, 1]
+    tt_y = _luma_tt(W, H, tt)
+    ts_y = _tx_size_of(min(W, 64), min(H, 64))
+    predY = pred_plane(refs[0], 0, W, H, px_, py_)
+    srcbY = _gather_src(srcs[0], py_, px_, H, W)
+    qcY, eobY, recY = _plane_run(srcbY, predY, None, ts_y, (tt_y,), qp_y,
+                                 tabs_y[0], tabs_y[1], tabs_y[2], bd, rdoq)
+    out = {"qc_y": qcY, "eob_y": eobY, "rec_y": recY.astype(jnp.uint16)}
+
+    if nplanes > 1:
+        cw, ch_, ts_uv = _chroma_geom(W, H)
+        tt_uv = _chroma_tt(W, H, tt)
+        tts_uv = (0,) if tt_uv == 0 else (0, tt_uv)
+        cx, cy = px_ >> 1, py_ >> 1
+        sel = ((eobY > 0).astype(jnp.int32) if len(tts_uv) > 1 else None)
+        for plane in (1, 2):
+            predC = pred_plane(refs[plane], plane, cw, ch_, cx, cy)
+            srcbC = _gather_src(srcs[plane], cy, cx, ch_, cw)
+            qcC, eobC, recC = _plane_run(srcbC, predC, sel, ts_uv, tts_uv,
+                                         qp_uv, tabs_uv[0], tabs_uv[1],
+                                         tabs_uv[2], bd, rdoq)
+            key = "uv"[plane - 1]
+            out[f"qc_{key}"] = qcC
+            out[f"eob_{key}"] = eobC
+            out[f"rec_{key}"] = recC.astype(jnp.uint16)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_group(W, H, bd, is_comp, tt, nplanes, rdoq, pad):
+    import jax
+
+    def fn(refs, srcs, posy, mv, mv2, ref_idx, qp_y, qp_uv, f8, f4,
+           tabs_y, tabs_uv):
+        return _group_program(refs, srcs, posy, mv, mv2, ref_idx, qp_y,
+                              qp_uv, f8, f4, tabs_y, tabs_uv, W=W, H=H,
+                              bd=bd, is_comp=is_comp, tt=tt,
+                              nplanes=nplanes, rdoq=rdoq, pad=pad)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_scatter(H, W):
+    import jax
+
+    jnp = _jnp()
+
+    def fn(plane, blocks, pos):
+        # padded bucket lanes carry pos >= plane dims -> dropped
+        yy = pos[:, 0, None, None] + jnp.arange(H)[None, :, None]
+        xx = pos[:, 1, None, None] + jnp.arange(W)[None, None, :]
+        return plane.at[yy, xx].set(blocks, mode="drop")
+
+    return jax.jit(fn)
+
+
+# ------------------------------------------------------------- host glue
+
+class CommitResult:
+    """Per-frame device-commit output consumed by walk_native.encode_tile."""
+
+    __slots__ = ("pre_slot", "pre_off", "pre_eob", "pre_qc", "recon")
+
+    def __init__(self, pre_slot, pre_off, pre_eob, pre_qc, recon):
+        self.pre_slot = pre_slot
+        self.pre_off = pre_off
+        self.pre_eob = pre_eob
+        self.pre_qc = pre_qc
+        self.recon = recon
+
+
+def _leaf_qp_rows(enc, qidx_leaves):
+    """(B, 10) int32 quant rows for luma + chroma per leaf (mirror of
+    walk_native.py qp_vals)."""
+    rows_y = np.empty((len(qidx_leaves), 10), np.int32)
+    rows_uv = np.empty((len(qidx_leaves), 10), np.int32)
+    cache = {}
+    for i, q in enumerate(qidx_leaves):
+        got = cache.get(q)
+        if got is None:
+            vals = []
+            for p in range(2):
+                d = 0 if p == 0 else enc.chroma_delta
+                pq = build_plane_quant(q, d, d, enc.bd, enc.sharpness,
+                                       enc.qindex)
+                vals.append([pq.zbin[0], pq.zbin[1], pq.round[0],
+                             pq.round[1], pq.quant[0], pq.quant[1],
+                             pq.quant_shift[0], pq.quant_shift[1],
+                             pq.dequant[0], pq.dequant[1]])
+            got = cache[q] = vals
+        rows_y[i] = got[0]
+        rows_uv[i] = got[1]
+    return rows_y, rows_uv
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_np(ts: int, tt: int):
+    from ..codec.coeff_coding import TX_TYPE_CLASS, _scan_and_off2d
+
+    scan, _ = _scan_and_off2d(ts, tt, int(TX_TYPE_CLASS[tt]))
+    return np.asarray(scan, np.int32)
+
+
+def _group_tables(enc, W, H, tt, nplanes):
+    """Per-variant (qm, iqm, scan) device-constant tuples for a group."""
+    import jax.numpy as jnp
+
+    from ..codec.qm import get_qm
+
+    def plane_tabs(plane, ts, tts):
+        qms, iqms, scans = [], [], []
+        for t in tts:
+            qm = iqm = None
+            if t < 9 and enc.qm_levels is not None:
+                qm, iqm = get_qm(enc.qm_levels[plane], plane > 0, ts)
+            qms.append(None if qm is None
+                       else jnp.asarray(np.asarray(qm, np.int32)))
+            iqms.append(None if iqm is None
+                        else jnp.asarray(np.asarray(iqm, np.int32)))
+            scans.append(jnp.asarray(_scan_np(ts, t)))
+        return (tuple(qms), tuple(iqms), tuple(scans))
+
+    ts_y = _tx_size_of(min(W, 64), min(H, 64))
+    tt_y = _luma_tt(W, H, tt)
+    tabs_y = plane_tabs(0, ts_y, (tt_y,))
+    if nplanes > 1:
+        _, _, ts_uv = _chroma_geom(W, H)
+        tt_uv = _chroma_tt(W, H, tt)
+        tts_uv = (0,) if tt_uv == 0 else (0, tt_uv)
+        tabs_uv = plane_tabs(1, ts_uv, tts_uv)
+    else:
+        tabs_uv = ((), (), ())
+    return tabs_y, tabs_uv
+
+
+def commit_frame(enc):
+    """Run the device residual commit for all eligible inter leaves of
+    one InterFrameEncoder frame. Returns CommitResult or None."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.pipeline import enable_compile_cache
+
+    enable_compile_cache()
+
+    if enc.qindex == 0 or getattr(enc, "inter_dec", None) is None:
+        return None
+    nplanes = enc.nplanes
+    pad = enc.pad
+    from ..codec.mv_pred import LAST_FRAME
+
+    refs0 = enc.refs.get(LAST_FRAME)
+    ref2 = enc.refs.get(enc.ref2) if enc.ref2 is not None else None
+    if refs0 is None:
+        return None
+
+    # ---- enumerate eligible leaves, grouped by (W, H, tt, is_comp)
+    inter_txt = getattr(enc, "inter_txt", None) or {}
+    mi_rows, mi_cols = enc.mi_rows, enc.mi_cols
+    sbq = enc.sb_qindex_map if enc.delta_q_present else None
+    pre_slot = np.zeros((mi_rows, mi_cols), np.int32)
+    groups: dict = {}
+
+    def ref_bounds_ok(planes, plane, y, x, ph_, pw_):
+        hp, wp = planes[plane].shape
+        return 0 <= y and 0 <= x and y + ph_ + 7 <= hp and x + pw_ + 7 <= wp
+
+    for (r, c), d in enc.inter_dec.items():
+        if not d[0]:
+            continue
+        geom = enc.leaf_geom.get((r, c))
+        if geom is None:
+            continue
+        W, H = geom
+        if W < 8 or H < 8 or W > 64 or H > 64:
+            continue
+        md = int(d[2])
+        is_comp = md >= 17
+        if is_comp:
+            if len(d) < 7 or ref2 is None:
+                continue
+            mvs = (int(d[3]), int(d[4]), int(d[5]), int(d[6]))
+            ridx = 0
+        else:
+            rf = d[1]
+            if rf == LAST_FRAME:
+                ridx = 0
+            elif enc.ref2 is not None and rf == enc.ref2 and ref2 is not None:
+                ridx = 1
+            else:
+                continue
+            mvs = (int(d[3]), int(d[4]), 0, 0)
+        # patch bounds (dynamic_slice clamps; out-of-range -> host path)
+        x0, y0 = c * 4, r * 4
+        ok = True
+        for pl in range(nplanes):
+            ss = 0 if pl == 0 else 1
+            pw_, ph_ = max(W >> ss, 4) if ss else W, max(H >> ss, 4) if ss else H
+            if ss:
+                pw_, ph_ = W >> 1, H >> 1
+            for mi_, (mr, mc) in ((0, (mvs[0], mvs[1])),
+                                  (1, (mvs[2], mvs[3]))):
+                if mi_ == 1 and not is_comp:
+                    continue
+                ip_y = mr >> (3 + ss)
+                ip_x = mc >> (3 + ss)
+                py0 = (y0 >> ss) + ip_y + pad - 3
+                px0 = (x0 >> ss) + ip_x + pad - 3
+                planes = refs0 if (mi_ == 0 and ridx == 0) or is_comp and mi_ == 0 else (
+                    ref2 if ref2 is not None else refs0)
+                if mi_ == 0 and not is_comp and ridx == 1:
+                    planes = ref2
+                if not ref_bounds_ok(planes, pl, py0, px0, ph_, pw_):
+                    ok = False
+                    break
+            if not ok:
+                break
+        if not ok:
+            continue
+        tt = int(inter_txt.get((r, c), 0))
+        if tt not in SEARCH_TX:
+            continue
+        q = int(sbq[r >> 4, c >> 4]) if sbq is not None else enc.qindex
+        groups.setdefault((W, H, tt, is_comp), []).append((r, c, mvs, ridx, q))
+
+    if not groups:
+        return None
+
+    # ---- frame-constant device arrays
+    def stack_refs(plane):
+        a = np.asarray(refs0[plane], np.uint16)
+        b = (np.asarray(ref2[plane], np.uint16) if ref2 is not None else a)
+        return jnp.asarray(np.stack([a, b]))
+
+    drefs = [stack_refs(p) for p in range(nplanes)]
+    dsrc = [jnp.asarray(enc.src[p]) for p in range(nplanes)]
+    from ..codec.spec_tables import get_tables
+
+    f8 = jnp.asarray(np.asarray(enc.me[LAST_FRAME]._filters, np.int32))
+    f4 = jnp.asarray(np.asarray(
+        get_tables()._raw["interp_sub_pel_filters_4"], np.int32))
+    drec = [jnp.zeros(enc.planes[p].recon.shape, jnp.uint16)
+            for p in range(nplanes)]
+
+    rdoq = bool(getattr(enc, "rdoq_fast", False) and enc.noise_norm == 0)
+    fetches = []   # (key, items, outs)
+    for key in sorted(groups, key=lambda k: (k[0] * k[1], k)):
+        items = groups[key]
+        W, H, tt, is_comp = key
+        Bn = len(items)
+        B = _bucket(Bn)
+        # padding lanes: position far out of bounds (scatter drops them)
+        posy = np.full((B, 2), 1 << 24, np.int32)
+        mv = np.zeros((B, 2), np.int32)
+        mv2 = np.zeros((B, 2), np.int32)
+        ridx = np.zeros((B,), np.int32)
+        qidx = np.full((B,), enc.qindex, np.int32)
+        for i, (r, c, mvs, ri, q) in enumerate(items):
+            posy[i] = (r * 4, c * 4)
+            mv[i] = (mvs[0], mvs[1])
+            mv2[i] = (mvs[2], mvs[3])
+            ridx[i] = ri
+            qidx[i] = q
+        qp_y, qp_uv = _leaf_qp_rows(enc, qidx.tolist())
+        tabs_y, tabs_uv = _group_tables(enc, W, H, tt, nplanes)
+        fn = _jit_group(W, H, enc.bd, is_comp, tt, nplanes, rdoq, pad)
+        refs_in = drefs + [drefs[0]] * (3 - nplanes)
+        srcs_in = dsrc + [dsrc[0]] * (3 - nplanes)
+        outs = fn(refs_in, srcs_in, jnp.asarray(posy), jnp.asarray(mv),
+                  jnp.asarray(mv2), jnp.asarray(ridx), jnp.asarray(qp_y),
+                  jnp.asarray(qp_uv), f8, f4, tabs_y, tabs_uv)
+        dpos = jnp.asarray(posy)
+        drec[0] = _jit_scatter(H, W)(drec[0], outs["rec_y"], dpos)
+        if nplanes > 1:
+            cpos = dpos >> 1
+            drec[1] = _jit_scatter(H >> 1, W >> 1)(drec[1], outs["rec_u"],
+                                                   cpos)
+            drec[2] = _jit_scatter(H >> 1, W >> 1)(drec[2], outs["rec_v"],
+                                                   cpos)
+        fetches.append((key, items, outs))
+
+    # ---- fetch + pack for the C walk
+    def _sizes(W, H):
+        ny = min(W, 32) * min(H, 32)
+        nuv = (min(W >> 1, 32) * min(H >> 1, 32)) if nplanes > 1 else 0
+        return ny, nuv
+
+    total = sum(len(items) * (ny + 2 * nuv)
+                for (Wk, Hk, _, _), items, _ in fetches
+                for ny, nuv in (_sizes(Wk, Hk),))
+    n_slots = sum(len(items) for _, items, _ in fetches)
+    pre_qc = np.empty(total, np.int32)
+    pre_off = np.zeros(3 * n_slots, np.int32)
+    pre_eob = np.zeros(3 * n_slots, np.int32)
+
+    host_outs = jax.device_get([o for _, _, o in fetches] + [drec])
+    rec_np = host_outs[-1]
+    off = 0
+    slot = 0
+    for gi, (key, items, _) in enumerate(fetches):
+        W, H, tt, is_comp = key
+        o = host_outs[gi]
+        ny, nuv = _sizes(W, H)
+        for i, (r, c, mvs, ri, q) in enumerate(items):
+            pre_slot[r, c] = slot + 1
+            pre_off[slot * 3] = off
+            pre_eob[slot * 3] = o["eob_y"][i]
+            pre_qc[off : off + ny] = o["qc_y"][i]
+            off += ny
+            if nplanes > 1:
+                pre_off[slot * 3 + 1] = off
+                pre_eob[slot * 3 + 1] = o["eob_u"][i]
+                pre_qc[off : off + nuv] = o["qc_u"][i]
+                off += nuv
+                pre_off[slot * 3 + 2] = off
+                pre_eob[slot * 3 + 2] = o["eob_v"][i]
+                pre_qc[off : off + nuv] = o["qc_v"][i]
+                off += nuv
+            slot += 1
+
+    return CommitResult(pre_slot, pre_off, pre_eob, pre_qc,
+                        [np.asarray(rec_np[p]) for p in range(nplanes)])

@@ -140,9 +140,10 @@ def enable_compile_cache(path: str = "/tmp/svt_av1_tpu_jax_cache"):
         import jax
 
         jax.config.update("jax_compilation_cache_dir", path)
-        # only the big staged programs are worth the (slow, tunneled)
-        # serialization round trip
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # the commit-group programs (ops/commit.py) compile in ~1-4s each
+        # but there are dozens of (shape, bucket) variants; persisting them
+        # all pays off from the second process on
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 
