@@ -213,7 +213,6 @@ class EncoderConfig:
     sharp_tx: bool = True
     sharpness: int = 1                   # -7..7
     qp_scale_compress_strength: float = 1.0  # 0..3
-    luminance_qp_bias: int = 0           # frame-luma-bias 0..100
     max_32_tx_size: bool = False
     noise_norm_strength: int = 0         # 0..4
     tf_strength: int = 1                 # 0..4 (scaled)
@@ -459,8 +458,6 @@ _SIMPLE_PARAMS = {
     "sharp-tx": ("sharp_tx", _to_bool),
     "sharpness": ("sharpness", _to_int),
     "qp-scale-compress-strength": ("qp_scale_compress_strength", _to_float),
-    "luminance-qp-bias": ("luminance_qp_bias", _to_int),
-    "frame-luma-bias": ("luminance_qp_bias", _to_int),
     "max-32-tx-size": ("max_32_tx_size", _to_bool),
     "noise-norm-strength": ("noise_norm_strength", _to_int),
     "tf-strength": ("tf_strength", _to_int),

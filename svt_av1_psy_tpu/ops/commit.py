@@ -49,16 +49,6 @@ SEARCH_TX = (0, int(TxType.ADST_DCT), int(TxType.DCT_ADST),
 # square-up index of a tx size (walk_native.c SQR_UP)
 _SQR_UP = (0, 1, 2, 3, 4, 1, 1, 2, 2, 3, 3, 4, 4, 2, 2, 3, 3, 4, 4)
 
-_BUCKETS = (8, 32, 128, 512, 2048, 8192)
-
-
-def _bucket(n: int) -> int:
-    for b in _BUCKETS:
-        if n <= b:
-            return b
-    return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
-
-
 def _jnp():
     import jax.numpy as jnp
 
@@ -241,7 +231,16 @@ def _rdoq_trim(flat, qcoeff, dqcoeff, eob, qp, scan, log_scale: int):
     return (jnp.where(keep, qcoeff, 0), jnp.where(keep, dqcoeff, 0), new_eob)
 
 
-# ---------------------------------------------------------- group program
+# ---------------------------------------------------------- frame programs
+#
+# Compile-shape design: content-dependent shapes (leaf counts, tx types)
+# would recompile on every new frame pattern.  Instead there is ONE program
+# per (leaf size S, compound?) for a given resolution/config, with lane
+# capacity fixed at the frame's S-grid size; the tx type is a *runtime*
+# per-leaf selector over the statically-unrolled SEARCH_TX variants, and
+# the recon planes are threaded through the per-size calls with buffer
+# donation.  ~8 programs per resolution, compiled once ever (persistent
+# XLA cache), regardless of content.
 
 def _gather_ref(ref2, starts, ph: int, pw: int):
     """ref2: (2, Hp, Wp) uint16; starts (B, 3) int32 (ref_idx, y, x)
@@ -302,13 +301,16 @@ def _plane_run(src_blk, pred, sel, tx_size: int, tts, qp, qms, iqms,
     return qc[sel, bi], eob[sel, bi], rec[sel, bi]
 
 
-def _group_program(refs, srcs, posy, mv, mv2, ref_idx, qp_y, qp_uv,
-                   f8, f4, tabs_y, tabs_uv, *, W: int, H: int, bd: int,
-                   is_comp: bool, tt: int, nplanes: int, rdoq: bool,
-                   pad: int):
-    """One (W, H, tt, is_comp) group. refs/srcs: per-plane lists; tabs_*:
-    (qms, iqms, scans) per-variant tuples. Returns output dict."""
+def _frame_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
+                   qp_uv, f8, f4, tabs_y, tabs_uv, *, S: int, bd: int,
+                   is_comp: bool, nplanes: int, rdoq: bool, pad: int,
+                   tts_y, tts_uv):
+    """One (S, is_comp) whole-frame call over B fixed lanes. recs: donated
+    per-plane recon state the call scatters into; tt_sel: (B,) runtime
+    variant index into tts_y (padding lanes carry out-of-frame posy and are
+    dropped by the scatter). Returns (out dict, updated recs)."""
     jnp = _jnp()
+    W = H = S
 
     def phases(mvp, plane):
         if plane == 0:
@@ -339,21 +341,29 @@ def _group_program(refs, srcs, posy, mv, mv2, ref_idx, qp_y, qp_uv,
                                pw_, ph_, bd)
         return _compound_avg(b0, b1, bd)
 
+    def scat(plane, blocks, pos, hh, ww):
+        yy = pos[:, 0, None, None] + jnp.arange(hh)[None, :, None]
+        xx = pos[:, 1, None, None] + jnp.arange(ww)[None, None, :]
+        return plane.at[yy, xx].set(blocks, mode="drop")
+
     py_, px_ = posy[:, 0], posy[:, 1]
-    tt_y = _luma_tt(W, H, tt)
-    ts_y = _tx_size_of(min(W, 64), min(H, 64))
+    ts_y = _tx_size_of(S, S)
     predY = pred_plane(refs[0], 0, W, H, px_, py_)
     srcbY = _gather_src(srcs[0], py_, px_, H, W)
-    qcY, eobY, recY = _plane_run(srcbY, predY, None, ts_y, (tt_y,), qp_y,
+    selY = tt_sel if len(tts_y) > 1 else None
+    qcY, eobY, recY = _plane_run(srcbY, predY, selY, ts_y, tts_y, qp_y,
                                  tabs_y[0], tabs_y[1], tabs_y[2], bd, rdoq)
-    out = {"qc_y": qcY, "eob_y": eobY, "rec_y": recY.astype(jnp.uint16)}
+    out = {"qc_y": qcY, "eob_y": eobY}
+    recs = list(recs)
+    recs[0] = scat(recs[0], recY.astype(jnp.uint16), posy, H, W)
 
     if nplanes > 1:
         cw, ch_, ts_uv = _chroma_geom(W, H)
-        tt_uv = _chroma_tt(W, H, tt)
-        tts_uv = (0,) if tt_uv == 0 else (0, tt_uv)
         cx, cy = px_ >> 1, py_ >> 1
-        sel = ((eobY > 0).astype(jnp.int32) if len(tts_uv) > 1 else None)
+        # chroma variant: luma tt when luma eob != 0, else DCT
+        # (walk_native.c encode_block_inter; tts_uv mirrors tts_y per size)
+        sel = (jnp.where(eobY > 0, tt_sel, 0) if len(tts_uv) > 1 else None)
+        cpos = posy >> 1
         for plane in (1, 2):
             predC = pred_plane(refs[plane], plane, cw, ch_, cx, cy)
             srcbC = _gather_src(srcs[plane], cy, cx, ch_, cw)
@@ -363,37 +373,44 @@ def _group_program(refs, srcs, posy, mv, mv2, ref_idx, qp_y, qp_uv,
             key = "uv"[plane - 1]
             out[f"qc_{key}"] = qcC
             out[f"eob_{key}"] = eobC
-            out[f"rec_{key}"] = recC.astype(jnp.uint16)
-    return out
+            recs[plane] = scat(recs[plane], recC.astype(jnp.uint16), cpos,
+                               ch_, cw)
+    return out, recs
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_group(W, H, bd, is_comp, tt, nplanes, rdoq, pad):
-    import jax
-
-    def fn(refs, srcs, posy, mv, mv2, ref_idx, qp_y, qp_uv, f8, f4,
-           tabs_y, tabs_uv):
-        return _group_program(refs, srcs, posy, mv, mv2, ref_idx, qp_y,
-                              qp_uv, f8, f4, tabs_y, tabs_uv, W=W, H=H,
-                              bd=bd, is_comp=is_comp, tt=tt,
-                              nplanes=nplanes, rdoq=rdoq, pad=pad)
-
-    return jax.jit(fn)
+def _size_tts(S: int):
+    """(luma variants, chroma variants) for leaf size S, mirroring the
+    inter ext-tx sets the host walk searches (walk_native.py:399,
+    inter_encoder.inter_ext_tx_set): S<=16 all 5 SEARCH_TX; S=32 only
+    {DCT, IDTX} (EXT_TX_SET_DCT_IDTX — 32-point ADST does not exist);
+    S=64 DCT only (SQR_UP > 3, no signaling)."""
+    ts = _tx_size_of(min(S, 64), min(S, 64))
+    if _SQR_UP[ts] > 3:
+        return (0,), (0,)
+    if _SQR_UP[ts] == 3:
+        tts_y = (0, int(TxType.IDTX))
+    else:
+        tts_y = SEARCH_TX
+    tts_uv = tuple(_chroma_tt(S, S, t) for t in tts_y)
+    return tts_y, tts_uv
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_scatter(H, W):
+def _jit_frame(S, bd, is_comp, nplanes, rdoq, pad):
     import jax
 
-    jnp = _jnp()
+    tts_y, tts_uv = _size_tts(S)
 
-    def fn(plane, blocks, pos):
-        # padded bucket lanes carry pos >= plane dims -> dropped
-        yy = pos[:, 0, None, None] + jnp.arange(H)[None, :, None]
-        xx = pos[:, 1, None, None] + jnp.arange(W)[None, None, :]
-        return plane.at[yy, xx].set(blocks, mode="drop")
+    def fn(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y, qp_uv,
+           f8, f4, tabs_y, tabs_uv):
+        return _frame_program(refs, srcs, recs, posy, mv, mv2, ref_idx,
+                              tt_sel, qp_y, qp_uv, f8, f4, tabs_y, tabs_uv,
+                              S=S, bd=bd, is_comp=is_comp, nplanes=nplanes,
+                              rdoq=rdoq, pad=pad, tts_y=tts_y,
+                              tts_uv=tts_uv)
 
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(2,))
 
 
 # ------------------------------------------------------------- host glue
@@ -443,8 +460,10 @@ def _scan_np(ts: int, tt: int):
     return np.asarray(scan, np.int32)
 
 
-def _group_tables(enc, W, H, tt, nplanes):
-    """Per-variant (qm, iqm, scan) device-constant tuples for a group."""
+@functools.lru_cache(maxsize=64)
+def _size_tables(S: int, nplanes: int, qm_key):
+    """Per-variant (qm, iqm, scan) device-constant tuples for leaf size S.
+    qm_key: tuple(qm_levels) or None (frame-constant)."""
     import jax.numpy as jnp
 
     from ..codec.qm import get_qm
@@ -453,8 +472,8 @@ def _group_tables(enc, W, H, tt, nplanes):
         qms, iqms, scans = [], [], []
         for t in tts:
             qm = iqm = None
-            if t < 9 and enc.qm_levels is not None:
-                qm, iqm = get_qm(enc.qm_levels[plane], plane > 0, ts)
+            if t < 9 and qm_key is not None:
+                qm, iqm = get_qm(qm_key[plane], plane > 0, ts)
             qms.append(None if qm is None
                        else jnp.asarray(np.asarray(qm, np.int32)))
             iqms.append(None if iqm is None
@@ -462,13 +481,10 @@ def _group_tables(enc, W, H, tt, nplanes):
             scans.append(jnp.asarray(_scan_np(ts, t)))
         return (tuple(qms), tuple(iqms), tuple(scans))
 
-    ts_y = _tx_size_of(min(W, 64), min(H, 64))
-    tt_y = _luma_tt(W, H, tt)
-    tabs_y = plane_tabs(0, ts_y, (tt_y,))
+    tts_y, tts_uv = _size_tts(S)
+    tabs_y = plane_tabs(0, _tx_size_of(S, S), tts_y)
     if nplanes > 1:
-        _, _, ts_uv = _chroma_geom(W, H)
-        tt_uv = _chroma_tt(W, H, tt)
-        tts_uv = (0,) if tt_uv == 0 else (0, tt_uv)
+        _, _, ts_uv = _chroma_geom(S, S)
         tabs_uv = plane_tabs(1, ts_uv, tts_uv)
     else:
         tabs_uv = ((), (), ())
@@ -514,7 +530,8 @@ def commit_frame(enc):
         if geom is None:
             continue
         W, H = geom
-        if W < 8 or H < 8 or W > 64 or H > 64:
+        if W != H or W < 8 or W > 64:
+            # rectangular forced edge leaves stay on the host walk path
             continue
         md = int(d[2])
         is_comp = md >= 17
@@ -560,10 +577,12 @@ def commit_frame(enc):
         if not ok:
             continue
         tt = int(inter_txt.get((r, c), 0))
-        if tt not in SEARCH_TX:
+        tts_y_s, _ = _size_tts(W)
+        if tt not in tts_y_s:
             continue
+        vi = tts_y_s.index(tt)
         q = int(sbq[r >> 4, c >> 4]) if sbq is not None else enc.qindex
-        groups.setdefault((W, H, tt, is_comp), []).append((r, c, mvs, ridx, q))
+        groups.setdefault((W, is_comp), []).append((r, c, mvs, ridx, q, vi))
 
     if not groups:
         return None
@@ -585,40 +604,44 @@ def commit_frame(enc):
             for p in range(nplanes)]
 
     rdoq = bool(getattr(enc, "rdoq_fast", False) and enc.noise_norm == 0)
+    qm_key = (tuple(int(x) for x in enc.qm_levels)
+              if enc.qm_levels is not None else None)
+
+    def cap_of(S: int) -> int:
+        s_mi = S >> 2
+        n = (-(-mi_rows // s_mi)) * (-(-mi_cols // s_mi))
+        return max(64, -(-n // 64) * 64)
+
     fetches = []   # (key, items, outs)
-    for key in sorted(groups, key=lambda k: (k[0] * k[1], k)):
+    for key in sorted(groups):
         items = groups[key]
-        W, H, tt, is_comp = key
-        Bn = len(items)
-        B = _bucket(Bn)
+        S, is_comp = key
+        B = cap_of(S)
+        assert len(items) <= B, (len(items), B, key)
         # padding lanes: position far out of bounds (scatter drops them)
         posy = np.full((B, 2), 1 << 24, np.int32)
         mv = np.zeros((B, 2), np.int32)
         mv2 = np.zeros((B, 2), np.int32)
         ridx = np.zeros((B,), np.int32)
+        tsel = np.zeros((B,), np.int32)
         qidx = np.full((B,), enc.qindex, np.int32)
-        for i, (r, c, mvs, ri, q) in enumerate(items):
+        for i, (r, c, mvs, ri, q, vi) in enumerate(items):
             posy[i] = (r * 4, c * 4)
             mv[i] = (mvs[0], mvs[1])
             mv2[i] = (mvs[2], mvs[3])
             ridx[i] = ri
+            tsel[i] = vi
             qidx[i] = q
         qp_y, qp_uv = _leaf_qp_rows(enc, qidx.tolist())
-        tabs_y, tabs_uv = _group_tables(enc, W, H, tt, nplanes)
-        fn = _jit_group(W, H, enc.bd, is_comp, tt, nplanes, rdoq, pad)
+        tabs_y, tabs_uv = _size_tables(S, nplanes, qm_key)
+        fn = _jit_frame(S, enc.bd, is_comp, nplanes, rdoq, pad)
         refs_in = drefs + [drefs[0]] * (3 - nplanes)
         srcs_in = dsrc + [dsrc[0]] * (3 - nplanes)
-        outs = fn(refs_in, srcs_in, jnp.asarray(posy), jnp.asarray(mv),
-                  jnp.asarray(mv2), jnp.asarray(ridx), jnp.asarray(qp_y),
-                  jnp.asarray(qp_uv), f8, f4, tabs_y, tabs_uv)
-        dpos = jnp.asarray(posy)
-        drec[0] = _jit_scatter(H, W)(drec[0], outs["rec_y"], dpos)
-        if nplanes > 1:
-            cpos = dpos >> 1
-            drec[1] = _jit_scatter(H >> 1, W >> 1)(drec[1], outs["rec_u"],
-                                                   cpos)
-            drec[2] = _jit_scatter(H >> 1, W >> 1)(drec[2], outs["rec_v"],
-                                                   cpos)
+        outs, drec = fn(refs_in, srcs_in, drec, jnp.asarray(posy),
+                        jnp.asarray(mv), jnp.asarray(mv2),
+                        jnp.asarray(ridx), jnp.asarray(tsel),
+                        jnp.asarray(qp_y), jnp.asarray(qp_uv), f8, f4,
+                        tabs_y, tabs_uv)
         fetches.append((key, items, outs))
 
     # ---- fetch + pack for the C walk
@@ -628,8 +651,8 @@ def commit_frame(enc):
         return ny, nuv
 
     total = sum(len(items) * (ny + 2 * nuv)
-                for (Wk, Hk, _, _), items, _ in fetches
-                for ny, nuv in (_sizes(Wk, Hk),))
+                for (Sk, _), items, _ in fetches
+                for ny, nuv in (_sizes(Sk, Sk),))
     n_slots = sum(len(items) for _, items, _ in fetches)
     pre_qc = np.empty(total, np.int32)
     pre_off = np.zeros(3 * n_slots, np.int32)
@@ -640,10 +663,10 @@ def commit_frame(enc):
     off = 0
     slot = 0
     for gi, (key, items, _) in enumerate(fetches):
-        W, H, tt, is_comp = key
+        S, is_comp = key
         o = host_outs[gi]
-        ny, nuv = _sizes(W, H)
-        for i, (r, c, mvs, ri, q) in enumerate(items):
+        ny, nuv = _sizes(S, S)
+        for i, (r, c, mvs, ri, q, vi) in enumerate(items):
             pre_slot[r, c] = slot + 1
             pre_off[slot * 3] = off
             pre_eob[slot * 3] = o["eob_y"][i]
