@@ -267,10 +267,12 @@ def _gather_src(srcp, py, px, ph: int, pw: int):
 
 
 def _plane_run(src_blk, pred, sel, tx_size: int, tts, qp, qms, iqms,
-               scans, bd: int, rdoq: bool):
+               scans, bd: int, rdoq: bool, K: int):
     """One plane's residual pipeline. tts: static tuple of tx-type
     variants; sel (B,) selects the variant per leaf (ignored when one).
-    Returns (qc (B,n), eob (B,), recon (B,H,W) int32)."""
+    Returns (lv (B,K) scan-packed levels, eob (B,), recon (B,H,W) int32).
+    Levels beyond K are not shipped — the caller flags eob > K lanes for
+    the host fallback path."""
     jnp = _jnp()
     from .txfm import forward_transform_2d, inverse_transform_add
 
@@ -291,26 +293,40 @@ def _plane_run(src_blk, pred, sel, tx_size: int, tts, qp, qms, iqms,
         full = jnp.zeros((B, H, W), jnp.int32)
         full = full.at[:, :ch, :cw].set(dqc.reshape(B, ch, cw))
         rec = inverse_transform_add(full, pred, tx_size, int(tt), bd)
-        outs.append((qc, eob, rec))
+        lv = qc[:, scans[vi][:K]]
+        outs.append((lv, eob, rec))
     if len(tts) == 1:
         return outs[0]
-    qc = jnp.stack([o[0] for o in outs])
+    lv = jnp.stack([o[0] for o in outs])
     eob = jnp.stack([o[1] for o in outs])
     rec = jnp.stack([o[2] for o in outs])
     bi = jnp.arange(B)
-    return qc[sel, bi], eob[sel, bi], rec[sel, bi]
+    return lv[sel, bi], eob[sel, bi], rec[sel, bi]
 
 
-def _frame_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
+def _lv_caps(S: int, nplanes: int):
+    """Scan-packed level caps (Ky, Kuv) for leaf size S: enough for the
+    typical eob; lanes beyond fall back to the host walk path."""
+    n = min(S, 32) * min(S, 32)
+    Ky = min(n, 256)
+    if nplanes <= 1:
+        return Ky, 0
+    nuv = min(S >> 1, 32) * min(S >> 1, 32)
+    return Ky, min(nuv, 128)
+
+
+def _group_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
                    qp_uv, f8, f4, tabs_y, tabs_uv, *, S: int, bd: int,
                    is_comp: bool, nplanes: int, rdoq: bool, pad: int,
                    tts_y, tts_uv):
-    """One (S, is_comp) whole-frame call over B fixed lanes. recs: donated
-    per-plane recon state the call scatters into; tt_sel: (B,) runtime
-    variant index into tts_y (padding lanes carry out-of-frame posy and are
-    dropped by the scatter). Returns (out dict, updated recs)."""
+    """One (S, is_comp) group over B fixed lanes. recs: per-plane recon
+    state the group scatters into; tt_sel: (B,) runtime variant index into
+    tts_y (padding lanes carry out-of-frame posy and are dropped by the
+    scatter). Returns (lv (B, Ky+2Kuv) int16 scan-packed levels, eobs
+    (B, 3) int32, over (B,) bool host-fallback flags, updated recs)."""
     jnp = _jnp()
     W = H = S
+    Ky, Kuv = _lv_caps(S, nplanes)
 
     def phases(mvp, plane):
         if plane == 0:
@@ -351,11 +367,15 @@ def _frame_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
     predY = pred_plane(refs[0], 0, W, H, px_, py_)
     srcbY = _gather_src(srcs[0], py_, px_, H, W)
     selY = tt_sel if len(tts_y) > 1 else None
-    qcY, eobY, recY = _plane_run(srcbY, predY, selY, ts_y, tts_y, qp_y,
-                                 tabs_y[0], tabs_y[1], tabs_y[2], bd, rdoq)
-    out = {"qc_y": qcY, "eob_y": eobY}
+    lvY, eobY, recY = _plane_run(srcbY, predY, selY, ts_y, tts_y, qp_y,
+                                 tabs_y[0], tabs_y[1], tabs_y[2], bd, rdoq,
+                                 Ky)
+    rdt = jnp.uint8 if bd == 8 else jnp.uint16
     recs = list(recs)
-    recs[0] = scat(recs[0], recY.astype(jnp.uint16), posy, H, W)
+    recs[0] = scat(recs[0], recY.astype(rdt), posy, H, W)
+    lvs, eobs = [lvY], [eobY]
+    over = eobY > Ky
+    over = over | (jnp.max(jnp.abs(lvY), axis=1) > 32767)
 
     if nplanes > 1:
         cw, ch_, ts_uv = _chroma_geom(W, H)
@@ -367,15 +387,17 @@ def _frame_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
         for plane in (1, 2):
             predC = pred_plane(refs[plane], plane, cw, ch_, cx, cy)
             srcbC = _gather_src(srcs[plane], cy, cx, ch_, cw)
-            qcC, eobC, recC = _plane_run(srcbC, predC, sel, ts_uv, tts_uv,
+            lvC, eobC, recC = _plane_run(srcbC, predC, sel, ts_uv, tts_uv,
                                          qp_uv, tabs_uv[0], tabs_uv[1],
-                                         tabs_uv[2], bd, rdoq)
-            key = "uv"[plane - 1]
-            out[f"qc_{key}"] = qcC
-            out[f"eob_{key}"] = eobC
-            recs[plane] = scat(recs[plane], recC.astype(jnp.uint16), cpos,
-                               ch_, cw)
-    return out, recs
+                                         tabs_uv[2], bd, rdoq, Kuv)
+            lvs.append(lvC)
+            eobs.append(eobC)
+            over = over | (eobC > Kuv) | (jnp.max(jnp.abs(lvC), axis=1)
+                                          > 32767)
+            recs[plane] = scat(recs[plane], recC.astype(rdt), cpos, ch_, cw)
+    lv = jnp.concatenate(lvs, axis=1).astype(jnp.int16)
+    eob3 = jnp.stack(eobs + [eobs[0]] * (3 - len(eobs)), axis=1)
+    return lv, eob3, over, recs
 
 
 @functools.lru_cache(maxsize=None)
@@ -397,20 +419,33 @@ def _size_tts(S: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame(S, bd, is_comp, nplanes, rdoq, pad):
+def _jit_frame(group_keys, rec_shapes, bd, nplanes, rdoq, pad):
+    """ONE fused program per (present-group set, recon shapes, config):
+    runs every (S, is_comp) group, threads the recon planes through, and
+    emits scan-packed int16 levels + eobs + fallback flags per group plus
+    the scattered recon planes — a single dispatch and a small fixed
+    fetch per frame, compiled once ever (persistent cache)."""
     import jax
 
-    tts_y, tts_uv = _size_tts(S)
+    jnp = _jnp()
 
-    def fn(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y, qp_uv,
-           f8, f4, tabs_y, tabs_uv):
-        return _frame_program(refs, srcs, recs, posy, mv, mv2, ref_idx,
-                              tt_sel, qp_y, qp_uv, f8, f4, tabs_y, tabs_uv,
-                              S=S, bd=bd, is_comp=is_comp, nplanes=nplanes,
-                              rdoq=rdoq, pad=pad, tts_y=tts_y,
-                              tts_uv=tts_uv)
+    def fn(refs, srcs, groups_in, f8, f4, tabs):
+        recs = [jnp.zeros(s, jnp.uint8 if bd == 8 else jnp.uint16)
+                for s in rec_shapes]
+        outs = []
+        for (S, is_comp), gin, (tabs_y, tabs_uv) in zip(
+                group_keys, groups_in, tabs):
+            tts_y, tts_uv = _size_tts(S)
+            posy, mv, mv2, ridx, tsel, qp_y, qp_uv = gin
+            lv, eob3, over, recs = _group_program(
+                refs, srcs, recs, posy, mv, mv2, ridx, tsel, qp_y, qp_uv,
+                f8, f4, tabs_y, tabs_uv, S=S, bd=bd, is_comp=bool(is_comp),
+                nplanes=nplanes, rdoq=rdoq, pad=pad, tts_y=tts_y,
+                tts_uv=tts_uv)
+            outs.append((lv, eob3, over))
+        return outs, recs
 
-    return jax.jit(fn, donate_argnums=(2,))
+    return jax.jit(fn)
 
 
 # ------------------------------------------------------------- host glue
@@ -587,21 +622,22 @@ def commit_frame(enc):
     if not groups:
         return None
 
+    from ..profiling import stage as _stage
+
     # ---- frame-constant device arrays
     def stack_refs(plane):
         a = np.asarray(refs0[plane], np.uint16)
         b = (np.asarray(ref2[plane], np.uint16) if ref2 is not None else a)
         return jnp.asarray(np.stack([a, b]))
 
-    drefs = [stack_refs(p) for p in range(nplanes)]
-    dsrc = [jnp.asarray(enc.src[p]) for p in range(nplanes)]
+    with _stage("device:commit_upload"):
+        drefs = [stack_refs(p) for p in range(nplanes)]
+        dsrc = [jnp.asarray(enc.src[p]) for p in range(nplanes)]
     from ..codec.spec_tables import get_tables
 
     f8 = jnp.asarray(np.asarray(enc.me[LAST_FRAME]._filters, np.int32))
     f4 = jnp.asarray(np.asarray(
         get_tables()._raw["interp_sub_pel_filters_4"], np.int32))
-    drec = [jnp.zeros(enc.planes[p].recon.shape, jnp.uint16)
-            for p in range(nplanes)]
 
     rdoq = bool(getattr(enc, "rdoq_fast", False) and enc.noise_norm == 0)
     qm_key = (tuple(int(x) for x in enc.qm_levels)
@@ -612,8 +648,9 @@ def commit_frame(enc):
         n = (-(-mi_rows // s_mi)) * (-(-mi_cols // s_mi))
         return max(64, -(-n // 64) * 64)
 
-    fetches = []   # (key, items, outs)
-    for key in sorted(groups):
+    group_keys = tuple(sorted(groups))
+    groups_in, tabs, metas = [], [], []
+    for key in group_keys:
         items = groups[key]
         S, is_comp = key
         B = cap_of(S)
@@ -633,54 +670,88 @@ def commit_frame(enc):
             tsel[i] = vi
             qidx[i] = q
         qp_y, qp_uv = _leaf_qp_rows(enc, qidx.tolist())
-        tabs_y, tabs_uv = _size_tables(S, nplanes, qm_key)
-        fn = _jit_frame(S, enc.bd, is_comp, nplanes, rdoq, pad)
-        refs_in = drefs + [drefs[0]] * (3 - nplanes)
-        srcs_in = dsrc + [dsrc[0]] * (3 - nplanes)
-        outs, drec = fn(refs_in, srcs_in, drec, jnp.asarray(posy),
-                        jnp.asarray(mv), jnp.asarray(mv2),
-                        jnp.asarray(ridx), jnp.asarray(tsel),
-                        jnp.asarray(qp_y), jnp.asarray(qp_uv), f8, f4,
-                        tabs_y, tabs_uv)
-        fetches.append((key, items, outs))
+        groups_in.append((jnp.asarray(posy), jnp.asarray(mv),
+                          jnp.asarray(mv2), jnp.asarray(ridx),
+                          jnp.asarray(tsel), jnp.asarray(qp_y),
+                          jnp.asarray(qp_uv)))
+        tabs.append(_size_tables(S, nplanes, qm_key))
+        metas.append((items, tsel))
 
-    # ---- fetch + pack for the C walk
-    def _sizes(W, H):
-        ny = min(W, 32) * min(H, 32)
-        nuv = (min(W >> 1, 32) * min(H >> 1, 32)) if nplanes > 1 else 0
+    rec_shapes = tuple(tuple(enc.planes[p].recon.shape)
+                       for p in range(nplanes))
+    fn = _jit_frame(group_keys, rec_shapes, enc.bd, nplanes, rdoq, pad)
+    refs_in = drefs + [drefs[0]] * (3 - nplanes)
+    srcs_in = dsrc + [dsrc[0]] * (3 - nplanes)
+    with _stage("device:commit_dispatch"):
+        outs, drec = fn(refs_in, srcs_in, tuple(groups_in), f8, f4,
+                        tuple(tabs))
+    with _stage("device:commit_fetch"):
+        host_outs = jax.device_get([outs, drec])
+    group_outs, rec_np = host_outs
+
+    # ---- unpack scan-packed levels -> raster pre_qc for the C walk
+    def _sizes(S):
+        ny = min(S, 32) * min(S, 32)
+        nuv = (min(S >> 1, 32) * min(S >> 1, 32)) if nplanes > 1 else 0
         return ny, nuv
 
     total = sum(len(items) * (ny + 2 * nuv)
-                for (Sk, _), items, _ in fetches
-                for ny, nuv in (_sizes(Sk, Sk),))
-    n_slots = sum(len(items) for _, items, _ in fetches)
-    pre_qc = np.empty(total, np.int32)
+                for (Sk, _), (items, _) in zip(group_keys, metas)
+                for ny, nuv in (_sizes(Sk),))
+    n_slots = sum(len(items) for items, _ in metas)
+    pre_qc = np.zeros(total, np.int32)
     pre_off = np.zeros(3 * n_slots, np.int32)
     pre_eob = np.zeros(3 * n_slots, np.int32)
 
-    host_outs = jax.device_get([o for _, _, o in fetches] + [drec])
-    rec_np = host_outs[-1]
     off = 0
     slot = 0
-    for gi, (key, items, _) in enumerate(fetches):
+    for gi, (key, (items, tsel)) in enumerate(zip(group_keys, metas)):
         S, is_comp = key
-        o = host_outs[gi]
-        ny, nuv = _sizes(S, S)
+        lv, eob3, over = group_outs[gi]
+        nreal = len(items)
+        ny, nuv = _sizes(S)
+        Ky, Kuv = _lv_caps(S, nplanes)
+        tts_y, tts_uv = _size_tts(S)
+        ts_y = _tx_size_of(min(S, 64), min(S, 64))
+        # vectorized scan->raster scatter per tx-type variant
+        qcr = np.zeros((nreal, ny + 2 * nuv), np.int32)
+        lvr = lv[:nreal].astype(np.int32)
+        keep = ~np.asarray(over[:nreal])
+        tsr = tsel[:nreal]
+        for vi in range(len(tts_y)):
+            rows = np.nonzero(keep & (tsr == vi))[0]
+            if rows.size:
+                sc = _scan_np(ts_y, tts_y[vi])[:Ky]
+                qcr[rows[:, None], sc[None, :]] = lvr[rows, :Ky]
+        if nplanes > 1:
+            _, _, ts_uv = _chroma_geom(S, S)
+            cvi = np.where(eob3[:nreal, 0] > 0, tsr, 0)
+            for vi in range(len(tts_uv)):
+                rows = np.nonzero(keep & (cvi == vi))[0]
+                if rows.size:
+                    sc = _scan_np(ts_uv, tts_uv[vi])[:Kuv]
+                    qcr[rows[:, None], ny + sc[None, :]] = (
+                        lvr[rows, Ky : Ky + Kuv])
+                    qcr[rows[:, None], ny + nuv + sc[None, :]] = (
+                        lvr[rows, Ky + Kuv :])
         for i, (r, c, mvs, ri, q, vi) in enumerate(items):
+            if not keep[i]:
+                # level cap overflow: the walk recomputes this leaf on
+                # the host (bit-identical); its device recon still stands
+                slot += 1
+                off += ny + 2 * nuv
+                continue
             pre_slot[r, c] = slot + 1
             pre_off[slot * 3] = off
-            pre_eob[slot * 3] = o["eob_y"][i]
-            pre_qc[off : off + ny] = o["qc_y"][i]
-            off += ny
+            pre_eob[slot * 3] = eob3[i, 0]
+            pre_qc[off : off + ny] = qcr[i, :ny]
             if nplanes > 1:
-                pre_off[slot * 3 + 1] = off
-                pre_eob[slot * 3 + 1] = o["eob_u"][i]
-                pre_qc[off : off + nuv] = o["qc_u"][i]
-                off += nuv
-                pre_off[slot * 3 + 2] = off
-                pre_eob[slot * 3 + 2] = o["eob_v"][i]
-                pre_qc[off : off + nuv] = o["qc_v"][i]
-                off += nuv
+                pre_off[slot * 3 + 1] = off + ny
+                pre_eob[slot * 3 + 1] = eob3[i, 1]
+                pre_off[slot * 3 + 2] = off + ny + nuv
+                pre_eob[slot * 3 + 2] = eob3[i, 2]
+                pre_qc[off + ny : off + ny + 2 * nuv] = qcr[i, ny:]
+            off += ny + 2 * nuv
             slot += 1
 
     return CommitResult(pre_slot, pre_off, pre_eob, pre_qc,
