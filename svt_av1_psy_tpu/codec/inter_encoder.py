@@ -457,9 +457,16 @@ class InterFrameEncoder(IntraFrameEncoder):
         C walk then only does syntax + range coding for them."""
         want = self.device_commit
         if want is None:
-            from ..parallel.pipeline import device_backend_default
-
-            want = device_backend_default()
+            # "auto" resolves to OFF for now: with the tunneled
+            # single-chip link (~30 MB/s, 26 ms RTT) the measured
+            # device-commit leg (~170 ms/frame at 480p: upload + dispatch
+            # + queue wait behind the search programs + fetch) exceeds
+            # the ~90 ms host C walk it replaces at every tested
+            # resolution.  The path stays fully wired and bit-exact
+            # (commit-backend=device, tests/test_commit.py,
+            # tests/test_tpu_hw.py) pending the search/commit overlap
+            # pipeline that can hide the device leg behind the walk.
+            want = False
         if not want or getattr(self, "inter_dec", None) is None:
             return
         from . import walk_native
@@ -474,7 +481,10 @@ class InterFrameEncoder(IntraFrameEncoder):
             try:
                 from ..ops.commit import commit_frame
 
-                with stage("device:commit"):
+                # exclusive profiling: the device:* sub-stages inside
+                # commit_frame account the device time; this wrapper's
+                # own span is host glue (leaf enumeration + unpack)
+                with stage("host:commit_glue"):
                     res = commit_frame(self)
             except Exception:
                 import traceback

@@ -12,10 +12,15 @@ program per (block shape, tx type, compound?) group runs
     MC prediction -> residual -> forward TX -> QM quantize (+ RDOQ
     eob-fast trim) -> dequantize -> inverse TX -> reconstruction
 
-bit-exactly (integer ops only), scatters the recon into full frame planes
-on device, and hands the host packed quantized coefficients + eobs.  The C
-walk then only performs syntax + coefficient range coding, reading the
-precomputed results through its `pre_*` fields (walk_native.c).
+bit-exactly (integer ops only) and hands the host scan-packed quantized
+coefficients + eobs + per-lane recon blocks (the host scatters recon into
+the frame planes — a device scatter costs ~5s of XLA compile per plane
+for microseconds of work).  The C walk then only performs syntax +
+coefficient range coding, reading the precomputed results through its
+`pre_*` fields (walk_native.c).  Programs are keyed (leaf size, compound,
+luma tx type) at fixed chunk lane counts so each compiles once per
+resolution ever (persistent XLA cache) — execution on the accelerator is
+~free; compile time and tunnel transfer bytes are what matter.
 
 Bit-exactness notes:
 - MC: AV1's convolve rounding is designed so the 2D subpel path with a
@@ -270,6 +275,9 @@ def _plane_run(src_blk, pred, sel, tx_size: int, tts, qp, qms, iqms,
                scans, bd: int, rdoq: bool, K: int):
     """One plane's residual pipeline. tts: static tuple of tx-type
     variants; sel (B,) selects the variant per leaf (ignored when one).
+    Programs are built with a single luma variant (the host groups leaves
+    by tx type), so this stays cheap to compile; chroma passes at most 2
+    variants (the luma type and DCT, runtime-selected on luma eob).
     Returns (lv (B,K) scan-packed levels, eob (B,), recon (B,H,W) int32).
     Levels beyond K are not shipped — the caller flags eob > K lanes for
     the host fallback path."""
@@ -315,18 +323,34 @@ def _lv_caps(S: int, nplanes: int):
     return Ky, min(nuv, 128)
 
 
-def _group_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
-                   qp_uv, f8, f4, tabs_y, tabs_uv, *, S: int, bd: int,
-                   is_comp: bool, nplanes: int, rdoq: bool, pad: int,
-                   tts_y, tts_uv):
-    """One (S, is_comp) group over B fixed lanes. recs: per-plane recon
-    state the group scatters into; tt_sel: (B,) runtime variant index into
-    tts_y (padding lanes carry out-of-frame posy and are dropped by the
-    scatter). Returns (lv (B, Ky+2Kuv) int16 scan-packed levels, eobs
-    (B, 3) int32, over (B,) bool host-fallback flags, updated recs)."""
+def _group_program(refs, srcs, meta, qtab_y, qtab_uv, f8, f4, tabs_y,
+                   tabs_uv, *, S: int, bd: int, is_comp: bool,
+                   nplanes: int, rdoq: bool, pad: int, tts_y, tts_uv):
+    """One (S, is_comp, luma tx type) group over B fixed lanes.  tts_y is
+    a single-element tuple (the host groups leaves by tx type so every
+    program compiles one transform pair); tts_uv holds the matching
+    chroma type plus DCT when they differ (runtime-selected on luma eob).
+
+    meta: ONE packed (B, 8) int32 array per chunk — [y, x, mv_r, mv_c,
+    mv2_r, mv2_c, ref_idx, q_sel] — and qtab_y/qtab_uv are tiny per-frame
+    (U, 10) quant tables gathered by q_sel on device: per-lane inputs ride
+    one tunnel transfer instead of six (the tunnel's per-transfer latency
+    was the round-3 profile's dominant cost).
+
+    Returns (lv (B, Ky+2Kuv) int16 scan-packed levels, meta_out (B, 4)
+    int32 [eob_y, eob_u, eob_v, over], rec (B, S*S(+2 chroma)) recon-dtype
+    flattened recon blocks — the host scatters them into the frame planes
+    (a device scatter compiles ~5s per plane; a host numpy scatter is
+    microseconds)."""
     jnp = _jnp()
     W = H = S
     Ky, Kuv = _lv_caps(S, nplanes)
+    posy = meta[:, 0:2]
+    mv = meta[:, 2:4]
+    mv2 = meta[:, 4:6]
+    ref_idx = meta[:, 6]
+    qp_y = qtab_y[meta[:, 7]]
+    qp_uv = qtab_uv[meta[:, 7]]
 
     def phases(mvp, plane):
         if plane == 0:
@@ -357,22 +381,15 @@ def _group_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
                                pw_, ph_, bd)
         return _compound_avg(b0, b1, bd)
 
-    def scat(plane, blocks, pos, hh, ww):
-        yy = pos[:, 0, None, None] + jnp.arange(hh)[None, :, None]
-        xx = pos[:, 1, None, None] + jnp.arange(ww)[None, None, :]
-        return plane.at[yy, xx].set(blocks, mode="drop")
-
     py_, px_ = posy[:, 0], posy[:, 1]
     ts_y = _tx_size_of(S, S)
     predY = pred_plane(refs[0], 0, W, H, px_, py_)
     srcbY = _gather_src(srcs[0], py_, px_, H, W)
-    selY = tt_sel if len(tts_y) > 1 else None
-    lvY, eobY, recY = _plane_run(srcbY, predY, selY, ts_y, tts_y, qp_y,
+    lvY, eobY, recY = _plane_run(srcbY, predY, None, ts_y, tts_y, qp_y,
                                  tabs_y[0], tabs_y[1], tabs_y[2], bd, rdoq,
                                  Ky)
     rdt = jnp.uint8 if bd == 8 else jnp.uint16
-    recs = list(recs)
-    recs[0] = scat(recs[0], recY.astype(rdt), posy, H, W)
+    recb = [recY.astype(rdt)]
     lvs, eobs = [lvY], [eobY]
     over = eobY > Ky
     over = over | (jnp.max(jnp.abs(lvY), axis=1) > 32767)
@@ -382,8 +399,7 @@ def _group_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
         cx, cy = px_ >> 1, py_ >> 1
         # chroma variant: luma tt when luma eob != 0, else DCT
         # (walk_native.c encode_block_inter; tts_uv mirrors tts_y per size)
-        sel = (jnp.where(eobY > 0, tt_sel, 0) if len(tts_uv) > 1 else None)
-        cpos = posy >> 1
+        sel = (jnp.where(eobY > 0, 1, 0) if len(tts_uv) > 1 else None)
         for plane in (1, 2):
             predC = pred_plane(refs[plane], plane, cw, ch_, cx, cy)
             srcbC = _gather_src(srcs[plane], cy, cx, ch_, cw)
@@ -394,10 +410,14 @@ def _group_program(refs, srcs, recs, posy, mv, mv2, ref_idx, tt_sel, qp_y,
             eobs.append(eobC)
             over = over | (eobC > Kuv) | (jnp.max(jnp.abs(lvC), axis=1)
                                           > 32767)
-            recs[plane] = scat(recs[plane], recC.astype(rdt), cpos, ch_, cw)
+            recb.append(recC.astype(rdt))
     lv = jnp.concatenate(lvs, axis=1).astype(jnp.int16)
     eob3 = jnp.stack(eobs + [eobs[0]] * (3 - len(eobs)), axis=1)
-    return lv, eob3, over, recs
+    meta_out = jnp.concatenate(
+        [eob3, over[:, None].astype(jnp.int32)], axis=1)
+    B = meta.shape[0]
+    rec = jnp.concatenate([b.reshape(B, -1) for b in recb], axis=1)
+    return lv, meta_out, rec
 
 
 @functools.lru_cache(maxsize=None)
@@ -419,33 +439,41 @@ def _size_tts(S: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame(group_keys, rec_shapes, bd, nplanes, rdoq, pad):
-    """ONE fused program per (present-group set, recon shapes, config):
-    runs every (S, is_comp) group, threads the recon planes through, and
-    emits scan-packed int16 levels + eobs + fallback flags per group plus
-    the scattered recon planes — a single dispatch and a small fixed
-    fetch per frame, compiled once ever (persistent cache)."""
+def _jit_group(S, is_comp, vi, bd, nplanes, rdoq, pad):
+    """One program per (leaf size, compound?, luma tx type, config) group
+    — NOT per frame, and with a FIXED lane count (_chunk_lanes): every
+    program compiles exactly once per resolution and is reused for every
+    frame, with oversized groups dispatched in multiple chunks (execution
+    is ~free on the accelerator; compilation was the bottleneck — the
+    round-2 fused-per-frame program recompiled whenever a frame's group
+    subset changed, a compile storm at 1080p, and multi-tx-variant
+    programs made compile time scale with lane count)."""
     import jax
 
-    jnp = _jnp()
+    tts_y_all, tts_uv_all = _size_tts(S)
+    tt = tts_y_all[vi]
+    ctt0, ctt = tts_uv_all[0], tts_uv_all[vi]
+    tts_y = (tt,)
+    tts_uv = (ctt0,) if ctt == ctt0 else (ctt0, ctt)
 
-    def fn(refs, srcs, groups_in, f8, f4, tabs):
-        recs = [jnp.zeros(s, jnp.uint8 if bd == 8 else jnp.uint16)
-                for s in rec_shapes]
-        outs = []
-        for (S, is_comp), gin, (tabs_y, tabs_uv) in zip(
-                group_keys, groups_in, tabs):
-            tts_y, tts_uv = _size_tts(S)
-            posy, mv, mv2, ridx, tsel, qp_y, qp_uv = gin
-            lv, eob3, over, recs = _group_program(
-                refs, srcs, recs, posy, mv, mv2, ridx, tsel, qp_y, qp_uv,
-                f8, f4, tabs_y, tabs_uv, S=S, bd=bd, is_comp=bool(is_comp),
-                nplanes=nplanes, rdoq=rdoq, pad=pad, tts_y=tts_y,
-                tts_uv=tts_uv)
-            outs.append((lv, eob3, over))
-        return outs, recs
+    def fn(refs, srcs, meta, qtab_y, qtab_uv, f8, f4, tabs_y, tabs_uv):
+        return _group_program(
+            refs, srcs, meta, qtab_y, qtab_uv,
+            f8, f4, tabs_y, tabs_uv, S=S, bd=bd, is_comp=bool(is_comp),
+            nplanes=nplanes, rdoq=rdoq, pad=pad, tts_y=tts_y,
+            tts_uv=tts_uv)
 
     return jax.jit(fn)
+
+
+# fixed per-chunk lane counts: small enough to compile fast, large enough
+# that big frames need only a handful of (async) dispatches per group
+_CHUNK_LANES = {8: 2048, 16: 512, 32: 128, 64: 64}
+
+# fixed scan-packed level fetch bounds (ky, kuv) per leaf size: sized for
+# typical CRF-30..50 eob distributions; lanes beyond fall back to the
+# host walk (bit-identical recompute)
+_K_FETCH = {8: (64, 16), 16: (96, 32), 32: (128, 64), 64: (128, 64)}
 
 
 # ------------------------------------------------------------- host glue
@@ -526,6 +554,22 @@ def _size_tables(S: int, nplanes: int, qm_key):
     return tabs_y, tabs_uv
 
 
+@functools.lru_cache(maxsize=256)
+def _vi_tables(S: int, nplanes: int, qm_key, vi: int):
+    """Single-variant device tables matching _jit_group(S, ..., vi)'s
+    (tts_y=(tt,), tts_uv=(ctt0[, ctt])) layout."""
+    tabs_y, tabs_uv = _size_tables(S, nplanes, qm_key)
+    tts_y, tts_uv = _size_tts(S)
+    y = tuple(t[vi : vi + 1] for t in tabs_y)
+    if nplanes <= 1:
+        return y, ((), (), ())
+    if tts_uv[vi] == tts_uv[0]:
+        uv = tuple(t[0:1] for t in tabs_uv)
+    else:
+        uv = tuple((t[0], t[vi]) for t in tabs_uv)
+    return y, uv
+
+
 def commit_frame(enc):
     """Run the device residual commit for all eligible inter leaves of
     one InterFrameEncoder frame. Returns CommitResult or None."""
@@ -567,6 +611,13 @@ def commit_frame(enc):
         W, H = geom
         if W != H or W < 8 or W > 64:
             # rectangular forced edge leaves stay on the host walk path
+            continue
+        # blocks overhanging the plane buffers read clamped (wrong)
+        # source through dynamic_slice: host walk path
+        if (r * 4 + H > enc.planes[0].recon.shape[0]
+                or c * 4 + W > enc.planes[0].recon.shape[1]
+                or r * 4 + H > enc.src[0].shape[0]
+                or c * 4 + W > enc.src[0].shape[1]):
             continue
         md = int(d[2])
         is_comp = md >= 17
@@ -617,17 +668,20 @@ def commit_frame(enc):
             continue
         vi = tts_y_s.index(tt)
         q = int(sbq[r >> 4, c >> 4]) if sbq is not None else enc.qindex
-        groups.setdefault((W, is_comp), []).append((r, c, mvs, ridx, q, vi))
+        groups.setdefault((W, is_comp, vi), []).append((r, c, mvs, ridx, q))
 
     if not groups:
         return None
 
     from ..profiling import stage as _stage
 
-    # ---- frame-constant device arrays
+    # ---- frame-constant device arrays (uint8 at 8-bit depth: the tunnel
+    # link is the bottleneck, ~40 MB/s up / ~30 MB/s down)
+    rdt = np.uint8 if enc.bd == 8 else np.uint16
+
     def stack_refs(plane):
-        a = np.asarray(refs0[plane], np.uint16)
-        b = (np.asarray(ref2[plane], np.uint16) if ref2 is not None else a)
+        a = np.asarray(refs0[plane], rdt)
+        b = (np.asarray(ref2[plane], rdt) if ref2 is not None else a)
         return jnp.asarray(np.stack([a, b]))
 
     with _stage("device:commit_upload"):
@@ -643,101 +697,168 @@ def commit_frame(enc):
     qm_key = (tuple(int(x) for x in enc.qm_levels)
               if enc.qm_levels is not None else None)
 
-    def cap_of(S: int) -> int:
-        s_mi = S >> 2
-        n = (-(-mi_rows // s_mi)) * (-(-mi_cols // s_mi))
-        return max(64, -(-n // 64) * 64)
-
     group_keys = tuple(sorted(groups))
-    groups_in, tabs, metas = [], [], []
-    for key in group_keys:
-        items = groups[key]
-        S, is_comp = key
-        B = cap_of(S)
-        assert len(items) <= B, (len(items), B, key)
-        # padding lanes: position far out of bounds (scatter drops them)
-        posy = np.full((B, 2), 1 << 24, np.int32)
-        mv = np.zeros((B, 2), np.int32)
-        mv2 = np.zeros((B, 2), np.int32)
-        ridx = np.zeros((B,), np.int32)
-        tsel = np.zeros((B,), np.int32)
-        qidx = np.full((B,), enc.qindex, np.int32)
-        for i, (r, c, mvs, ri, q, vi) in enumerate(items):
-            posy[i] = (r * 4, c * 4)
-            mv[i] = (mvs[0], mvs[1])
-            mv2[i] = (mvs[2], mvs[3])
-            ridx[i] = ri
-            tsel[i] = vi
-            qidx[i] = q
-        qp_y, qp_uv = _leaf_qp_rows(enc, qidx.tolist())
-        groups_in.append((jnp.asarray(posy), jnp.asarray(mv),
-                          jnp.asarray(mv2), jnp.asarray(ridx),
-                          jnp.asarray(tsel), jnp.asarray(qp_y),
-                          jnp.asarray(qp_uv)))
-        tabs.append(_size_tables(S, nplanes, qm_key))
-        metas.append((items, tsel))
-
-    rec_shapes = tuple(tuple(enc.planes[p].recon.shape)
-                       for p in range(nplanes))
-    fn = _jit_frame(group_keys, rec_shapes, enc.bd, nplanes, rdoq, pad)
     refs_in = drefs + [drefs[0]] * (3 - nplanes)
     srcs_in = dsrc + [dsrc[0]] * (3 - nplanes)
-    with _stage("device:commit_dispatch"):
-        outs, drec = fn(refs_in, srcs_in, tuple(groups_in), f8, f4,
-                        tuple(tabs))
-    with _stage("device:commit_fetch"):
-        host_outs = jax.device_get([outs, drec])
-    group_outs, rec_np = host_outs
 
-    # ---- unpack scan-packed levels -> raster pre_qc for the C walk
+    # fetch bounds: scan-packed levels are fetched only up to a FIXED
+    # per-size coefficient count; rare lanes whose eob exceeds the bound
+    # fall back to the host walk, which recomputes them bit-identically.
+    # This cuts the dominant device->host payload ~5-10x at typical CRFs.
+    # The bounds are constants (not content-adaptive) so every slice op
+    # below keeps a stable shape — on the tunneled backend ANY new shape
+    # pays a compile round-trip, which round-3 profiling showed costs far
+    # more than the padding bytes saved.
+
+    # per-frame quant tables: one row per distinct qindex, gathered by
+    # lane on device (q rows per lane were 160KB/chunk of upload);
+    # U is fixed so the gather shape never retraces
+    quniq = sorted({q for items in groups.values()
+                    for (_r, _c, _mvs, _ri, q) in items})
+    U = 16
+    if len(quniq) > U:     # delta-q extremes: host walk handles the tail
+        drop = set(quniq[U:])
+        for key in list(groups):
+            groups[key] = [it for it in groups[key] if it[4] not in drop]
+            if not groups[key]:
+                del groups[key]
+        quniq = quniq[:U]
+        group_keys = tuple(sorted(groups))
+        if not groups:
+            return None
+    qmap = {q: i for i, q in enumerate(quniq)}
+    qt_y, qt_uv = _leaf_qp_rows(enc, quniq + [quniq[0]] * (U - len(quniq)))
+
+    chunks = []   # (key, items_part, (ky_s, kuv_s), n_fetch_lanes, arrays)
+    with _stage("device:commit_dispatch"):
+        dqt_y = jnp.asarray(qt_y)
+        dqt_uv = jnp.asarray(qt_uv)
+        for key in group_keys:
+            items = groups[key]
+            S, is_comp, vi = key
+            B = _CHUNK_LANES[S]
+            Ky, Kuv = _lv_caps(S, nplanes)
+            ky_s, kuv_s = _K_FETCH[S] if nplanes > 1 else (
+                _K_FETCH[S][0], 0)
+            fn = _jit_group(S, bool(is_comp), vi, enc.bd, nplanes, rdoq,
+                            pad)
+            tabs_y, tabs_uv = _vi_tables(S, nplanes, qm_key, vi)
+            for c0 in range(0, len(items), B):
+                part = items[c0 : c0 + B]
+                n = len(part)
+                # padding lanes: position far out of bounds; their
+                # outputs are sliced away before the fetch
+                meta = np.full((B, 8), 0, np.int32)
+                meta[:, 0:2] = 1 << 24
+                for i, (r, c, mvs, ri, q) in enumerate(part):
+                    meta[i] = (r * 4, c * 4, mvs[0], mvs[1], mvs[2],
+                               mvs[3], ri, qmap[q])
+                lv, meta_out, rec = fn(
+                    refs_in, srcs_in, jnp.asarray(meta), dqt_y, dqt_uv,
+                    f8, f4, tabs_y, tabs_uv)
+                # pow2 lane ladder: <= log2(B) distinct slice shapes ever
+                nf = 64
+                while nf < n:
+                    nf *= 2
+                nf = min(B, nf)
+                fl = [lv[:nf, :ky_s]]
+                if nplanes > 1:
+                    fl.append(lv[:nf, Ky : Ky + kuv_s])
+                    fl.append(lv[:nf, Ky + Kuv : Ky + Kuv + kuv_s])
+                fl.append(meta_out[:nf])
+                fl.append(rec[:nf])
+                chunks.append((key, part, (ky_s, kuv_s), nf, fl))
+    with _stage("device:commit_wait"):
+        jax.block_until_ready(chunks[-1][4])
+    with _stage("device:commit_fetch"):
+        fetched = jax.device_get([c[4] for c in chunks])
+
+    # ---- host unpack: scan->raster levels for the C walk + recon blocks
+    # scattered into fresh frame planes (numpy fancy indexing)
     def _sizes(S):
         ny = min(S, 32) * min(S, 32)
         nuv = (min(S >> 1, 32) * min(S >> 1, 32)) if nplanes > 1 else 0
         return ny, nuv
 
-    total = sum(len(items) * (ny + 2 * nuv)
-                for (Sk, _), (items, _) in zip(group_keys, metas)
+    total = sum(len(part) * (ny + 2 * nuv)
+                for (Sk, _, _), part, _, _, _ in chunks
                 for ny, nuv in (_sizes(Sk),))
-    n_slots = sum(len(items) for items, _ in metas)
+    n_slots = sum(len(part) for _, part, _, _, _ in chunks)
     pre_qc = np.zeros(total, np.int32)
     pre_off = np.zeros(3 * n_slots, np.int32)
     pre_eob = np.zeros(3 * n_slots, np.int32)
+    rec_np = [np.zeros(enc.planes[p].recon.shape,
+                       enc.planes[p].recon.dtype) for p in range(nplanes)]
 
     off = 0
     slot = 0
-    for gi, (key, (items, tsel)) in enumerate(zip(group_keys, metas)):
-        S, is_comp = key
-        lv, eob3, over = group_outs[gi]
-        nreal = len(items)
-        ny, nuv = _sizes(S)
-        Ky, Kuv = _lv_caps(S, nplanes)
-        tts_y, tts_uv = _size_tts(S)
-        ts_y = _tx_size_of(min(S, 64), min(S, 64))
-        # vectorized scan->raster scatter per tx-type variant
-        qcr = np.zeros((nreal, ny + 2 * nuv), np.int32)
-        lvr = lv[:nreal].astype(np.int32)
-        keep = ~np.asarray(over[:nreal])
-        tsr = tsel[:nreal]
-        for vi in range(len(tts_y)):
-            rows = np.nonzero(keep & (tsr == vi))[0]
-            if rows.size:
-                sc = _scan_np(ts_y, tts_y[vi])[:Ky]
-                qcr[rows[:, None], sc[None, :]] = lvr[rows, :Ky]
+    for (key, part, (ky_s, kuv_s), nf, _fl), out in zip(chunks, fetched):
+        S, is_comp, vi = key
+        n = len(part)
         if nplanes > 1:
-            _, _, ts_uv = _chroma_geom(S, S)
-            cvi = np.where(eob3[:nreal, 0] > 0, tsr, 0)
-            for vi in range(len(tts_uv)):
-                rows = np.nonzero(keep & (cvi == vi))[0]
-                if rows.size:
-                    sc = _scan_np(ts_uv, tts_uv[vi])[:Kuv]
-                    qcr[rows[:, None], ny + sc[None, :]] = (
-                        lvr[rows, Ky : Ky + Kuv])
-                    qcr[rows[:, None], ny + nuv + sc[None, :]] = (
-                        lvr[rows, Ky + Kuv :])
-        for i, (r, c, mvs, ri, q, vi) in enumerate(items):
+            lv_y, lv_u, lv_v, m4, recf = out
+        else:
+            lv_y, m4, recf = out
+            lv_u = lv_v = None
+        cs = (S >> 1) * (S >> 1) if nplanes > 1 else 0
+        eob3 = np.asarray(m4[:n, :3])
+        over = np.asarray(m4[:n, 3]) != 0
+        # lanes whose eob exceeds the fixed fetch bound join the
+        # device-flagged overflow lanes on the host fallback path
+        keep = ~over & (eob3[:, 0] <= ky_s)
+        if nplanes > 1:
+            keep &= (eob3[:, 1] <= kuv_s) & (eob3[:, 2] <= kuv_s)
+        ny, nuv = _sizes(S)
+        tts_y, tts_uv = _size_tts(S)
+        ts_y = _tx_size_of(S, S)
+        pr = np.fromiter((it[0] for it in part), np.int64, n)
+        pc = np.fromiter((it[1] for it in part), np.int64, n)
+        # recon: valid for every lane (caps affect only the level fetch);
+        # scatter into the frame planes on host
+        po = 0
+        for p in range(nplanes):
+            ss = 0 if p == 0 else 1
+            hh = ww = S >> ss
+            rb = np.asarray(recf[:n, po : po + hh * ww]).reshape(
+                n, hh, ww)
+            po += hh * ww
+            y0 = (pr * 4) >> ss
+            x0 = (pc * 4) >> ss
+            yy = np.broadcast_to(
+                y0[:, None, None] + np.arange(hh)[None, :, None],
+                (n, hh, ww))
+            xx = np.broadcast_to(
+                x0[:, None, None] + np.arange(ww)[None, None, :],
+                (n, hh, ww))
+            rec_np[p][yy, xx] = rb
+        # levels: scan->raster for the kept lanes (single luma variant)
+        qcr = np.zeros((n, ny + 2 * nuv), np.int32)
+        rows = np.nonzero(keep)[0]
+        if rows.size:
+            sc = _scan_np(ts_y, tts_y[vi])[:ky_s]
+            qcr[rows[:, None], sc[None, :]] = np.asarray(
+                lv_y[:n], np.int32)[rows]
+            if nplanes > 1:
+                lvu = np.asarray(lv_u[:n], np.int32)
+                lvv = np.asarray(lv_v[:n], np.int32)
+                _, _, ts_uv = _chroma_geom(S, S)
+                # chroma tt: luma tt when luma eob != 0, else DCT
+                if tts_uv[vi] == tts_uv[0]:
+                    segs = ((rows, tts_uv[0]),)
+                else:
+                    segs = ((rows[eob3[rows, 0] == 0], tts_uv[0]),
+                            (rows[eob3[rows, 0] > 0], tts_uv[vi]))
+                for rsel, ctt in segs:
+                    if rsel.size:
+                        scc = _scan_np(ts_uv, ctt)[:kuv_s]
+                        qcr[rsel[:, None], ny + scc[None, :]] = lvu[rsel]
+                        qcr[rsel[:, None], ny + nuv + scc[None, :]] = (
+                            lvv[rsel])
+        for i, (r, c, mvs, ri, q) in enumerate(part):
             if not keep[i]:
-                # level cap overflow: the walk recomputes this leaf on
-                # the host (bit-identical); its device recon still stands
+                # fetch-bound / level-cap overflow: the walk recomputes
+                # this leaf on the host (bit-identically); its device
+                # recon still stands
                 slot += 1
                 off += ny + 2 * nuv
                 continue
@@ -754,5 +875,4 @@ def commit_frame(enc):
             off += ny + 2 * nuv
             slot += 1
 
-    return CommitResult(pre_slot, pre_off, pre_eob, pre_qc,
-                        [np.asarray(rec_np[p]) for p in range(nplanes)])
+    return CommitResult(pre_slot, pre_off, pre_eob, pre_qc, rec_np)
