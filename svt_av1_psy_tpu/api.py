@@ -133,7 +133,13 @@ class Encoder:
             enable_masked_compound=(cfg.preset <= 6
                                     and cfg.tile_columns == 0
                                     and cfg.tile_rows == 0),
+            # order hints: unlocks skip_mode (and, later, jnt-comp
+            # distance weights / ref_frame_mvs); off for still pictures
+            enable_order_hint=not (cfg.avif or int(cfg.tune) == 4),
         )
+        # DPB order-hint mirror (RefOrderHint[8]) + display-order counter
+        self._dpb_hints = [0] * 8
+        self._disp_idx = 0
         # film grain: explicit table takes precedence over the estimation
         # model driven by --film-grain (app_config.c:2869 precedence warning)
         self._film_grain = None
@@ -451,6 +457,7 @@ class Encoder:
         allocated per live node (depth+2 <= 8 up to 32-frame GoPs)."""
         n = len(buf)
         pf = prefetch or {}
+        disp_base = self._disp_idx
         if n == 1:
             y, u, v, pts = buf[0]
             scratch = 2 if self._last_slot != 2 else 3
@@ -458,8 +465,9 @@ class Encoder:
                 show=True, last=self._ref_planes, future=None,
                 refresh=1 << scratch, last_slot=self._last_slot,
                 future_slot=None, q_offset=0, update_last=True,
-                prefetch=pf.get(1)))
+                prefetch=pf.get(1), disp=disp_base))
             self._last_slot = scratch
+            self._disp_idx = disp_base + 1
             return
         free = [s for s in range(8) if s not in (self._last_slot, 1)]
         slots = {0: self._last_slot}
@@ -497,7 +505,7 @@ class Encoder:
                 q_offset=OFF[min(depth, 4)], update_last=False,
                 dists=(idx - lo, (hi - idx) if hi is not None else 1),
                 tpl_r0=(tpl_r0 if depth == 0 else None),
-                prefetch=pf.get(idx)))
+                prefetch=pf.get(idx), disp=disp_base + idx - 1))
             slots[idx], recs[idx], disp[idx] = slot, r, rec
 
         def walk(lo, hi, depth):
@@ -508,7 +516,7 @@ class Encoder:
                     show=True, last=recs[lo], future=recs[hi], refresh=0,
                     last_slot=slots[lo], future_slot=slots[hi],
                     q_offset=OFF[4], update_last=False, dists=(1, 1),
-                    prefetch=pf.get(lo + 1)))
+                    prefetch=pf.get(lo + 1), disp=disp_base + lo))
                 return
             mid = (lo + hi) // 2
             enc_unshown(mid, lo, hi, depth)
@@ -523,6 +531,7 @@ class Encoder:
         self._emit_show_existing(slots[n], buf[n - 1][3], disp[n])
         self._ref_planes = recs[n]
         self._last_slot = slots[n]
+        self._disp_idx = disp_base + n
 
     def _emit_show_existing(self, slot, pts, recon):
         """Display a previously decoded (showable) frame from a DPB slot."""
@@ -855,6 +864,62 @@ class Encoder:
                     ipp_ref2_const = 2    # LAST2_FRAME
                     ipp_ref2_dist = 2
 
+        # ---- order hints (decode side: RefOrderHint / sign bias /
+        # skip-mode derivation all run from these, spec 5.9.2 + 7.8).
+        # Display order is the hint source; the DPB mirror tracks what the
+        # decoder's RefOrderHint[] holds per slot.
+        disp = gop.get("disp") if gop is not None else None
+        if disp is None:
+            disp = self._disp_idx
+            self._disp_idx = disp + 1
+        order_hint = disp & ((1 << self._seq.order_hint_bits) - 1)
+        if is_key:
+            ref_idx_early = (0,) * 7
+        elif gop is not None:
+            ls = int(gop.get("last_slot", 0))
+            idx = [ls] * 7
+            fs = gop.get("future_slot")
+            if fs is not None:
+                idx[6] = int(fs)
+            ref_idx_early = tuple(idx)
+        else:
+            ls = self._ipp_hist[-1][0] if self._ipp_hist else 0
+            l2s = (self._ipp_hist[-2][0] if len(self._ipp_hist) >= 2
+                   else ls)
+            ref_idx_early = (ls, l2s, ls, 1, ls, ls, ls)
+        ref_hints = tuple(self._dpb_hints[i] for i in ref_idx_early)
+        sign_bias = [0] * 8
+        skip_pair = None
+        skip_present = False
+        if self._seq.enable_order_hint and not is_key:
+            from .bitstream.obu import get_relative_dist, skip_mode_frames_raw
+
+            for i in range(7):
+                sign_bias[1 + i] = int(get_relative_dist(
+                    self._seq, ref_hints[i], order_hint) > 0)
+            ref_select_early = (gop is not None
+                               and gop.get("future") is not None)
+            if ref_select_early and seg_params is None:
+                skip_pair = skip_mode_frames_raw(self._seq, order_hint,
+                                                 ref_hints)
+                # enable the per-block bit only when the derived pair is
+                # the pair the mode decision actually searches (LAST +
+                # ref2), so conversions can happen; otherwise the bit
+                # would be pure rate overhead
+                enc_pair = (1, 7)   # LAST + ALTREF (hierarchical B)
+                skip_present = skip_pair == enc_pair
+        sign_bias = tuple(sign_bias)
+        skip_weights = (0, 0)
+        if skip_present and self._seq.enable_jnt_comp:
+            # with seq enable_jnt_comp, skip-mode blocks predict
+            # distance-weighted (compound_idx 0); jnt_comp off -> plain
+            # COMPOUND_AVERAGE and (0, 0) signals that to the walk
+            from .codec.compound import dist_wtd_weights
+
+            skip_weights = dist_wtd_weights(
+                self._seq.order_hint_bits, order_hint,
+                ref_hints[skip_pair[0] - 1], ref_hints[skip_pair[1] - 1])
+
         def make_enc():
             if is_key:
                 e = IntraFrameEncoder(
@@ -887,6 +952,10 @@ class Encoder:
                 switchable_filters=filt_switchable,
                 device_commit=(None if cfg.commit_backend == "auto"
                                else cfg.commit_backend == "device"),
+                sign_bias=sign_bias,
+                skip_mode_present=skip_present,
+                skip_mode_pair=skip_pair,
+                skip_mode_weights=skip_weights,
                 **common)
 
         def run_filters(enc):
@@ -1038,7 +1107,10 @@ class Encoder:
                          cdef_uv_strengths=((cdef_uv[0], cdef_uv[1]),),
                          superres_denom=sr_denom,
                          allow_intrabc=allow_ibc,
-                         interpolation_filter_switchable=filt_switchable)
+                         interpolation_filter_switchable=filt_switchable,
+                         order_hint=order_hint,
+                         ref_order_hints=ref_hints,
+                         skip_mode_present=skip_present)
         if not is_key:
             fp.is_motion_mode_switchable = mm_switchable
             if gop is not None:
@@ -1094,6 +1166,10 @@ class Encoder:
         if is_key and self._metadata_obus:
             payload += self._metadata_obus
         payload += frame_obu(self._seq, fp, tiles)
+        # decoder-side RefOrderHint mirror (shown keyframes refresh all)
+        for s in range(8):
+            if (fp.refresh_frame_flags >> s) & 1:
+                self._dpb_hints[s] = order_hint
         recon = None
         if cfg.recon_enabled or cfg.stat_report:
             if up_final is not None:

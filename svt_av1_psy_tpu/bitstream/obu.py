@@ -101,6 +101,11 @@ class FrameParams:
     tile_rows_log2: int = 0
     refresh_frame_flags: int = 0xFF
     order_hint: int = 0
+    # per-ref order hints (RefOrderHint[ref_frame_idx[i]]), tracked by the
+    # encoder DPB; feeds skip-mode derivation + ref sign bias
+    ref_order_hints: tuple = (0, 0, 0, 0, 0, 0, 0)
+    skip_mode_present: bool = False       # encoder request; written only
+                                          # when skipModeAllowed (5.9.22)
     # inter-frame fields (single-ref v0 path)
     primary_ref_frame: int = 7            # PRIMARY_REF_NONE: CDFs reset per frame
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
@@ -455,6 +460,61 @@ def _write_lr_params(w: BitWriter, sp: SequenceParams, fp: FrameParams):
         w.f(int(fp.lr_uv_unit_size != fp.lr_unit_size), 1)
 
 
+def get_relative_dist(sp: SequenceParams, a: int, b: int) -> int:
+    """Signed wrap-around order-hint distance (spec 5.9.3)."""
+    if not sp.enable_order_hint:
+        return 0
+    diff = a - b
+    m = 1 << (sp.order_hint_bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def skip_mode_frames_raw(sp: SequenceParams, order_hint: int,
+                         ref_order_hints):
+    """Pure order-hint half of the skip-mode derivation (spec 5.9.22):
+    nearest forward + nearest backward ref, else the two nearest forward
+    refs.  Returns the LAST_FRAME-based (ref0, ref1) pair or None."""
+    fwd = bwd = -1
+    fwd_hint = bwd_hint = 0
+    for i in range(7):
+        hint = ref_order_hints[i]
+        d = get_relative_dist(sp, hint, order_hint)
+        if d < 0:
+            if fwd < 0 or get_relative_dist(sp, hint, fwd_hint) > 0:
+                fwd, fwd_hint = i, hint
+        elif d > 0:
+            if bwd < 0 or get_relative_dist(sp, hint, bwd_hint) < 0:
+                bwd, bwd_hint = i, hint
+    if fwd < 0:
+        return None
+    if bwd >= 0:
+        return (1 + min(fwd, bwd), 1 + max(fwd, bwd))
+    # no backward ref: the two closest forward refs
+    snd = -1
+    snd_hint = 0
+    for i in range(7):
+        hint = ref_order_hints[i]
+        if (get_relative_dist(sp, hint, fwd_hint) < 0
+                and (snd < 0 or get_relative_dist(sp, hint, snd_hint) > 0)):
+            snd, snd_hint = i, hint
+    if snd < 0:
+        return None
+    return (1 + min(fwd, snd), 1 + max(fwd, snd))
+
+
+def skip_mode_frames(sp: SequenceParams, fp: FrameParams):
+    """skipModeAllowed derivation (spec 5.9.22 skip_mode_params).
+
+    Returns the (ref0, ref1) LAST_FRAME-based pair skip-mode blocks
+    predict from, or None when skip mode is not allowed for this frame.
+    Behavior reference: svt_av1_setup_skip_mode_allowed
+    (pd_process.c:99-145)."""
+    is_intra = fp.frame_type in (FrameType.KEY_FRAME, FrameType.INTRA_ONLY_FRAME)
+    if (is_intra or not fp.reference_select or not sp.enable_order_hint):
+        return None
+    return skip_mode_frames_raw(sp, fp.order_hint, fp.ref_order_hints)
+
+
 def coded_lossless(fp: FrameParams) -> bool:
     """Spec CodedLossless: every segment's effective qindex is 0 and all
     dc/ac delta_q are 0 (DeltaQ per-SB does not enter the computation)."""
@@ -515,7 +575,8 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         else:
             w.f(fp.refresh_frame_flags, 8)
     if not is_intra:
-        # ref_frame_idx for LAST..ALTREF (no short signaling without order hints)
+        if sp.enable_order_hint:
+            w.f(0, 1)  # frame_refs_short_signaling
         for i in range(7):
             w.f(fp.ref_frame_idx[i], 3)
         # frame_size (override 0); inter frames never downscale here
@@ -569,7 +630,10 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         w.f(int(fp.tx_mode_select), 1)
     if not is_intra:
         w.f(int(fp.reference_select), 1)  # REFERENCE_MODE_SELECT
-    # skip_mode_params: never allowed without order hints
+    # skip_mode_params (spec 5.9.22): the present bit is coded only when
+    # skipModeAllowed (derivation shared with the walks)
+    if skip_mode_frames(sp, fp) is not None:
+        w.f(int(fp.skip_mode_present), 1)
     # allow_warped_motion: seq enable_warped_motion off -> no bit
     w.f(int(fp.reduced_tx_set), 1)
     if not is_intra:

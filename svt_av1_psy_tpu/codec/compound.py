@@ -68,6 +68,52 @@ def jnt_conv(patch: np.ndarray, w: int, h: int, fx: np.ndarray,
     return (x[3 : 3 + h, 3 : 3 + w] << bits) + round_offset
 
 
+def dist_wtd_weights(order_hint_bits: int, cur: int, hint0: int,
+                     hint1: int):
+    """(fwd_offset, bck_offset) distance weights for a compound pair with
+    compound_idx == 0 — the prediction skip-mode blocks use (spec
+    7.11.3.15; behavior reference: svt_av1_dist_wtd_comp_weight_assign,
+    inter_prediction.c:273).  hint0/hint1 are RefOrderHint of ref0/ref1;
+    fwd_offset multiplies the LIST-0 (ref0) conv buffer."""
+
+    def rel(a, b):
+        diff = a - b
+        m = 1 << (order_hint_bits - 1)
+        return (diff & (m - 1)) - (diff & m)
+
+    MAXD = 31   # MAX_FRAME_DISTANCE
+    d0 = min(abs(rel(hint1, cur)), MAXD)
+    d1 = min(abs(rel(cur, hint0)), MAXD)
+    order = int(d0 <= d1)
+    lut = ((9, 7), (11, 5), (12, 4), (13, 3))
+    qw = ((2, 3), (2, 5), (2, 7), (1, MAXD))
+    if d0 == 0 or d1 == 0:
+        i = 3
+    else:
+        for i in range(3):
+            c0, c1 = qw[i][order], qw[i][1 - order]
+            if ((d0 > d1 and d0 * c0 < d1 * c1)
+                    or (d0 <= d1 and d0 * c0 > d1 * c1)):
+                break
+        else:
+            i = 3
+    return lut[i][order], lut[i][1 - order]
+
+
+def compound_dist_weighted(p0: np.ndarray, p1: np.ndarray, fwd: int,
+                           bck: int, bd: int) -> np.ndarray:
+    """Distance-weighted compound of two ConvBuf-domain predictions
+    (use_dist_wtd_comp_avg tail, inter_prediction.c:470)."""
+    offset_bits = bd + 2 * FILTER_BITS - ROUND_0
+    round_offset = (1 << (offset_bits - ROUND_1)) \
+        + (1 << (offset_bits - ROUND_1 - 1))
+    round_bits = 2 * FILTER_BITS - ROUND_0 - ROUND_1
+    tmp = (p0 * fwd + p1 * bck) >> 4   # DIST_PRECISION_BITS
+    tmp = tmp - round_offset
+    out = _rpot(tmp, round_bits)
+    return np.clip(out, 0, (1 << bd) - 1).astype(np.uint16)
+
+
 def compound_average(p0: np.ndarray, p1: np.ndarray, bd: int) -> np.ndarray:
     """COMPOUND_AVERAGE of two ConvBuf-domain predictions -> (h, w) uint16
     pixels (the do_average tail of the jnt convolve kernels)."""

@@ -139,7 +139,9 @@ class InterFrameEncoder(IntraFrameEncoder):
                  motion_mode_switchable=False, enable_interintra=False,
                  enable_masked_compound=False, rdoq_fast=False,
                  seed_grid=None, switchable_filters=False,
-                 device_commit=None, **kw):
+                 device_commit=None, sign_bias=None,
+                 skip_mode_present=False, skip_mode_pair=None,
+                 skip_mode_weights=(0, 0), **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -173,6 +175,16 @@ class InterFrameEncoder(IntraFrameEncoder):
         # accelerator is attached), True/False forces
         self.device_commit = device_commit
         self.pre_commit = None
+        # order hints: per-ref RefFrameSignBias (spec 7.8) feeding the MV
+        # stack extension scans; skip-mode frame state (spec 5.9.22 /
+        # 5.11.27) — eligible NEAREST_NEARESTMV zero-residual compound
+        # blocks on the skip pair code one skip_mode bit and nothing else
+        self.sign_bias = tuple(sign_bias) if sign_bias is not None else None
+        self.skip_mode_present = bool(skip_mode_present)
+        self.skip_mode_pair = skip_mode_pair
+        # dist-weight pair (fwd, bck) for skip-mode prediction
+        self.skip_mode_weights = tuple(skip_mode_weights)
+        self.mi_skip_mode = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         # ROTZOOM global motion for LAST: wmmat[6] + shear; GLOBALMV blocks
         # >= 8x8 predict through the normative warp filter, and the model
         # projects to a per-block MV at the block center (codec/warp.py)
@@ -1196,12 +1208,14 @@ class InterFrameEncoder(IntraFrameEncoder):
                                        (t_r0, t_r1, t_c0, t_c1),
                                        gm=(self._gm_stack_mv(mi_row, mi_col,
                                                              W, H, LAST_FRAME),
-                                           (0, 0)))
+                                           (0, 0)),
+                                       sign_bias=self.sign_bias)
             else:
                 gm_ref = self._gm_stack_mv(mi_row, mi_col, W, H, ref_sel)
                 stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
                     self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
-                    (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref)
+                    (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref,
+                    sign_bias=self.sign_bias)
                 # NEWMV whose MV equals the stack head is re-coded as
                 # NEARESTMV: same prediction, no DRL/MV syntax (the
                 # inject_mvp-candidate == ME-result collapse in MD)
@@ -1452,14 +1466,105 @@ class InterFrameEncoder(IntraFrameEncoder):
                             dqc[0], eob0, int(tt)))
         skip = all(r[9] == 0 for r in results)
 
+        # ---- skip-mode candidate (the reference evaluates skip_mode as
+        # an MD candidate, product_coding_loop.c): a zero-residual simple
+        # inter block trials the compound-NEAREST prediction on the
+        # frame's skip pair; if that also quantizes to zero without
+        # raising luma distortion, ONE skip_mode bit replaces the whole
+        # block syntax (skip/is_inter/refs/mode/...)
+        if (self.skip_mode_present and min(W, H) >= 8
+                and self.seg_params is None and self.noise_norm == 0
+                and self.skip_mode_pair == (LAST_FRAME, self.ref2)
+                and skip and use_inter
+                and wedge_info is None and ii_mode is None and not obmc_used
+                and not (int(y_mode) == GLOBALMV and self.gm_wm is not None)
+                and not (is_comp and int(y_mode) == 17)):
+            tr0_, tr1_, tc0_, tc1_ = self.tile_mi
+            s0_, s1_, _w_, _mc_, _rc_ = setup_comp_mv_list(
+                self.grid, mi_row, mi_col, n8_w, n8_h,
+                (LAST_FRAME, self.ref2), (tr0_, tr1_, tc0_, tc1_),
+                gm=(self._gm_stack_mv(mi_row, mi_col, W, H, LAST_FRAME),
+                    (0, 0)), sign_bias=self.sign_bias)
+            smv, smv2 = tuple(s0_[0]), tuple(s1_[0])
+            from . import compound as cmp
+
+            trial = []
+            sm_zero = True
+            for plane, px, py, pw, ph, tx_size, _pred, _tt in plane_jobs:
+                b0, b1 = self._jnt_bufs(plane, px, py, pw, ph, smv, smv2,
+                                        filt=0)
+                # skip-mode blocks decode with seq enable_jnt_comp ?
+                # distance-weighted : plain average; jnt_comp is off in
+                # this encoder -> COMPOUND_AVERAGE (verified dav1d-exact)
+                if self.skip_mode_weights != (0, 0):
+                    fwd_o, bck_o = self.skip_mode_weights
+                    spred = cmp.compound_dist_weighted(b0, b1, fwd_o,
+                                                       bck_o, self.bd)
+                else:
+                    spred = cmp.compound_average(b0, b1, self.bd)
+                psrc = self.src[plane][py : py + ph, px : px + pw]
+                resid = psrc.astype(np.int16) - spred.astype(np.int16)
+                coeffs = forward_transform_2d(
+                    resid[None].astype(np.int32), int(tx_size), 0,
+                    self.bd)[0]
+                cw_t, ch_t = min(pw, 32), min(ph, 32)
+                flat = coeffs[:ch_t, :cw_t].reshape(1, -1)
+                scan = self.tables.scan(int(tx_size), 0)
+                qm, iqm = self._get_qm(plane, int(tx_size), 0)
+                qc, dqc, eob = quantize_b(flat, scan, self.quant[plane],
+                                          int(tx_size), qm=qm, iqm=iqm)
+                if int(eob[0]) != 0:
+                    sm_zero = False
+                    break
+                trial.append((plane, px, py, pw, ph, tx_size, spred,
+                              qc[0], dqc[0], 0, 0))
+            if sm_zero:
+                src64 = src.astype(np.int64)
+                d_cur = int(np.sum((src64 - y_pred.astype(np.int64)) ** 2))
+                d_sm = int(np.sum(
+                    (src64 - trial[0][6].astype(np.int64)) ** 2))
+                if d_sm <= d_cur:
+                    y_mode = 17          # NEAREST_NEARESTMV
+                    is_comp = True
+                    ref_sel = LAST_FRAME   # decoder infers the skip pair
+                    mv, mv2 = smv, smv2
+                    y_pred = trial[0][6]
+                    results = trial
+                    blk_filt = 0
+                    wedge_info = None
+
         # ---- syntax
-        self._write_skip(mi_row, mi_col, skip)
+        # skip_mode (spec 5.11.27): when present and the block qualifies,
+        # ONE bit replaces the whole mode-info syntax — the decoder infers
+        # compound NEAREST_NEARESTMV on the skip pair, skip=1, REGULAR
+        # filter, simple motion
+        tmr0, _tmr1, tmc0, _tmc1 = self.tile_mi
+        sm_coded = (self.skip_mode_present and min(W, H) >= 8
+                    and self.seg_params is None)
+        use_skip_mode = bool(
+            sm_coded and skip and use_inter and is_comp
+            and int(y_mode) == 17          # NEAREST_NEARESTMV
+            and self.skip_mode_pair == (LAST_FRAME, self.ref2)
+            and wedge_info is None and ii_mode is None and not obmc_used
+            and blk_filt == 0)
+        if sm_coded:
+            above_sm = (int(self.mi_skip_mode[mi_row - 1, mi_col])
+                        if mi_row > tmr0 else 0)
+            left_sm = (int(self.mi_skip_mode[mi_row, mi_col - 1])
+                       if mi_col > tmc0 else 0)
+            self.fc.write(self.enc, "skip_mode", (above_sm + left_sm,),
+                          int(use_skip_mode), 2)
+        if not use_skip_mode:
+            self._write_skip(mi_row, mi_col, skip)
         self._write_segment_id(mi_row, mi_col, bsize, seg, skip)
         if (self._sb_delta_pending and (mi_row & 15) == 0 and (mi_col & 15) == 0
                 and (bsize != BlockSize.BLOCK_64X64 or not skip)):
             self._write_delta_q_index()
-        self._write_is_inter(mi_row, mi_col, use_inter)
-        if use_inter:
+        if not use_skip_mode:
+            self._write_is_inter(mi_row, mi_col, use_inter)
+        if use_skip_mode:
+            pass    # everything else is inferred from the skip pair
+        elif use_inter:
             if self.ref_select and min(W, H) >= 8:
                 self._write_comp_inter(mi_row, mi_col, is_comp)
             if is_comp:
@@ -1591,6 +1696,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         r1 = min(mi_row + bh4, self.mi_rows)
         c1 = min(mi_col + bw4, self.mi_cols)
         self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
+        self.mi_skip_mode[mi_row:r1, mi_col:c1] = int(use_skip_mode)
         if use_inter:
             self.mi_mode[mi_row:r1, mi_col:c1] = 0  # DC for intra ctx purposes
             self.grid.set_block(mi_row, mi_col, bw4, bh4, ref_sel, mv, y_mode,

@@ -147,10 +147,13 @@ def _add_candidate(ctx: _Ctx, grid: MiGrid, r, c, ref_frame, gm_mv, length, weig
 
 
 def setup_ref_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, ref_frame,
-                      tile, sb_mi=16, gm_mv=(0, 0)):
+                      tile, sb_mi=16, gm_mv=(0, 0), sign_bias=None):
     """Returns (stack [(mvrow, mvcol)...], mode_context, refmv_count).
 
-    tile: (mi_row_start, mi_row_end, mi_col_start, mi_col_end)."""
+    tile: (mi_row_start, mi_row_end, mi_col_start, mi_col_end).
+    sign_bias: per-ref RefFrameSignBias (8,) when order hints are enabled
+    (spec 7.10.2.10: extension-scan candidates with a different-signed
+    reference enter negated); None = all zero (order hints off)."""
     t_r0, t_r1, t_c0, t_c1 = tile
     mode_ctx = 0
     ctx = _Ctx()
@@ -328,6 +331,9 @@ def setup_ref_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, ref_frame,
                                     int(grid.mv2_col[r, c]))):
                     if rf <= INTRA_FRAME or refmv_count >= MAX_MV_REF_CANDIDATES:
                         continue
+                    if (sign_bias is not None
+                            and sign_bias[rf] != sign_bias[ref_frame]):
+                        mr, mc = -mr, -mc
                     mv = (mr, mc)
                     if mv not in stack[:refmv_count]:
                         if refmv_count < len(stack):
@@ -405,7 +411,8 @@ def _add_comp_candidate(ctx: _CCtx, grid: MiGrid, r, c, rf, gm, length,
 
 
 def setup_comp_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, rf,
-                       tile, sb_mi=16, gm=((0, 0), (0, 0))):
+                       tile, sb_mi=16, gm=((0, 0), (0, 0)),
+                       sign_bias=None):
     """Reference-MV stack for a compound pair rf = (ref0, ref1)
     (setup_ref_mv_list compound path + scan_row_col_light,
     adaptive_mv_pred.c:470-570). Returns (stack0, stack1, weights,
@@ -577,8 +584,13 @@ def setup_comp_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, rf,
                     if can_rf == rf[side] and len(ref_id[side]) < 2:
                         ref_id[side].append((mr, mc))
                     elif can_rf > INTRA_FRAME and len(ref_diff[side]) < 2:
-                        # sign bias flips vanish with order hints disabled
-                        ref_diff[side].append((mr, mc))
+                        # spec 7.10.2.13 add_extra: different-signed refs
+                        # enter negated (no-op with order hints off)
+                        if (sign_bias is not None and
+                                sign_bias[can_rf] != sign_bias[rf[side]]):
+                            ref_diff[side].append((-mr, -mc))
+                        else:
+                            ref_diff[side].append((mr, mc))
 
         if abs(max_row_offset) >= 1:
             i = 0

@@ -98,6 +98,10 @@ class _CWalk(ctypes.Structure):
         # ---- device-precomputed residuals (ops/commit.py) ----
         ("pre_slot", _VP), ("pre_off", _VP), ("pre_eob", _VP),
         ("pre_qc", _VP),
+        # ---- order hints / skip mode ----
+        ("sign_bias", _I * 8),
+        ("skip_mode_present", _I), ("skip_ref0", _I), ("skip_ref1", _I),
+        ("cdf_skip_mode", _VP), ("mi_skip_mode", _VP),
     ]
 
 
@@ -312,6 +316,18 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         w.ref2_const = int(enc.ref2) if enc.ref2 is not None else _ALT
         w.rdoq_fast = int(getattr(enc, "rdoq_fast", False)
                           and enc.noise_norm == 0)
+        # order hints: sign bias + skip-mode frame state (mirrors the
+        # Python walk's fields; mi_skip_mode is the shared ctx grid)
+        sb = getattr(enc, "sign_bias", None)
+        if sb is not None:
+            for i in range(8):
+                w.sign_bias[i] = int(sb[i])
+        sm_pair = getattr(enc, "skip_mode_pair", None)
+        if (getattr(enc, "skip_mode_present", False) and sm_pair is not None):
+            w.skip_mode_present = 1
+            w.skip_ref0, w.skip_ref1 = int(sm_pair[0]), int(sm_pair[1])
+            w.cdf_skip_mode = _ptr(enc.fc.tables["skip_mode"])
+        w.mi_skip_mode = _ptr(enc.mi_skip_mode)
         pre = getattr(enc, "pre_commit", None)
         if pre is not None:
             keep += [pre.pre_slot, pre.pre_off, pre.pre_eob, pre.pre_qc]

@@ -219,6 +219,12 @@ typedef struct {
     const int32_t *pre_off;   /* per slot: 3 offsets into pre_qc */
     const int32_t *pre_eob;   /* per slot: 3 eobs (y, u, v) */
     const int32_t *pre_qc;    /* packed quantized coeffs (raster order) */
+    /* ---- order hints / skip mode (spec 7.8 + 5.11.27) ---- */
+    int32_t sign_bias[8];     /* RefFrameSignBias per ref (0 = hints off) */
+    int skip_mode_present;    /* frame header skip_mode_present */
+    int skip_ref0, skip_ref1; /* SkipModeFrame pair */
+    uint16_t *cdf_skip_mode;  /* (3,3) */
+    int8_t *mi_skip_mode;     /* per-mi skip_mode flags (ctx) */
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -1100,6 +1106,11 @@ static void ref_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
                 for (int t = 0; t < 2; t++) {
                     if (rfs[t] <= 0 || refmv_count >= 2) continue;
                     int mr = mrs[t], mc = mcs[t];
+                    /* spec 7.10.2.10: different-signed refs enter negated
+                       (RefFrameSignBias; all-zero with order hints off) */
+                    if (w->sign_bias[rfs[t]] != w->sign_bias[ref]) {
+                        mr = -mr; mc = -mc;
+                    }
                     int dup = 0;
                     for (int k = 0; k < refmv_count; k++)
                         if (st_r[k] == mr && st_c[k] == mc) { dup = 1; break; }
@@ -1602,8 +1613,11 @@ static void comp_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
                             id_c[side][idn[side]] = mcs[t];
                             idn[side]++;
                         } else if (rfs[t] > 0 && dfn[side] < 2) {
-                            df_r[side][dfn[side]] = mrs[t];
-                            df_c[side][dfn[side]] = mcs[t];
+                            /* spec 7.10.2.13: sign-bias mismatch negates */
+                            int fl = w->sign_bias[rfs[t]]
+                                     != w->sign_bias[rfp[side]];
+                            df_r[side][dfn[side]] = fl ? -mrs[t] : mrs[t];
+                            df_c[side][dfn[side]] = fl ? -mcs[t] : mcs[t];
                             dfn[side]++;
                         }
                     }
@@ -1857,8 +1871,84 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         && mv2r == s1r[0] && mv2c == s1c[0])
         mode = 17;
 
-    /* ---- syntax (order: skip, delta-q, is_inter, mode info) */
-    {
+    /* ---- skip-mode candidate (the reference evaluates skip_mode as an
+       MD candidate, product_coding_loop.c): a zero-residual simple inter
+       block trials the compound-NEAREST prediction on the skip pair; if
+       that also quantizes to zero without raising luma distortion, ONE
+       skip_mode bit replaces the whole block syntax.  Mirrors the Python
+       walk's conversion bit-exactly. */
+    if (w->skip_mode_present && W >= 8 && H >= 8 && skip && use_inter
+        && w->skip_ref0 == 1 && w->skip_ref1 == w->ref2_const
+        && !(is_comp && mode == 17)) {
+        int c0r[10], c0c[10], c1r[10], c1c[10], cwt[10];
+        int cmc_, crc_, cns_;
+        comp_mv_list(w, mi_row, mi_col, bw4, bh4, 1, w->ref2_const,
+                     w->gm_row, w->gm_col, c0r, c0c, c1r, c1c, cwt,
+                     &cmc_, &crc_, &cns_);
+        int smr = c0r[0], smc = c0c[0], sm2r = c1r[0], sm2c = c1c[0];
+        static PlaneRes tr[3];   /* single-threaded walk: static is safe */
+        int sm_zero = 1;
+        for (int i = 0; i < nres && sm_zero; i++) {
+            tr[i].plane = res[i].plane;
+            tr[i].px = res[i].px; tr[i].py = res[i].py;
+            tr[i].pw = res[i].pw; tr[i].ph = res[i].ph;
+            tr[i].tx_size = res[i].tx_size;
+            tr[i].tx_type = 0;
+            mc_pred_compound(w, tr[i].plane, tr[i].px, tr[i].py, tr[i].pw,
+                             tr[i].ph, smr, smc, sm2r, sm2c, tr[i].pred);
+            run_plane_rdoq(w, &tr[i], sb_r, sb_c, 0);
+            if (tr[i].eob) sm_zero = 0;
+        }
+        if (sm_zero) {
+            /* luma SSE compare: decided pred (recompute for prefilled
+               device leaves) vs the skip-mode pred */
+            uint16_t curp[64 * 64];
+            const uint16_t *cp = res[0].pred;
+            if (pslot >= 0) {
+                if (is_comp)
+                    mc_pred_compound(w, 0, x0, y0, W, H, mvr, mvc, mv2r,
+                                     mv2c, curp);
+                else
+                    mc_pred_plane(w, ref_idx, 0, x0, y0, W, H, mvr, mvc,
+                                  curp);
+                cp = curp;
+            }
+            const uint16_t *srcp = w->src[0];
+            int ss = w->src_stride[0];
+            long long d_cur = 0, d_sm = 0;
+            for (int yy = 0; yy < H; yy++)
+                for (int xx = 0; xx < W; xx++) {
+                    int sv = srcp[(y0 + yy) * ss + x0 + xx];
+                    long long a = sv - cp[yy * W + xx];
+                    long long b = sv - tr[0].pred[yy * W + xx];
+                    d_cur += a * a;
+                    d_sm += b * b;
+                }
+            if (d_sm <= d_cur) {
+                mode = 17; is_comp = 1;
+                mvr = smr; mvc = smc; mv2r = sm2r; mv2c = sm2c;
+                for (int i = 0; i < nres; i++) res[i] = tr[i];
+                pslot = -1;
+            }
+        }
+    }
+
+    /* ---- syntax (order: skip_mode, skip, delta-q, is_inter, mode) */
+    /* skip_mode (spec 5.11.27): one bit replaces the whole mode-info
+       syntax for zero-residual NEAREST_NEARESTMV average-compound blocks
+       on the frame's skip pair */
+    int sm_coded = w->skip_mode_present && W >= 8 && H >= 8;
+    int use_sm = sm_coded && skip && use_inter && is_comp && mode == 17
+        && w->skip_ref0 == 1 && w->skip_ref1 == w->ref2_const;
+    if (sm_coded) {
+        int above = mi_row > w->tile_r0
+            ? w->mi_skip_mode[(mi_row - 1) * w->mi_cols + mi_col] : 0;
+        int left = mi_col > w->tile_c0
+            ? w->mi_skip_mode[mi_row * w->mi_cols + mi_col - 1] : 0;
+        ec_symbol(w->enc, use_sm, w->cdf_skip_mode + (above + left) * 3, 2,
+                  w->adapt);
+    }
+    if (!use_sm) {
         int above = mi_row > w->tile_r0 ? w->mi_skip[(mi_row - 1) * w->mi_cols + mi_col] : 0;
         int left = mi_col > w->tile_c0 ? w->mi_skip[mi_row * w->mi_cols + mi_col - 1] : 0;
         ec_symbol(w->enc, skip, w->cdf_skip + (above + left) * 3, 2, w->adapt);
@@ -1866,8 +1956,10 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     if (w->sb_delta_pending && (mi_row & 15) == 0 && (mi_col & 15) == 0
         && (bsize != 12 || !skip))
         write_delta_q(w);
-    write_is_inter(w, mi_row, mi_col, use_inter);
-    if (use_inter) {
+    if (!use_sm) write_is_inter(w, mi_row, mi_col, use_inter);
+    if (use_sm) {
+        /* everything else is inferred from the skip pair */
+    } else if (use_inter) {
         if (w->ref_select && (W < H ? W : H) >= 8)
             write_comp_inter(w, mi_row, mi_col, is_comp);
         if (is_comp) {
@@ -1930,6 +2022,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             int j = r * w->mi_cols + c;
             w->mi_mode[j] = (int8_t)(use_inter ? 0 : mode);
             w->mi_skip[j] = (int8_t)skip;
+            if (w->mi_skip_mode) w->mi_skip_mode[j] = (int8_t)use_sm;
             w->g_ref[j] = (int8_t)(is_comp ? 1 : (use_inter ? ref : 0));
             w->g_mvr[j] = (int16_t)(use_inter ? mvr : 0);
             w->g_mvc[j] = (int16_t)(use_inter ? mvc : 0);
