@@ -505,18 +505,6 @@ def _pack_stage(*arrs):
     return jnp.concatenate([a.astype(jnp.float32).reshape(-1) for a in arrs])
 
 
-@functools.partial(__import__("jax").jit, static_argnames=("Hp", "Wp"))
-def prep_stack(stack, Hp: int, Wp: int):
-    """(U, h, w) uint8/uint16 source stack -> (srcs (U, Hp, Wp) f32,
-    refs (U, Hp+2P, Wp+2P) f32). One upload covers a whole chunk."""
-    jnp = _jnp()
-    u, h, w = stack.shape
-    x = stack.astype(jnp.float32)
-    src = jnp.pad(x, ((0, 0), (0, Hp - h), (0, Wp - w)), mode="edge")
-    ref = jnp.pad(src, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
-    return src, ref
-
-
 def decide_frame_staged(src, ref_l, ref_a, pvec, two_ref: bool, bd: int,
                         depths: tuple = DEPTHS):
     """Dispatch the staged pipeline for one frame (device arrays in,
@@ -556,20 +544,24 @@ def frame_result_len(Hp: int, Wp: int, depths: tuple = DEPTHS) -> int:
 
 
 # --------------------------------------------------------------- host API
-def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS):
-    """Search a whole chunk of frames in one device round trip.
+def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS, post=None):
+    """Search a whole chunk of frames, streaming results per job.
 
     frames: list of (h, w) numpy source planes (uint8/uint16); jobs: list
     of dicts {src, ref_l, ref_a (index into frames or None), gm (1/8-pel
     (row, col)), lam, psy_rd, bias_pct}. Returns one {S: (rows, costs)}
-    per job. Everything dispatches async; the single packed fetch at the
-    end is the only tunnel round trip that scales with chunk size.
+    per job. All programs dispatch async up front (the device queue runs
+    them back-to-back); results are then fetched and delivered in job
+    order. With `post` (callable (job_index, result)), each job's result
+    posts as soon as its fetch lands, so a host consumer walking the jobs
+    in order overlaps its work with the still-running tail of the chunk —
+    the search/commit overlap of the reference's MD/EncDec thread array.
     """
     h, w = frames[0].shape
     Hp, Wp = pad_dims(h, w)
     dt = np.uint8 if (bd == 8 and all(f.dtype == np.uint8 or f.max() < 256
                                       for f in frames)) else np.uint16
-    stack = np.stack([np.ascontiguousarray(f, dt) for f in frames])
+    planes = [np.ascontiguousarray(f, dt) for f in frames]
     params = np.zeros((len(jobs), 5), np.float32)
     for j, job in enumerate(jobs):
         params[j] = (round(job["gm"][0] / 8.0), round(job["gm"][1] / 8.0),
@@ -588,37 +580,48 @@ def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS):
         # and each job's whole stage chain runs where its inputs live.
         # Per-job results are placement-independent, so the bitstream is
         # mesh-size invariant (tests/test_multichip.py).
-        preps = [prep_stack(jax.device_put(stack, d), Hp=Hp, Wp=Wp)
-                 for d in devs]
+        preps = [[prep_frame(jax.device_put(p, d), Hp=Hp, Wp=Wp)
+                  for p in planes] for d in devs]
         pdevs = [jax.device_put(params, d) for d in devs]
-        out = []
         vecs = []
         for j, job in enumerate(jobs):
             d = j % len(devs)
-            srcs, refs = preps[d]
+            pf = preps[d]
             two = job["ref_a"] is not None
             vecs.append(decide_frame_staged(
-                srcs[job["src"]], refs[job["ref_l"]],
-                refs[job["ref_a"] if two else job["ref_l"]], pdevs[d][j],
+                pf[job["src"]][0], pf[job["ref_l"]][1],
+                pf[job["ref_a"] if two else job["ref_l"]][1], pdevs[d][j],
                 two_ref=two, bd=bd, depths=depths))
-        return [unpack_frame(np.asarray(v), Hp, Wp, depths) for v in vecs]
-    srcs, refs = prep_stack(stack, Hp=Hp, Wp=Wp)
-    pdev = jax.device_put(params)
-    vecs = []
-    for j, job in enumerate(jobs):
-        two = job["ref_a"] is not None
-        vecs.append(decide_frame_staged(
-            srcs[job["src"]], refs[job["ref_l"]],
-            refs[job["ref_a"] if two else job["ref_l"]], pdev[j],
-            two_ref=two, bd=bd, depths=depths))
-    # one eager concat + ONE fetch: the only round trip scaling with J
-    jnp = _jnp()
-    packed = np.asarray(jnp.concatenate(vecs)) if vecs else np.zeros(0)
+    else:
+        # per-frame puts + fixed-shape preps: every program here has a
+        # chunk-length-independent shape, so nothing recompiles when the
+        # GoP/lookahead chunk size varies (a U-shaped stack prep cost a
+        # fresh XLA compile per distinct chunk length). Preps are lazy so
+        # the first job's programs queue behind only ITS frames' uploads,
+        # not the whole chunk's.
+        pf = {}
+
+        def prep(i):
+            if i not in pf:
+                pf[i] = prep_frame(jax.device_put(planes[i]), Hp=Hp, Wp=Wp)
+            return pf[i]
+
+        pdev = jax.device_put(params)
+        vecs = []
+        for j, job in enumerate(jobs):
+            two = job["ref_a"] is not None
+            vecs.append(decide_frame_staged(
+                prep(job["src"])[0], prep(job["ref_l"])[1],
+                prep(job["ref_a"] if two else job["ref_l"])[1], pdev[j],
+                two_ref=two, bd=bd, depths=depths))
+    # stream the fetches in job order: each blocks only until ITS programs
+    # finish while the device queue keeps executing the later jobs
     out = []
-    flen = frame_result_len(Hp, Wp, depths)
-    for j in range(len(jobs)):
-        out.append(unpack_frame(packed[j * flen : (j + 1) * flen], Hp, Wp,
-                                depths))
+    for j, v in enumerate(vecs):
+        res = unpack_frame(np.asarray(v), Hp, Wp, depths)
+        out.append(res)
+        if post is not None:
+            post(j, res)
     return out
 
 

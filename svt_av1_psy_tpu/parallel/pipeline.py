@@ -106,14 +106,17 @@ class InterSearchPipeline:
     def _run_chunk(self, frames, jobs):
         from ..ops import inter_search as dev
 
-        out = dev.chunk_search(frames, jobs, self.bd, self.depths)
-        with self._lock:
-            for j, res in zip(jobs, out):
-                if j["key"] is not None:
-                    self._results[j["key"]] = res
-                    ev = self._events.get(j["key"])
-                    if ev is not None:
-                        ev.set()
+        def post(j, res):
+            key = jobs[j]["key"]
+            if key is None:
+                return
+            with self._lock:
+                self._results[key] = res
+                ev = self._events.get(key)
+                if ev is not None:
+                    ev.set()
+
+        dev.chunk_search(frames, jobs, self.bd, self.depths, post=post)
 
     def _post(self, jobs, value):
         with self._lock:
