@@ -130,6 +130,10 @@ def _load():
         return None
     lib.walk_encode_tile.argtypes = [ctypes.POINTER(_CWalk)]
     lib.walk_encode_tile.restype = ctypes.c_int
+    lib.walk_precommit.argtypes = [
+        ctypes.POINTER(_CWalk), ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.walk_precommit.restype = None
     lib.ec_create.restype = ctypes.c_void_p
     _lib = lib
     return lib
@@ -465,6 +469,53 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         w.lr_ops = _ptr(ops)
         w.lr_start = _ptr(starts)
         w.lr_sb_cols = -(-enc.mi_cols // 16)
+
+    # ---- batched host pre-commit: pred/TX/quant/recon for this tile's
+    # decided inter leaves through the lane-batched C kernels before the
+    # EC walk (same pre_* ABI as the device commit; bit-identical to the
+    # walk's own per-leaf path by construction — tests/test_walk_native.py)
+    if (w.is_inter_frame and getattr(enc, "pre_commit", None) is None
+            and enc.qindex > 0):
+        from .constants import BLOCK_HEIGHT
+        from .constants import BLOCK_WIDTH as _BWF
+
+        bs_by_wh = {(int(_BWF[b]), int(BLOCK_HEIGHT[b])): b
+                    for b in range(len(_BWF))}
+        rows = []
+        total = 0
+        for (r, c), d in enc.inter_dec.items():
+            if not d[0]:
+                continue
+            geom = enc.leaf_geom.get((r, c))
+            if geom is None:
+                continue
+            W, H = geom
+            if (W < 8 or H < 8
+                    or not (mi_r0 <= r < mi_r1 and mi_c0 <= c < mi_c1)):
+                continue
+            rows.append((r, c, bs_by_wh[(W, H)]))
+            ny = min(W, 32) * min(H, 32)
+            nuv = (min(W >> 1, 32) * min(H >> 1, 32)
+                   if enc.nplanes > 1 else 0)
+            total += ny + 2 * nuv
+        if rows:
+            leaves = np.ascontiguousarray(np.array(rows, np.int32))
+            nl = len(rows)
+            p_slot = np.zeros(enc.mi_rows * enc.mi_cols, np.int32)
+            p_off = np.zeros(3 * nl, np.int32)
+            p_eob = np.zeros(3 * nl, np.int32)
+            p_qc = np.zeros(total, np.int32)
+            keep += [leaves, p_slot, p_off, p_eob, p_qc]
+            from ..profiling import stage
+
+            with stage("host:precommit"):
+                lib.walk_precommit(ctypes.byref(w), _ptr(leaves), nl,
+                                   _ptr(p_slot), _ptr(p_off), _ptr(p_eob),
+                                   _ptr(p_qc))
+            w.pre_slot = _ptr(p_slot)
+            w.pre_off = _ptr(p_off)
+            w.pre_eob = _ptr(p_eob)
+            w.pre_qc = _ptr(p_qc)
 
     lib.walk_encode_tile(ctypes.byref(w))
     del keep

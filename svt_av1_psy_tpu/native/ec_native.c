@@ -517,6 +517,272 @@ void txfm2d_inv_add(const int32_t *coeff, const uint16_t *pred, int nblk,
     }
 }
 
+/* ---- lane-batched 2-D transforms (walk_precommit): same graph tables
+ * and rounding as the scalar paths above, but processing L blocks per
+ * slab with the block index as the innermost (contiguous) dimension so
+ * every stage op vectorizes across lanes. The conformant walk is
+ * single-threaded, so static scratch is safe. */
+#define TXB_CAP 32768   /* max len*lanes elements per slab */
+static int64_t txb_slab[TXB_CAP], txb_slab2[TXB_CAP];
+static int64_t txb_bufA[TXB_CAP], txb_bufB[TXB_CAP];
+
+/* 1-D transform along `len` elements, each a row of `lw` lanes in
+ * slab[len][lw]; applies rshift(post_shift) afterward (tx1d_apply). */
+static void tx1d_batch(int64_t *slab, int len, int lw, const tx1d_t *t,
+                       int post_shift) {
+    if (t->kind1d == 3) { /* identity */
+        for (int e = 0; e < len; e++) {
+            int64_t *v = slab + (size_t)e * lw;
+            switch (len) {
+            case 4:
+                for (int l = 0; l < lw; l++) v[l] = rshift(v[l] * 5793, 12);
+                break;
+            case 8:
+                for (int l = 0; l < lw; l++) v[l] = v[l] * 2;
+                break;
+            case 16:
+                for (int l = 0; l < lw; l++)
+                    v[l] = rshift(v[l] * 2 * 5793, 12);
+                break;
+            case 32:
+                for (int l = 0; l < lw; l++) v[l] = v[l] * 4;
+                break;
+            default:
+                for (int l = 0; l < lw; l++)
+                    v[l] = rshift(v[l] * 4 * 5793, 12);
+                break;
+            }
+        }
+    } else if (t->kind1d == 1 || t->kind1d == 2) { /* ADST4 */
+        const int64_t *sp = tx_sinpi[t->cos_bit - 10];
+        int64_t *x0 = slab, *x1 = slab + lw, *x2 = slab + 2 * lw,
+                *x3 = slab + 3 * lw;
+        if (t->kind1d == 2) { /* inverse */
+            for (int l = 0; l < lw; l++) {
+                int64_t s0 = sp[1] * x0[l] + sp[4] * x2[l] + sp[2] * x3[l];
+                int64_t s1 = sp[2] * x0[l] - sp[1] * x2[l] - sp[4] * x3[l];
+                int64_t s2 = sp[3] * ((x0[l] - x2[l]) + x3[l]);
+                int64_t s3 = sp[3] * x1[l];
+                x0[l] = rshift(s0 + s3, t->cos_bit);
+                x1[l] = rshift(s1 + s3, t->cos_bit);
+                x2[l] = rshift(s2, t->cos_bit);
+                x3[l] = rshift((s0 + s1) - s3, t->cos_bit);
+            }
+        } else {
+            for (int l = 0; l < lw; l++) {
+                int64_t a0 = sp[1] * x0[l] + sp[2] * x1[l] + sp[4] * x3[l];
+                int64_t a1 = sp[3] * ((x0[l] + x1[l]) - x3[l]);
+                int64_t a2 = sp[4] * x0[l] - sp[1] * x1[l] + sp[2] * x3[l];
+                int64_t a3 = sp[3] * x2[l];
+                x0[l] = rshift(a0 + a3, t->cos_bit);
+                x1[l] = rshift(a1, t->cos_bit);
+                x2[l] = rshift(a2 - a3, t->cos_bit);
+                x3[l] = rshift((a2 - a0) + a3, t->cos_bit);
+            }
+        }
+    } else { /* butterfly graph */
+        int64_t rnd = 1ll << (t->cos_bit - 1);
+        int64_t lo = 0, hi = 0;
+        if (t->clamp_bit > 0) {
+            lo = -(1ll << (t->clamp_bit - 1));
+            hi = (1ll << (t->clamp_bit - 1)) - 1;
+        }
+        int64_t *cur = txb_bufA, *nxt = txb_bufB;
+        memcpy(cur, slab, (size_t)len * lw * sizeof(int64_t));
+        for (int s = 0; s < t->nstages; s++) {
+            const int32_t *sA = t->A + (size_t)s * len;
+            const int32_t *sB = t->B + (size_t)s * len;
+            const int64_t *swa = t->wa + (size_t)s * len;
+            const int64_t *swb = t->wb + (size_t)s * len;
+            const int8_t *sk = t->k + (size_t)s * len;
+            for (int i = 0; i < len; i++) {
+                const int64_t wa = swa[i], wb = swb[i];
+                const int64_t *a = cur + (size_t)sA[i] * lw;
+                const int64_t *b = cur + (size_t)sB[i] * lw;
+                int64_t *o = nxt + (size_t)i * lw;
+                if (sk[i] == 2) {
+                    for (int l = 0; l < lw; l++)
+                        o[l] = (wa * a[l] + wb * b[l] + rnd) >> t->cos_bit;
+                } else if (sk[i] == 1 && t->clamp_bit > 0) {
+                    for (int l = 0; l < lw; l++) {
+                        int64_t acc = wa * a[l] + wb * b[l];
+                        o[l] = acc < lo ? lo : (acc > hi ? hi : acc);
+                    }
+                } else {
+                    for (int l = 0; l < lw; l++)
+                        o[l] = wa * a[l] + wb * b[l];
+                }
+            }
+            int64_t *tmp = cur; cur = nxt; nxt = tmp;
+        }
+        memcpy(slab, cur, (size_t)len * lw * sizeof(int64_t));
+    }
+    if (post_shift > 0) {
+        int64_t prnd = 1ll << (post_shift - 1);
+        for (size_t i = 0; i < (size_t)len * lw; i++)
+            slab[i] = (slab[i] + prnd) >> post_shift;
+    } else if (post_shift < 0) {
+        for (size_t i = 0; i < (size_t)len * lw; i++)
+            slab[i] <<= -post_shift;
+    }
+}
+
+static int txb_lanes(int H, int W) {
+    int L = TXB_CAP / (H * W);
+    return L > 32 ? 32 : (L < 1 ? 1 : L);
+}
+
+void txfm2d_fwd_batch(const int32_t *res, int nblk, int H, int W,
+                      int ck, const void *cA, const void *cB, const void *cwa,
+                      const void *cwb, const void *ckd, int cns, int cbit,
+                      int rk, const void *rA, const void *rB, const void *rwa,
+                      const void *rwb, const void *rkd, int rns, int rbit,
+                      int s0, int s1, int s2, int ud, int lr, int rect,
+                      int32_t *out) {
+    tx1d_t col = {ck, cA, cB, cwa, cwb, ckd, cns, cbit, 0};
+    tx1d_t row = {rk, rA, rB, rwa, rwb, rkd, rns, rbit, 0};
+    int L = txb_lanes(H, W);
+    for (int b0 = 0; b0 < nblk; b0 += L) {
+        int Lb = nblk - b0 < L ? nblk - b0 : L;
+        /* load: slab[(r*W+c)*Lb + l], s0 pre-shift + ud row reversal */
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                int64_t *o = txb_slab + ((size_t)(r * W + c)) * Lb;
+                int sr = ud ? H - 1 - r : r;
+                for (int l = 0; l < Lb; l++)
+                    o[l] = rshift(
+                        (int64_t)res[(size_t)(b0 + l) * H * W + sr * W + c],
+                        -s0);
+            }
+        /* columns: elements are rows, lanes = W*Lb contiguous */
+        tx1d_batch(txb_slab, H, W * Lb, &col, -s1);
+        if (lr)
+            for (int r = 0; r < H; r++)
+                for (int c = 0; c < W / 2; c++) {
+                    int64_t *a = txb_slab + ((size_t)(r * W + c)) * Lb;
+                    int64_t *b =
+                        txb_slab + ((size_t)(r * W + W - 1 - c)) * Lb;
+                    for (int l = 0; l < Lb; l++) {
+                        int64_t t = a[l]; a[l] = b[l]; b[l] = t;
+                    }
+                }
+        /* transpose to [(c*H+r)*Lb + l] for the row pass */
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                const int64_t *a = txb_slab + ((size_t)(r * W + c)) * Lb;
+                int64_t *b = txb_slab2 + ((size_t)(c * H + r)) * Lb;
+                for (int l = 0; l < Lb; l++) b[l] = a[l];
+            }
+        tx1d_batch(txb_slab2, W, H * Lb, &row, -s2);
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                const int64_t *a = txb_slab2 + ((size_t)(c * H + r)) * Lb;
+                int zero = (W == 64 && c >= 32) || (H == 64 && r >= 32);
+                for (int l = 0; l < Lb; l++) {
+                    int64_t x = a[l];
+                    if (rect) x = rshift(x * 5793, 12);
+                    if (zero) x = 0;
+                    out[(size_t)(b0 + l) * H * W + r * W + c] = (int32_t)x;
+                }
+            }
+    }
+}
+
+void txfm2d_inv_add_batch(const int32_t *coeff, const uint16_t *pred,
+                          int nblk, int H, int W,
+                          int rk, const void *rA, const void *rB,
+                          const void *rwa, const void *rwb, const void *rkd,
+                          int rns, int rclamp,
+                          int ck, const void *cA, const void *cB,
+                          const void *cwa, const void *cwb, const void *ckd,
+                          int cns, int cclamp,
+                          int s0, int s1, int clamp_in, int clamp_mid,
+                          int ud, int lr, int rect, int bd, uint16_t *out) {
+    tx1d_t row = {rk, rA, rB, rwa, rwb, rkd, rns, 12, rclamp};
+    tx1d_t col = {ck, cA, cB, cwa, cwb, ckd, cns, 12, cclamp};
+    const int64_t ilo = -(1ll << (clamp_in - 1));
+    const int64_t ihi = (1ll << (clamp_in - 1)) - 1;
+    const int64_t mlo = -(1ll << (clamp_mid - 1));
+    const int64_t mhi = (1ll << (clamp_mid - 1)) - 1;
+    const int peak = (1 << bd) - 1;
+    int L = txb_lanes(H, W);
+    for (int b0 = 0; b0 < nblk; b0 += L) {
+        int Lb = nblk - b0 < L ? nblk - b0 : L;
+        /* load into [(c*H+r)*Lb + l]: elements c contiguous for row pass */
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                int64_t *o = txb_slab + ((size_t)(c * H + r)) * Lb;
+                int zero = (W == 64 && c >= 32) || (H == 64 && r >= 32);
+                for (int l = 0; l < Lb; l++) {
+                    int64_t x = zero ? 0
+                        : coeff[(size_t)(b0 + l) * H * W + r * W + c];
+                    if (rect) x = rshift(x * 2896, 12);
+                    o[l] = x < ilo ? ilo : (x > ihi ? ihi : x);
+                }
+            }
+        /* rows: elements are c, lanes = H*Lb */
+        tx1d_batch(txb_slab, W, H * Lb, &row, -s0);
+        if (lr)
+            for (int c = 0; c < W / 2; c++) {
+                int64_t *a = txb_slab + ((size_t)c * H) * Lb;
+                int64_t *b = txb_slab + ((size_t)(W - 1 - c) * H) * Lb;
+                for (size_t l = 0; l < (size_t)H * Lb; l++) {
+                    int64_t t = a[l]; a[l] = b[l]; b[l] = t;
+                }
+            }
+        for (size_t i = 0; i < (size_t)H * W * Lb; i++)
+            txb_slab[i] = txb_slab[i] < mlo ? mlo
+                : (txb_slab[i] > mhi ? mhi : txb_slab[i]);
+        /* transpose to [(r*W+c)*Lb + l] for the column pass */
+        for (int r = 0; r < H; r++)
+            for (int c = 0; c < W; c++) {
+                const int64_t *a = txb_slab + ((size_t)(c * H + r)) * Lb;
+                int64_t *b = txb_slab2 + ((size_t)(r * W + c)) * Lb;
+                for (int l = 0; l < Lb; l++) b[l] = a[l];
+            }
+        tx1d_batch(txb_slab2, H, W * Lb, &col, -s1);
+        for (int r = 0; r < H; r++) {
+            int sr = ud ? H - 1 - r : r;
+            for (int c = 0; c < W; c++) {
+                const int64_t *a = txb_slab2 + ((size_t)(sr * W + c)) * Lb;
+                for (int l = 0; l < Lb; l++) {
+                    size_t px = (size_t)(b0 + l) * H * W + r * W + c;
+                    int64_t y = (int64_t)pred[px] + a[l];
+                    out[px] = (uint16_t)(y < 0 ? 0 : (y > peak ? peak : y));
+                }
+            }
+        }
+    }
+}
+
+/* params-array wrappers (layouts documented at txfm2d_fwd_p below) */
+void txfm2d_fwd_batch_p(const int64_t *p, const int32_t *res, int nblk,
+                        int32_t *out) {
+    txfm2d_fwd_batch(res, nblk, (int)p[22], (int)p[23],
+                     (int)p[0], (const void *)p[1], (const void *)p[2],
+                     (const void *)p[3], (const void *)p[4],
+                     (const void *)p[5], (int)p[6], (int)p[7],
+                     (int)p[8], (const void *)p[9], (const void *)p[10],
+                     (const void *)p[11], (const void *)p[12],
+                     (const void *)p[13], (int)p[14], (int)p[15],
+                     (int)p[16], (int)p[17], (int)p[18], (int)p[19],
+                     (int)p[20], (int)p[21], out);
+}
+
+void txfm2d_inv_add_batch_p(const int64_t *p, const int32_t *coeff,
+                            const uint16_t *pred, int nblk, uint16_t *out) {
+    txfm2d_inv_add_batch(coeff, pred, nblk, (int)p[24], (int)p[25],
+                         (int)p[0], (const void *)p[1], (const void *)p[2],
+                         (const void *)p[3], (const void *)p[4],
+                         (const void *)p[5], (int)p[6], (int)p[7],
+                         (int)p[8], (const void *)p[9], (const void *)p[10],
+                         (const void *)p[11], (const void *)p[12],
+                         (const void *)p[13], (int)p[14], (int)p[15],
+                         (int)p[16], (int)p[17], (int)p[18], (int)p[19],
+                         (int)p[20], (int)p[21], (int)p[22], (int)p[23],
+                         out);
+}
+
 /* Coefficient writer that derives the base/BR contexts internally
  * (get_nz_map_ctx / get_br_ctx, encode_txb_ref_c.c) instead of receiving
  * numpy-computed maps. Bit-identical to coeff_coding.write_coeffs_txb.

@@ -16,6 +16,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 #include <time.h>
 
@@ -48,6 +49,10 @@ int32_t ec_write_coeffs_txb_full(
     uint16_t *eob_extra_rows, uint16_t *base_eob_rows, uint16_t *base_rows,
     uint16_t *br_rows, uint16_t *dc_sign_row);
 void txfm2d_fwd_p(const int64_t *p, const int32_t *res, int nblk, int32_t *out);
+void txfm2d_fwd_batch_p(const int64_t *p, const int32_t *res, int nblk,
+                        int32_t *out);
+void txfm2d_inv_add_batch_p(const int64_t *p, const int32_t *coeff,
+                            const uint16_t *pred, int nblk, uint16_t *out);
 void txfm2d_inv_add_p(const int64_t *p, const int32_t *coeff,
                       const uint16_t *pred, int nblk, uint16_t *out);
 
@@ -2093,6 +2098,219 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
         for (int c = mi_col; c < c1; c++) w->part_above[c] = PCTX_A[subsize];
         for (int r = mi_row; r < r1; r++) w->part_left[r] = PCTX_L[subsize];
     }
+}
+
+/* ============================================ batched host pre-commit ==
+ * The host-side analog of the device residual commit (ops/commit.py,
+ * same pre_* ABI): pred + fwd TX + quant (+rdoq) + inv TX + recon for the
+ * decided inter leaves of one tile, BEFORE the EC walk, with transforms
+ * running through the lane-batched kernels (txfm2d_*_batch_p in
+ * ec_native.c) instead of one scalar graph interpretation per block.
+ * The walk then reads qcoeffs/eobs via pre_slot and skips its per-leaf
+ * compute (encode_block_inter's pslot path) — the reference interleaves
+ * this compute with the syntax walk in one thread (coding_loop.c:1697);
+ * here the EC-independent half batches per frame.
+ *
+ * leaves: [nl][3] = (mi_row, mi_col, bsize); modes/MVs/tx types read from
+ * the d_* decision grids exactly like encode_block_inter, so results are
+ * bit-identical by construction. pre_qc must be sized by the caller:
+ * sum over leaves of min(W,32)*min(H,32) (+ 2 chroma terms at nplanes=3).
+ */
+typedef struct {
+    int leaf, plane, px, py, pw, ph, ts, tt, sb_r, sb_c, qc_off;
+    int ref_idx, is_comp, mvr, mvc, mv2r, mv2c;
+} PreJob;
+
+static void precommit_round(Walk *w, PreJob *jobs, int nj,
+                            int32_t *pre_eob, int32_t *pre_qc) {
+    /* group by (ts, tt): process each group in lane chunks */
+    static int32_t resid[32768], coeffb[32768], fullb[32768];
+    static uint16_t predb[32768], recb[32768];
+    int *order = (int *)malloc(sizeof(int) * (size_t)(nj > 0 ? nj : 1));
+    int used[19][16] = {{0}};
+    for (int j = 0; j < nj; j++) used[jobs[j].ts][jobs[j].tt] = 1;
+    for (int ts = 0; ts < 19; ts++)
+        for (int tt = 0; tt < 16; tt++) {
+            if (!used[ts][tt]) continue;
+            int n = 0;
+            for (int j = 0; j < nj; j++)
+                if (jobs[j].ts == ts && jobs[j].tt == tt) order[n++] = j;
+            if (!n) continue;
+            int pw = jobs[order[0]].pw, ph = jobs[order[0]].ph;
+            int B = 32768 / (pw * ph);
+            if (B > 64) B = 64;
+            if (B < 1) B = 1;
+            int cw = pw < 32 ? pw : 32, ch = ph < 32 ? ph : 32;
+            for (int c0 = 0; c0 < n; c0 += B) {
+                int nb = n - c0 < B ? n - c0 : B;
+                for (int k = 0; k < nb; k++) {
+                    PreJob *jb = &jobs[order[c0 + k]];
+                    uint16_t *pp = predb + (size_t)k * pw * ph;
+                    if (jb->is_comp)
+                        mc_pred_compound(w, jb->plane, jb->px, jb->py, pw,
+                                         ph, jb->mvr, jb->mvc, jb->mv2r,
+                                         jb->mv2c, pp);
+                    else
+                        mc_pred_plane(w, jb->ref_idx, jb->plane, jb->px,
+                                      jb->py, pw, ph, jb->mvr, jb->mvc, pp);
+                    const uint16_t *src = w->src[jb->plane];
+                    int ss = w->src_stride[jb->plane];
+                    int32_t *rs = resid + (size_t)k * pw * ph;
+                    for (int y = 0; y < ph; y++)
+                        for (int x = 0; x < pw; x++)
+                            rs[y * pw + x] =
+                                (int32_t)src[(jb->py + y) * ss + jb->px + x]
+                                - (int32_t)pp[y * pw + x];
+                }
+                long long wp_t0 = wp_now();
+                txfm2d_fwd_batch_p(w->fwdp[ts][tt], resid, nb, coeffb);
+                for (int k = 0; k < nb; k++) {
+                    PreJob *jb = &jobs[order[c0 + k]];
+                    const int32_t *co = coeffb + (size_t)k * pw * ph;
+                    int64_t flat[32 * 32];
+                    for (int y = 0; y < ch; y++)
+                        for (int x = 0; x < cw; x++)
+                            flat[y * cw + x] = co[y * pw + x];
+                    const int32_t *qp = qp_row(w, jb->sb_r, jb->sb_c,
+                                               jb->plane);
+                    static const uint8_t TXSC[19] =
+                        {0,0,0,1,2,0,0,0,0,1,1,2,2,0,0,0,0,1,1};
+                    int log_scale = TXSC[ts];
+                    const uint8_t *qm = tt >= 9 ? 0 : w->qm[jb->plane][ts];
+                    const uint16_t *iqm =
+                        tt >= 9 ? 0 : w->iqm[jb->plane][ts];
+                    int32_t *qc = pre_qc + jb->qc_off;
+                    int32_t dqc[32 * 32];
+                    int eob = quantize_txb(
+                        flat, cw * ch, w->scans[ts][tt], qp[0], qp[1],
+                        qp[2], qp[3], qp[4], qp[5], qp[6], qp[7], qp[8],
+                        qp[9], log_scale, qm, iqm, qc, dqc);
+                    if (w->rdoq_fast && eob) {
+                        int zbin[2] = {qp[8] + ((qp[8] * 70 + 64) >> 7),
+                                       qp[9] + ((qp[9] * 70 + 64) >> 7)};
+                        const int16_t *scan = w->scans[ts][tt];
+                        int e = eob;
+                        for (int i = e - 1; i >= 0; i--) {
+                            int rc = scan[i];
+                            int64_t a = flat[rc] < 0 ? -flat[rc] : flat[rc];
+                            if ((a << (1 + log_scale)) < zbin[rc != 0]
+                                || qc[rc] == 0) {
+                                e--;
+                                qc[rc] = 0;
+                                dqc[rc] = 0;
+                            } else
+                                break;
+                        }
+                        eob = e;
+                    }
+                    pre_eob[jb->leaf * 3 + jb->plane] = eob;
+                    int32_t *fu = fullb + (size_t)k * pw * ph;
+                    memset(fu, 0, sizeof(int32_t) * pw * ph);
+                    if (eob)
+                        for (int y = 0; y < ch; y++)
+                            for (int x = 0; x < cw; x++)
+                                fu[y * pw + x] = dqc[y * cw + x];
+                }
+                walk_prof_ns[1] += wp_now() - wp_t0;
+                wp_t0 = wp_now();
+                txfm2d_inv_add_batch_p(w->invp[ts][tt], fullb, predb, nb,
+                                       recb);
+                for (int k = 0; k < nb; k++) {
+                    PreJob *jb = &jobs[order[c0 + k]];
+                    int wr = pw, hr = ph;
+                    if (jb->px + wr > w->pw[jb->plane])
+                        wr = w->pw[jb->plane] - jb->px;
+                    if (jb->py + hr > w->ph[jb->plane])
+                        hr = w->ph[jb->plane] - jb->py;
+                    uint16_t *dst = w->recon[jb->plane];
+                    int rstr = w->rec_stride[jb->plane];
+                    const uint16_t *rc2 = recb + (size_t)k * pw * ph;
+                    for (int y = 0; y < hr; y++)
+                        memcpy(dst + (jb->py + y) * rstr + jb->px,
+                               rc2 + y * pw, sizeof(uint16_t) * wr);
+                }
+                walk_prof_ns[2] += wp_now() - wp_t0;
+            }
+        }
+    free(order);
+}
+
+void walk_precommit(Walk *w, const int32_t *leaves, int nl,
+                    int32_t *pre_slot, int32_t *pre_off, int32_t *pre_eob,
+                    int32_t *pre_qc) {
+    PreJob *jy = (PreJob *)malloc(sizeof(PreJob) * (size_t)nl);
+    PreJob *juv = (PreJob *)malloc(sizeof(PreJob) * (size_t)nl * 2);
+    int njy = 0;
+    int qc_off = 0;
+    for (int l = 0; l < nl; l++) {
+        int mi_row = leaves[l * 3], mi_col = leaves[l * 3 + 1];
+        int bsize = leaves[l * 3 + 2];
+        int W = BW[bsize], H = BH[bsize];
+        int mi = mi_row * w->mi_cols + mi_col;
+        int ref = w->d_ref[mi];
+        int mode = w->d_mode[mi];
+        int is_comp = mode >= 17;
+        int ny = (W < 32 ? W : 32) * (H < 32 ? H : 32);
+        int cwf = W >> 1 < 32 ? W >> 1 : 32;
+        int chf = H >> 1 < 32 ? H >> 1 : 32;
+        int nuv = w->nplanes > 1 ? cwf * chf : 0;
+        pre_slot[mi] = l + 1;
+        pre_off[l * 3] = qc_off;
+        pre_off[l * 3 + 1] = qc_off + ny;
+        pre_off[l * 3 + 2] = qc_off + ny + nuv;
+        PreJob *jb = &jy[njy++];
+        jb->leaf = l;
+        jb->plane = 0;
+        jb->px = mi_col * 4;
+        jb->py = mi_row * 4;
+        jb->pw = W;
+        jb->ph = H;
+        jb->ts = MAX_TX[bsize];
+        int tt_y = (w->d_txt && w->qindex > 0) ? w->d_txt[mi] : 0;
+        if (SQR_UP[jb->ts] > 3) tt_y = 0;
+        jb->tt = tt_y;
+        jb->sb_r = mi_row >> 4;
+        jb->sb_c = mi_col >> 4;
+        jb->qc_off = qc_off;
+        jb->ref_idx = ref == 1 ? 0 : 1;
+        jb->is_comp = is_comp;
+        jb->mvr = w->d_mvr[mi];
+        jb->mvc = w->d_mvc[mi];
+        jb->mv2r = is_comp && w->d_mvr2 ? w->d_mvr2[mi] : 0;
+        jb->mv2c = is_comp && w->d_mvc2 ? w->d_mvc2[mi] : 0;
+        qc_off += ny + 2 * nuv;
+    }
+    precommit_round(w, jy, njy, pre_eob, pre_qc);
+    if (w->nplanes > 1) {
+        int njuv = 0;
+        for (int j = 0; j < njy; j++) {
+            PreJob *y = &jy[j];
+            int W = y->pw, H = y->ph;
+            int uv_w = W >> 1 > 4 ? W >> 1 : 4;
+            int uv_h = H >> 1 > 4 ? H >> 1 : 4;
+            int tx_uv = MAX_TX[bsize_of(uv_w, uv_h)];
+            int tt_uv = y->tt;
+            if (pre_eob[y->leaf * 3] == 0) tt_uv = 0;
+            if (SQR_UP[tx_uv] > 3) tt_uv = 0;
+            else if (SQR_UP[tx_uv] == 3 && tt_uv != 0 && tt_uv != 9)
+                tt_uv = 0;
+            for (int pl = 1; pl <= 2; pl++) {
+                PreJob *jb = &juv[njuv++];
+                *jb = *y;
+                jb->plane = pl;
+                jb->px = y->px >> 1;
+                jb->py = y->py >> 1;
+                jb->pw = W >> 1;
+                jb->ph = H >> 1;
+                jb->ts = tx_uv;
+                jb->tt = tt_uv;
+                jb->qc_off = pre_off[y->leaf * 3 + pl];
+            }
+        }
+        precommit_round(w, juv, njuv, pre_eob, pre_qc);
+    }
+    free(jy);
+    free(juv);
 }
 
 /* Entry: encode one tile's superblock range. The Walk struct is built by
