@@ -941,6 +941,7 @@ class Encoder:
                 ref_select=(gop is not None and gop.get("future") is not None),
                 shared=inter_shared,
                 inter_depths=self._pc.inter_depths,
+                inter_rect=self._pc.inter_rect,
                 gm_wm=gm_wm,
                 inter_bias_pct=inter_bias_pct,
                 inter_tx_search=len(self._pc.tx_search_depths) > 0,

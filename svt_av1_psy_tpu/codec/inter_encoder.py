@@ -141,12 +141,15 @@ class InterFrameEncoder(IntraFrameEncoder):
                  seed_grid=None, switchable_filters=False,
                  device_commit=None, sign_bias=None,
                  skip_mode_present=False, skip_mode_pair=None,
-                 skip_mode_weights=(0, 0), **kw):
+                 skip_mode_weights=(0, 0), inter_rect=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
         # a single entry keeps the fixed-size walk of rounds 1-2
         self.inter_depths = tuple(sorted(int(d) for d in inter_depths))
+        # PARTITION_HORZ/VERT candidates at 16..dmax nodes
+        # (product_coding_loop.c:9791-9895)
+        self.inter_rect = bool(inter_rect)
         # tune-3 unipred psy bias percent applied to inter costs in the
         # decide kernel (uni_psy_bias/bi_psy_bias, md_process.h:1277)
         self.inter_bias_pct = int(inter_bias_pct)
@@ -553,7 +556,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         from .rd import intra_rate_model, lambda_sse_per_bit
 
         dmin, dmax = self.inter_depths[0], self.inter_depths[-1]
-        cands, forced = [], []
+        cands, forced, rect_jobs = [], [], []
 
         def collect(r, c, S):
             if r >= self.mi_rows or c >= self.mi_cols:
@@ -565,6 +568,13 @@ class InterFrameEncoder(IntraFrameEncoder):
             if has_rows and has_cols:
                 if S <= dmax:
                     cands.append((r, c, S))
+                    if self.inter_rect and S >= 16:
+                        # HORZ/VERT halves of this node
+                        # (product_coding_loop.c:9791)
+                        rect_jobs.append((r, c, S, S >> 1))
+                        rect_jobs.append((r + half, c, S, S >> 1))
+                        rect_jobs.append((r, c, S >> 1, S))
+                        rect_jobs.append((r, c + half, S >> 1, S))
                 if S > dmin:
                     S2 = S >> 1
                     collect(r, c, S2)
@@ -596,6 +606,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         jobs = [(r, c, S, S) for (r, c, S) in cands]
         jobs += [(r, c, int(BLOCK_WIDTH[bs]), int(BLOCK_HEIGHT[bs]))
                  for (r, c, bs) in forced]
+        jobs += rect_jobs
         got = self._decide_jobs(jobs)
         if got is None:
             return False
@@ -622,7 +633,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             has_rows = (r + half) < self.mi_rows
             has_cols = (c + half) < self.mi_cols
             bsize = _BSIZE_BY_WH[(S, S)]
-            split = False
+            split = 0   # chosen partition: 0 NONE, 1 SPLIT, 2 HORZ, 3 VERT
             if has_rows and has_cols:
                 none_cost = np.inf
                 if S <= dmax:
@@ -636,8 +647,23 @@ class InterFrameEncoder(IntraFrameEncoder):
                                   + ncost(r + half, c, S2)
                                   + ncost(r + half, c + half, S2)
                                   + lam * float(rm.part_split_bits[BSL[S]]))
-                split = split_cost < none_cost
-                cost = min(none_cost, split_cost)
+                horz_cost = vert_cost = np.inf
+                if self.inter_rect and S >= 16 and S <= dmax:
+                    horz_cost = (costj[(r, c, S, S >> 1)]
+                                 + costj[(r + half, c, S, S >> 1)]
+                                 + lam * (float(rm.part_horz_bits[BSL[S]])
+                                          + 2 * LEAF_BITS))
+                    vert_cost = (costj[(r, c, S >> 1, S)]
+                                 + costj[(r, c + half, S >> 1, S)]
+                                 + lam * (float(rm.part_vert_bits[BSL[S]])
+                                          + 2 * LEAF_BITS))
+                cost = none_cost
+                if split_cost < cost:
+                    cost, split = split_cost, 1
+                if horz_cost < cost:
+                    cost, split = horz_cost, 2
+                if vert_cost < cost:
+                    cost, split = vert_cost, 3
             elif has_cols:
                 sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
                 w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
@@ -668,6 +694,16 @@ class InterFrameEncoder(IntraFrameEncoder):
                 gr = -((-self.mi_rows * 4) // S)
                 gc = -((-self.mi_cols * 4) // S)
                 parts[S] = np.zeros((gr, gc), bool)
+        rects = {}
+        if self.inter_rect:
+            # all sizes 16..dmax: frame-corner nodes recurse below dmin,
+            # so rect choices can appear at any node size
+            S = 16
+            while S <= dmax:
+                gr = -((-self.mi_rows * 4) // S)
+                gc = -((-self.mi_cols * 4) // S)
+                rects[S] = np.zeros((gr, gc), np.uint8)
+                S <<= 1
         dec_map = {}
 
         def extract(r, c, S):
@@ -678,8 +714,23 @@ class InterFrameEncoder(IntraFrameEncoder):
             has_cols = (c + half) < self.mi_cols
             bsize = _BSIZE_BY_WH[(S, S)]
             if has_rows and has_cols:
-                split = memo[(r, c, S)][1] if S <= dmax else True
-                if S > dmin and split:
+                part = memo[(r, c, S)][1] if S <= dmax else 1
+                if part >= 2:
+                    rects[S][(r * 4) // S, (c * 4) // S] = part
+                    if part == 2:     # HORZ: two SxS/2 leaves
+                        geoms = ((r, c), (r + half, c))
+                        w_, h_ = S, S >> 1
+                    else:             # VERT
+                        geoms = ((r, c), (r, c + half))
+                        w_, h_ = S >> 1, S
+                    for (rr, cc) in geoms:
+                        t = self._dec_from_row(res[(rr, cc, w_, h_)])
+                        if self.gm_wm is not None:
+                            t = self._warp_upgrade_dec(
+                                rr, cc, w_, h_, t, costj[(rr, cc, w_, h_)])
+                        dec_map[(rr, cc)] = t
+                        self.leaf_geom[(rr, cc)] = (w_, h_)
+                elif S > dmin and part == 1:
                     p = parts.get(S)
                     if p is not None:
                         p[(r * 4) // S, (c * 4) // S] = True
@@ -730,7 +781,7 @@ class InterFrameEncoder(IntraFrameEncoder):
 
         self._refine_fullpel(dec_map)
         dec_obj = IntraDecisions(parts=parts, modes={}, tx_types={},
-                                 max_leaf=dmax, min_leaf=dmin)
+                                 max_leaf=dmax, min_leaf=dmin, rect=rects)
         self.decisions = dec_obj
         self.inter_dec = dec_map
         self._inter_tx_search()

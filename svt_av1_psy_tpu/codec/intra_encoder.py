@@ -581,7 +581,12 @@ class IntraFrameEncoder:
         if has_rows and has_cols:
             W = int(BLOCK_WIDTH[bsize])
             if self.decisions is not None:
-                if W > 8 and self.decisions.split(mi_row, mi_col, W):
+                rp = self.decisions.rect_part(mi_row, mi_col, W)
+                if rp == 2:
+                    part = PartitionType.PARTITION_HORZ
+                elif rp == 3:
+                    part = PartitionType.PARTITION_VERT
+                elif W > 8 and self.decisions.split(mi_row, mi_col, W):
                     part = PartitionType.PARTITION_SPLIT
                 else:
                     part = PartitionType.PARTITION_NONE

@@ -47,6 +47,20 @@ class IntraDecisions:
     tx_types: dict = field(default_factory=dict)
     max_leaf: int = 32
     min_leaf: int = 8
+    # rect[S]: (rows, cols) uint8 grid over SxS nodes: 0 = none/split (use
+    # parts), 2 = PARTITION_HORZ, 3 = PARTITION_VERT
+    # (product_coding_loop.c:9791 searches these shapes inline; here the
+    # DP emits them as explicit per-node overrides)
+    rect: dict = field(default_factory=dict)
+
+    def rect_part(self, mi_row: int, mi_col: int, size: int) -> int:
+        p = self.rect.get(size)
+        if p is None:
+            return 0
+        r, c = (mi_row * 4) // size, (mi_col * 4) // size
+        if r >= p.shape[0] or c >= p.shape[1]:
+            return 0
+        return int(p[r, c])
 
     def split(self, mi_row: int, mi_col: int, size: int) -> bool:
         p = self.parts.get(size)

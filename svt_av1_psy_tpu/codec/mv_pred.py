@@ -91,8 +91,13 @@ def _has_top_right(sb_mi: int, mi_row, mi_col, n8_w, n8_h, mi_rows, mi_cols, til
     bs = max(n8_w, n8_h)
     if bs > 16:  # mi_size_wide[BLOCK_64X64]
         return False
-    # (two-rect second-half rules don't arise: we only emit NONE/SPLIT and
-    # HORZ/VERT halves where the second half is out of frame)
+    # two-rect rules (has_top_right, adaptive_mv_pred.c:270-281): the
+    # bottom of a HORZ pair never has a top-right; the left of a VERT
+    # pair always does (is_sec_rect, adaptive_mv_pred.c:1030-1041)
+    if n8_w > n8_h and (mi_row & (n8_w - 1)):
+        return False
+    if n8_w < n8_h and ((mi_col + n8_w) & (n8_h - 1)) != 0:
+        return True
     mask_row = mi_row & (sb_mi - 1)
     mask_col = mi_col & (sb_mi - 1)
     has_tr = not ((mask_row & bs) and (mask_col & bs))

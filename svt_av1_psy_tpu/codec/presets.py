@@ -33,6 +33,8 @@ class PresetConfig:
                                  # partition DP (NONE-vs-SPLIT recursion)
     rdoq_fast: bool = False      # RDOQ eob-fast tier on inter residuals
                                  # (rdoq_ctrls eob_fast analog)
+    inter_rect: bool = False     # PARTITION_HORZ/VERT candidates in the
+                                 # inter DP (product_coding_loop.c:9791)
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
@@ -74,4 +76,8 @@ def preset_config(preset: int) -> PresetConfig:
                         inter_depths=((8, 16, 32, 64) if preset <= 0
                                       else (16, 32, 64) if p <= 5
                                       else (32, 64) if p <= 9 else (32,)),
-                        rdoq_fast=p >= 5)
+                        rdoq_fast=p >= 5,
+                        # HORZ/VERT partition candidates: large BD-rate
+                        # gain (-32% bytes +1.4dB on the pan set); the
+                        # rect jobs price through the native decide kernel
+                        inter_rect=p <= 8)

@@ -103,11 +103,15 @@ class IntraRateModel:
         part = t["partition"]  # (20, 11) contexts x syms
         self.part_none_bits = np.zeros(5, np.float32)
         self.part_split_bits = np.zeros(5, np.float32)
+        self.part_horz_bits = np.zeros(5, np.float32)
+        self.part_vert_bits = np.zeros(5, np.float32)
         for bsl in range(5):
             nsyms = 4 if bsl == 0 else (8 if bsl == 4 else 10)
             costs = _avg_ctx_bits(part[bsl * 4:(bsl + 1) * 4], nsyms)
             self.part_none_bits[bsl] = costs[0]
             self.part_split_bits[bsl] = costs[3]
+            self.part_horz_bits[bsl] = costs[1]
+            self.part_vert_bits[bsl] = costs[2]
 
         # skip flag (averaged over ctx)
         sk = _avg_ctx_bits(t["skip"], 2)

@@ -102,6 +102,8 @@ class _CWalk(ctypes.Structure):
         ("sign_bias", _I * 8),
         ("skip_mode_present", _I), ("skip_ref0", _I), ("skip_ref1", _I),
         ("cdf_skip_mode", _VP), ("mi_skip_mode", _VP),
+        # ---- rectangular partitions (IntraDecisions.rect) ----
+        ("rect", _VP * 4), ("rect_cols", _I * 4),
     ]
 
 
@@ -256,6 +258,13 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
                 keep.append(t32)
                 w.txs[li] = _ptr(t32)
                 w.txs_cols[li] = t32.shape[1]
+            rp = getattr(dec, "rect", None)
+            rp = rp.get(size) if rp else None
+            if rp is not None:
+                r8 = np.ascontiguousarray(rp, np.uint8)
+                keep.append(r8)
+                w.rect[li] = _ptr(r8)
+                w.rect_cols[li] = r8.shape[1]
         w.max_leaf = dec.max_leaf
     else:
         # fixed-size leaves (inter frames): dec_split falls back to max_leaf

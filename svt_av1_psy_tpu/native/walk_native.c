@@ -230,6 +230,10 @@ typedef struct {
     int skip_ref0, skip_ref1; /* SkipModeFrame pair */
     uint16_t *cdf_skip_mode;  /* (3,3) */
     int8_t *mi_skip_mode;     /* per-mi skip_mode flags (ctx) */
+    /* ---- rectangular partitions (IntraDecisions.rect): per-size uint8
+       node grids, 0 = none/split (parts decides), 2 = HORZ, 3 = VERT */
+    const uint8_t *rect[4];
+    int32_t rect_cols[4];
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -998,6 +1002,11 @@ static void rm_scan_blk(RefMv *s, int ro, int co) {
 static int rm_has_tr(int mi_row, int mi_col, int n8_w, int n8_h) {
     int bs = n8_w > n8_h ? n8_w : n8_h;
     if (bs > 16) return 0;
+    /* two-rect rules (has_top_right, adaptive_mv_pred.c:270-281): the
+       bottom of a HORZ pair never has a top-right; the left of a VERT
+       pair always does. is_sec_rect per adaptive_mv_pred.c:1030-1041. */
+    if (n8_w > n8_h && (mi_row & (n8_w - 1))) return 0;
+    if (n8_w < n8_h && ((mi_col + n8_w) & (n8_h - 1)) != 0) return 1;
     int mask_row = mi_row & 15, mask_col = mi_col & 15;
     int has_tr = !((mask_row & bs) && (mask_col & bs));
     int b = bs;
@@ -2065,8 +2074,18 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
     int has_cols = (mi_col + half) < w->mi_cols;
     int part;
     int W = BW[bsize];
-    if (has_rows && has_cols)
-        part = (W > 8 && dec_split(w, mi_row, mi_col, W)) ? PART_SPLIT : PART_NONE;
+    if (has_rows && has_cols) {
+        int li = 0;
+        while ((8 << li) < W) li++;
+        const uint8_t *rp = li < 4 ? w->rect[li] : 0;
+        int rv = rp ? rp[((mi_row * 4) / W) * w->rect_cols[li]
+                        + (mi_col * 4) / W] : 0;
+        if (rv == 2) part = PART_HORZ;
+        else if (rv == 3) part = PART_VERT;
+        else
+            part = (W > 8 && dec_split(w, mi_row, mi_col, W))
+                   ? PART_SPLIT : PART_NONE;
+    }
     else if (has_cols) part = PART_HORZ;
     else if (has_rows) part = PART_VERT;
     else part = PART_SPLIT;
