@@ -200,11 +200,18 @@ class Encoder:
                                             get_pipeline)
 
             mode = str(cfg.inter_me_backend)
+            # auto: the device search is at/above native-search quality at
+            # the fast presets (-7.7% bytes +0.08dB at 480p p10); at <= 8
+            # the native kernel's per-block seeded subpel ladder still
+            # wins ~0.4-1.6 dB on hierarchical GoPs, so quality presets
+            # stay native until the device ladder closes the gap
             if mode == "device" or (mode == "auto"
+                                    and cfg.preset >= 9
                                     and device_backend_default()):
                 try:
                     self._me_pipe = get_pipeline(
-                        bd=cfg.input_depth, depths=self._pc.inter_depths)
+                        bd=cfg.input_depth, depths=self._pc.inter_depths,
+                        rect=self._pc.inter_rect)
                     # async pre-compile for this session's frame dims
                     self._me_pipe.warm(cfg.height, cfg.width)
                     self._use_device_me = True

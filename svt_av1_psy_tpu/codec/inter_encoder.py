@@ -328,9 +328,9 @@ class InterFrameEncoder(IntraFrameEncoder):
             Hp, Wp = pad_dims(self.h, self.w)
             any_dev = False
             for (r, c, w, h) in jobs:
-                dv = dr.get(w) if w == h else None
-                if dv is not None and (r * 4) % w == 0 and (c * 4) % w == 0:
-                    idx = (r * 4 // w) * (Wp // w) + (c * 4 // w)
+                dv = dr.get(w) if w == h else dr.get((w, h))
+                if dv is not None and (r * 4) % h == 0 and (c * 4) % w == 0:
+                    idx = (r * 4 // h) * (Wp // w) + (c * 4 // w)
                     row = [int(v) for v in dv[0][idx]]
                     if row[0] == 1 and row[2] == 15:
                         # GLOBALMV rows carry the real (subpel) global MV

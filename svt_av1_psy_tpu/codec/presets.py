@@ -77,7 +77,9 @@ def preset_config(preset: int) -> PresetConfig:
                                       else (16, 32, 64) if p <= 5
                                       else (32, 64) if p <= 9 else (32,)),
                         rdoq_fast=p >= 5,
-                        # HORZ/VERT partition candidates: large BD-rate
-                        # gain (-32% bytes +1.4dB on the pan set); the
-                        # rect jobs price through the native decide kernel
-                        inter_rect=p <= 8)
+                        # HORZ/VERT partition candidates (-2.8% bytes
+                        # +0.27dB at p6). Priced by the native seeded
+                        # kernel (~3x the decide cost), so gated to the
+                        # quality presets like the reference's rect
+                        # partition leveling (enc_mode_config.c)
+                        inter_rect=p <= 6)

@@ -119,6 +119,10 @@ def prep_frame(y_u16, Hp: int, Wp: int):
 
 # --------------------------------------------------------------- pieces
 def _pool(x, f):
+    """Box-mean decimation. (Plain subsampling was tried — it is
+    phase-true for integer motion but aliases catastrophically on noisy
+    content, +40% bytes; the box mean's phase error is the lesser evil
+    and the 4x second center halves it.)"""
     h, w = x.shape
     return x.reshape(h // f, f, w // f, f).mean(axis=(1, 3))
 
@@ -158,9 +162,72 @@ def _hme(dec_src, dec_ref, nsr, nsc):
     # slight center preference: ties (flat regions) resolve to zero motion
     flat = flat.at[:, R_HME * side + R_HME].mul(0.995)
     idx = jnp.argmin(flat, axis=1)
-    dy = jnp.clip((idx // side - R_HME) * HME_DEC, -REACH, REACH)
-    dx = jnp.clip((idx % side - R_HME) * HME_DEC, -REACH, REACH)
-    return dy.astype(jnp.int32), dx.astype(jnp.int32)
+
+    def to_mv(ix):
+        dy = jnp.clip((ix // side - R_HME) * HME_DEC, -REACH, REACH)
+        dx = jnp.clip((ix % side - R_HME) * HME_DEC, -REACH, REACH)
+        return dy.astype(jnp.int32), dx.astype(jnp.int32)
+
+    # 3x3 median over the SB winner field: the per-SB argmin is noisy on
+    # low-texture content (an 8x-decimated SB is only 8x8 samples); the
+    # median restores the spatial coherence the native kernel gets from
+    # neighbour-MV seeding (motion_estimation.c search-center selection)
+    def med3x3(v):
+        g = v.reshape(nsr, nsc).astype(jnp.float32)
+        gp = jnp.pad(g, 1, mode="edge")
+        sh = jnp.stack([gp[r : r + nsr, c : c + nsc]
+                        for r in range(3) for c in range(3)])
+        return jnp.median(sh, axis=0).astype(jnp.int32).reshape(n)
+
+    dy0, dx0 = to_mv(idx)
+    return med3x3(dy0), med3x3(dx0)
+
+
+def _hme4(dec_src, dec_ref, nsr, nsc):
+    """Second, independent HME estimate on 4x-decimated planes (+/-64
+    full-pel): 4x the matching signal per SB and half the box-mean phase
+    error of the 8x level — the 8x estimate keeps the +/-128 reach for
+    cross-GoP motion, this one supplies the accuracy (the reference's
+    HME L0/L1/L2 progressive pyramid, hme_level_0/1, re-expressed as two
+    parallel candidate centers). Returns (dy, dx) int32 (N,) full-pel."""
+    import jax.lax as lax
+    jnp = _jnp()
+
+    n = nsr * nsc
+    DEC = 4
+    R4 = 16                            # +/-64 full-pel
+    PD = PAD // DEC
+    b = 64 // DEC                      # SB side in decimated pels (16)
+    side = 2 * R4 + 1
+    blk = dec_src.reshape(nsr, b, nsc, b).swapaxes(1, 2).reshape(n, b * b)
+    wins = jnp.stack(
+        [dec_ref[(i // nsc) * b + PD - R4 :
+                 (i // nsc) * b + PD + R4 + b,
+                 (i % nsc) * b + PD - R4 :
+                 (i % nsc) * b + PD + R4 + b] for i in range(n)])
+    p = lax.conv_general_dilated_patches(
+        wins[:, None], (b, b), (1, 1), "VALID")
+    corr = jnp.einsum("nkij,nk->nij", p, blk,
+                      preferred_element_type=jnp.float32)
+    sq = wins * wins
+    ii = jnp.pad(sq, ((0, 0), (1, 0), (1, 0))).cumsum(axis=1).cumsum(axis=2)
+    box = (ii[:, b:, b:] - ii[:, b:, :-b]
+           - ii[:, :-b, b:] + ii[:, :-b, :-b])
+    ssd = box - 2.0 * corr + (blk * blk).sum(-1)[:, None, None]
+    flat = ssd.reshape(n, side * side)
+    flat = flat.at[:, R4 * side + R4].mul(0.995)
+    idx = jnp.argmin(flat, axis=1)
+    dy = jnp.clip((idx // side - R4) * DEC, -REACH, REACH)
+    dx = jnp.clip((idx % side - R4) * DEC, -REACH, REACH)
+
+    def med3x3(v):
+        g = v.reshape(nsr, nsc).astype(jnp.float32)
+        gp = jnp.pad(g, 1, mode="edge")
+        sh = jnp.stack([gp[r : r + nsr, c : c + nsc]
+                        for r in range(3) for c in range(3)])
+        return jnp.median(sh, axis=0).astype(jnp.int32).reshape(n)
+
+    return med3x3(dy.astype(jnp.int32)), med3x3(dx.astype(jnp.int32))
 
 
 def _sb_windows(ref, ctr_y, ctr_x, nsr, nsc):
@@ -233,53 +300,55 @@ def _tile_energy(x):
     return sa8d - sad
 
 
-def _block_tiles(x, S):
-    """(Gr, Gc, S, S) -> (Gr, Gc, (S//8)**2, 8, 8) tile view."""
+def _block_tiles(x, BH, BW):
+    """(Gr, Gc, BH, BW) -> (Gr, Gc, (BH//8)*(BW//8), 8, 8) tile view."""
     gr, gc = x.shape[:2]
-    k = S // 8
-    return (x.reshape(gr, gc, k, 8, k, 8).transpose(0, 1, 2, 4, 3, 5)
-            .reshape(gr, gc, k * k, 8, 8))
+    kh, kw = BH // 8, BW // 8
+    return (x.reshape(gr, gc, kh, 8, kw, 8).transpose(0, 1, 2, 4, 3, 5)
+            .reshape(gr, gc, kh * kw, 8, 8))
 
 
-def _sb_to_grid(x, nsr, nsc, k):
-    """(N, k, k, ...) per-SB-child layout -> (nsr*k, nsc*k, ...) grid."""
+def _sb_to_grid(x, nsr, nsc, kh, kw):
+    """(N, kh, kw, ...) per-SB-block layout -> (nsr*kh, nsc*kw, ...)."""
     tail = x.shape[3:]
-    return (x.reshape((nsr, nsc, k, k) + tail).swapaxes(1, 2)
-            .reshape((nsr * k, nsc * k) + tail))
+    return (x.reshape((nsr, nsc, kh, kw) + tail).swapaxes(1, 2)
+            .reshape((nsr * kh, nsc * kw) + tail))
 
 
-def _gather_blocks(ref, mv_y, mv_x, S):
-    """(Gr, Gc, S, S) predictions from `ref` (padded) at per-block
+def _gather_blocks(ref, mv_y, mv_x, BH, BW):
+    """(Gr, Gc, BH, BW) predictions from `ref` (padded) at per-block
     full-pel MVs (Gr, Gc)."""
     import jax
     import jax.lax as lax
     jnp = _jnp()
 
     gr, gc = mv_y.shape
-    by = (jnp.arange(gr, dtype=jnp.int32)[:, None] * S + PAD
+    by = (jnp.arange(gr, dtype=jnp.int32)[:, None] * BH + PAD
           + mv_y.astype(jnp.int32))
-    bx = (jnp.arange(gc, dtype=jnp.int32)[None, :] * S + PAD
+    bx = (jnp.arange(gc, dtype=jnp.int32)[None, :] * BW + PAD
           + mv_x.astype(jnp.int32))
 
     def g(y, x):
-        return lax.dynamic_slice(ref, (y, x), (S, S))
+        return lax.dynamic_slice(ref, (y, x), (BH, BW))
 
     return jax.vmap(jax.vmap(g))(by, jnp.broadcast_to(bx, (gr, gc)))
 
 
-def _intra_candidates(src, S, Hp, Wp, bd):
+def _intra_candidates(src, BH, BW, Hp, Wp, bd):
     """Open-loop intra fallback preds from SOURCE neighbors (native
     intra_pred_block semantics incl. availability rules).
-    Returns (Gr, Gc, 5, S, S) predictions (DC, V, H, SMOOTH, PAETH)."""
+    Returns (Gr, Gc, 5, BH, BW) predictions (DC, V, H, SMOOTH, PAETH)."""
     jnp = _jnp()
 
-    gr, gc = Hp // S, Wp // S
+    gr, gc = Hp // BH, Wp // BW
     base = float(1 << (bd - 1))
-    # above rows: src[by*S - 1, bx*S : bx*S + S] for by >= 1
-    ab_rows = src[S - 1 : Hp - 1 : S, :].reshape(gr - 1, gc, S)
-    ab = jnp.concatenate([jnp.zeros((1, gc, S), src.dtype), ab_rows], axis=0)
-    lf_cols = src[:, S - 1 : Wp - 1 : S].reshape(gr, S, gc - 1).swapaxes(1, 2)
-    lf = jnp.concatenate([jnp.zeros((gr, 1, S), src.dtype), lf_cols], axis=1)
+    # above rows: src[by*BH - 1, bx*BW : bx*BW + BW] for by >= 1
+    ab_rows = src[BH - 1 : Hp - 1 : BH, :].reshape(gr - 1, gc, BW)
+    ab = jnp.concatenate([jnp.zeros((1, gc, BW), src.dtype), ab_rows], axis=0)
+    lf_cols = (src[:, BW - 1 : Wp - 1 : BW].reshape(gr, BH, gc - 1)
+               .swapaxes(1, 2))
+    lf = jnp.concatenate([jnp.zeros((gr, 1, BH), src.dtype), lf_cols],
+                         axis=1)
     # first-left / first-above pixels for the unavailable-side fill
     l0 = lf[:, :, 0]
     a0 = ab[:, :, 0]
@@ -287,30 +356,32 @@ def _intra_candidates(src, S, Hp, Wp, bd):
     have_l = (jnp.arange(gc) > 0)[None, :]          # (1, Gc)
     fill_a = jnp.where(have_l, l0, base)            # above row when !have_a
     fill_l = jnp.where(have_a, a0, base)            # left col when !have_l
-    A = jnp.where(have_a[..., None], ab, fill_a[..., None])   # (Gr, Gc, S)
-    L = jnp.where(have_l[..., None], lf, fill_l[..., None])
-    corner_true = jnp.pad(src[S - 1 : Hp - 1 : S, S - 1 : Wp - 1 : S],
+    A = jnp.where(have_a[..., None], ab, fill_a[..., None])   # (Gr, Gc, BW)
+    L = jnp.where(have_l[..., None], lf, fill_l[..., None])   # (Gr, Gc, BH)
+    corner_true = jnp.pad(src[BH - 1 : Hp - 1 : BH, BW - 1 : Wp - 1 : BW],
                           ((1, 0), (1, 0)))
     corner = jnp.where(have_a & have_l, corner_true,
                        jnp.where(have_a, A[:, :, 0],
                                  jnp.where(have_l, L[:, :, 0], base)))
     both = have_a & have_l
+    npx = BH + BW
     dc = jnp.where(
         both,
-        jnp.floor((A.sum(-1) + L.sum(-1) + S) / (2.0 * S)),
-        jnp.where(have_a, jnp.floor((A.sum(-1) + S // 2) / S),
-                  jnp.where(have_l, jnp.floor((L.sum(-1) + S // 2) / S),
+        jnp.floor((A.sum(-1) + L.sum(-1) + npx // 2) / float(npx)),
+        jnp.where(have_a, jnp.floor((A.sum(-1) + BW // 2) / BW),
+                  jnp.where(have_l, jnp.floor((L.sum(-1) + BH // 2) / BH),
                             base)))
-    p_dc = jnp.broadcast_to(dc[..., None, None], (gr, gc, S, S))
-    p_v = jnp.broadcast_to(A[:, :, None, :], (gr, gc, S, S))
-    p_h = jnp.broadcast_to(L[:, :, :, None], (gr, gc, S, S))
-    w = jnp.asarray(_SM_W[S])
+    p_dc = jnp.broadcast_to(dc[..., None, None], (gr, gc, BH, BW))
+    p_v = jnp.broadcast_to(A[:, :, None, :], (gr, gc, BH, BW))
+    p_h = jnp.broadcast_to(L[:, :, :, None], (gr, gc, BH, BW))
+    wv = jnp.asarray(_SM_W[BH])   # vertical interpolation over rows
+    wh = jnp.asarray(_SM_W[BW])   # horizontal over cols
     below = L[:, :, -1]
     right = A[:, :, -1]
-    sm = (w[None, None, :, None] * A[:, :, None, :]
-          + (256.0 - w)[None, None, :, None] * below[..., None, None]
-          + w[None, None, None, :] * L[:, :, :, None]
-          + (256.0 - w)[None, None, None, :] * right[..., None, None])
+    sm = (wv[None, None, :, None] * A[:, :, None, :]
+          + (256.0 - wv)[None, None, :, None] * below[..., None, None]
+          + wh[None, None, None, :] * L[:, :, :, None]
+          + (256.0 - wh)[None, None, None, :] * right[..., None, None])
     p_sm = jnp.floor((sm + 256.0) / 512.0)
     t = A[:, :, None, :]
     l = L[:, :, :, None]
@@ -320,7 +391,7 @@ def _intra_candidates(src, S, Hp, Wp, bd):
     pt = jnp.abs(pbase - t)
     ptl = jnp.abs(pbase - tl)
     p_pa = jnp.where((pl <= pt) & (pl <= ptl), l, jnp.where(pt <= ptl, t, tl))
-    p_pa = jnp.broadcast_to(p_pa, (gr, gc, S, S))
+    p_pa = jnp.broadcast_to(p_pa, (gr, gc, BH, BW))
     return jnp.stack([p_dc, p_v, p_h, p_sm, p_pa], axis=2)
 
 
@@ -332,9 +403,10 @@ def _intra_candidates(src, S, Hp, Wp, bd):
 # stages.
 @__import__("jax").jit
 def grids_stage(src, ref):
-    """Per-reference motion surfaces: HME centers + 8x8-child SSD grids.
-    src (Hp, Wp) f32; ref (Hp+2P, Wp+2P) f32.
-    Returns (ctr_y (N,), ctr_x (N,), ssd8 (N, 8, 8, G, G))."""
+    """Per-reference motion surfaces: two HME centers per SB + 8x8-child
+    SSD grids around each. src (Hp, Wp) f32; ref (Hp+2P, Wp+2P) f32.
+    Returns (ctr_y (2, N), ctr_x (2, N), ssd8 (2, N, 8, 8, G, G))."""
+    jnp = _jnp()
     Hp, Wp = src.shape
     nsr, nsc = Hp // 64, Wp // 64
     n = nsr * nsc
@@ -342,20 +414,28 @@ def grids_stage(src, ref):
             .reshape(n, 8, 8, 8, 8).transpose(0, 1, 3, 2, 4)
             .reshape(n, 64, 64))
     kids2 = (kids * kids).sum(axis=-1)
-    cy, cx = _hme(_pool(src, HME_DEC), _pool(ref, HME_DEC), nsr, nsc)
-    wins = _sb_windows(ref, cy, cx, nsr, nsc)
-    # fence: keep the (gathered) windows materialized instead of fused
-    # into the patch extraction (fusing the gather blew up XLA compile)
-    wins = __import__("jax").lax.optimization_barrier(wins)
-    ssd8 = _child_grids(wins, kids, kids2)
-    return cy, cx, ssd8
+    cy_a, cx_a = _hme(_pool(src, HME_DEC), _pool(ref, HME_DEC), nsr, nsc)
+    cy_b, cx_b = _hme4(_pool(src, 4), _pool(ref, 4), nsr, nsc)
+    cy2 = jnp.stack([cy_a, cy_b])
+    cx2 = jnp.stack([cx_a, cx_b])
+    grids = []
+    for ci in range(2):
+        wins = _sb_windows(ref, cy2[ci], cx2[ci], nsr, nsc)
+        # fence: keep the (gathered) windows materialized instead of fused
+        # into the patch extraction (fusing the gather blew up XLA compile)
+        wins = __import__("jax").lax.optimization_barrier(wins)
+        grids.append(_child_grids(wins, kids, kids2))
+    return cy2, cx2, jnp.stack(grids)
 
 
 @functools.partial(__import__("jax").jit,
-                   static_argnames=("S", "two_ref", "bd"))
+                   static_argnames=("BW", "BH", "two_ref", "bd"))
 def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
-                pvec, S: int, two_ref: bool, bd: int):
-    """Candidate ladder + decision for every SxS block of the frame.
+                pvec, BW: int, BH: int, two_ref: bool, bd: int):
+    """Candidate ladder + decision for every BWxBH block of the frame
+    (squares AND the HORZ/VERT rect halves — the aggregation over child
+    grids is shape-agnostic, so rect partition pricing is nearly free on
+    device where it tripled the host decide cost).
     Consumes grids_stage outputs per reference; pvec is the (5,) f32
     per-frame parameter vector [gm_y, gm_x, lam, psy_rd, bias_pct]
     (full-pel gm), kept device-resident so a chunk needs no per-frame
@@ -372,25 +452,26 @@ def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
     Hp, Wp = src.shape
     nsr, nsc = Hp // 64, Wp // 64
     n = nsr * nsc
-    k = 64 // S
-    gr, gc = Hp // S, Wp // S
-    kk = S // 8
+    kh, kw = 64 // BH, 64 // BW      # blocks per SB (rows, cols)
+    gr, gc = Hp // BH, Wp // BW
+    kkh, kkw = BH // 8, BW // 8      # 8x8 children per block
+    kk = kkh * kkw
     psy_scale = psy_rd * (0.5 if bd == 8 else 4.0)
 
     src_e = _tile_energy(
         src.reshape(Hp // 8, 8, Wp // 8, 8).swapaxes(1, 2))   # (Hp/8, Wp/8)
 
     def blocks_of(x):
-        return x.reshape(gr, S, gc, S).swapaxes(1, 2)
+        return x.reshape(gr, BH, gc, BW).swapaxes(1, 2)
 
     src_blk = blocks_of(src)
-    src_e_blk = (src_e.reshape(gr, kk, gc, kk).swapaxes(1, 2)
-                 .reshape(gr, gc, kk * kk))
+    src_e_blk = (src_e.reshape(gr, kkh, gc, kkw).swapaxes(1, 2)
+                 .reshape(gr, gc, kk))
 
     def cand_cost(pred):
         d = src_blk - pred
         sse = (d * d).sum(axis=(-1, -2))
-        pe = _tile_energy(_block_tiles(pred, S))
+        pe = _tile_energy(_block_tiles(pred, BH, BW))
         psy = jnp.abs(src_e_blk - pe).sum(axis=-1) * psy_scale
         return sse + psy
 
@@ -402,22 +483,40 @@ def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
     if two_ref:
         per_ref.append((ref_a, cy_a, cx_a, g_a))
     for ri, (ref, cy, cx, ssd8) in enumerate(per_ref):
-        agg = ssd8.reshape(n, k, kk, k, kk, G, G).sum(axis=(2, 4))
-        grid = _sb_to_grid(agg, nsr, nsc, k)              # (Gr, Gc, G, G)
-        rated = grid + lam * mvb[None, None]
-        flat = rated.reshape(gr, gc, G * G)
+        # per-block best over BOTH center windows (2, ...): a child picks
+        # whichever HME candidate serves its own motion
+        agg = ssd8.reshape(2, n, kh, kkh, kw, kkw, G, G).sum(axis=(3, 5))
+        grid = jnp.stack([_sb_to_grid(agg[ci], nsr, nsc, kh, kw)
+                          for ci in range(2)], axis=2)  # (Gr, Gc, 2, G, G)
+        rated = grid + lam * mvb[None, None, None]
+        flat = rated.reshape(gr, gc, 2 * G * G)
         idx = jnp.argmin(flat, axis=-1)
-        dy = idx // G - R
-        dx = idx % G - R
-        ctr_y = _sb_to_grid(jnp.broadcast_to(cy.reshape(n, 1, 1), (n, k, k)),
-                            nsr, nsc, k)
-        ctr_x = _sb_to_grid(jnp.broadcast_to(cx.reshape(n, 1, 1), (n, k, k)),
-                            nsr, nsc, k)
+        sel = idx // (G * G)
+        off = idx % (G * G)
+        dy = off // G - R
+        dx = off % G - R
+
+        def ctr_grid(v):
+            # (2, N) SB centers -> (Gr, Gc, 2) block-level
+            per = [_sb_to_grid(
+                jnp.broadcast_to(v[ci].reshape(n, 1, 1), (n, kh, kw)),
+                nsr, nsc, kh, kw) for ci in range(2)]
+            return jnp.stack(per, axis=-1)
+
+        ctr_y = jnp.take_along_axis(ctr_grid(cy), sel[..., None],
+                                    axis=-1)[..., 0]
+        ctr_x = jnp.take_along_axis(ctr_grid(cx), sel[..., None],
+                                    axis=-1)[..., 0]
         mv_y = ctr_y + dy.astype(jnp.int32)
         mv_x = ctr_x + dx.astype(jnp.int32)
-        p_new = _gather_blocks(ref, mv_y, mv_x, S)
-        mv_rate = lam * mvb.reshape(-1)[idx]
-        c_new = cand_cost(p_new) + mv_rate
+        p_new = _gather_blocks(ref, mv_y, mv_x, BH, BW)
+        # the MV-rate surface steers the grid ARGMIN only; the candidate
+        # comparison is raw SSE+psy with a zero-residual gate, exactly the
+        # native kernel's ladder (inter_decide_frame: NEWMV searched only
+        # when best_inter > (W*H)<<2, accepted on plain cost) — rating the
+        # comparison itself systematically favored intra/zero and cost
+        # ~1dB on hierarchical GoPs
+        c_new = cand_cost(p_new)
         if ri == 0:
             p_zg = blocks_of(gm_full)
             zg_mv = (jnp.broadcast_to(gm[0], (gr, gc)),
@@ -427,7 +526,7 @@ def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
             z = jnp.zeros((gr, gc), jnp.int32)
             zg_mv = (z, z)
         c_zg = cand_cost(p_zg)
-        new_wins = c_new < c_zg
+        new_wins = (c_new < c_zg) & (c_zg > float((BW * BH) << 2))
         best_c = jnp.where(new_wins, c_new, c_zg)
         best_my = jnp.where(new_wins, mv_y, zg_mv[0])
         best_mx = jnp.where(new_wins, mv_x, zg_mv[1])
@@ -454,17 +553,17 @@ def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
     inter_biased = inter_cost * (bias_pct * 0.01)
 
     # ---- open-loop intra fallback (gated like the native kernel)
-    ip = _intra_candidates(src, S, Hp, Wp, bd)   # (Gr, Gc, 5, S, S)
+    ip = _intra_candidates(src, BH, BW, Hp, Wp, bd)  # (Gr, Gc, 5, BH, BW)
     d = src_blk[:, :, None] - ip
     i_sse = (d * d).sum(axis=(-1, -2))
     pe = _tile_energy(
-        ip.reshape(gr, gc, 5, kk, 8, kk, 8).transpose(0, 1, 2, 3, 5, 4, 6)
-        .reshape(gr, gc, 5, kk * kk, 8, 8))
+        ip.reshape(gr, gc, 5, kkh, 8, kkw, 8).transpose(0, 1, 2, 3, 5, 4, 6)
+        .reshape(gr, gc, 5, kk, 8, 8))
     i_psy = jnp.abs(src_e_blk[:, :, None] - pe).sum(axis=-1) * psy_scale
     i_cost = i_sse + i_psy
     best_im = jnp.argmin(i_cost, axis=-1)
     best_ic = jnp.min(i_cost, axis=-1)
-    gate = inter_cost > float((S * S) << 1)
+    gate = inter_cost > float((BW * BH) << 1)
     best_ic = jnp.where(gate, best_ic, jnp.inf)
 
     use_inter = (inter_biased <= best_ic).astype(jnp.int32)
@@ -505,46 +604,60 @@ def _pack_stage(*arrs):
     return jnp.concatenate([a.astype(jnp.float32).reshape(-1) for a in arrs])
 
 
+def shapes_for(depths: tuple = DEPTHS, rect: bool = False) -> tuple:
+    """(w, h) block shapes a search covers: the square depths plus, when
+    rect partitioning is on, the HORZ/VERT halves of every >=16 node."""
+    shapes = [(S, S) for S in depths]
+    if rect:
+        dmax = max(depths)
+        for S in (16, 32, 64):
+            if S <= dmax:
+                shapes.append((S, S >> 1))
+                shapes.append((S >> 1, S))
+    return tuple(shapes)
+
+
 def decide_frame_staged(src, ref_l, ref_a, pvec, two_ref: bool, bd: int,
-                        depths: tuple = DEPTHS):
+                        shapes: tuple):
     """Dispatch the staged pipeline for one frame (device arrays in,
     device arrays out, all calls async). Returns one packed f32 device
-    vector (decode with unpack_frame)."""
+    vector (decode with unpack_frame). shapes: (w, h) pairs."""
     cy_l, cx_l, g_l = grids_stage(src, ref_l)
     if two_ref:
         cy_a, cx_a, g_a = grids_stage(src, ref_a)
     else:
         cy_a, cx_a, g_a = cy_l, cx_l, g_l
     flat = []
-    for S in depths:
+    for (w, h) in shapes:
         rows, costs = depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l,
                                   cy_a, cx_a, g_a, pvec,
-                                  S=S, two_ref=two_ref, bd=bd)
+                                  BW=w, BH=h, two_ref=two_ref, bd=bd)
         flat.append(rows)
         flat.append(costs)
     return _pack_stage(*flat)
 
 
-def unpack_frame(vec: np.ndarray, Hp: int, Wp: int, depths: tuple = DEPTHS):
-    """Host-side decode of a packed result vector -> {S: (rows, costs)}."""
+def unpack_frame(vec: np.ndarray, Hp: int, Wp: int, shapes: tuple):
+    """Host-side decode of a packed result vector -> {key: (rows, costs)}
+    where key is int S for squares, (w, h) for rect shapes."""
     res = {}
     off = 0
-    for S in depths:
-        nblk = (Hp // S) * (Wp // S)
+    for (w, h) in shapes:
+        nblk = (Hp // h) * (Wp // w)
         rows = vec[off : off + nblk * 8].reshape(nblk, 8).astype(np.int32)
         off += nblk * 8
         costs = vec[off : off + nblk].astype(np.float32)
         off += nblk
-        res[S] = (rows, costs)
+        res[w if w == h else (w, h)] = (rows, costs)
     return res
 
 
-def frame_result_len(Hp: int, Wp: int, depths: tuple = DEPTHS) -> int:
-    return sum((Hp // S) * (Wp // S) * 9 for S in depths)
+def frame_result_len(Hp: int, Wp: int, shapes: tuple) -> int:
+    return sum((Hp // h) * (Wp // w) * 9 for (w, h) in shapes)
 
 
 # --------------------------------------------------------------- host API
-def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS, post=None):
+def chunk_search(frames, jobs, bd: int, shapes: tuple = None, post=None):
     """Search a whole chunk of frames, streaming results per job.
 
     frames: list of (h, w) numpy source planes (uint8/uint16); jobs: list
@@ -573,7 +686,7 @@ def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS, post=None):
     m = pmesh.get_encode_mesh()
     devs = (list(m.devices.flat)
             if m is not None and m.devices.size > 1 else None)
-    depths = tuple(depths)
+    shapes = shapes_for(DEPTHS) if shapes is None else tuple(shapes)
     if devs:
         # multi-chip: frames/jobs are the parallel axis (the reference's
         # picture-level thread arrays); sources replicate to every device
@@ -591,7 +704,7 @@ def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS, post=None):
             vecs.append(decide_frame_staged(
                 pf[job["src"]][0], pf[job["ref_l"]][1],
                 pf[job["ref_a"] if two else job["ref_l"]][1], pdevs[d][j],
-                two_ref=two, bd=bd, depths=depths))
+                two_ref=two, bd=bd, shapes=shapes))
     else:
         # per-frame puts + fixed-shape preps: every program here has a
         # chunk-length-independent shape, so nothing recompiles when the
@@ -613,12 +726,12 @@ def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS, post=None):
             vecs.append(decide_frame_staged(
                 prep(job["src"])[0], prep(job["ref_l"])[1],
                 prep(job["ref_a"] if two else job["ref_l"])[1], pdev[j],
-                two_ref=two, bd=bd, depths=depths))
+                two_ref=two, bd=bd, shapes=shapes))
     # stream the fetches in job order: each blocks only until ITS programs
     # finish while the device queue keeps executing the later jobs
     out = []
     for j, v in enumerate(vecs):
-        res = unpack_frame(np.asarray(v), Hp, Wp, depths)
+        res = unpack_frame(np.asarray(v), Hp, Wp, shapes)
         out.append(res)
         if post is not None:
             post(j, res)
@@ -626,11 +739,11 @@ def chunk_search(frames, jobs, bd: int, depths: tuple = DEPTHS, post=None):
 
 
 def search_frame_np(y, ref_l_y, ref_a_y, gm, lam, psy_rd, bias_pct, bd,
-                    depths: tuple = DEPTHS):
+                    depths: tuple = DEPTHS, rect: bool = False):
     """Synchronous single-frame convenience wrapper (tests): numpy planes
     in, {S: (rows (Gr*Gc, 8) i32, costs (Gr*Gc,) f32)} out. `gm` is the
     frame's LAST global MV in 1/8-pel units (rounded to full pel)."""
     frames = [y, ref_l_y] + ([ref_a_y] if ref_a_y is not None else [])
     job = dict(src=0, ref_l=1, ref_a=(2 if ref_a_y is not None else None),
                gm=gm, lam=lam, psy_rd=psy_rd, bias_pct=bias_pct)
-    return chunk_search(frames, [job], bd, depths)[0]
+    return chunk_search(frames, [job], bd, shapes_for(depths, rect))[0]

@@ -33,10 +33,11 @@ class InterSearchPipeline:
     caller falls back to the native search path).
     """
 
-    def __init__(self, bd: int = 8, depths=(8, 16, 32, 64)):
+    def __init__(self, bd: int = 8, shapes=((8, 8), (16, 16), (32, 32),
+                                             (64, 64))):
         enable_compile_cache()
         self.bd = int(bd)
-        self.depths = tuple(int(d) for d in depths)
+        self.shapes = tuple((int(w), int(h)) for (w, h) in shapes)
         self._q: queue.Queue = queue.Queue()
         self._results: dict = {}
         self._events: dict = {}
@@ -116,7 +117,7 @@ class InterSearchPipeline:
                 if ev is not None:
                     ev.set()
 
-        dev.chunk_search(frames, jobs, self.bd, self.depths, post=post)
+        dev.chunk_search(frames, jobs, self.bd, self.shapes, post=post)
 
     def _post(self, jobs, value):
         with self._lock:
@@ -154,12 +155,15 @@ def enable_compile_cache(path: str = "/tmp/svt_av1_tpu_jax_cache"):
 _PIPELINE = None
 
 
-def get_pipeline(bd: int = 8, depths=(8, 16, 32, 64)):
+def get_pipeline(bd: int = 8, depths=(8, 16, 32, 64), rect: bool = False):
     """Process-wide singleton (one device queue; encoder sessions share)."""
+    from ..ops.inter_search import shapes_for
+
     global _PIPELINE
+    shapes = shapes_for(tuple(depths), rect)
     if (_PIPELINE is None or _PIPELINE._failed or _PIPELINE.bd != bd
-            or _PIPELINE.depths != tuple(depths)):
-        _PIPELINE = InterSearchPipeline(bd=bd, depths=depths)
+            or _PIPELINE.shapes != shapes):
+        _PIPELINE = InterSearchPipeline(bd=bd, shapes=shapes)
     return _PIPELINE
 
 
