@@ -363,7 +363,37 @@ class Encoder:
         gop_n = 1 << min(max(cfg.hierarchical_levels, 2), 5)
         if len(self._gop_buf) == gop_n:
             buf, self._gop_buf = self._gop_buf, []
-            self._queue_gop(buf)
+            for part in self._split_gop_dynamic(buf):
+                self._queue_gop(part)
+
+    def _split_gop_dynamic(self, buf):
+        """Dynamic mini-GoP (--enable-dg; pd_process.c:724
+        initialize_mini_gop_activity_array): a long pyramid only pays when
+        its base predicts the whole span, so high-motion spans halve
+        recursively (min 4 frames). Activity = mean abs 1/4-res difference
+        between the span's endpoints (the DG detector's HME-distortion
+        proxy)."""
+        cfg = self.config
+        if not cfg.enable_dg or len(buf) < 8:
+            return [buf]
+        from .codec.me import decimate
+
+        bd = cfg.input_depth
+
+        def activity(a, b):
+            a8 = (np.asarray(a) >> (bd - 8)).astype(np.uint8)
+            b8 = (np.asarray(b) >> (bd - 8)).astype(np.uint8)
+            d = (decimate(a8, 2).astype(np.int32)
+                 - decimate(b8, 2).astype(np.int32))
+            return float(np.abs(d).mean())
+
+        def split(part):
+            if len(part) < 8 or activity(part[0][0], part[-1][0]) < 14.0:
+                return [part]
+            mid = len(part) // 2
+            return split(part[:mid]) + split(part[mid:])
+
+        return split(buf)
 
     def _queue_gop(self, buf):
         """Kick off the device search for this GoP, hold it, and commit
@@ -551,13 +581,24 @@ class Encoder:
         self._spent_bits += len(payload) * 8
 
     def _encode_frame(self, y: np.ndarray, u=None, v=None,
-                      pts: Optional[int] = None, gop: Optional[dict] = None):
+                      pts: Optional[int] = None, gop: Optional[dict] = None,
+                      _recode=None):
         """Encode one frame. `gop` (hierarchical scheduling, _encode_gop4):
         is_key (force), show, last (LAST ref planes), future (ALTREF recon
         planes), refresh (refresh_frame_flags), last_slot / future_slot
         (DPB indices for ref_frame_idx), q_offset (layer delta),
-        update_last (advance the LAST chain). Returns (ref_planes, recon)."""
+        update_last (advance the LAST chain). Returns (ref_planes, recon).
+        `_recode` = (attempt, forced_qindex) on an overshoot re-encode
+        (rc_process.c recode loop)."""
         cfg = self.config
+        _in_y, _in_u, _in_v = y, u, v        # pre-superres originals
+        # DPB state snapshot, restored on a recode retry (the first
+        # attempt overwrites these with its own recon before the
+        # bitstream size is known)
+        _in_ipp_hist = list(self._ipp_hist)
+        _in_refs = self._ref_planes
+        _in_golden = self._golden_planes
+        _in_prev_mv = getattr(self, "_prev_mv_grid", None)
         # effective tile split: spec minimums (4096-px width / 4096*2304 area
         # caps) may force more tiles than requested (spec 5.9.15 clamp)
         from .bitstream.obu import clamp_tile_log2s
@@ -623,6 +664,7 @@ class Encoder:
                 tile_cols_log2, tile_rows_log2 = clamp_tile_log2s(
                     cfg.width, cfg.height, cfg.tile_columns, cfg.tile_rows)
         # rate control: CRF mapping (+ PSY qp-scale-compress) or 1-pass VBR/CBR
+        rc_target_bits = None
         if cfg.rate_control_mode == RateControlMode.CRF_CQP:
             qindex = _crf_to_qindex(cfg.crf)
             if self._tpl is not None and is_key:
@@ -664,6 +706,8 @@ class Encoder:
                     scale = min(max(allowance / remaining_plan, 0.2), 3.0)
                 target = self._budgets[i] * scale
             qindex = self._rc.frame_qindex(is_key, target_bits=target)
+            rc_target_bits = target if target is not None \
+                else self._rc._target_bits(is_key)
         if cfg.luminance_qp_bias and not is_key and qindex > 1:
             # PSY frame-luma-bias (rc_process.c:3407-3417): darker frames get
             # more bitrate; zero on temporal layer 0 (the tl*4 factor in the
@@ -683,6 +727,10 @@ class Encoder:
         if gop is not None and gop.get("q_offset") and qindex > 1:
             # temporal-layer delta (pyramid base boosted, leaves cheapened)
             qindex = int(np.clip(qindex + int(gop["q_offset"]), 1, 255))
+        if _recode is not None:
+            # overshoot re-encode: force the bumped qindex past every
+            # modifier (they already shaped the first attempt's value)
+            qindex = int(_recode[1])
         sb_qindex_map = None
         if (self._tpl is not None and is_key and qindex > 1 and sr_denom == 8
                 and not (cfg.enable_variance_boost and cfg.aq_mode == 2)):
@@ -1174,6 +1222,30 @@ class Encoder:
         if is_key and self._metadata_obus:
             payload += self._metadata_obus
         payload += frame_obu(self._seq, fp, tiles)
+        # ---- overshoot recode loop (rc_process.c recode; --recode-loop):
+        # a VBR/CBR frame that blows its budget re-encodes once or twice
+        # at a bumped qindex. recode_loop: 1 = key frames only, 2/4 = key
+        # + unshown (ARF/base) frames (ALLOW_RECODE_KFARFGF semantics),
+        # 3 = all frames.
+        if (self._rc is not None and rc_target_bits is not None
+                and cfg.recode_loop > 0 and qindex < 255):
+            attempt = _recode[0] if _recode is not None else 0
+            rl = int(cfg.recode_loop)
+            shown_f = is_key or gop is None or bool(gop.get("show", True))
+            eligible = (is_key if rl == 1
+                        else (is_key or not shown_f) if rl in (2, 4)
+                        else True)
+            actual = len(payload) * 8
+            limit = rc_target_bits * (1.0 + cfg.overshoot_pct / 100.0) * 1.6
+            if eligible and attempt < 2 and actual > limit:
+                bump = max(4, int(24.0 * np.log2(actual / max(limit, 1.0))))
+                self._ipp_hist = _in_ipp_hist
+                self._ref_planes = _in_refs
+                self._golden_planes = _in_golden
+                self._prev_mv_grid = _in_prev_mv
+                return self._encode_frame(
+                    _in_y, _in_u, _in_v, pts, gop=gop,
+                    _recode=(attempt + 1, min(255, qindex + bump)))
         # decoder-side RefOrderHint mirror (shown keyframes refresh all)
         for s in range(8):
             if (fp.refresh_frame_flags >> s) & 1:

@@ -160,7 +160,9 @@ class EncoderConfig:
     sframe_mode: SFrameMode = SFrameMode.STRICT_BASE
     startup_mg_size: int = 0
     startup_qp_offset: int = 0
-    enable_dg: bool = True               # dynamic mini-GoP
+    enable_dg: bool = True               # dynamic mini-GoP: high-motion
+                                         # spans halve their pyramids
+                                         # (api._split_gop_dynamic)
 
     # --- rate control --------------------------------------------------------
     rate_control_mode: RateControlMode = RateControlMode.CRF_CQP
@@ -188,7 +190,9 @@ class EncoderConfig:
     buf_sz: int = 6000
     minsection_pct: int = 0
     maxsection_pct: int = 2000
-    recode_loop: int = 4                 # ALLOW_RECODE_DEFAULT
+    recode_loop: int = 4                 # overshoot re-encode: 0 off,
+                                         # 1 key only, 2/4 key+unshown,
+                                         # 3 all (rc_process.c recode)
     vbv_bufsize: int = 0
     gop_constraint_rc: bool = False
     scene_change_detection: bool = False

@@ -67,18 +67,54 @@ def parse_stats(data: bytes) -> list:
     return [json.loads(l) for l in lines[1:]]
 
 
+def group_boundaries(stats: list) -> list:
+    """Scene-cut group starts from first-pass stats: a frame whose inter
+    error approaches its intra energy has no temporal correlation
+    (pass2_strategy.c test_candidate_kf's intra/inter ratio test)."""
+    bounds = [0]
+    for i in range(1, len(stats)):
+        s = stats[i]
+        if s["inter"] > 0.90 * s["intra"]:
+            bounds.append(i)
+    return bounds
+
+
 def second_pass_budgets(stats: list, target_bit_rate: int, fps: float,
                         kf_boost: float = 3.0) -> list:
-    """Per-frame bit targets: the total budget split by complexity
-    (pass2_strategy GOP allocation, flattened to the IPP structure).
-    Frames with inter << intra are cheap; scene cuts get the intra cost."""
+    """Per-frame bit targets: GOP-aware allocation (pass2_strategy.c).
+
+    Frames group at detected scene boundaries; the sequence budget splits
+    across groups by summed complexity, and each group's leading frame
+    (the key/GF every other member predicts from) gets a boost scaled by
+    group length and the group's temporal correlation — strongly
+    correlated groups repay a high-quality leader with cheap followers
+    (calculate_total_gf_group_bits / kf boost, pass2_strategy.c), while
+    noisy groups keep a flat split."""
     n = len(stats)
     if n == 0:
         return []
     total = target_bit_rate * n / max(fps, 1e-6)
-    costs = []
-    for i, s in enumerate(stats):
-        c = s["inter"] if i > 0 else s["intra"] * kf_boost
-        costs.append(max(float(c), 1.0))
+    bounds = group_boundaries(stats) + [n]
+    costs = [0.0] * n
+    for g in range(len(bounds) - 1):
+        i0, i1 = bounds[g], bounds[g + 1]
+        glen = i1 - i0
+        # group temporal correlation: mean inter/intra of the followers
+        # (0 = perfectly predicted, 1 = uncorrelated)
+        if glen > 1:
+            corr = float(np.mean([stats[j]["inter"]
+                                  / max(stats[j]["intra"], 1.0)
+                                  for j in range(i0 + 1, i1)]))
+        else:
+            corr = 1.0
+        boost = 1.0 + (kf_boost - 1.0) * (1.0 - corr) \
+            * min(glen, 16) / 16.0 * 2.0
+        boost = min(boost, kf_boost * 2.0)
+        costs[i0] = max(float(stats[i0]["intra"]) * boost, 1.0)
+        for j in range(i0 + 1, i1):
+            costs[j] = max(float(stats[j]["inter"]), 1.0)
     csum = sum(costs)
-    return [total * c / csum for c in costs]
+    floor = total / n * 0.1
+    out = [max(total * c / csum, floor) for c in costs]
+    scale = total / sum(out)
+    return [b * scale for b in out]
