@@ -168,6 +168,7 @@ class Encoder:
                                      parse_mastering_display)
 
         self._metadata_obus = b""
+        self._frame_t35 = {}      # pts -> [T35 payloads] (add_metadata)
         mdcv = parse_mastering_display(cfg.mastering_display)
         if mdcv:
             from .bitstream.obu import metadata_obu
@@ -216,9 +217,47 @@ class Encoder:
                     self._me_pipe.warm(cfg.height, cfg.width)
                     self._use_device_me = True
                 except Exception:
+                    from .log import svt_warn
+
+                    svt_warn("device inter-search pipeline unavailable; "
+                             "using the native search")
                     self._me_pipe = None
+        from .log import svt_info
+
+        svt_info("svt-av1-psy-tpu: %dx%d preset %d %s, inter search %s",
+                 cfg.width, cfg.height, cfg.preset,
+                 cfg.rate_control_mode.name,
+                 "device" if self._use_device_me else "native")
         self._initialized = True
         return self
+
+    # stream-info ids (EbSvtAv1Enc.h SVT_AV1_STREAM_INFO_*)
+    STREAM_INFO_FIRST_PASS_STATS_OUT = 1
+
+    def add_metadata(self, pts: int, t35_payload: bytes):
+        """Attach an ITU-T T.35 metadata OBU (Dolby Vision RPU, HDR10+,
+        closed captions) to the frame submitted with this pts — the
+        svt_add_metadata / EB_AV1_METADATA_TYPE_ITUT_T35 path the
+        reference app uses for --dolby-vision-rpu / HDR10+ JSON
+        (metadata_handle.c:77, app_process_cmd.c)."""
+        self._frame_t35.setdefault(int(pts), []).append(bytes(t35_payload))
+
+    def get_stream_info(self, info_id: int = 0):
+        """svt_av1_enc_get_stream_info analog (EbSvtAv1Enc.h:1153).
+        id 1 returns the first-pass stats buffer (pass 1 sessions);
+        id 0 (extension) returns a summary dict of the session so far."""
+        self._check_init()
+        if info_id == self.STREAM_INFO_FIRST_PASS_STATS_OUT:
+            return (self._firstpass.serialize()
+                    if self._firstpass is not None else None)
+        return {
+            "frames_encoded": self._frame_count,
+            "bytes_written": self._spent_bits // 8,
+            "last_qindex": getattr(self, "_last_qindex", None),
+            "width": self.config.width,
+            "height": self.config.height,
+            "preset": self.config.preset,
+        }
 
     def first_pass_data(self) -> bytes:
         """Serialized first-pass statistics (--pass 1 output)."""
@@ -647,7 +686,32 @@ class Encoder:
         if is_key and int(cfg.superres_mode) != 0:
             from .codec.superres import downscale_plane, scaled_width
 
-            denom = int(cfg.superres_kf_denom)
+            mode = int(cfg.superres_mode)
+            if mode == 1:        # FIXED
+                denom = int(cfg.superres_kf_denom)
+            elif mode == 2:      # RANDOM (super_res.c SUPERRES_RANDOM):
+                # deterministic per-key LCG so streams reproduce
+                seed = (self._frame_count * 2654435761 + 0x9E37) & 0xFFFFFFFF
+                denom = 9 + (seed >> 13) % 8
+            elif mode == 3:      # QTHRESH (get_superres_denom_for_qindex)
+                q_est = _crf_to_qindex(cfg.crf) \
+                    if cfg.rate_control_mode == RateControlMode.CRF_CQP \
+                    else getattr(self, "_last_qindex", 128)
+                thr = int(cfg.superres_kf_qthres) * 4
+                if q_est < thr:
+                    denom = 8
+                else:
+                    denom = 8 + int(round(8 * min(
+                        (q_est - thr) / max(255 - thr, 1), 1.0)))
+            else:                # AUTO (super_res.c:284; tune-3 energy
+                # threshold, resize.c:1177): low horizontal detail means
+                # the normative upscale loses little — downscale more
+                y8 = (np.asarray(y) >> (cfg.input_depth - 8)) \
+                    .astype(np.int32)
+                hdiff = float(np.abs(np.diff(y8[:, ::2], axis=1)).mean())
+                vdiff = float(np.abs(np.diff(y8[::2], axis=0)).mean())
+                ratio = hdiff / max(vdiff, 1e-3)
+                denom = 8 if ratio > 1.25 else (10 if ratio > 0.9 else 12)
             dw = scaled_width(full_w, denom)
             if 9 <= denom <= 16 and 16 <= dw < full_w:
                 sr_denom = denom
@@ -1221,6 +1285,14 @@ class Encoder:
             payload += sequence_header_obu(self._seq)
         if is_key and self._metadata_obus:
             payload += self._metadata_obus
+        _t35_key = pts if pts is not None else self._frame_count
+        t35_list = self._frame_t35.get(_t35_key)
+        if t35_list:
+            from .bitstream.obu import metadata_obu
+            from .codec.metadata import METADATA_TYPE_ITUT_T35
+
+            for t35 in t35_list:
+                payload += metadata_obu(METADATA_TYPE_ITUT_T35, t35)
         payload += frame_obu(self._seq, fp, tiles)
         # ---- overshoot recode loop (rc_process.c recode; --recode-loop):
         # a VBR/CBR frame that blows its budget re-encodes once or twice
@@ -1246,6 +1318,7 @@ class Encoder:
                 return self._encode_frame(
                     _in_y, _in_u, _in_v, pts, gop=gop,
                     _recode=(attempt + 1, min(255, qindex + bump)))
+        self._frame_t35.pop(_t35_key, None)   # consumed (kept across recodes)
         # decoder-side RefOrderHint mirror (shown keyframes refresh all)
         for s in range(8):
             if (fp.refresh_frame_flags >> s) & 1:
@@ -1274,6 +1347,7 @@ class Encoder:
         self._packets.append(Packet(payload, pts if pts is not None else self._frame_count,
                                     recon=recon if (cfg.recon_enabled and shown) else None,
                                     stats=stats))
+        self._last_qindex = qindex
         if self._rc is not None:
             self._rc.update(is_key, qindex, len(payload))
         self._spent_bits += len(payload) * 8

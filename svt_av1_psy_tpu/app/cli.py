@@ -25,6 +25,47 @@ def _usage():
           "(see svt_av1_psy_tpu.config.parameter_names()).")
 
 
+def _color_help() -> int:
+    """--color-help (PSY app layer): the parameter tokens, colorized and
+    grouped, like SvtAv1EncApp's color help output."""
+    from ..config import parameter_names
+
+    use_color = sys.stdout.isatty()
+
+    def c(code, s):
+        return f"\033[{code}m{s}\033[0m" if use_color else s
+
+    groups = {
+        "rate control": ("rc", "crf", "qp", "tbr", "mbr", "bias-pct",
+                         "pass", "stats", "recode", "undershoot",
+                         "overshoot", "buf", "gop"),
+        "psy": ("psy", "spy", "sharp", "variance", "luminance", "tune",
+                "qp-scale", "noise-norm", "max-32", "frame-luma"),
+        "filters": ("cdef", "dlf", "restoration", "sgr", "wiener",
+                    "superres", "resize"),
+        "prediction": ("mv", "ref", "gm", "global", "obmc", "warp",
+                       "compound", "interintra", "tf", "hierarchical",
+                       "pred", "keyint", "intra", "scd", "scm", "enable-dg"),
+    }
+    names = sorted(parameter_names())
+    seen = set()
+    for title, prefixes in groups.items():
+        rows = [n for n in names if n not in seen
+                and any(p in n for p in prefixes)]
+        if not rows:
+            continue
+        seen.update(rows)
+        print(c("1;36", f"[{title}]"))
+        for n in rows:
+            print("  " + c("33", f"--{n}"))
+    rest = [n for n in names if n not in seen]
+    if rest:
+        print(c("1;36", "[other]"))
+        for n in rest:
+            print("  " + c("33", f"--{n}"))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or "--help" in argv or "-h" in argv:
@@ -33,9 +74,12 @@ def main(argv=None) -> int:
     if "--version" in argv:
         print(f"svt-av1-psy-tpu {psy_version()}")
         return 0
+    if "--color-help" in argv:
+        return _color_help()
 
     in_path = out_path = None
     n_frames = -1
+    dv_rpu_path = hdr10p_path = None
     cfg = EncoderConfig()
     i = 0
     try:
@@ -49,6 +93,12 @@ def main(argv=None) -> int:
                 i += 2
             elif tok in ("-n", "--frames"):
                 n_frames = int(argv[i + 1])
+                i += 2
+            elif tok == "--dolby-vision-rpu":
+                dv_rpu_path = argv[i + 1]
+                i += 2
+            elif tok == "--hdr10plus-json":
+                hdr10p_path = argv[i + 1]
                 i += 2
             elif tok.startswith("--"):
                 parse_parameter(cfg, tok[2:], argv[i + 1])
@@ -74,6 +124,25 @@ def main(argv=None) -> int:
 
         enc = Encoder(cfg).init()
         t0 = time.perf_counter()
+
+        # per-frame HDR dynamic metadata (app_process_cmd.c attach path)
+        frame_t35 = {}
+        if dv_rpu_path:
+            from ..codec.metadata import dv_rpu_t35, parse_rpu_file
+
+            with open(dv_rpu_path, "rb") as rf:
+                for k, rpu in enumerate(parse_rpu_file(rf.read())):
+                    frame_t35.setdefault(k, []).append(dv_rpu_t35(rpu))
+        if hdr10p_path:
+            import json as _json
+
+            from ..codec.metadata import encode_hdr10plus
+
+            with open(hdr10p_path) as jf:
+                doc = _json.load(jf)
+            scenes = doc.get("SceneInfo", doc if isinstance(doc, list) else [])
+            for k, m in enumerate(scenes):
+                frame_t35.setdefault(k, []).append(encode_hdr10plus(m))
 
         if cfg.avif or (out_path.endswith(".avif")):
             cfg.avif = True
@@ -113,7 +182,16 @@ def main(argv=None) -> int:
                     ivf.write_frame(pkt.data, pkt.pts)
                     total += len(pkt.data)
                     count += 1
-                    if cfg.progress:
+                    if int(cfg.progress) == 3:
+                        # PSY progress mode 3: one full line per frame
+                        # (frame #, size, running fps/kbps, elapsed)
+                        el = time.perf_counter() - t0
+                        kbps = (total * 8 * hdr.fps_num
+                                / max(count, 1) / hdr.fps_denom / 1000)
+                        print(f"frame {count:6d}  {len(pkt.data):7d} B  "
+                              f"{count/el:7.2f} fps  {kbps:8.1f} kbps  "
+                              f"{el:7.1f}s", file=sys.stderr)
+                    elif cfg.progress:
                         el = time.perf_counter() - t0
                         print(f"\rencoded {count} frames  {count/el:.2f} fps  "
                               f"{total*8*hdr.fps_num/max(count,1)/hdr.fps_denom/1000:.0f} kbps",
@@ -122,6 +200,8 @@ def main(argv=None) -> int:
             for y, u, v in reader.frames():
                 if 0 <= n_frames <= sent:
                     break
+                for t35 in frame_t35.get(sent, ()):
+                    enc.add_metadata(sent, t35)
                 enc.send_picture(y, u, v, pts=sent)
                 sent += 1
                 drain()

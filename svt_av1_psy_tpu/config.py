@@ -591,9 +591,8 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
            "lossless coding (WHT 4x4 path) is not implemented yet")
     _check(-1 <= cfg.palette_level <= 6, "palette_level out of range [-1, 6]")
     _check(-1 <= cfg.intrabc_mode <= 3, "intrabc_mode out of range [-1, 3]")
-    _check(int(cfg.superres_mode) in (0, 1),
-           "superres_mode: NONE and FIXED are implemented (RANDOM/QTHRESH/"
-           "AUTO are not)")
+    _check(int(cfg.superres_mode) in (0, 1, 2, 3, 4),
+           "superres_mode out of range [0, 4]")
     if int(cfg.superres_mode) == 1:
         _check(8 <= cfg.superres_kf_denom <= 16,
                "superres-kf-denom out of range [8, 16]")

@@ -111,3 +111,37 @@ def test_superres_saves_bits_at_similar_quality():
     b_on, q_on = run(SuperResMode.FIXED, 12)
     assert b_on < b_off            # fewer bits
     assert q_on > q_off - 3.0      # bounded quality cost
+
+
+@requires_dav1d
+@pytest.mark.parametrize("mode", [2, 3, 4])
+def test_superres_auto_modes_conformant(mode):
+    """RANDOM / QTHRESH / AUTO denominator policies (super_res.c
+    SUPERRES_{RANDOM,QTHRESH,AUTO}) ride the FIXED machinery and stay
+    dav1d-bit-exact."""
+    from svt_av1_psy_tpu.config import SuperResMode
+
+    rng = np.random.default_rng(11)
+    W, H, N = 160, 96, 4
+    base = (np.cumsum(rng.normal(0, 5, (H + 32, W + 32)), axis=1)
+            + 128).clip(0, 255).astype(np.uint8)
+    frames = [base[i : i + H, 2 * i : 2 * i + W].copy() for i in range(N)]
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+    cfg = EncoderConfig(width=W, height=H, superres_mode=SuperResMode(mode),
+                        recon_enabled=True, preset=10, superres_kf_qthres=43)
+    cfg.qp = 55 if mode == 3 else 35
+    enc = Encoder(cfg).init()
+    pkts = []
+    for f in frames:
+        enc.send_picture(f, u, u.copy())
+        while (p := enc.get_packet()) is not None:
+            pkts.append(p)
+    enc.flush()
+    while (p := enc.get_packet()) is not None:
+        pkts.append(p)
+    stream = b"".join(p.data for p in pkts)
+    disp = [p for p in pkts if p.recon is not None]
+    assert len(disp) == N
+    for i, p in enumerate(disp):
+        d = dav1d.decode_nth(stream, i, W, H)
+        assert all(np.array_equal(a, b) for a, b in zip(d, p.recon)), i
