@@ -46,14 +46,33 @@ def _video(W, H, n_frames, seed=0):
     return frames, u, v
 
 
-def _run(W, H, preset, crf, n_frames, intra_only=False, seed=0):
+def _run(W, H, preset, crf, n_frames, intra_only=False, seed=0, bd=8,
+         hdr_grain=False, sc=False):
     from svt_av1_psy_tpu import profiling
     from svt_av1_psy_tpu.api import Encoder
     from svt_av1_psy_tpu.config import EncoderConfig
 
-    frames, u, v = _video(W, H, n_frames + 1)
-    cfg = EncoderConfig(width=W, height=H, preset=preset, stat_report=True)
+    if sc:
+        frames, u, v = _sc_video(W, H, n_frames + 1)
+    else:
+        frames, u, v = _video(W, H, n_frames + 1)
+    if bd > 8:
+        frames = [f.astype(np.uint16) << (bd - 8) for f in frames]
+        u = (u.astype(np.uint16) << (bd - 8))
+        v = (v.astype(np.uint16) << (bd - 8))
+    cfg = EncoderConfig(width=W, height=H, preset=preset, stat_report=True,
+                        input_depth=bd)
     cfg.qp = crf
+    if sc:
+        cfg.screen_content_mode = 1
+    if hdr_grain:
+        # HDR metadata + photon-noise grain table + alt-ref TF
+        cfg.mastering_display = ("G(0.265,0.690)B(0.150,0.060)R(0.680,0.320)"
+                                 "WP(0.3127,0.3290)L(1000,0.005)")
+        cfg.content_light = "1000,400"
+        cfg.film_grain_denoise_strength = 8
+        cfg.enable_tf = True
+        cfg.color_primaries = 9          # BT.2020
     if intra_only:
         cfg.intra_period_length = 0
     # warm a sacrificial encoder with a few frames first: the device
@@ -103,6 +122,79 @@ def _run(W, H, preset, crf, n_frames, intra_only=False, seed=0):
     }
 
 
+def _sc_video(W, H, n_frames):
+    """Screen-content clip: flat background, sharp text-like glyph grid,
+    a scrolling region (palette / IBC / identity-TX territory)."""
+    rng = np.random.default_rng(3)
+    glyphs = rng.integers(0, 2, (16, 8, 6)).astype(np.uint8) * 200 + 20
+    page = np.full((H + 64, W), 240, np.uint8)
+    for r in range(8, H + 48, 14):
+        for c in range(8, W - 8, 9):
+            g = glyphs[(r * 7 + c) % 16]
+            page[r : r + 8, c : c + 6] = g
+    frames = []
+    for i in range(n_frames):
+        f = page[i * 4 : i * 4 + H].copy()     # vertical scroll
+        f[: H // 8, :] = page[:H // 8, :]      # fixed header bar
+        frames.append(f)
+    u = np.full((H // 2, (W + 1) // 2), 128, np.uint8)
+    v = np.full((H // 2, (W + 1) // 2), 128, np.uint8)
+    return frames, u, v
+
+
+def _run_avif_sc():
+    """BASELINE config 5: screen content + AVIF still-image path."""
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.config import EncoderConfig
+
+    frames, u, v = _sc_video(1280, 720, 1)
+    cfg = EncoderConfig(width=1280, height=720, preset=6, avif=True,
+                        screen_content_mode=1)
+    cfg.qp = 35
+    enc = Encoder(cfg).init()
+    t0 = time.perf_counter()
+    data = enc.encode_avif(frames[0], u, v)
+    return {"avif_s": round(time.perf_counter() - t0, 3),
+            "avif_bytes": len(data)}
+
+
+def _ref_cfg1_fps():
+    """Measured reference throughput at BENCH config 1 on this host.
+
+    The reference's SIMD tiers (AVX2 + 20 yasm files) cannot be built
+    here — no nasm/yasm in the image and installs are barred — so the
+    only buildable reference is COMPILE_C_ONLY (scalar kernels). This
+    host also has ONE core, so the reference's 13-process pipeline gets
+    no thread-level speedup. The measured figure is therefore the C-only
+    single-core reference; BASELINE.md's 64-core AVX2 target remains the
+    honest long-range bar (1.5-2 orders of magnitude above C-only)."""
+    import os
+    import subprocess
+
+    app = "/tmp/refbin/SvtAv1EncApp"
+    if not os.path.isfile(app):
+        return None
+    y4m = "/tmp/bench480.y4m"
+    if not os.path.isfile(y4m):
+        frames, u, v = _video(854, 480, 25)
+        with open(y4m, "wb") as f:
+            f.write(b"YUV4MPEG2 W854 H480 F25:1 Ip A1:1 C420jpeg\n")
+            for y in frames:
+                f.write(b"FRAME\n")
+                f.write(y.tobytes())
+                f.write(u.tobytes())
+                f.write(v.tobytes())
+    env = dict(os.environ, LD_LIBRARY_PATH="/tmp/refbin")
+    t0 = time.perf_counter()
+    r = subprocess.run([app, "-i", y4m, "-b", "/tmp/ref480.ivf",
+                        "--preset", "12", "--crf", "35", "--lp", "1"],
+                       capture_output=True, timeout=600, env=env)
+    dt = time.perf_counter() - t0
+    if r.returncode != 0:
+        return None
+    return round(25 / dt, 3)
+
+
 def main():
     notes = {}
     # BASELINE.md config 1 analog: 480p, fast preset, IPPP (primary metric).
@@ -117,12 +209,42 @@ def main():
     notes["480p_p6_intra"] = _run(854, 480, 6, 35, 4, intra_only=True)
     # 1080p preset 8 single key frame + inter (BASELINE config 2 analog, short)
     notes["1080p_p8_short"] = _run(1920, 1080, 8, 35, 2)
+    # BASELINE config 3: 1080p 10-bit preset 6 with the full loop-filter
+    # pipeline (DLF + CDEF + Wiener/SGR)
+    try:
+        notes["1080p10_p6_filters"] = _run(1920, 1080, 6, 35, 2, bd=10)
+    except Exception as e:
+        notes["1080p10_p6_filters"] = {"error": str(e)[:200]}
+    # BASELINE config 4: 4K 10-bit HDR with film grain + temporal filtering
+    try:
+        notes["4k10_hdr_tf_grain"] = _run(3840, 2160, 8, 35, 2, bd=10,
+                                          hdr_grain=True)
+    except Exception as e:
+        notes["4k10_hdr_tf_grain"] = {"error": str(e)[:200]}
+    # BASELINE config 5: screen content (palette/IBC) + AVIF still
+    try:
+        sc = _run(1280, 720, 8, 35, 4, sc=True)
+        sc.update(_run_avif_sc())
+        notes["screen_content_avif"] = sc
+    except Exception as e:
+        notes["screen_content_avif"] = {"error": str(e)[:200]}
+    ref_fps = None
+    try:
+        ref_fps = _ref_cfg1_fps()
+    except Exception:
+        pass
+    notes["ref_c_only_1core_fps"] = ref_fps or REF_C_ONLY_480P_FPS
+    notes["ref_native_note"] = (
+        "SIMD reference unbuildable here (no nasm; 1-core host); "
+        "vs_baseline compares the C-only single-core reference build. "
+        "BASELINE.md 64-core AVX2 target = the long-range bar.")
 
     print(json.dumps({
         "metric": "video_480p_encode_fps",
         "value": ippp["fps"],
         "unit": "fps",
-        "vs_baseline": round(ippp["fps"] / REF_C_ONLY_480P_FPS, 4),
+        "vs_baseline": round(ippp["fps"]
+                             / (ref_fps or REF_C_ONLY_480P_FPS), 4),
         "notes": notes,
     }))
 

@@ -1111,7 +1111,10 @@ class Encoder:
                 cdef_y = cdef_uv = (pri, min(sec, 3))
                 rec = [ps.recon for ps in enc.planes] + [None] * (3 - len(enc.planes))
                 cdef_frame(rec[:3], enc.mi_skip, qindex, pri, min(sec, 3), pri,
-                           min(sec, 3), cdef_damping, cfg.input_depth)
+                           min(sec, 3), cdef_damping, cfg.input_depth,
+                           backend=("device"
+                                    if cfg.filters_backend == "device"
+                                    else "host"))
             return deblocked, lvl_y, lvl_uv, cdef_y, cdef_uv, cdef_damping
 
         from .profiling import stage as _stage

@@ -119,11 +119,16 @@ def filter_blocks(nb: np.ndarray, dirs: np.ndarray, pri_strength, sec_strength: 
 
 
 def cdef_frame(planes, mi_skip: np.ndarray, base_q_idx: int, y_pri: int, y_sec: int,
-               uv_pri: int, uv_sec: int, cdef_damping: int, bd: int = 8):
+               uv_pri: int, uv_sec: int, cdef_damping: int, bd: int = 8,
+               backend: str = "host"):
     """Apply CDEF in place to [y, (u, v)] aligned recon planes.
 
     mi_skip: luma mi-grid skip flags (4x4 units). Strength values are the
-    coded ones (sec 3 means 4 per spec)."""
+    coded ones (sec 3 means 4 per spec). backend "device" dispatches the
+    batched filter to the accelerator (ops/filters.cdef_filter_blocks,
+    bit-exact; cdef_process.c:446's picture-wide apply as one batched
+    kernel) — the profitable default once recon is device-resident; over
+    the tunneled single-chip link the host C kernel stays faster."""
     coeff_shift = bd - 8
     y_sec += y_sec == 3
     uv_sec += uv_sec == 3
@@ -172,6 +177,18 @@ def cdef_frame(planes, mi_skip: np.ndarray, base_q_idx: int, y_pri: int, y_sec: 
         d_used = dirs if pri > 0 else np.zeros_like(dirs)
         d32 = np.ascontiguousarray(d_used, np.int32)
         p32 = np.ascontiguousarray(pstr, np.int32)
+        if backend == "device":
+            from ..ops import filters as devf
+
+            nbs = np.stack([pad[r * bh : r * bh + bh + 4,
+                                c * bw : c * bw + bw + 4]
+                            for r, c in zip(by, bx)])
+            out = np.asarray(devf.cdef_filter_blocks(
+                nbs, d32, p32, int(sec), pdamp, sdamp, bw, bh, bd))
+            for i, (r, c) in enumerate(zip(by, bx)):
+                img[r * bh : r * bh + bh, c * bw : c * bw + bw] = \
+                    out[i].astype(img.dtype)
+            continue
         dst = np.ascontiguousarray(img, np.int32)
         if mc_native.cdef_filter_blocks(pad, dst, by32, bx32, d32, p32,
                                         int(sec), pdamp, sdamp, bw, bh, bd):

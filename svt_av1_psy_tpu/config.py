@@ -239,6 +239,10 @@ class EncoderConfig:
     # (TPU) open-loop search when an accelerator is attached and the host
     # C kernel otherwise; "device"/"native" force one
     inter_me_backend: str = "auto"
+    # post-EncDec filter backend: "auto"/"host" = C/numpy kernels;
+    # "device" dispatches the batched CDEF apply to the accelerator
+    # (ops/filters; profitable once recon is device-resident)
+    filters_backend: str = "auto"
     # residual-commit backend: "auto" runs pred/TX/quant/recon of decided
     # inter leaves as batched device programs (ops/commit.py) when an
     # accelerator is attached; "device"/"host" force one
@@ -476,6 +480,7 @@ _SIMPLE_PARAMS = {
     "enable-restoration": ("enable_restoration_filtering", _to_int),
     "enable-global-motion": ("enable_global_motion", _to_bool),
     "inter-me-backend": ("inter_me_backend", str),
+    "filters-backend": ("filters_backend", str),
     "commit-backend": ("commit_backend", str),
     "enable-mfmv": ("enable_mfmv", _to_int),
     "enable-overlays": ("enable_overlays", _to_bool),

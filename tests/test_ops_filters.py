@@ -67,3 +67,37 @@ def test_device_kernels_shard_over_mesh():
                              2, 5, 5, 8, 8, 8)
     host = cdef_host(nb, dirs, pstr, 2, 5, 5, 8, 8, 8)
     assert np.array_equal(np.asarray(out), host)
+
+
+def test_device_filters_backend_bit_exact_stream():
+    """filters-backend=device routes the frame CDEF apply through
+    ops/filters (cdef_process.c:446 as one batched kernel); the stream
+    must be byte-identical to the host backend's."""
+    import numpy as np
+
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.config import EncoderConfig
+
+    rng = np.random.default_rng(21)
+    W, H, n = 160, 96, 4
+    base = (np.cumsum(rng.normal(0, 5, (H + 32, W + 32)), axis=1)
+            + 128).clip(0, 255).astype(np.uint8)
+    frames = [base[i : i + H, 2 * i : 2 * i + W].copy() for i in range(n)]
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+
+    def run(backend):
+        cfg = EncoderConfig(width=W, height=H, preset=6)
+        cfg.qp = 45
+        cfg.filters_backend = backend
+        enc = Encoder(cfg).init()
+        stream = b""
+        for f in frames:
+            enc.send_picture(f, u, u.copy())
+            while (p := enc.get_packet()) is not None:
+                stream += p.data
+        enc.flush()
+        while (p := enc.get_packet()) is not None:
+            stream += p.data
+        return stream
+
+    assert run("host") == run("device")
