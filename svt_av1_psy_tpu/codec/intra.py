@@ -189,7 +189,9 @@ def _filter_intra_taps():
 # fimode_to_intradir: tx-type context mode substitution (definitions.h)
 # DC, V, H, D157, and FILTER_PAETH -> DC (common_utils.h:108; the spec's
 # Filter_Intra_Mode_To_Intra_Dir maps FILTER_PAETH to DC_PRED, not PAETH)
-FIMODE_TO_INTRADIR = (0, 1, 2, 7, 0)
+# filter-intra mode -> equivalent intra direction for the tx-type cdf
+# context: {DC, V, H, D157, DC} (fimode_to_intradir, common_utils.h:108)
+FIMODE_TO_INTRADIR = (0, 1, 2, 6, 0)
 
 
 def filter_intra_predict(above_buf, left_buf, w: int, h: int, mode: int,

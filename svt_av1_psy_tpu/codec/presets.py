@@ -38,18 +38,17 @@ class PresetConfig:
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
-# NOTE: filter-intra SEARCH is currently off ladder-wide: rare multi-block
-# fi-win patterns desync dav1d (tests/test_rdo.py::test_fi_search_conformant
-# xfail tracks the repro); the fi flag itself stays coded (conformant).
+# filter-intra search runs at the quality presets (<= 6), like the
+# reference's filter_intra_level gating (enc_mode_config.c).
 _LADDER = (
     # depths            tx-depths   fi     cfl    cdef rest scd   tpl
-    ((8, 16, 32, 64), (8, 16),     False, True,  1,   True, True, True),   # <=0
-    ((8, 16, 32, 64), (8, 16),     False, True,  1,   True, True, True),   # 1
-    ((8, 16, 32, 64), (8, 16),     False, True,  1,   True, True, True),   # 2
-    ((8, 16, 32, 64), (8, 16),     False, True,  2,   True, True, True),   # 3
-    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 4
-    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 5
-    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 6
+    ((8, 16, 32, 64), (8, 16),     True,  True,  1,   True, True, True),   # <=0
+    ((8, 16, 32, 64), (8, 16),     True,  True,  1,   True, True, True),   # 1
+    ((8, 16, 32, 64), (8, 16),     True,  True,  1,   True, True, True),   # 2
+    ((8, 16, 32, 64), (8, 16),     True,  True,  2,   True, True, True),   # 3
+    ((8, 16, 32),     (8, 16),     True,  True,  2,   True, True, True),   # 4
+    ((8, 16, 32),     (8, 16),     True,  True,  2,   True, True, True),   # 5
+    ((8, 16, 32),     (8, 16),     True,  True,  2,   True, True, True),   # 6
     ((8, 16, 32),     (16,),       False, True,  4,   True, True, True),   # 7
     ((8, 16, 32),     (16,),       False, True,  4,   True, True, True),   # 8
     ((16, 32),        (),          False, True,  4,   False, True, True),  # 9

@@ -55,7 +55,6 @@ def test_max_32_tx_size_caps_leaves():
 @pytest.mark.parametrize("field,value", [
     ("lossless", True),
     ("palette_level", 7),   # out of range (palette itself is implemented)
-    ("superres_mode", SuperResMode(3)),   # QTHRESH not implemented (FIXED is)
 ])
 def test_unimplemented_features_rejected(field, value):
     cfg = EncoderConfig(width=64, height=64)

@@ -135,10 +135,11 @@ def test_lambda_monotone():
 
 
 @requires_dav1d
-@pytest.mark.xfail(reason="1-D tx types (V_DCT/H_DCT) trip dav1d and libaom "
-                   "divergently despite the writer matching entropy_coding.c "
-                   "element-for-element; excluded from search sets until the "
-                   "spec corner is resolved", strict=False)
+@pytest.mark.xfail(reason="1-D tx (V_/H_*): POSITIVE coefficients decode "
+                   "bit-exactly, NEGATIVE ones sign-flip in both dav1d and "
+                   "libaom while the reference's own scalar inverse kernel "
+                   "agrees with ours; excluded from search sets until the "
+                   "sign-path corner is found", strict=False)
 def test_1d_tx_types_conformant():
     from svt_av1_psy_tpu.codec.constants import TxType
     from svt_av1_psy_tpu.codec.intra_rdo import IntraDecisions
@@ -163,11 +164,10 @@ def test_1d_tx_types_conformant():
 
 
 @requires_dav1d
-@pytest.mark.xfail(reason="multi-block filter-intra wins intermittently "
-                   "desync dav1d (state-corner; seed-dependent); fi search "
-                   "is disabled in the preset ladder until fixed",
-                   strict=False)
 def test_fi_search_conformant():
+    # regression: FIMODE_TO_INTRADIR[FILTER_D157] must map to D157_PRED(6),
+    # not D203(7) — the wrong intra_ext_tx cdf row desynced dav1d on the
+    # first D157 filter-intra win (fimode_to_intradir, common_utils.h:108)
     rng = np.random.default_rng(5)
     W = H = 128
     y = (np.cumsum(rng.normal(0, 4, (H, W)), axis=1) + 120).clip(0, 255).astype(np.uint8)
