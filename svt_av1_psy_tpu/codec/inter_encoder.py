@@ -26,7 +26,8 @@ from .intra_encoder import (
 )
 from .me import MotionEstimator
 from .mv_pred import (ALTREF_FRAME, GLOBALMV, GOLDEN_FRAME, LAST_FRAME,
-                      MiGrid, NEARESTMV, NEARMV, NEWMV, NEW_NEWMV,
+                      MiGrid, NEARESTMV, NEARMV, NEAREST_NEWMV, NEWMV,
+                      NEW_NEARESTMV, NEW_NEWMV,
                       REF_CAT_LEVEL,
                       mode_context_analyzer, setup_comp_mv_list,
                       setup_ref_mv_list)
@@ -1275,10 +1276,17 @@ class InterFrameEncoder(IntraFrameEncoder):
                 elif (y_mode == NEWMV and refmv_count >= 2
                         and len(stack) > 1 and tuple(mv) == tuple(stack[1])):
                     y_mode = NEARMV   # RefMvIdx 1 via read_drl_idx
-            if (is_comp and y_mode == NEW_NEWMV
-                    and tuple(mv) == tuple(stack[0])
-                    and tuple(mv2) == tuple(stack2[0])):
-                y_mode = 17   # NEAREST_NEARESTMV
+            if is_comp and y_mode == NEW_NEWMV:
+                m0 = tuple(mv) == tuple(stack[0])
+                m1 = tuple(mv2) == tuple(stack2[0])
+                if m0 and m1:
+                    y_mode = 17   # NEAREST_NEARESTMV: no drl/mv syntax
+                elif m0:
+                    # NEAREST_NEWMV: mv[0] inferred from the stack head,
+                    # only mv[1] coded (entropy_coding.c:5092, no drl)
+                    y_mode = NEAREST_NEWMV
+                elif m1:
+                    y_mode = NEW_NEARESTMV   # mv[0] coded only
         uv_mode = 0  # UV_DC for intra blocks
 
         # ---- switchable interpolation filter decision: rebuild the luma
@@ -1627,6 +1635,11 @@ class InterFrameEncoder(IntraFrameEncoder):
                     self._write_drl(stack, weights, refmv_count)
                     self._write_mv(mv, stack[0])
                     self._write_mv(mv2, stack2[0])
+                elif y_mode == NEAREST_NEWMV:
+                    # mv[0] inferred; no drl (entropy_coding.c:5074,:5092)
+                    self._write_mv(mv2, stack2[0])
+                elif y_mode == NEW_NEARESTMV:
+                    self._write_mv(mv, stack[0])
                 # NEAREST_NEARESTMV: no drl, no mv syntax
             else:
                 self._write_ref_frames(mi_row, mi_col, ref_sel)

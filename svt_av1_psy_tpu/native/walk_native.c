@@ -1881,9 +1881,13 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     else if (use_inter && !is_comp && mode == 16 && refmv_count >= 2
              && nstack > 1 && mvr == st_r[1] && mvc == st_c[1])
         mode = 14;   /* NEARMV: RefMvIdx 1 via read_drl_idx */
-    if (is_comp && mode == 24 && mvr == st_r[0] && mvc == st_c[0]
-        && mv2r == s1r[0] && mv2c == s1c[0])
-        mode = 17;
+    if (is_comp && mode == 24) {
+        int m0 = mvr == st_r[0] && mvc == st_c[0];
+        int m1 = mv2r == s1r[0] && mv2c == s1c[0];
+        if (m0 && m1) mode = 17;        /* NEAREST_NEARESTMV: no syntax */
+        else if (m0) mode = 19;         /* NEAREST_NEWMV: mv[1] only   */
+        else if (m1) mode = 20;         /* NEW_NEARESTMV: mv[0] only   */
+    }
 
     /* ---- skip-mode candidate (the reference evaluates skip_mode as an
        MD candidate, product_coding_loop.c): a zero-residual simple inter
@@ -1985,6 +1989,11 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
                 write_drl(w, st_w, nstack, refmv_count);
                 write_mv(w, mvr, mvc, st_r[0], st_c[0]);
                 write_mv(w, mv2r, mv2c, s1r[0], s1c[0]);
+            } else if (mode == 19) {   /* NEAREST_NEWMV: no drl
+                                          (entropy_coding.c:5074,:5092) */
+                write_mv(w, mv2r, mv2c, s1r[0], s1c[0]);
+            } else if (mode == 20) {   /* NEW_NEARESTMV */
+                write_mv(w, mvr, mvc, st_r[0], st_c[0]);
             }
         } else {
             write_ref_frames(w, mi_row, mi_col, ref);
