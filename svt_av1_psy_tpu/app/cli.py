@@ -94,6 +94,25 @@ def main(argv=None) -> int:
             elif tok in ("-n", "--frames"):
                 n_frames = int(argv[i + 1])
                 i += 2
+            elif tok in ("-c", "--config"):
+                # config-file parser (app_config.c:1413): one
+                # "token : value" or "token value" pair per line,
+                # '#' comments
+                with open(argv[i + 1]) as cf:
+                    for ln in cf:
+                        ln = ln.split("#", 1)[0].strip()
+                        if not ln:
+                            continue
+                        if ":" in ln:
+                            k, val = ln.split(":", 1)
+                        else:
+                            parts = ln.split(None, 1)
+                            if len(parts) != 2:
+                                continue
+                            k, val = parts
+                        parse_parameter(cfg, k.strip().lstrip("-"),
+                                        val.strip())
+                i += 2
             elif tok == "--dolby-vision-rpu":
                 dv_rpu_path = argv[i + 1]
                 i += 2

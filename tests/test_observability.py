@@ -67,3 +67,22 @@ def test_t35_metadata_attach():
         stream = b"".join(p.data for p in pkts)
         dy, _, _ = dav1d.decode_nth(stream, 1, 64, 64)
         assert np.array_equal(dy, pkts[1].recon[0])
+
+
+def test_cli_config_file(tmp_path):
+    """-c/--config file parsing (app_config.c:1413): token:value lines."""
+    import numpy as np
+
+    from svt_av1_psy_tpu.app.cli import main
+
+    y4m = tmp_path / "in.y4m"
+    y = np.full((64, 64), 128, np.uint8)
+    u = np.full((32, 32), 128, np.uint8)
+    with open(y4m, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H64 F25:1 Ip A1:1 C420jpeg\n")
+        f.write(b"FRAME\n" + y.tobytes() + u.tobytes() + u.tobytes())
+    cfgf = tmp_path / "enc.cfg"
+    cfgf.write_text("# comment\ncrf : 40\npreset : 9\n")
+    out = tmp_path / "out.ivf"
+    rc = main(["-i", str(y4m), "-b", str(out), "-c", str(cfgf)])
+    assert rc == 0 and out.stat().st_size > 0
