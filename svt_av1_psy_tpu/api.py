@@ -949,7 +949,9 @@ class Encoder:
                 psy_knobs=(int(cfg.spy_rd), float(cfg.psy_rd),
                            bool(cfg.sharp_tx)))
 
-        inter_shared = {}
+        if not hasattr(self, "_ref_me_cache"):
+            self._ref_me_cache = {}
+        inter_shared = {"ref_cache": self._ref_me_cache}
         if prefetch is not None and self._me_pipe is not None and not is_key:
             rows = self._me_pipe.get(prefetch[0])
             if rows is not None:

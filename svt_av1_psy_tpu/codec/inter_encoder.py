@@ -216,15 +216,30 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.shared = shared if shared is not None else {}
 
         def _add_ref(const, planes):
-            key = ("ref", const, id(planes))
-            got = self.shared.get(key)
+            # session-level cache (api passes "ref_cache"): the same DPB
+            # recon serves as a reference for several frames of a GoP, and
+            # padding + ME-pyramid construction cost ~7 ms each. Entries
+            # validate through a weakref so a recycled id() can never
+            # resurface a dead plane's pyramids.
+            import weakref
+
+            cache = self.shared.get("ref_cache")
+            key = (id(planes[0]), width, height)
+            got = None
+            if cache is not None:
+                ent = cache.get(key)
+                if ent is not None and ent[0]() is planes[0]:
+                    got = ent[1]
             if got is None:
                 padded = self._pad_refs(planes, width, height)
                 me = MotionEstimator(np.asarray(
                     padded[0][self.pad:-self.pad or None,
                               self.pad:-self.pad or None]))
                 got = (padded, me)
-                self.shared[key] = got
+                if cache is not None:
+                    cache[key] = (weakref.ref(planes[0]), got)
+                    while len(cache) > 24:      # DPB is <= 8 slots
+                        cache.pop(next(iter(cache)))
             self.refs[const], self.me[const] = got
 
         self.refs, self.me = {}, {}

@@ -523,72 +523,77 @@ void txfm2d_inv_add(const int32_t *coeff, const uint16_t *pred, int nblk,
  * every stage op vectorizes across lanes. The conformant walk is
  * single-threaded, so static scratch is safe. */
 #define TXB_CAP 32768   /* max len*lanes elements per slab */
-static int64_t txb_slab[TXB_CAP], txb_slab2[TXB_CAP];
-static int64_t txb_bufA[TXB_CAP], txb_bufB[TXB_CAP];
+/* int32 lanes: AV1's stage ranges keep every between-stage value within
+ * int32 (the reference's own C uses int32 buffers); products are computed
+ * in int64 at the multiply. Halving the element size doubles the SIMD
+ * width of every lane loop. */
+static int32_t txb_slab[TXB_CAP], txb_slab2[TXB_CAP];
+static int32_t txb_bufA[TXB_CAP], txb_bufB[TXB_CAP];
 
 /* 1-D transform along `len` elements, each a row of `lw` lanes in
  * slab[len][lw]; applies rshift(post_shift) afterward (tx1d_apply). */
-static void tx1d_batch(int64_t *slab, int len, int lw, const tx1d_t *t,
+static void tx1d_batch(int32_t *slab, int len, int lw, const tx1d_t *t,
                        int post_shift) {
     if (t->kind1d == 3) { /* identity */
         for (int e = 0; e < len; e++) {
-            int64_t *v = slab + (size_t)e * lw;
+            int32_t *v = slab + (size_t)e * lw;
             switch (len) {
             case 4:
-                for (int l = 0; l < lw; l++) v[l] = rshift(v[l] * 5793, 12);
+                for (int l = 0; l < lw; l++)
+                    v[l] = (int32_t)rshift((int64_t)v[l] * 5793, 12);
                 break;
             case 8:
                 for (int l = 0; l < lw; l++) v[l] = v[l] * 2;
                 break;
             case 16:
                 for (int l = 0; l < lw; l++)
-                    v[l] = rshift(v[l] * 2 * 5793, 12);
+                    v[l] = (int32_t)rshift((int64_t)v[l] * 2 * 5793, 12);
                 break;
             case 32:
                 for (int l = 0; l < lw; l++) v[l] = v[l] * 4;
                 break;
             default:
                 for (int l = 0; l < lw; l++)
-                    v[l] = rshift(v[l] * 4 * 5793, 12);
+                    v[l] = (int32_t)rshift((int64_t)v[l] * 4 * 5793, 12);
                 break;
             }
         }
     } else if (t->kind1d == 1 || t->kind1d == 2) { /* ADST4 */
         const int64_t *sp = tx_sinpi[t->cos_bit - 10];
-        int64_t *x0 = slab, *x1 = slab + lw, *x2 = slab + 2 * lw,
+        int32_t *x0 = slab, *x1 = slab + lw, *x2 = slab + 2 * lw,
                 *x3 = slab + 3 * lw;
         if (t->kind1d == 2) { /* inverse */
             for (int l = 0; l < lw; l++) {
                 int64_t s0 = sp[1] * x0[l] + sp[4] * x2[l] + sp[2] * x3[l];
                 int64_t s1 = sp[2] * x0[l] - sp[1] * x2[l] - sp[4] * x3[l];
-                int64_t s2 = sp[3] * ((x0[l] - x2[l]) + x3[l]);
+                int64_t s2 = sp[3] * ((int64_t)(x0[l] - x2[l]) + x3[l]);
                 int64_t s3 = sp[3] * x1[l];
-                x0[l] = rshift(s0 + s3, t->cos_bit);
-                x1[l] = rshift(s1 + s3, t->cos_bit);
-                x2[l] = rshift(s2, t->cos_bit);
-                x3[l] = rshift((s0 + s1) - s3, t->cos_bit);
+                x0[l] = (int32_t)rshift(s0 + s3, t->cos_bit);
+                x1[l] = (int32_t)rshift(s1 + s3, t->cos_bit);
+                x2[l] = (int32_t)rshift(s2, t->cos_bit);
+                x3[l] = (int32_t)rshift((s0 + s1) - s3, t->cos_bit);
             }
         } else {
             for (int l = 0; l < lw; l++) {
                 int64_t a0 = sp[1] * x0[l] + sp[2] * x1[l] + sp[4] * x3[l];
-                int64_t a1 = sp[3] * ((x0[l] + x1[l]) - x3[l]);
+                int64_t a1 = sp[3] * ((int64_t)(x0[l] + x1[l]) - x3[l]);
                 int64_t a2 = sp[4] * x0[l] - sp[1] * x1[l] + sp[2] * x3[l];
                 int64_t a3 = sp[3] * x2[l];
-                x0[l] = rshift(a0 + a3, t->cos_bit);
-                x1[l] = rshift(a1, t->cos_bit);
-                x2[l] = rshift(a2 - a3, t->cos_bit);
-                x3[l] = rshift((a2 - a0) + a3, t->cos_bit);
+                x0[l] = (int32_t)rshift(a0 + a3, t->cos_bit);
+                x1[l] = (int32_t)rshift(a1, t->cos_bit);
+                x2[l] = (int32_t)rshift(a2 - a3, t->cos_bit);
+                x3[l] = (int32_t)rshift((a2 - a0) + a3, t->cos_bit);
             }
         }
     } else { /* butterfly graph */
         int64_t rnd = 1ll << (t->cos_bit - 1);
-        int64_t lo = 0, hi = 0;
+        int32_t lo = 0, hi = 0;
         if (t->clamp_bit > 0) {
-            lo = -(1ll << (t->clamp_bit - 1));
-            hi = (1ll << (t->clamp_bit - 1)) - 1;
+            lo = (int32_t)-(1ll << (t->clamp_bit - 1));
+            hi = (int32_t)((1ll << (t->clamp_bit - 1)) - 1);
         }
-        int64_t *cur = txb_bufA, *nxt = txb_bufB;
-        memcpy(cur, slab, (size_t)len * lw * sizeof(int64_t));
+        int32_t *cur = txb_bufA, *nxt = txb_bufB;
+        memcpy(cur, slab, (size_t)len * lw * sizeof(int32_t));
         for (int s = 0; s < t->nstages; s++) {
             const int32_t *sA = t->A + (size_t)s * len;
             const int32_t *sB = t->B + (size_t)s * len;
@@ -597,28 +602,33 @@ static void tx1d_batch(int64_t *slab, int len, int lw, const tx1d_t *t,
             const int8_t *sk = t->k + (size_t)s * len;
             for (int i = 0; i < len; i++) {
                 const int64_t wa = swa[i], wb = swb[i];
-                const int64_t *a = cur + (size_t)sA[i] * lw;
-                const int64_t *b = cur + (size_t)sB[i] * lw;
-                int64_t *o = nxt + (size_t)i * lw;
+                const int32_t *a = cur + (size_t)sA[i] * lw;
+                const int32_t *b = cur + (size_t)sB[i] * lw;
+                int32_t *o = nxt + (size_t)i * lw;
                 if (sk[i] == 2) {
                     for (int l = 0; l < lw; l++)
-                        o[l] = (wa * a[l] + wb * b[l] + rnd) >> t->cos_bit;
+                        o[l] = (int32_t)((wa * a[l] + wb * b[l] + rnd)
+                                         >> t->cos_bit);
                 } else if (sk[i] == 1 && t->clamp_bit > 0) {
+                    /* |w| == 1 on non-shift stages (asserted at table
+                       extraction): int32 adds cannot overflow here */
+                    const int32_t wa32 = (int32_t)wa, wb32 = (int32_t)wb;
                     for (int l = 0; l < lw; l++) {
-                        int64_t acc = wa * a[l] + wb * b[l];
+                        int32_t acc = wa32 * a[l] + wb32 * b[l];
                         o[l] = acc < lo ? lo : (acc > hi ? hi : acc);
                     }
                 } else {
+                    const int32_t wa32 = (int32_t)wa, wb32 = (int32_t)wb;
                     for (int l = 0; l < lw; l++)
-                        o[l] = wa * a[l] + wb * b[l];
+                        o[l] = wa32 * a[l] + wb32 * b[l];
                 }
             }
-            int64_t *tmp = cur; cur = nxt; nxt = tmp;
+            int32_t *tmp = cur; cur = nxt; nxt = tmp;
         }
-        memcpy(slab, cur, (size_t)len * lw * sizeof(int64_t));
+        memcpy(slab, cur, (size_t)len * lw * sizeof(int32_t));
     }
     if (post_shift > 0) {
-        int64_t prnd = 1ll << (post_shift - 1);
+        int32_t prnd = 1 << (post_shift - 1);
         for (size_t i = 0; i < (size_t)len * lw; i++)
             slab[i] = (slab[i] + prnd) >> post_shift;
     } else if (post_shift < 0) {
@@ -647,10 +657,10 @@ void txfm2d_fwd_batch(const int32_t *res, int nblk, int H, int W,
         /* load: slab[(r*W+c)*Lb + l], s0 pre-shift + ud row reversal */
         for (int r = 0; r < H; r++)
             for (int c = 0; c < W; c++) {
-                int64_t *o = txb_slab + ((size_t)(r * W + c)) * Lb;
+                int32_t *o = txb_slab + ((size_t)(r * W + c)) * Lb;
                 int sr = ud ? H - 1 - r : r;
                 for (int l = 0; l < Lb; l++)
-                    o[l] = rshift(
+                    o[l] = (int32_t)rshift(
                         (int64_t)res[(size_t)(b0 + l) * H * W + sr * W + c],
                         -s0);
             }
@@ -659,24 +669,24 @@ void txfm2d_fwd_batch(const int32_t *res, int nblk, int H, int W,
         if (lr)
             for (int r = 0; r < H; r++)
                 for (int c = 0; c < W / 2; c++) {
-                    int64_t *a = txb_slab + ((size_t)(r * W + c)) * Lb;
-                    int64_t *b =
+                    int32_t *a = txb_slab + ((size_t)(r * W + c)) * Lb;
+                    int32_t *b =
                         txb_slab + ((size_t)(r * W + W - 1 - c)) * Lb;
                     for (int l = 0; l < Lb; l++) {
-                        int64_t t = a[l]; a[l] = b[l]; b[l] = t;
+                        int32_t t = a[l]; a[l] = b[l]; b[l] = t;
                     }
                 }
         /* transpose to [(c*H+r)*Lb + l] for the row pass */
         for (int r = 0; r < H; r++)
             for (int c = 0; c < W; c++) {
-                const int64_t *a = txb_slab + ((size_t)(r * W + c)) * Lb;
-                int64_t *b = txb_slab2 + ((size_t)(c * H + r)) * Lb;
+                const int32_t *a = txb_slab + ((size_t)(r * W + c)) * Lb;
+                int32_t *b = txb_slab2 + ((size_t)(c * H + r)) * Lb;
                 for (int l = 0; l < Lb; l++) b[l] = a[l];
             }
         tx1d_batch(txb_slab2, W, H * Lb, &row, -s2);
         for (int r = 0; r < H; r++)
             for (int c = 0; c < W; c++) {
-                const int64_t *a = txb_slab2 + ((size_t)(c * H + r)) * Lb;
+                const int32_t *a = txb_slab2 + ((size_t)(c * H + r)) * Lb;
                 int zero = (W == 64 && c >= 32) || (H == 64 && r >= 32);
                 for (int l = 0; l < Lb; l++) {
                     int64_t x = a[l];
@@ -711,40 +721,40 @@ void txfm2d_inv_add_batch(const int32_t *coeff, const uint16_t *pred,
         /* load into [(c*H+r)*Lb + l]: elements c contiguous for row pass */
         for (int r = 0; r < H; r++)
             for (int c = 0; c < W; c++) {
-                int64_t *o = txb_slab + ((size_t)(c * H + r)) * Lb;
+                int32_t *o = txb_slab + ((size_t)(c * H + r)) * Lb;
                 int zero = (W == 64 && c >= 32) || (H == 64 && r >= 32);
                 for (int l = 0; l < Lb; l++) {
                     int64_t x = zero ? 0
                         : coeff[(size_t)(b0 + l) * H * W + r * W + c];
                     if (rect) x = rshift(x * 2896, 12);
-                    o[l] = x < ilo ? ilo : (x > ihi ? ihi : x);
+                    o[l] = (int32_t)(x < ilo ? ilo : (x > ihi ? ihi : x));
                 }
             }
         /* rows: elements are c, lanes = H*Lb */
         tx1d_batch(txb_slab, W, H * Lb, &row, -s0);
         if (lr)
             for (int c = 0; c < W / 2; c++) {
-                int64_t *a = txb_slab + ((size_t)c * H) * Lb;
-                int64_t *b = txb_slab + ((size_t)(W - 1 - c) * H) * Lb;
+                int32_t *a = txb_slab + ((size_t)c * H) * Lb;
+                int32_t *b = txb_slab + ((size_t)(W - 1 - c) * H) * Lb;
                 for (size_t l = 0; l < (size_t)H * Lb; l++) {
-                    int64_t t = a[l]; a[l] = b[l]; b[l] = t;
+                    int32_t t = a[l]; a[l] = b[l]; b[l] = t;
                 }
             }
         for (size_t i = 0; i < (size_t)H * W * Lb; i++)
-            txb_slab[i] = txb_slab[i] < mlo ? mlo
-                : (txb_slab[i] > mhi ? mhi : txb_slab[i]);
+            txb_slab[i] = (int32_t)(txb_slab[i] < mlo ? mlo
+                : (txb_slab[i] > mhi ? mhi : txb_slab[i]));
         /* transpose to [(r*W+c)*Lb + l] for the column pass */
         for (int r = 0; r < H; r++)
             for (int c = 0; c < W; c++) {
-                const int64_t *a = txb_slab + ((size_t)(c * H + r)) * Lb;
-                int64_t *b = txb_slab2 + ((size_t)(r * W + c)) * Lb;
+                const int32_t *a = txb_slab + ((size_t)(c * H + r)) * Lb;
+                int32_t *b = txb_slab2 + ((size_t)(r * W + c)) * Lb;
                 for (int l = 0; l < Lb; l++) b[l] = a[l];
             }
         tx1d_batch(txb_slab2, H, W * Lb, &col, -s1);
         for (int r = 0; r < H; r++) {
             int sr = ud ? H - 1 - r : r;
             for (int c = 0; c < W; c++) {
-                const int64_t *a = txb_slab2 + ((size_t)(sr * W + c)) * Lb;
+                const int32_t *a = txb_slab2 + ((size_t)(sr * W + c)) * Lb;
                 for (int l = 0; l < Lb; l++) {
                     size_t px = (size_t)(b0 + l) * H * W + r * W + c;
                     int64_t y = (int64_t)pred[px] + a[l];
