@@ -33,6 +33,38 @@ def _box5_mean(d2: np.ndarray) -> np.ndarray:
     return s / 25.0
 
 
+def estimate_plane_noise(plane: np.ndarray, bd: int = 8) -> float:
+    """Noise sigma via the edge-gated Laplacian estimator the reference
+    uses (av1_estimate_noise_from_single_plane, temporal_filtering.c):
+    Immerkaer's 3x3 Laplacian accumulated only where the Sobel gradient
+    magnitude is below an edge threshold, scaled by sqrt(pi/2)/6."""
+    x = (np.asarray(plane) >> (bd - 8)).astype(np.int64)
+    if x.shape[0] < 16 or x.shape[1] < 16:
+        return 0.0
+    c = x[1:-1, 1:-1]
+    gx = (x[1:-1, 2:] - x[1:-1, :-2]
+          + ((x[:-2, 2:] - x[:-2, :-2]) + (x[2:, 2:] - x[2:, :-2])) // 2)
+    gy = (x[2:, 1:-1] - x[:-2, 1:-1]
+          + ((x[2:, :-2] - x[:-2, :-2]) + (x[2:, 2:] - x[:-2, 2:])) // 2)
+    ga = np.abs(gx) + np.abs(gy)
+    lap = np.abs(4 * c - 2 * (x[1:-1, 2:] + x[1:-1, :-2]
+                              + x[2:, 1:-1] + x[:-2, 1:-1])
+                 + (x[:-2, :-2] + x[:-2, 2:] + x[2:, :-2] + x[2:, 2:]))
+    flat = ga < 50                       # EDGE_THRESHOLD
+    n = int(flat.sum())
+    if n < 16:
+        return -1.0                      # too edgy to estimate (ref: -1)
+    return float(lap[flat].sum() * math.sqrt(math.pi / 2) / (6.0 * n))
+
+
+def _noise_decay(noise: float) -> float:
+    """Reference decay shape (compute_decay_factor-style): clean content
+    filters gently, noisy content accepts larger errors."""
+    if noise < 0:
+        noise = 0.0
+    return min(max(0.7 + math.log1p(noise), 0.7), 4.0)
+
+
 def _filter_plane(center: np.ndarray, preds: list, weights: list) -> np.ndarray:
     acc = center.astype(np.int64) * _CENTER_W
     den = np.full(center.shape, _CENTER_W, np.int64)
@@ -52,8 +84,15 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8):
     if strength <= 0 or not neighbors:
         return cy, cu, cv
     H, W = cy.shape
-    # MSE decay scale: stronger filtering accepts larger block errors
-    thresh = 24.0 * (2.0 ** (strength - 1)) * (1 << (2 * (bd - 8)))
+    # MSE decay scale: stronger filtering accepts larger block errors;
+    # noise-adaptive per plane (the reference's noise_levels ->
+    # decay_control path, temporal_filtering.c): clean sources filter
+    # gently, noisy sources accept larger windowed errors
+    base = 24.0 * (2.0 ** (strength - 1)) * (1 << (2 * (bd - 8)))
+    thresh = base * _noise_decay(estimate_plane_noise(cy, bd))
+    thresh_uv = None
+    if cu is not None:
+        thresh_uv = base * _noise_decay(estimate_plane_noise(cu, bd))
 
     n_preds_y, n_w = [], []
     n_preds_u, n_preds_v = [], []
@@ -137,7 +176,18 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8):
     fy = _filter_plane(np.asarray(cy), n_preds_y, n_w)
     if mono:
         return fy, None, None
-    wc = [w[::2, ::2][: cu.shape[0], : cu.shape[1]] for w in n_w]
-    fu = _filter_plane(np.asarray(cu), n_preds_u, wc)
-    fv = _filter_plane(np.asarray(cv), n_preds_v, wc)
+    # chroma-aware weights (apply_filtering's planewise path): the luma
+    # gate/MV transfer down, but the per-pixel error term comes from the
+    # chroma plane itself with its own noise-adapted threshold
+    fu_w, fv_w = [], []
+    for wy, pu, pv in zip(n_w, n_preds_u, n_preds_v):
+        gate = wy[::2, ::2][: cu.shape[0], : cu.shape[1]] > 0
+        for cp, pp, out in ((cu, pu, fu_w), (cv, pv, fv_w)):
+            d2 = (pp.astype(np.int64) - np.asarray(cp).astype(np.int64)) ** 2
+            wch = np.rint(_CENTER_W * np.exp(-_box5_mean(d2) / thresh_uv)) \
+                .astype(np.int32)
+            wch[~gate] = 0
+            out.append(wch)
+    fu = _filter_plane(np.asarray(cu), n_preds_u, fu_w)
+    fv = _filter_plane(np.asarray(cv), n_preds_v, fv_w)
     return fy, fu, fv

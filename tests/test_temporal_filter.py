@@ -94,3 +94,38 @@ def test_tf_queue_buffers_until_window():
     while enc.get_packet() is not None:
         n += 1
     assert n == 3
+
+
+def test_noise_estimate_and_adaptive_decay():
+    """Noise-adaptive TF strengths (temporal_filtering.c noise_levels ->
+    decay_control): the Laplacian estimator tracks injected noise, and a
+    noisy source earns higher filter weights than a clean one."""
+    from svt_av1_psy_tpu.codec.temporal_filter import (_noise_decay,
+                                                       estimate_plane_noise,
+                                                       temporal_filter)
+
+    rng = np.random.default_rng(2)
+    H, W = 96, 128
+    smooth = (np.cumsum(rng.normal(0, 2, (H, W)), axis=1) + 128).clip(
+        20, 235).astype(np.uint8)
+    clean = smooth.copy()
+    noisy = np.clip(smooth.astype(np.int32)
+                    + rng.normal(0, 8, (H, W)).round().astype(np.int32),
+                    0, 255).astype(np.uint8)
+    s_clean = estimate_plane_noise(clean)
+    s_noisy = estimate_plane_noise(noisy)
+    assert s_noisy > s_clean + 2.0
+    assert _noise_decay(s_noisy) > _noise_decay(s_clean)
+
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+    mk = lambda y: (y, u.copy(), u.copy())
+    n_clean = [mk(np.clip(clean.astype(np.int32) + 1, 0, 255).astype(np.uint8))]
+    fy_clean, fu, _ = temporal_filter(mk(clean), n_clean, 2)
+    n2 = np.clip(noisy.astype(np.int32)
+                 + rng.normal(0, 8, (H, W)).round().astype(np.int32),
+                 0, 255).astype(np.uint8)
+    fy_noisy, _, _ = temporal_filter(mk(noisy), [mk(n2)], 2)
+    assert fu is not None and fy_clean.shape == clean.shape
+    # the noisy pair must actually mix (filtered != center), i.e. the
+    # adaptive threshold keeps real-noise differences inside the window
+    assert np.abs(fy_noisy.astype(int) - noisy.astype(int)).mean() > 0.2
