@@ -319,7 +319,11 @@ class Encoder:
             self._la_queue.append((np.asarray(y), u, v,
                                    pts if pts is not None else self._submitted))
             self._submitted += 1
-            while len(self._la_queue) > min(la, 3):
+            # quality presets hold a deeper lookahead so TPL propagates
+            # over a longer dependency window (src_ops_process.c TPL
+            # groups; the reference's windows reach the whole mini-GoP)
+            la_cap = min(la, 7 if self.config.preset <= 6 else 3)
+            while len(self._la_queue) > la_cap:
                 self._tf_encode_head()
             return
         self._submitted += 1
@@ -348,7 +352,8 @@ class Encoder:
                 and cfg.rate_control_mode == RateControlMode.CRF_CQP):
             from .rc.tpl import tpl_analysis
 
-            group = [y] + [f[0] for f in list(self._la_queue)[:3]]
+            tpl_win = 7 if cfg.preset <= 6 else 3
+            group = [y] + [f[0] for f in list(self._la_queue)[:tpl_win]]
             from .profiling import stage as _st
 
             with _st("host:tpl"):
