@@ -1,5 +1,6 @@
 """SvtAv1EncApp-compatible CLI (reference: Source/App/app_main.c,
-app_config.c token tables). v0: all-intra y4m -> IVF, or single image -> AVIF.
+app_config.c token tables): y4m -> IVF video / image -> AVIF, every
+parameter token, config files, 2-pass, per-frame HDR metadata attach.
 
 Usage:
   python -m svt_av1_psy_tpu.app.cli -i in.y4m -b out.ivf --crf 35 [--param v]...

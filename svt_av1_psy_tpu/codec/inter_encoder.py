@@ -488,15 +488,15 @@ class InterFrameEncoder(IntraFrameEncoder):
         C walk then only does syntax + range coding for them."""
         want = self.device_commit
         if want is None:
-            # "auto" resolves to OFF for now: with the tunneled
-            # single-chip link (~30 MB/s, 26 ms RTT) the measured
-            # device-commit leg (~170 ms/frame at 480p: upload + dispatch
-            # + queue wait behind the search programs + fetch) exceeds
-            # the ~90 ms host C walk it replaces at every tested
-            # resolution.  The path stays fully wired and bit-exact
+            # "auto" resolves to OFF on the tunneled single-chip link:
+            # the commit's per-frame recon/ref transfers (~2 MB at
+            # ~30-80 MB/s + ~28 ms RTT) exceed the host leg it replaces,
+            # which the lane-batched walk_precommit already cut to
+            # ~30 ms/frame. The path stays fully wired and bit-exact
             # (commit-backend=device, tests/test_commit.py,
-            # tests/test_tpu_hw.py) pending the search/commit overlap
-            # pipeline that can hide the device leg behind the walk.
+            # tests/test_tpu_hw.py); it becomes the profitable default
+            # once recon is device-resident (filters-backend=device
+            # closes that loop on untunneled hardware).
             want = False
         if not want or getattr(self, "inter_dec", None) is None:
             return

@@ -4,7 +4,7 @@ group.
 Behavior reference: src_ops_process.c (TPL dispenser :1963, group
 propagation :2289) and the r0 consumers in rc_process.c (:833-872 keyframe
 qstep_ratio = sqrt(r0) * weight; svt_aom_sb_qp_derivation_tpl_la :1624 for
-per-SB beta offsets). Round-1 scope: source-domain costs (SA8D of the
+per-SB beta offsets). Scope: source-domain costs (SA8D of the
 mean-removed block for intra, SA8D of the full-pel MC residual for inter)
 and area-weighted backward propagation on a 16x16 grid — the elementary
 encoder of the reference is approximated, the propagation and the r0/beta
