@@ -38,17 +38,20 @@ class PresetConfig:
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
-# filter-intra search runs at the quality presets (<= 6), like the
-# reference's filter_intra_level gating (enc_mode_config.c).
+# filter-intra search runs at presets <= 3 (filter_intra_level gating,
+# enc_mode_config.c): the search lives in the Python walk today, which
+# forfeits the C tile walk — acceptable at the research/quality presets,
+# a 7x intra-frame cost at p6. (The device-RDO fi scoring path is the
+# planned home: fi prediction is near-linear in the neighbors.)
 _LADDER = (
     # depths            tx-depths   fi     cfl    cdef rest scd   tpl
     ((8, 16, 32, 64), (8, 16),     True,  True,  1,   True, True, True),   # <=0
     ((8, 16, 32, 64), (8, 16),     True,  True,  1,   True, True, True),   # 1
     ((8, 16, 32, 64), (8, 16),     True,  True,  1,   True, True, True),   # 2
     ((8, 16, 32, 64), (8, 16),     True,  True,  2,   True, True, True),   # 3
-    ((8, 16, 32),     (8, 16),     True,  True,  2,   True, True, True),   # 4
-    ((8, 16, 32),     (8, 16),     True,  True,  2,   True, True, True),   # 5
-    ((8, 16, 32),     (8, 16),     True,  True,  2,   True, True, True),   # 6
+    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 4
+    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 5
+    ((8, 16, 32),     (8, 16),     False, True,  2,   True, True, True),   # 6
     ((8, 16, 32),     (16,),       False, True,  4,   True, True, True),   # 7
     ((8, 16, 32),     (16,),       False, True,  4,   True, True, True),   # 8
     ((16, 32),        (),          False, True,  4,   False, True, True),  # 9
