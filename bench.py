@@ -238,6 +238,12 @@ def main():
         "SIMD reference unbuildable here (no nasm; 1-core host); "
         "vs_baseline compares the C-only single-core reference build. "
         "BASELINE.md 64-core AVX2 target = the long-range bar.")
+    notes["backend_note"] = (
+        "auto inter-search backend: device at presets >= 9 (beats the "
+        "native kernel there: -7.7% bytes +0.08dB at 480p p10), native "
+        "seeded kernel below (still +0.4-1.6dB ahead on deep GoPs) — so "
+        "the p6/p8 rows run host-side by measured quality, not by "
+        "capability (inter-me-backend=device overrides).")
 
     print(json.dumps({
         "metric": "video_480p_encode_fps",
