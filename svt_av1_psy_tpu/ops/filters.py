@@ -149,15 +149,20 @@ def convolve_2d_sr(patches, w: int, h: int, subpel_x_q4: int, subpel_y_q4: int,
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "bd"))
 def _wiener_block(src_ext, kh, kv, w: int, h: int, bd: int):
-    x = src_ext.astype(jnp.int64)
+    # int32 is provably sufficient (TPU has no int64 lanes): spec Wiener
+    # taps have L1 norm <= ~380 (tap0/1/2 bounded per 5.9.15, center
+    # 128 - 2*sum). H-pass: |acc| <= 380 * 4095 + 2^(bd+6) < 2^21 at
+    # bd=12. V-pass: tmp < 2^(bd+5), |acc| <= 380 * 2^17 + 2^(bd+10)
+    # < 2^27. No overflow.
+    x = src_ext.astype(jnp.int32)
     lim = 1 << (bd + 1 + WFILT_BITS - WROUND0)
-    acc = jnp.zeros((h + 6, w), jnp.int64)
+    acc = jnp.zeros((h + 6, w), jnp.int32)
     for k in range(7):
         acc = acc + kh[k] * x[:, k : k + w]
     acc = acc + (x[:, 3 : 3 + w] << WFILT_BITS) + (1 << (bd + WFILT_BITS - 1))
     tmp = jnp.clip((acc + (1 << (WROUND0 - 1))) >> WROUND0, 0, lim - 1)
     round1 = 2 * WFILT_BITS - WROUND0
-    acc = jnp.zeros((h, w), jnp.int64)
+    acc = jnp.zeros((h, w), jnp.int32)
     for k in range(7):
         acc = acc + kv[k] * tmp[k : k + h, :]
     acc = acc + (tmp[3 : 3 + h, :] << WFILT_BITS) - (1 << (bd + round1 - 1))
