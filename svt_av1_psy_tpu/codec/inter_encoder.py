@@ -480,7 +480,33 @@ class InterFrameEncoder(IntraFrameEncoder):
         below commits the decisions (the reference's MD/EncDec split,
         re-architected as batch-then-walk)."""
         self._pre_walk_decide()
+        self._feature_pre_search()
         self._device_commit()
+
+    def _feature_pre_search(self):
+        """Batched search for the p<=6 block features (switchable filter,
+        interintra, OBMC, masked compound) over all decided leaves in ONE
+        native call (walk_native.feature_search) — the batch-then-walk
+        re-architecture of the per-candidate trials the reference runs
+        inside md_encode_block (product_coding_loop.c). Falls back to the
+        walks' inline per-block search when the native library is absent
+        (self.feat stays None). Warp (gm_wm) frames keep the inline path:
+        their GLOBALMV predictions are warped, which the open-loop search
+        does not model."""
+        self.feat = None
+        if getattr(self, "inter_dec", None) is None or self.gm_wm is not None:
+            return
+        if not (self.switchable_filters or self.enable_interintra
+                or self.enable_masked_compound
+                or self.motion_mode_switchable):
+            return
+        if self.shared.get("feat") is not None:
+            self.feat = self.shared["feat"]
+            return
+        from . import walk_native
+
+        if walk_native.feature_search(self):
+            self.shared["feat"] = self.feat
 
     def _device_commit(self):
         """Device residual commit (ops/commit.py): batch-run pred/TX/
@@ -1318,7 +1344,21 @@ class InterFrameEncoder(IntraFrameEncoder):
                               and tuple(self.gm_mv) != (0, 0))
             else:
                 filt_coded = True
-        if filt_coded:
+        feat = getattr(self, "feat", None)
+        if filt_coded and feat is not None:
+            # decision from the feature-search pre-pass (walk_native)
+            blk_filt = int(feat["filt"][mi_row, mi_col])
+            if blk_filt:
+                if is_comp:
+                    from . import compound as cmp
+
+                    fb0, fb1 = self._jnt_bufs(0, x0, y0, W, H, mv, mv2,
+                                              filt=blk_filt)
+                    y_pred = cmp.compound_average(fb0, fb1, self.bd)
+                else:
+                    y_pred = self._mc_pred(0, x0, y0, W, H, mv, ref_sel,
+                                           filt=blk_filt)
+        elif filt_coded:
             src64f = src.astype(np.int64)
             best_f = (int(np.sum((src64f - y_pred) ** 2))
                       + self._psy_cost(src, y_pred), 0, y_pred)
@@ -1349,67 +1389,114 @@ class InterFrameEncoder(IntraFrameEncoder):
         # SIMPLE motion). Evaluate II and OBMC against the simple pred and
         # keep the best.
         ii_mode = None
+        ii_wedge = None
+        obmc_used = False
         ii_eligible = (use_inter and not is_comp and self.enable_interintra
                        and 8 <= W <= 32 and 8 <= H <= 32)
-        c_simple = None
-        if ii_eligible or (use_inter and self._obmc_eligible(
-                mi_row, mi_col, W, H, y_mode, ref_sel, is_comp)):
-            c_simple = (int(np.sum((src.astype(np.int64) - y_pred) ** 2))
-                        + self._psy_cost(src, y_pred))
-        ii_wedge = None
-        if ii_eligible:
-            ab, lb, ha, hl = self._gather_neighbors(0, x0, y0, W, H)
-            best_ii = None
-            best_ip = None
-            for m in range(4):
-                ip = self._predict(II_TO_INTRA[m], ab, lb, ha, hl, W, H)
-                bp = ii_blend(y_pred, ip, ii_mask(m, W, H))
-                c = (int(np.sum((src.astype(np.int64) - bp) ** 2))
-                     + self._psy_cost(src, bp))
-                if c < c_simple and (best_ii is None or c < best_ii[0]):
-                    best_ii = (c, m, bp)
-                    best_ip = ip
-            if best_ii is not None and W == H:
-                # wedge interintra: try the 16 sign-1 wedge masks with the
-                # winning II mode's intra prediction (pick_interintra_wedge)
-                from . import wedge as WG
+        if use_inter and feat is not None:
+            # commit the pre-pass decisions: II blends with the real recon
+            # neighbors, OBMC with the walk-order grid state
+            if ii_eligible and feat["ii"][mi_row, mi_col]:
+                ii_mode = int(feat["ii"][mi_row, mi_col]) - 1
+                if feat["iiw"][mi_row, mi_col]:
+                    ii_wedge = int(feat["iiw"][mi_row, mi_col]) - 1
+                ab, lb, ha, hl = self._gather_neighbors(0, x0, y0, W, H)
+                ip = self._predict(II_TO_INTRA[ii_mode], ab, lb, ha, hl,
+                                   W, H)
+                if ii_wedge is not None:
+                    from . import wedge as WG
 
-                for widx in range(16):
-                    wm = WG.wedge_mask(W, widx, 0)
-                    bp = ii_blend(y_pred, best_ip, wm)
+                    y_pred = ii_blend(y_pred, ip,
+                                      WG.wedge_mask(W, ii_wedge, 0))
+                else:
+                    y_pred = ii_blend(y_pred, ip, ii_mask(ii_mode, W, H))
+            if feat["mm"][mi_row, mi_col] and ii_mode is None:
+                from . import obmc as OB
+
+                obmc_used = True
+                oy = y_pred.copy()
+                OB.build_obmc_preds(self, mi_row, mi_col, W, H, {0: oy})
+                y_pred = oy
+        elif use_inter:
+            # inline search (no native feature-search pre-pass available)
+            best_ii = None
+            c_simple = None
+            if ii_eligible or self._obmc_eligible(mi_row, mi_col, W, H,
+                                                  y_mode, ref_sel, is_comp):
+                c_simple = (int(np.sum((src.astype(np.int64)
+                                        - y_pred) ** 2))
+                            + self._psy_cost(src, y_pred))
+            if ii_eligible:
+                ab, lb, ha, hl = self._gather_neighbors(0, x0, y0, W, H)
+                best_ip = None
+                for m in range(4):
+                    ip = self._predict(II_TO_INTRA[m], ab, lb, ha, hl, W, H)
+                    bp = ii_blend(y_pred, ip, ii_mask(m, W, H))
                     c = (int(np.sum((src.astype(np.int64) - bp) ** 2))
                          + self._psy_cost(src, bp))
-                    if c < best_ii[0] - (best_ii[0] >> 5):
-                        best_ii = (c, best_ii[1], bp)
-                        ii_wedge = widx
-            if best_ii is not None:
-                ii_mode = best_ii[1]
+                    if c < c_simple and (best_ii is None or c < best_ii[0]):
+                        best_ii = (c, m, bp)
+                        best_ip = ip
+                if best_ii is not None and W == H:
+                    # wedge interintra: the 16 sign-0 wedge masks with the
+                    # winning mode's intra pred (pick_interintra_wedge)
+                    from . import wedge as WG
 
-        # ---- OBMC decision (motion_mode OBMC_CAUSAL): blend neighbor
-        # predictions and keep them when they beat the simple prediction
-        obmc_used = False
-        if (use_inter and self._obmc_eligible(mi_row, mi_col, W, H,
-                                              y_mode, ref_sel, is_comp)):
-            from . import obmc as OB
+                    for widx in range(16):
+                        wm = WG.wedge_mask(W, widx, 0)
+                        bp = ii_blend(y_pred, best_ip, wm)
+                        c = (int(np.sum((src.astype(np.int64) - bp) ** 2))
+                             + self._psy_cost(src, bp))
+                        if c < best_ii[0] - (best_ii[0] >> 5):
+                            best_ii = (c, best_ii[1], bp)
+                            ii_wedge = widx
+                if best_ii is not None:
+                    ii_mode = best_ii[1]
+            # OBMC decision (motion_mode OBMC_CAUSAL): blend neighbor
+            # predictions and keep them when they beat the best so far
+            if self._obmc_eligible(mi_row, mi_col, W, H, y_mode, ref_sel,
+                                   is_comp):
+                from . import obmc as OB
 
-            oy = y_pred.copy()
-            OB.build_obmc_preds(self, mi_row, mi_col, W, H, {0: oy})
-            c_obmc = (int(np.sum((src.astype(np.int64) - oy) ** 2))
-                      + self._psy_cost(src, oy))
-            c_beat = c_simple if ii_mode is None else best_ii[0]
-            if c_obmc < c_beat:
-                obmc_used = True
-                ii_mode = None
-                ii_wedge = None
-                y_pred = oy
-        if ii_mode is not None:
-            y_pred = best_ii[2]
+                oy = y_pred.copy()
+                OB.build_obmc_preds(self, mi_row, mi_col, W, H, {0: oy})
+                c_obmc = (int(np.sum((src.astype(np.int64) - oy) ** 2))
+                          + self._psy_cost(src, oy))
+                c_beat = c_simple if ii_mode is None else best_ii[0]
+                if c_obmc < c_beat:
+                    obmc_used = True
+                    ii_mode = None
+                    ii_wedge = None
+                    y_pred = oy
+            if ii_mode is not None:
+                y_pred = best_ii[2]
 
         # ---- COMPOUND_WEDGE decision: blend the pair's ConvBuf predictions
         # under each of the 16 masks x 2 signs, keep a clear winner over the
         # average (pick_interinter_wedge analog)
         wedge_info = None    # ("w", idx, sign) | ("d", mask_type, mask)
         if (is_comp and self.enable_masked_compound and W == H
+                and 8 <= W <= 64 and feat is not None):
+            # decision from the feature-search pre-pass
+            ct = int(feat["ctype"][mi_row, mi_col])
+            if ct:
+                from . import wedge as WG
+
+                b0, b1 = self._jnt_bufs(0, x0, y0, W, H, mv, mv2,
+                                        filt=blk_filt)
+                if ct == 1:
+                    widx = int(feat["widx"][mi_row, mi_col])
+                    wsign = int(feat["wsign"][mi_row, mi_col])
+                    wedge_info = ("w", widx, wsign)
+                    y_pred = WG.blend_d16(b0, b1,
+                                          WG.wedge_mask(W, widx, wsign),
+                                          self.bd)
+                else:
+                    mt = int(feat["widx"][mi_row, mi_col])
+                    dm = WG.diffwtd_masks(b0, b1, self.bd)[mt]
+                    wedge_info = ("d", mt, dm)
+                    y_pred = WG.blend_d16(b0, b1, dm, self.bd)
+        elif (is_comp and self.enable_masked_compound and W == H
                 and 8 <= W <= 64):
             from . import wedge as WG
 

@@ -104,6 +104,20 @@ class _CWalk(ctypes.Structure):
         ("cdf_skip_mode", _VP), ("mi_skip_mode", _VP),
         # ---- rectangular partitions (IntraDecisions.rect) ----
         ("rect", _VP * 4), ("rect_cols", _I * 4),
+        # ---- p<=6 feature extension (switchable filters / interintra /
+        # OBMC / masked compound) ----
+        ("switchable_filters", _I), ("enable_interintra", _I),
+        ("enable_masked_compound", _I), ("motion_mode_switchable", _I),
+        ("filt8", _VP * 3), ("filt4", _VP * 3),
+        ("d_filt", _VP), ("d_mm", _VP), ("d_ii", _VP), ("d_iiw", _VP),
+        ("d_ctype", _VP), ("d_widx", _VP), ("d_wsign", _VP),
+        ("g_filt", _VP), ("g_comp_group", _VP),
+        ("wedge_blob", _VP), ("wedge_off", _VP), ("ii_w1d", _VP),
+        ("cdf_interintra", _VP), ("cdf_interintra_mode", _VP),
+        ("cdf_wedge_interintra", _VP), ("cdf_wedge_idx", _VP),
+        ("cdf_obmc", _VP), ("cdf_comp_group_idx", _VP),
+        ("cdf_compound_type", _VP), ("cdf_switchable_interp", _VP),
+        ("psy_rd", ctypes.c_double),
     ]
 
 
@@ -136,6 +150,11 @@ def _load():
         ctypes.POINTER(_CWalk), ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.walk_precommit.restype = None
+    lib.walk_feature_search.argtypes = [
+        ctypes.POINTER(_CWalk), ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.walk_feature_search.restype = None
     lib.ec_create.restype = ctypes.c_void_p
     _lib = lib
     return lib
@@ -176,13 +195,17 @@ def eligible(enc) -> bool:
     tname = type(enc).__name__
     if tname == "InterFrameEncoder":
         # ROTZOOM frames need the Python walk (warp MC lives there); TX-type
-        # search results flow through the C walk's d_txt map
-        return (getattr(enc, "inter_dec", None) is not None
-                and getattr(enc, "gm_wm", None) is None
-                and not getattr(enc, "motion_mode_switchable", False)
-                and not getattr(enc, "enable_interintra", False)
-                and not getattr(enc, "enable_masked_compound", False)
-                and not getattr(enc, "switchable_filters", False))
+        # search results flow through the C walk's d_txt map. Switchable
+        # filters / interintra / OBMC / masked compound run natively when
+        # their decisions came from the feature-search pre-pass (enc.feat).
+        if (getattr(enc, "inter_dec", None) is None
+                or getattr(enc, "gm_wm", None) is not None):
+            return False
+        needs_feat = (getattr(enc, "motion_mode_switchable", False)
+                      or getattr(enc, "enable_interintra", False)
+                      or getattr(enc, "enable_masked_compound", False)
+                      or getattr(enc, "switchable_filters", False))
+        return not needs_feat or getattr(enc, "feat", None) is not None
     if tname != "IntraFrameEncoder":
         return False
     if (enc.decisions is None
@@ -199,6 +222,226 @@ def eligible(enc) -> bool:
 
 def _ptr(a) -> int:
     return a.ctypes.data if a is not None else 0
+
+
+_WEDGE_CACHE = None
+
+
+def _wedge_tables():
+    """Packed luma wedge masks (sizes 8/16/32 x 16 idx x 2 signs) + the
+    per-(size, idx, sign) offset table the C side indexes."""
+    global _WEDGE_CACHE
+    if _WEDGE_CACHE is None:
+        from . import wedge as WG
+
+        off = np.zeros(3 * 16 * 2, np.int32)
+        parts = []
+        pos = 0
+        for si, size in enumerate((8, 16, 32)):
+            for idx in range(16):
+                for sign in (0, 1):
+                    m = np.ascontiguousarray(WG.wedge_mask(size, idx, sign),
+                                             np.int32)
+                    off[si * 32 + idx * 2 + sign] = pos
+                    parts.append(m.ravel())
+                    pos += m.size
+        _WEDGE_CACHE = (np.ascontiguousarray(np.concatenate(parts), np.int32),
+                        np.ascontiguousarray(off))
+    return _WEDGE_CACHE
+
+
+def _fill_features(enc, w, keep):
+    """Fill the p<=6 feature extension fields (flags, filter kernel sets,
+    decision maps, mask tables, CDFs) of a Walk from the encoder state."""
+    from .spec_tables import get_tables
+
+    t = get_tables()._raw
+    w.switchable_filters = int(getattr(enc, "switchable_filters", False))
+    w.enable_interintra = int(getattr(enc, "enable_interintra", False))
+    w.enable_masked_compound = int(getattr(enc, "enable_masked_compound",
+                                           False))
+    w.motion_mode_switchable = int(getattr(enc, "motion_mode_switchable",
+                                           False))
+    f8s = np.ascontiguousarray(t["interp_sub_pel_filters_8smooth"], np.int32)
+    f8sh = np.ascontiguousarray(t["interp_sub_pel_filters_8sharp"], np.int32)
+    f4s = np.ascontiguousarray(t["interp_sub_pel_filters_4smooth"], np.int32)
+    keep += [f8s, f8sh, f4s]
+    w.filt8[1], w.filt8[2] = _ptr(f8s), _ptr(f8sh)
+    w.filt4[1] = _ptr(f4s)          # sharp 4-tap == regular (spec)
+    feat = getattr(enc, "feat", None)
+    if feat is not None:
+        for name in ("filt", "mm", "ii", "iiw", "ctype", "widx", "wsign"):
+            arr = feat[name]
+            keep.append(arr)
+            setattr(w, "d_" + name, _ptr(arr))
+    g = enc.grid
+    w.g_filt = _ptr(g.filt)
+    w.g_comp_group = _ptr(g.comp_group)
+    blob, off = _wedge_tables()
+    w.wedge_blob, w.wedge_off = _ptr(blob), _ptr(off)
+    from .inter_encoder import II_WEIGHTS1D
+
+    ii1d = np.ascontiguousarray(II_WEIGHTS1D, np.int32)
+    keep.append(ii1d)
+    w.ii_w1d = _ptr(ii1d)
+    tb = enc.fc.tables
+    w.cdf_interintra = _ptr(tb["interintra"])
+    w.cdf_interintra_mode = _ptr(tb["interintra_mode"])
+    w.cdf_wedge_interintra = _ptr(tb["wedge_interintra"])
+    w.cdf_wedge_idx = _ptr(tb["wedge_idx"])
+    w.cdf_obmc = _ptr(tb["obmc"])
+    w.cdf_comp_group_idx = _ptr(tb["comp_group_idx"])
+    w.cdf_compound_type = _ptr(tb["compound_type"])
+    w.cdf_switchable_interp = _ptr(tb["switchable_interp"])
+    w.psy_rd = float(getattr(enc, "psy_rd", 0.0))
+
+
+def _z_order_leaves(enc):
+    """Decided leaves (mi_row, mi_col, bsize) in partition-walk (Morton)
+    order: SB raster, then the z-curve of the top-left corner within the
+    SB — the order both walks visit them."""
+    from .constants import BLOCK_HEIGHT, BLOCK_WIDTH
+
+    bs_by_wh = {(int(BLOCK_WIDTH[b]), int(BLOCK_HEIGHT[b])): b
+                for b in range(len(BLOCK_WIDTH))}
+
+    def morton(r, c):
+        m = 0
+        for b in range(4):
+            m |= ((c >> b) & 1) << (2 * b)
+            m |= ((r >> b) & 1) << (2 * b + 1)
+        return m
+
+    rows = []
+    for (r, c), geom in enc.leaf_geom.items():
+        W, H = geom
+        rows.append(((r >> 4, c >> 4, morton(r & 15, c & 15)),
+                     (r, c, bs_by_wh[(W, H)])))
+    rows.sort(key=lambda x: x[0])
+    return np.ascontiguousarray(
+        np.array([v for _, v in rows], np.int32).reshape(-1, 3))
+
+
+def feature_search(enc) -> bool:
+    """One C call searching the p<=6 block features (switchable filter,
+    interintra, OBMC, masked compound) for every decided inter leaf; fills
+    enc.feat with the per-mi decision maps both walks then commit. The
+    search is open-loop: II intra components read SOURCE neighbors (the
+    commit uses real recon), OBMC sees the pre-pass MV grid. Returns False
+    when the native library is unavailable (callers fall back to the
+    Python walk's inline search)."""
+    lib = _load()
+    if lib is None or getattr(enc, "inter_dec", None) is None:
+        return False
+    from .mv_pred import LAST_FRAME
+    from .spec_tables import get_tables
+
+    w = _CWalk()
+    keep = []
+    w.mi_rows, w.mi_cols = enc.mi_rows, enc.mi_cols
+    w.tile_r0, w.tile_r1 = 0, enc.mi_rows
+    w.tile_c0, w.tile_c1 = 0, enc.mi_cols
+    w.nplanes, w.bd, w.qindex = enc.nplanes, enc.bd, enc.qindex
+    for p in range(enc.nplanes):
+        ps = enc.planes[p]
+        w.src[p] = _ptr(enc.src[p])
+        w.src_stride[p] = enc.src[p].shape[1]
+        w.recon[p] = _ptr(enc.src[p])     # open-loop: source neighbors
+        w.rec_stride[p] = enc.src[p].shape[1]
+        w.pw[p], w.ph[p] = ps.width, ps.height
+    dec_scratch = np.zeros(enc.decoded[0].shape, np.uint8)
+    keep.append(dec_scratch)
+    w.decoded[0] = _ptr(dec_scratch)
+    w.dec_stride[0] = dec_scratch.shape[1]
+    w.pad = enc.pad
+    shape = (enc.mi_rows, enc.mi_cols)
+    d_ref = np.zeros(shape, np.int32)
+    d_mode = np.zeros(shape, np.int32)
+    d_mvr = np.zeros(shape, np.int32)
+    d_mvc = np.zeros(shape, np.int32)
+    d_mvr2 = np.zeros(shape, np.int32)
+    d_mvc2 = np.zeros(shape, np.int32)
+    # pre-pass neighbour grids (OBMC lookups): every leaf's decision
+    g_ref = np.zeros(shape, np.int8)
+    g_mvr = np.zeros(shape, np.int16)
+    g_mvc = np.zeros(shape, np.int16)
+    g_bw4 = np.ones(shape, np.uint8)
+    g_bh4 = np.ones(shape, np.uint8)
+    g_mode = np.zeros(shape, np.uint8)
+    g_filt = np.full(shape, 3, np.uint8)
+    for (r, c), v in enc.inter_dec.items():
+        ui, rf, md, mr, mc = v[:5]
+        d_ref[r, c] = (1 if md >= 17 else rf) if ui else 0
+        d_mode[r, c] = md
+        d_mvr[r, c] = mr
+        d_mvc[r, c] = mc
+        if ui and md >= 17:
+            d_mvr2[r, c] = v[5]
+            d_mvc2[r, c] = v[6]
+        geom = enc.leaf_geom.get((r, c))
+        if geom is None:
+            continue
+        bw4, bh4 = geom[0] >> 2, geom[1] >> 2
+        r1, c1 = min(r + bh4, enc.mi_rows), min(c + bw4, enc.mi_cols)
+        g_ref[r:r1, c:c1] = d_ref[r, c] if ui else 0
+        g_mvr[r:r1, c:c1] = mr if ui else 0
+        g_mvc[r:r1, c:c1] = mc if ui else 0
+        g_mode[r:r1, c:c1] = md
+        g_bw4[r:r1, c:c1] = bw4
+        g_bh4[r:r1, c:c1] = bh4
+    keep += [d_ref, d_mode, d_mvr, d_mvc, d_mvr2, d_mvc2,
+             g_ref, g_mvr, g_mvc, g_bw4, g_bh4, g_mode, g_filt]
+    w.d_ref, w.d_mode = _ptr(d_ref), _ptr(d_mode)
+    w.d_mvr, w.d_mvc = _ptr(d_mvr), _ptr(d_mvc)
+    w.d_mvr2, w.d_mvc2 = _ptr(d_mvr2), _ptr(d_mvc2)
+    w.g_ref, w.g_mvr, w.g_mvc = _ptr(g_ref), _ptr(g_mvr), _ptr(g_mvc)
+    w.g_bw4, w.g_bh4, w.g_mode = _ptr(g_bw4), _ptr(g_bh4), _ptr(g_mode)
+    w.ref2_const = int(enc.ref2) if enc.ref2 is not None else 7
+    for ri, rf in ((0, LAST_FRAME), (1, enc.ref2)):
+        if rf is not None and rf in enc.refs:
+            for p in range(enc.nplanes):
+                arr = np.ascontiguousarray(enc.refs[rf][p], np.int32)
+                keep.append(arr)
+                w.refp[ri * 3 + p] = _ptr(arr)
+                w.refp_stride[ri * 3 + p] = arr.shape[1]
+    f8 = enc.me[LAST_FRAME]._filters
+    f4 = np.ascontiguousarray(
+        get_tables()._raw["interp_sub_pel_filters_4"], np.int32)
+    keep += [f8, f4]
+    w.filters8, w.filters4 = _ptr(f8), _ptr(f4)
+    w.gm_row, w.gm_col = enc.gm_mv
+
+    class _Feat:
+        pass
+
+    fe = _Feat()
+    fe.switchable_filters = getattr(enc, "switchable_filters", False)
+    fe.enable_interintra = getattr(enc, "enable_interintra", False)
+    fe.enable_masked_compound = getattr(enc, "enable_masked_compound", False)
+    fe.motion_mode_switchable = getattr(enc, "motion_mode_switchable", False)
+    fe.grid = _Feat()
+    fe.grid.filt = g_filt
+    fe.grid.comp_group = np.zeros(shape, np.uint8)
+    fe.feat = None
+    fe.fc = enc.fc
+    fe.psy_rd = getattr(enc, "psy_rd", 0.0)
+    _fill_features(fe, w, keep)
+
+    maps = {name: np.zeros(shape, np.int8)
+            for name in ("filt", "mm", "ii", "iiw", "ctype", "widx",
+                         "wsign")}
+    leaves = _z_order_leaves(enc)
+    from ..profiling import stage
+
+    with stage("host:feature_search"):
+        lib.walk_feature_search(
+            ctypes.byref(w), _ptr(leaves), len(leaves),
+            _ptr(maps["filt"]), _ptr(maps["mm"]), _ptr(maps["ii"]),
+            _ptr(maps["iiw"]), _ptr(maps["ctype"]), _ptr(maps["widx"]),
+            _ptr(maps["wsign"]))
+    del keep
+    enc.feat = maps
+    return True
 
 
 def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
@@ -341,6 +584,8 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
             w.skip_ref0, w.skip_ref1 = int(sm_pair[0]), int(sm_pair[1])
             w.cdf_skip_mode = _ptr(enc.fc.tables["skip_mode"])
         w.mi_skip_mode = _ptr(enc.mi_skip_mode)
+        # p<=6 features: flags, kernel sets, decision maps, masks, CDFs
+        _fill_features(enc, w, keep)
         pre = getattr(enc, "pre_commit", None)
         if pre is not None:
             keep += [pre.pre_slot, pre.pre_off, pre.pre_eob, pre.pre_qc]
@@ -492,6 +737,7 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
                     for b in range(len(_BWF))}
         rows = []
         total = 0
+        feat = getattr(enc, "feat", None)
         for (r, c), d in enc.inter_dec.items():
             if not d[0]:
                 continue
@@ -501,6 +747,10 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
             W, H = geom
             if (W < 8 or H < 8
                     or not (mi_r0 <= r < mi_r1 and mi_c0 <= c < mi_c1)):
+                continue
+            # II needs walk-time recon neighbors and OBMC walk-order grid
+            # state: those leaves compute in-walk, not in the precommit
+            if feat is not None and (feat["ii"][r, c] or feat["mm"][r, c]):
                 continue
             rows.append((r, c, bs_by_wh[(W, H)]))
             ny = min(W, 32) * min(H, 32)

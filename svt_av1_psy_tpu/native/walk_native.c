@@ -234,6 +234,38 @@ typedef struct {
        node grids, 0 = none/split (parts decides), 2 = HORZ, 3 = VERT */
     const uint8_t *rect[4];
     int32_t rect_cols[4];
+    /* ---- p<=6 feature extension: switchable interp filters, interintra,
+       OBMC, masked compound. Decisions come from the feature-search
+       pre-pass (walk_feature_search below / the Python inline search) as
+       per-mi maps written at each leaf's top-left. Mirrors the Python
+       walk's search+commit in inter_encoder._encode_block. ---- */
+    int switchable_filters;          /* frame is_filter_switchable */
+    int enable_interintra;           /* seq enable_interintra_compound */
+    int enable_masked_compound;      /* seq enable_masked_compound */
+    int motion_mode_switchable;      /* frame is_motion_mode_switchable */
+    const int32_t *filt8[3];         /* (16,8) REGULAR/SMOOTH/SHARP */
+    const int32_t *filt4[3];         /* 4-tap variants (sharp = regular) */
+    const int8_t *d_filt;            /* decided interp filter 0..2 */
+    const int8_t *d_mm;              /* motion mode: 0 SIMPLE, 1 OBMC */
+    const int8_t *d_ii;              /* interintra mode + 1 (0 = none) */
+    const int8_t *d_iiw;             /* II wedge index + 1 (0 = smooth) */
+    const int8_t *d_ctype;           /* compound: 0 avg, 1 wedge, 2 diffwtd */
+    const int8_t *d_widx;            /* wedge index / diffwtd mask type */
+    const int8_t *d_wsign;           /* wedge sign */
+    int8_t *g_filt;                  /* MiGrid.filt (ctx + OBMC filters) */
+    int8_t *g_comp_group;            /* MiGrid.comp_group (group-idx ctx) */
+    const int32_t *wedge_blob;       /* packed luma masks */
+    const int32_t *wedge_off;        /* [size_idx*32 + idx*2 + sign] */
+    const int32_t *ii_w1d;           /* II_WEIGHTS1D (128) */
+    uint16_t *cdf_interintra;        /* (4,3) */
+    uint16_t *cdf_interintra_mode;   /* (4,5) */
+    uint16_t *cdf_wedge_interintra;  /* (22,3) */
+    uint16_t *cdf_wedge_idx;         /* (22,17) */
+    uint16_t *cdf_obmc;              /* (22,3) */
+    uint16_t *cdf_comp_group_idx;    /* (6,3) */
+    uint16_t *cdf_compound_type;     /* (22,3) */
+    uint16_t *cdf_switchable_interp; /* (8,4) */
+    double psy_rd;                   /* feature-search psy-rd strength */
 } Walk;
 
 static int bsize_of(int W, int H) {
@@ -844,9 +876,20 @@ static const uint8_t SIZE_GROUP[22] = {0,0,0,1,1,1,2,2,2,3,3,3,3,3,3,3,1,1,2,2,3
 
 /* MC prediction for one plane (mirror of inter_encoder._mc_pred +
    mc_native.convolve_block kernel selection: 4-tap tables at dim <= 4) */
-static void mc_pred_plane(const Walk *w, int ref_idx, int plane, int px,
-                          int py, int pw_, int ph_, int mvr, int mvc,
-                          uint16_t *out) {
+/* per-block interpolation filter kernels: 0 REGULAR / 1 SMOOTH / 2 SHARP
+   (the 4-tap set has no sharp variant; spec uses the regular 4-tap) */
+static const int32_t *fkern8(const Walk *w, int filt) {
+    if (filt > 0 && w->filt8[filt]) return w->filt8[filt];
+    return w->filters8;
+}
+static const int32_t *fkern4(const Walk *w, int filt) {
+    if (filt == 1 && w->filt4[1]) return w->filt4[1];
+    return w->filters4;
+}
+
+static void mc_pred_plane_f(const Walk *w, int ref_idx, int plane, int px,
+                            int py, int pw_, int ph_, int mvr, int mvc,
+                            int filt, uint16_t *out) {
     long long wp_t0 = wp_now();
     const int32_t *ref = w->refp[ref_idx * 3 + plane];
     int stride = w->refp_stride[ref_idx * 3 + plane];
@@ -859,11 +902,17 @@ static void mc_pred_plane(const Walk *w, int ref_idx, int plane, int px,
         ipx = mvc >> 4; fx = mvc & 15;
     }
     int yy = py + ipy + w->pad, xx = px + ipx + w->pad;
-    const int32_t *fxk = (pw_ > 4 ? w->filters8 : w->filters4) + 8 * fx;
-    const int32_t *fyk = (ph_ > 4 ? w->filters8 : w->filters4) + 8 * fy;
+    const int32_t *fxk = (pw_ > 4 ? fkern8(w, filt) : fkern4(w, filt)) + 8 * fx;
+    const int32_t *fyk = (ph_ > 4 ? fkern8(w, filt) : fkern4(w, filt)) + 8 * fy;
     mc_convolve_2d_sr(ref + (yy - 3) * stride + (xx - 3), stride, pw_, ph_,
                       fxk, fyk, fx != 0, fy != 0, w->bd, out);
     walk_prof_ns[0] += wp_now() - wp_t0;
+}
+
+static void mc_pred_plane(const Walk *w, int ref_idx, int plane, int px,
+                          int py, int pw_, int ph_, int mvr, int mvc,
+                          uint16_t *out) {
+    mc_pred_plane_f(w, ref_idx, plane, px, py, pw_, ph_, mvr, mvc, 0, out);
 }
 
 /* ---- normative reference-MV stack (mirror of mv_pred.setup_ref_mv_list,
@@ -1351,11 +1400,10 @@ static void jnt_conv(const int32_t *patch, int pstride, int w_, int h_,
                               + round_offset;
 }
 
-static void mc_pred_compound(const Walk *w, int plane, int px, int py,
-                             int pw_, int ph_, int mv0r, int mv0c,
-                             int mv1r, int mv1c, uint16_t *out) {
-    long long wp_t0 = wp_now();
-    int32_t buf0[64 * 64], buf1[64 * 64];
+/* the pair's ConvBuf-domain predictions (inter_encoder._jnt_bufs) */
+static void jnt_bufs(const Walk *w, int plane, int px, int py, int pw_,
+                     int ph_, int mv0r, int mv0c, int mv1r, int mv1c,
+                     int filt, int32_t *buf0, int32_t *buf1) {
     int32_t *bufs[2] = {buf0, buf1};
     const int mvr[2] = {mv0r, mv1r}, mvc[2] = {mv0c, mv1c};
     for (int ri = 0; ri < 2; ri++) {
@@ -1370,11 +1418,22 @@ static void mc_pred_compound(const Walk *w, int plane, int px, int py,
             ipx = mvc[ri] >> 4; fx = mvc[ri] & 15;
         }
         int yy = py + ipy + w->pad, xx = px + ipx + w->pad;
-        const int32_t *fxk = (pw_ > 4 ? w->filters8 : w->filters4) + 8 * fx;
-        const int32_t *fyk = (ph_ > 4 ? w->filters8 : w->filters4) + 8 * fy;
+        const int32_t *fxk = (pw_ > 4 ? fkern8(w, filt) : fkern4(w, filt))
+                             + 8 * fx;
+        const int32_t *fyk = (ph_ > 4 ? fkern8(w, filt) : fkern4(w, filt))
+                             + 8 * fy;
         jnt_conv(ref + (yy - 3) * stride + (xx - 3), stride, pw_, ph_,
                  fxk, fyk, fx != 0, fy != 0, w->bd, bufs[ri]);
     }
+}
+
+static void mc_pred_compound_f(const Walk *w, int plane, int px, int py,
+                               int pw_, int ph_, int mv0r, int mv0c,
+                               int mv1r, int mv1c, int filt, uint16_t *out) {
+    long long wp_t0 = wp_now();
+    int32_t buf0[64 * 64], buf1[64 * 64];
+    jnt_bufs(w, plane, px, py, pw_, ph_, mv0r, mv0c, mv1r, mv1c, filt,
+             buf0, buf1);
     /* COMPOUND_AVERAGE tail */
     const int R0 = 3, R1 = 7, FB = 7;
     int offset_bits = w->bd + 2 * FB - R0;
@@ -1390,6 +1449,96 @@ static void mc_pred_compound(const Walk *w, int plane, int px, int py,
         out[k] = (uint16_t)tmp;
     }
     walk_prof_ns[0] += wp_now() - wp_t0;
+}
+
+static void mc_pred_compound(const Walk *w, int plane, int px, int py,
+                             int pw_, int ph_, int mv0r, int mv0c,
+                             int mv1r, int mv1c, uint16_t *out) {
+    mc_pred_compound_f(w, plane, px, py, pw_, ph_, mv0r, mv0c, mv1r, mv1c,
+                       0, out);
+}
+
+/* aom blend_a64_d16: blend the pair's ConvBuf predictions under `mask`
+   (weights for prediction 0) and round to pixels (codec/wedge.blend_d16) */
+static void blend_d16_c(const Walk *w, const int32_t *b0, const int32_t *b1,
+                        const int32_t *mask, int mstride, int n_w, int n_h,
+                        uint16_t *out) {
+    const int R0 = 3, R1 = 7, FB = 7;
+    int offset_bits = w->bd + 2 * FB - R0;
+    int32_t round_offset = (1 << (offset_bits - R1))
+        + (1 << (offset_bits - R1 - 1));
+    int round_bits = 2 * FB - R0 - R1;
+    int peak = (1 << w->bd) - 1;
+    for (int y = 0; y < n_h; y++)
+        for (int x = 0; x < n_w; x++) {
+            int k = y * n_w + x;
+            int m = mask[y * mstride + x];
+            int32_t v = (m * b0[k] + (64 - m) * b1[k]) >> 6;
+            v -= round_offset;
+            v = (v + (1 << (round_bits - 1))) >> round_bits;
+            if (v < 0) v = 0;
+            if (v > peak) v = peak;
+            out[k] = (uint16_t)v;
+        }
+}
+
+/* COMPOUND_DIFFWTD masks from the ConvBuf pair (codec/wedge.diffwtd_masks):
+   mask_type 0 = 38 + diff/16, mask_type 1 = its inverse */
+static void diffwtd_mask_c(const Walk *w, const int32_t *b0,
+                           const int32_t *b1, int n, int mask_type,
+                           int32_t *mask) {
+    int rnd = 2 * 7 - 3 - 7 + (w->bd - 8);
+    for (int k = 0; k < n; k++) {
+        int32_t d = b0[k] - b1[k];
+        if (d < 0) d = -d;
+        d = (d + (1 << (rnd - 1))) >> rnd;
+        int32_t m = 38 + d / 16;
+        if (m > 64) m = 64;
+        mask[k] = mask_type ? 64 - m : m;
+    }
+}
+
+/* 2x2-average chroma mask from a luma-plane mask (spec 7.11.3.11) */
+static void subsample_mask_c(const int32_t *m, int n_w, int n_h,
+                             int32_t *out) {
+    for (int y = 0; y < n_h / 2; y++)
+        for (int x = 0; x < n_w / 2; x++)
+            out[y * (n_w / 2) + x] =
+                (m[(2 * y) * n_w + 2 * x] + m[(2 * y) * n_w + 2 * x + 1]
+                 + m[(2 * y + 1) * n_w + 2 * x]
+                 + m[(2 * y + 1) * n_w + 2 * x + 1] + 2) >> 2;
+}
+
+static const int32_t *wedge_mask_c(const Walk *w, int size, int idx,
+                                   int sign) {
+    int si = size == 8 ? 0 : (size == 16 ? 1 : 2);
+    return w->wedge_blob + w->wedge_off[si * 32 + idx * 2 + sign];
+}
+
+/* smooth interintra mask (inter_encoder.ii_mask): 64 = full intra */
+static void ii_mask_c(const Walk *w, int mode, int n_w, int n_h,
+                      int32_t *out) {
+    int mx = n_w > n_h ? n_w : n_h;
+    int ss = 128 / mx;               /* II_SIZE_SCALE */
+    for (int i = 0; i < n_h; i++)
+        for (int j = 0; j < n_w; j++) {
+            int v;
+            if (mode == 1) v = w->ii_w1d[i * ss];          /* II_V */
+            else if (mode == 2) v = w->ii_w1d[j * ss];     /* II_H */
+            else if (mode == 3)                             /* II_SMOOTH */
+                v = w->ii_w1d[(i < j ? i : j) * ss];
+            else v = 32;                                    /* II_DC */
+            out[i * n_w + j] = v;
+        }
+}
+
+/* AOM_BLEND_A64(mask, intra, inter) in place over `inter` */
+static void ii_blend_c(uint16_t *inter, const uint16_t *intra,
+                       const int32_t *mask, int n) {
+    for (int k = 0; k < n; k++)
+        inter[k] = (uint16_t)((mask[k] * (int32_t)intra[k]
+                               + (64 - mask[k]) * (int32_t)inter[k] + 32)
+                              >> 6);
 }
 
 /* compound reference-MV stack (mirror of mv_pred.setup_comp_mv_list) */
@@ -1772,6 +1921,303 @@ static void write_comp_refs(Walk *w, int mi_row, int mi_col) {
     ec_symbol(w->enc, 1, w->cdf_comp_bwdref + (ctxb * 2 + 0) * 3, 2, w->adapt);
 }
 
+/* ---- feature syntax contexts (mirror of inter_encoder helpers) ---- */
+/* av1_get_pred_context_switchable_interp (dir 0, dual off) */
+static int switchable_filter_ctx_c(const Walk *w, int mi_row, int mi_col,
+                                   int ref, int is_comp) {
+    int left = 3, above = 3;
+    if (mi_col > w->tile_c0) {
+        int idx = mi_row * w->mi_cols + mi_col - 1;
+        if (w->g_ref[idx] > 0
+            && (w->g_ref[idx] == ref
+                || (w->g_ref2 && w->g_ref2[idx] == ref))) {
+            int f = w->g_filt ? w->g_filt[idx] : 0;
+            left = f < 3 ? f : 0;
+        }
+    }
+    if (mi_row > w->tile_r0) {
+        int idx = (mi_row - 1) * w->mi_cols + mi_col;
+        if (w->g_ref[idx] > 0
+            && (w->g_ref[idx] == ref
+                || (w->g_ref2 && w->g_ref2[idx] == ref))) {
+            int f = w->g_filt ? w->g_filt[idx] : 0;
+            above = f < 3 ? f : 0;
+        }
+    }
+    int ctx = is_comp ? 4 : 0;   /* INTER_FILTER_COMP_OFFSET */
+    if (left == above) ctx += left;
+    else if (left == 3) ctx += above;
+    else if (above == 3) ctx += left;
+    else ctx += 3;
+    return ctx;
+}
+
+/* get_comp_group_idx_context: neighbor comp_group flags (ALTREF single
+   neighbors count 3), capped at 5 */
+static int comp_group_ctx_c(const Walk *w, int mi_row, int mi_col) {
+    int ctx = 0;
+    if (mi_row > w->tile_r0) {
+        int idx = (mi_row - 1) * w->mi_cols + mi_col;
+        if (w->g_ref2 && w->g_ref2[idx] > 0)
+            ctx += w->g_comp_group ? w->g_comp_group[idx] : 0;
+        else if (w->g_ref[idx] == 7) ctx += 3;
+    }
+    if (mi_col > w->tile_c0) {
+        int idx = mi_row * w->mi_cols + mi_col - 1;
+        if (w->g_ref2 && w->g_ref2[idx] > 0)
+            ctx += w->g_comp_group ? w->g_comp_group[idx] : 0;
+        else if (w->g_ref[idx] == 7) ctx += 3;
+    }
+    return ctx < 5 ? ctx : 5;
+}
+
+/* =========================== OBMC (mirror of codec/obmc.py) ========== */
+static const int32_t OBMC_W1[1] = {64};
+static const int32_t OBMC_W2[2] = {45, 64};
+static const int32_t OBMC_W4[4] = {39, 50, 59, 64};
+static const int32_t OBMC_W8[8] = {36, 42, 48, 53, 57, 61, 64, 64};
+static const int32_t OBMC_W16[16] = {34, 37, 40, 43, 46, 49, 52, 54, 56, 58,
+                                     60, 61, 64, 64, 64, 64};
+static const int32_t OBMC_W32[32] = {33, 35, 36, 38, 40, 41, 43, 44, 45, 47,
+                                     48, 50, 51, 52, 53, 55, 56, 57, 58, 59,
+                                     60, 60, 61, 62, 64, 64, 64, 64, 64, 64,
+                                     64, 64};
+static const int32_t *obmc_mask_of(int l) {
+    switch (l) {
+        case 1: return OBMC_W1;
+        case 2: return OBMC_W2;
+        case 4: return OBMC_W4;
+        case 8: return OBMC_W8;
+        case 16: return OBMC_W16;
+        default: return OBMC_W32;
+    }
+}
+/* max_neighbor_obmc[mi_size_wide_log2] */
+static const int OBMC_NB_MAX[6] = {0, 1, 2, 3, 4, 4};
+
+typedef struct { int pos, len_mi, nb; } ObmcNb;
+
+static int obmc_above_nbs(const Walk *w, int mi_row, int mi_col, int n4_w,
+                          ObmcNb *out) {
+    if (mi_row <= w->tile_r0) return 0;
+    int lg = 0; while ((1 << lg) < n4_w) lg++;
+    int nb_max = OBMC_NB_MAX[lg < 5 ? lg : 5];
+    int end_col = mi_col + n4_w < w->mi_cols ? mi_col + n4_w : w->mi_cols;
+    int c = mi_col, count = 0;
+    while (c < end_col && count < nb_max) {
+        int nbc = c;
+        int step = w->g_bw4[(mi_row - 1) * w->mi_cols + c];
+        if (step > 16) step = 16;
+        if (step == 1) { c &= ~1; nbc = c + 1; step = 2; }
+        if (w->g_ref[(mi_row - 1) * w->mi_cols + nbc] > 0) {
+            out[count].pos = c;
+            out[count].len_mi = n4_w < step ? n4_w : step;
+            out[count].nb = nbc;
+            count++;
+        }
+        c += step;
+    }
+    return count;
+}
+
+static int obmc_left_nbs(const Walk *w, int mi_row, int mi_col, int n4_h,
+                         ObmcNb *out) {
+    if (mi_col <= w->tile_c0) return 0;
+    int lg = 0; while ((1 << lg) < n4_h) lg++;
+    int nb_max = OBMC_NB_MAX[lg < 5 ? lg : 5];
+    int end_row = mi_row + n4_h < w->mi_rows ? mi_row + n4_h : w->mi_rows;
+    int r = mi_row, count = 0;
+    while (r < end_row && count < nb_max) {
+        int nbr = r;
+        int step = w->g_bh4[r * w->mi_cols + mi_col - 1];
+        if (step > 16) step = 16;
+        if (step == 1) { r &= ~1; nbr = r + 1; step = 2; }
+        if (w->g_ref[r * w->mi_cols + mi_col - 1] > 0) {
+            out[count].pos = r;
+            out[count].len_mi = n4_h < step ? n4_h : step;
+            out[count].nb = nbr;
+            count++;
+        }
+        r += step;
+    }
+    return count;
+}
+
+static int obmc_eligible_c(const Walk *w, int mi_row, int mi_col, int W,
+                           int H, int is_comp) {
+    /* motion_mode_allowed == OBMC_CAUSAL; gm_wm (warp) frames never walk
+       natively, so the is_global_mv_block exclusion is vacuous here */
+    if (!w->motion_mode_switchable || is_comp) return 0;
+    if ((W < H ? W : H) < 8) return 0;
+    ObmcNb nbs[4];
+    return obmc_above_nbs(w, mi_row, mi_col, W >> 2, nbs) > 0
+        || obmc_left_nbs(w, mi_row, mi_col, H >> 2, nbs) > 0;
+}
+
+/* svt_av1_skip_u4x4_pred_in_obmc: the ABOVE pass skips chroma when the
+   chroma block is 4x4/8x4/4x8 */
+static int obmc_skip_chroma_above(int W, int H) {
+    int cw = W >> 1 > 4 ? W >> 1 : 4, ch = H >> 1 > 4 ? H >> 1 : 4;
+    return (cw == 4 && ch == 4) || (cw == 8 && ch == 4)
+        || (cw == 4 && ch == 8);
+}
+
+/* blend neighbor-motion predictions into the block preds (in place).
+   preds[p] = block-sized buffers (or NULL to skip the plane); mirrors
+   obmc.build_obmc_preds. */
+static void obmc_apply(const Walk *w, int mi_row, int mi_col, int W, int H,
+                       uint16_t *preds[3]) {
+    int n4_w = W >> 2, n4_h = H >> 2;
+    ObmcNb nbs[4];
+    uint16_t tmp[64 * 64];
+    int skip_ca = obmc_skip_chroma_above(W, H);
+    int overlap_v = (H < 64 ? H : 64) >> 1;
+    int na = obmc_above_nbs(w, mi_row, mi_col, n4_w, nbs);
+    for (int i = 0; i < na; i++) {
+        int idx = (mi_row - 1) * w->mi_cols + nbs[i].nb;
+        int mvr = w->g_mvr[idx], mvc = w->g_mvc[idx];
+        int ref = w->g_ref[idx];
+        int nf = w->g_filt ? w->g_filt[idx] : 0;
+        if (nf >= 3) nf = 0;
+        int ref_idx = ref == 1 ? 0 : 1;
+        for (int p = 0; p < w->nplanes; p++) {
+            if (!preds[p]) continue;
+            if (p > 0 && skip_ca) continue;
+            int ss = p ? 1 : 0;
+            int bw = (nbs[i].len_mi * 4) >> ss;
+            int bh = overlap_v >> ss;
+            int px = (nbs[i].pos * 4) >> ss;
+            int py = (mi_row * 4) >> ss;
+            mc_pred_plane_f(w, ref_idx, p, px, py, bw, bh, mvr, mvc, nf, tmp);
+            int bW = (p ? (W >> 1 > 4 ? W >> 1 : 4) : W);
+            int ox = px - ((mi_col * 4) >> ss);
+            const int32_t *m = obmc_mask_of(bh);
+            uint16_t *dst = preds[p];
+            for (int y = 0; y < bh; y++)
+                for (int x = 0; x < bw; x++) {
+                    uint16_t *d = dst + y * bW + ox + x;
+                    *d = (uint16_t)((m[y] * (int32_t)*d
+                                     + (64 - m[y]) * (int32_t)tmp[y * bw + x]
+                                     + 32) >> 6);
+                }
+        }
+    }
+    int overlap_h = (W < 64 ? W : 64) >> 1;
+    int nl = obmc_left_nbs(w, mi_row, mi_col, n4_h, nbs);
+    for (int i = 0; i < nl; i++) {
+        int idx = nbs[i].nb * w->mi_cols + mi_col - 1;
+        int mvr = w->g_mvr[idx], mvc = w->g_mvc[idx];
+        int ref = w->g_ref[idx];
+        int nf = w->g_filt ? w->g_filt[idx] : 0;
+        if (nf >= 3) nf = 0;
+        int ref_idx = ref == 1 ? 0 : 1;
+        for (int p = 0; p < w->nplanes; p++) {
+            if (!preds[p]) continue;
+            int ss = p ? 1 : 0;
+            int bw = overlap_h >> ss;
+            int bh = (nbs[i].len_mi * 4) >> ss;
+            int px = (mi_col * 4) >> ss;
+            int py = (nbs[i].pos * 4) >> ss;
+            mc_pred_plane_f(w, ref_idx, p, px, py, bw, bh, mvr, mvc, nf, tmp);
+            int bW = (p ? (W >> 1 > 4 ? W >> 1 : 4) : W);
+            int oy = py - ((mi_row * 4) >> ss);
+            const int32_t *m = obmc_mask_of(bw);
+            uint16_t *dst = preds[p];
+            for (int y = 0; y < bh; y++)
+                for (int x = 0; x < bw; x++) {
+                    uint16_t *d = dst + (oy + y) * bW + x;
+                    *d = (uint16_t)((m[x] * (int32_t)*d
+                                     + (64 - m[x]) * (int32_t)tmp[y * bw + x]
+                                     + 32) >> 6);
+                }
+        }
+    }
+}
+
+/* ===== feature-aware prediction builder (shared by the walk and the
+   precommit): build the final luma/chroma predictions for one decided
+   inter leaf from the decision + feature maps. II intra components read
+   the recon planes (walk-time closed loop). ===== */
+typedef struct {
+    int filt, mm, ii, iiw, ctype, widx, wsign;
+} Feats;
+
+static void read_feats(const Walk *w, int mi, Feats *f) {
+    f->filt = w->d_filt ? w->d_filt[mi] : 0;
+    f->mm = w->d_mm ? w->d_mm[mi] : 0;
+    f->ii = w->d_ii ? w->d_ii[mi] - 1 : -1;     /* -1 = none */
+    f->iiw = w->d_iiw ? w->d_iiw[mi] - 1 : -1;
+    f->ctype = w->d_ctype ? w->d_ctype[mi] : 0;
+    f->widx = w->d_widx ? w->d_widx[mi] : 0;
+    f->wsign = w->d_wsign ? w->d_wsign[mi] : 0;
+}
+
+static const int II_TO_INTRA_C[4] = {0, 1, 2, 9};
+
+/* build the prediction for one plane of an inter leaf (no OBMC — OBMC is
+   applied by the caller after every plane's pred exists) */
+static void build_inter_pred_plane(const Walk *w, int plane, int x0, int y0,
+                                   int W, int H, int is_comp,
+                                   int ref_idx, int mvr, int mvc, int mv2r,
+                                   int mv2c, const Feats *f, int luma_size,
+                                   uint16_t *out) {
+    if (is_comp && f->ctype > 0) {
+        int32_t b0[64 * 64], b1[64 * 64];
+        jnt_bufs(w, plane, x0, y0, W, H, mvr, mvc, mv2r, mv2c, f->filt,
+                 b0, b1);
+        int32_t mbuf[64 * 64];
+        const int32_t *mask;
+        int mstride;
+        if (f->ctype == 1) {            /* wedge */
+            const int32_t *lm = wedge_mask_c(w, luma_size, f->widx, f->wsign);
+            if (plane == 0) { mask = lm; mstride = W; }
+            else {
+                subsample_mask_c(lm, luma_size, luma_size, mbuf);
+                mask = mbuf; mstride = luma_size / 2;
+            }
+        } else {                        /* diffwtd */
+            if (plane == 0) {
+                diffwtd_mask_c(w, b0, b1, W * H, f->widx, mbuf);
+            } else {
+                /* chroma uses the subsampled LUMA-derived mask */
+                int32_t lb0[64 * 64], lb1[64 * 64], lmask[64 * 64];
+                jnt_bufs(w, 0, x0 << 1, y0 << 1, luma_size, luma_size,
+                         mvr, mvc, mv2r, mv2c, f->filt, lb0, lb1);
+                diffwtd_mask_c(w, lb0, lb1, luma_size * luma_size, f->widx,
+                               lmask);
+                subsample_mask_c(lmask, luma_size, luma_size, mbuf);
+            }
+            mask = mbuf; mstride = W;
+        }
+        blend_d16_c(w, b0, b1, mask, mstride, W, H, out);
+    } else if (is_comp) {
+        mc_pred_compound_f(w, plane, x0, y0, W, H, mvr, mvc, mv2r, mv2c,
+                           f->filt, out);
+    } else {
+        mc_pred_plane_f(w, ref_idx, plane, x0, y0, W, H, mvr, mvc, f->filt,
+                        out);
+    }
+    if (f->ii >= 0 && !is_comp) {
+        int32_t ab[1 + 128 + 128], lb[1 + 128 + 128];
+        int ha, hl;
+        gather_neighbors(w, plane, x0, y0, W, H, ab, lb, &ha, &hl);
+        uint16_t ip[64 * 64];
+        predict_mode(w, II_TO_INTRA_C[f->ii], ab, lb, ha, hl, W, H, ip);
+        int32_t mbuf[64 * 64];
+        if (f->iiw >= 0) {
+            const int32_t *lm = wedge_mask_c(w, luma_size, f->iiw, 0);
+            if (plane == 0) {
+                ii_blend_c(out, ip, lm, W * H);
+                return;
+            }
+            subsample_mask_c(lm, luma_size, luma_size, mbuf);
+        } else {
+            ii_mask_c(w, f->ii, W, H, mbuf);
+        }
+        ii_blend_c(out, ip, mbuf, W * H);
+    }
+}
+
 /* ---- the P-frame block (mirror of inter_encoder._encode_block on the
    decided path: decisions from the native pre-pass, MC or closed-loop
    intra prediction, DCT-only transforms, inter syntax) ---- */
@@ -1789,6 +2235,8 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     int mv2r = is_comp && w->d_mvr2 ? w->d_mvr2[mi] : 0;
     int mv2c = is_comp && w->d_mvc2 ? w->d_mvc2[mi] : 0;
     int ref_idx = ref == 1 ? 0 : 1;
+    Feats ft = {0, 0, -1, -1, 0, 0, 0};
+    if (use_inter) read_feats(w, mi, &ft);
 
     PlaneRes res[3];
     int nres = 1;
@@ -1805,18 +2253,15 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         ry->pre = 1;
         ry->pre_qc_p = w->pre_qc + w->pre_off[pslot * 3];
         ry->eob = w->pre_eob[pslot * 3];
-    } else if (is_comp) {
-        mc_pred_compound(w, 0, x0, y0, W, H, mvr, mvc, mv2r, mv2c, ry->pred);
     } else if (use_inter) {
-        mc_pred_plane(w, ref_idx, 0, x0, y0, W, H, mvr, mvc, ry->pred);
+        build_inter_pred_plane(w, 0, x0, y0, W, H, is_comp, ref_idx,
+                               mvr, mvc, mv2r, mv2c, &ft, W, ry->pred);
     } else {
         int32_t ab[1 + 128 + 128], lb[1 + 128 + 128];
         int ha, hl;
         gather_neighbors(w, 0, x0, y0, W, H, ab, lb, &ha, &hl);
         predict_mode(w, mode, ab, lb, ha, hl, W, H, ry->pred);
     }
-    if (pslot < 0)
-        run_plane_rdoq(w, ry, sb_r, sb_c, w->rdoq_fast && use_inter);
 
     int has_uv = w->nplanes > 1;
     int cfl_allowed = W <= 32 && H <= 32;
@@ -1829,32 +2274,47 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             PlaneRes *r = &res[nres++];
             r->plane = pl; r->px = cx; r->py = cy; r->pw = cw; r->ph = ch;
             r->tx_size = tx_uv;
-            /* inter chroma inherits the luma type when in the chroma tx
-               size's set (spec 5.11.40 compute_tx_type) */
-            int tt_uv = use_inter ? tt_y : 0;
-            if (res[0].eob == 0) tt_uv = 0;   /* luma eob 0: stored type DCT */
-            if (SQR_UP[tx_uv] > 3) tt_uv = 0;
-            else if (SQR_UP[tx_uv] == 3 && tt_uv != 0 && tt_uv != 9) tt_uv = 0;
-            r->tx_type = tt_uv;
+            r->tx_type = 0;      /* finalized after the luma quantize */
             if (pslot >= 0) {
                 r->pre = 1;
                 r->pre_qc_p = w->pre_qc + w->pre_off[pslot * 3 + pl];
                 r->eob = w->pre_eob[pslot * 3 + pl];
                 continue;
             }
-            if (is_comp) {
-                mc_pred_compound(w, pl, cx, cy, cw, ch, mvr, mvc, mv2r, mv2c,
-                                 r->pred);
-            } else if (use_inter) {
-                mc_pred_plane(w, ref_idx, pl, cx, cy, cw, ch, mvr, mvc, r->pred);
+            if (use_inter) {
+                build_inter_pred_plane(w, pl, cx, cy, cw, ch, is_comp,
+                                       ref_idx, mvr, mvc, mv2r, mv2c, &ft, W,
+                                       r->pred);
             } else {
                 int32_t ab[1 + 64 + 64], lb[1 + 64 + 64];
                 int ha, hl;
                 gather_neighbors(w, pl, cx, cy, cw, ch, ab, lb, &ha, &hl);
                 predict_mode(w, 0, ab, lb, ha, hl, cw, ch, r->pred);
             }
-            run_plane_rdoq(w, r, sb_r, sb_c, w->rdoq_fast && use_inter);
         }
+    }
+
+    /* OBMC blends every plane's pred before any transform runs */
+    if (ft.mm && pslot < 0) {
+        uint16_t *preds[3] = {res[0].pred, 0, 0};
+        if (has_uv) { preds[1] = res[1].pred; preds[2] = res[2].pred; }
+        obmc_apply(w, mi_row, mi_col, W, H, preds);
+    }
+
+    if (pslot < 0)
+        run_plane_rdoq(w, ry, sb_r, sb_c, w->rdoq_fast && use_inter);
+    for (int i = 1; i < nres; i++) {
+        PlaneRes *r = &res[i];
+        /* inter chroma inherits the luma type when in the chroma tx
+           size's set (spec 5.11.40 compute_tx_type) */
+        int tt_uv = use_inter ? tt_y : 0;
+        if (res[0].eob == 0) tt_uv = 0;   /* luma eob 0: stored type DCT */
+        if (SQR_UP[r->tx_size] > 3) tt_uv = 0;
+        else if (SQR_UP[r->tx_size] == 3 && tt_uv != 0 && tt_uv != 9)
+            tt_uv = 0;
+        r->tx_type = tt_uv;
+        if (pslot < 0)
+            run_plane_rdoq(w, r, sb_r, sb_c, w->rdoq_fast && use_inter);
     }
 
     int skip = 1;
@@ -1897,7 +2357,8 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
        walk's conversion bit-exactly. */
     if (w->skip_mode_present && W >= 8 && H >= 8 && skip && use_inter
         && w->skip_ref0 == 1 && w->skip_ref1 == w->ref2_const
-        && !(is_comp && mode == 17)) {
+        && !(is_comp && mode == 17)
+        && ft.ii < 0 && !ft.mm && ft.ctype == 0) {
         int c0r[10], c0c[10], c1r[10], c1c[10], cwt[10];
         int cmc_, crc_, cns_;
         comp_mv_list(w, mi_row, mi_col, bw4, bh4, 1, w->ref2_const,
@@ -1923,12 +2384,9 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             uint16_t curp[64 * 64];
             const uint16_t *cp = res[0].pred;
             if (pslot >= 0) {
-                if (is_comp)
-                    mc_pred_compound(w, 0, x0, y0, W, H, mvr, mvc, mv2r,
-                                     mv2c, curp);
-                else
-                    mc_pred_plane(w, ref_idx, 0, x0, y0, W, H, mvr, mvc,
-                                  curp);
+                build_inter_pred_plane(w, 0, x0, y0, W, H, is_comp,
+                                       ref_idx, mvr, mvc, mv2r, mv2c, &ft,
+                                       W, curp);
                 cp = curp;
             }
             const uint16_t *srcp = w->src[0];
@@ -1947,6 +2405,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
                 mvr = smr; mvc = smc; mv2r = sm2r; mv2c = sm2c;
                 for (int i = 0; i < nres; i++) res[i] = tr[i];
                 pslot = -1;
+                ft.filt = 0;   /* skip-mode implies the REGULAR filter */
             }
         }
     }
@@ -1957,7 +2416,8 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
        on the frame's skip pair */
     int sm_coded = w->skip_mode_present && W >= 8 && H >= 8;
     int use_sm = sm_coded && skip && use_inter && is_comp && mode == 17
-        && w->skip_ref0 == 1 && w->skip_ref1 == w->ref2_const;
+        && w->skip_ref0 == 1 && w->skip_ref1 == w->ref2_const
+        && ft.filt == 0 && ft.ii < 0 && !ft.mm && ft.ctype == 0;
     if (sm_coded) {
         int above = mi_row > w->tile_r0
             ? w->mi_skip_mode[(mi_row - 1) * w->mi_cols + mi_col] : 0;
@@ -2011,7 +2471,64 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
                 }
             }
         }
-        /* frame-level interpolation filter: no per-block syntax */
+        /* interintra (read_interintra_mode): flag, mode, wedge */
+        if (w->enable_interintra && !is_comp
+            && W >= 8 && W <= 32 && H >= 8 && H <= 32) {
+            int grp = SIZE_GROUP[bsize];
+            ec_symbol(w->enc, ft.ii >= 0, w->cdf_interintra + grp * 3, 2,
+                      w->adapt);
+            if (ft.ii >= 0) {
+                ec_symbol(w->enc, ft.ii, w->cdf_interintra_mode + grp * 5, 4,
+                          w->adapt);
+                ec_symbol(w->enc, ft.iiw >= 0,
+                          w->cdf_wedge_interintra + bsize * 3, 2, w->adapt);
+                if (ft.iiw >= 0)
+                    ec_symbol(w->enc, ft.iiw, w->cdf_wedge_idx + bsize * 17,
+                              16, w->adapt);
+            }
+        }
+        /* motion_mode (write_motion_mode): obmc flag when OBMC is the max
+           allowed mode */
+        if (w->motion_mode_switchable && ft.ii < 0
+            && obmc_eligible_c(w, mi_row, mi_col, W, H, is_comp))
+            ec_symbol(w->enc, ft.mm != 0, w->cdf_obmc + bsize * 3, 2,
+                      w->adapt);
+        /* read_compound_type: comp_group_idx + masked geometry */
+        if (is_comp && w->enable_masked_compound) {
+            int gctx = comp_group_ctx_c(w, mi_row, mi_col);
+            ec_symbol(w->enc, ft.ctype > 0, w->cdf_comp_group_idx + gctx * 3,
+                      2, w->adapt);
+            if (ft.ctype > 0) {
+                if (W <= 32)   /* wedge codebook exists -> explicit symbol */
+                    ec_symbol(w->enc, ft.ctype == 2,
+                              w->cdf_compound_type + bsize * 3, 2, w->adapt);
+                if (ft.ctype == 1) {
+                    ec_symbol(w->enc, ft.widx, w->cdf_wedge_idx + bsize * 17,
+                              16, w->adapt);
+                    ec_literal(w->enc, ft.wsign, 1);
+                } else {
+                    ec_literal(w->enc, ft.widx, 1);
+                }
+            }
+        }
+        /* read_interpolation_filter: one symbol, dual off */
+        {
+            int filt_coded = 0;
+            if (w->switchable_filters) {
+                if ((W < H ? W : H) >= 8 && mode == 15)
+                    /* GLOBALMV: coded only for a TRANSLATION gm on LAST
+                       (gm_wm/warp frames never reach the C walk) */
+                    filt_coded = ref == 1 && (w->gm_row || w->gm_col);
+                else
+                    filt_coded = 1;
+            }
+            if (filt_coded) {
+                int fctx = switchable_filter_ctx_c(
+                    w, mi_row, mi_col, is_comp ? 1 : ref, is_comp);
+                ec_symbol(w->enc, ft.filt,
+                          w->cdf_switchable_interp + fctx * 4, 3, w->adapt);
+            }
+        }
     } else {
         int grp = SIZE_GROUP[bsize];
         ec_symbol(w->enc, mode, w->cdf_if_y + grp * 14, 13, w->adapt);
@@ -2057,6 +2574,10 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             w->g_mode[j] = (uint8_t)mode;
             w->g_bw4[j] = (uint8_t)bw4;
             w->g_bh4[j] = (uint8_t)bh4;
+            if (w->g_filt && use_inter)   /* intra keeps the 3 sentinel */
+                w->g_filt[j] = (int8_t)ft.filt;
+            if (w->g_comp_group)
+                w->g_comp_group[j] = (int8_t)(is_comp && ft.ctype > 0);
         }
 }
 
@@ -2147,6 +2668,7 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
 typedef struct {
     int leaf, plane, px, py, pw, ph, ts, tt, sb_r, sb_c, qc_off;
     int ref_idx, is_comp, mvr, mvc, mv2r, mv2c;
+    int mi, luma_size;   /* feature maps (filt / masked compound) */
 } PreJob;
 
 static void precommit_round(Walk *w, PreJob *jobs, int nj,
@@ -2174,13 +2696,14 @@ static void precommit_round(Walk *w, PreJob *jobs, int nj,
                 for (int k = 0; k < nb; k++) {
                     PreJob *jb = &jobs[order[c0 + k]];
                     uint16_t *pp = predb + (size_t)k * pw * ph;
-                    if (jb->is_comp)
-                        mc_pred_compound(w, jb->plane, jb->px, jb->py, pw,
-                                         ph, jb->mvr, jb->mvc, jb->mv2r,
-                                         jb->mv2c, pp);
-                    else
-                        mc_pred_plane(w, jb->ref_idx, jb->plane, jb->px,
-                                      jb->py, pw, ph, jb->mvr, jb->mvc, pp);
+                    Feats ft = {0, 0, -1, -1, 0, 0, 0};
+                    read_feats(w, jb->mi, &ft);
+                    /* II/OBMC leaves never precommit (recon/walk-order
+                       dependent); filt + masked compound do */
+                    build_inter_pred_plane(w, jb->plane, jb->px, jb->py,
+                                           pw, ph, jb->is_comp, jb->ref_idx,
+                                           jb->mvr, jb->mvc, jb->mv2r,
+                                           jb->mv2c, &ft, jb->luma_size, pp);
                     const uint16_t *src = w->src[jb->plane];
                     int ss = w->src_stride[jb->plane];
                     int32_t *rs = resid + (size_t)k * pw * ph;
@@ -2306,6 +2829,8 @@ void walk_precommit(Walk *w, const int32_t *leaves, int nl,
         jb->mvc = w->d_mvc[mi];
         jb->mv2r = is_comp && w->d_mvr2 ? w->d_mvr2[mi] : 0;
         jb->mv2c = is_comp && w->d_mvc2 ? w->d_mvc2[mi] : 0;
+        jb->mi = mi;
+        jb->luma_size = W;
         qc_off += ny + 2 * nuv;
     }
     precommit_round(w, jy, njy, pre_eob, pre_qc);
@@ -2374,4 +2899,265 @@ int walk_encode_tile(Walk *w) {
     }
     walk_prof_ns[4] += wp_now() - wp_t0;
     return 0;
+}
+
+/* =============================== feature-search pre-pass ===============
+ * Batched search for the p<=6 block features over all decided inter
+ * leaves of a frame: switchable interp filter, interintra (+wedge II),
+ * OBMC, masked compound (wedge/diffwtd). One call per frame replaces the
+ * per-block Python search that forced the slow walk at quality presets
+ * (reference: the same candidate trials inside md_encode_block,
+ * product_coding_loop.c — re-architected batch-then-walk).
+ *
+ * The caller passes a *search* Walk: recon[] points at the SOURCE planes
+ * (the open-loop stand-in for walk-order recon neighbors in the II intra
+ * component), decoded[] is a zeroed scratch the search marks in leaf
+ * order, and the g_* grids are pre-filled from the decision maps so OBMC
+ * neighbor lookups see every leaf (g_filt starts zeroed and fills as
+ * decided). Leaves must arrive in walk (z) order. Outputs are per-mi maps
+ * written at each leaf's top-left (the encode walks read them back via
+ * d_filt/d_mm/d_ii/d_iiw/d_ctype/d_widx/d_wsign). */
+void psy_block_energy(const int32_t *x, int stride, int h, int w, int t,
+                      int64_t *out);
+int64_t psy_distortion_sum_u16(const uint16_t *recon, int stride, int h,
+                               int w, int t, const int64_t *src_energy);
+
+typedef struct {
+    const Walk *w;
+    int W, H, t;
+    const uint16_t *src;
+    int ss;
+    int x0, y0;
+    int64_t src_e[64];
+    int has_e;
+} FsCost;
+
+static int64_t fs_sse(FsCost *fc, const uint16_t *pred) {
+    int64_t s = 0;
+    for (int y = 0; y < fc->H; y++)
+        for (int x = 0; x < fc->W; x++) {
+            int64_t d = (int64_t)fc->src[(fc->y0 + y) * fc->ss + fc->x0 + x]
+                        - pred[y * fc->W + x];
+            s += d * d;
+        }
+    return s;
+}
+
+static int64_t fs_psy(FsCost *fc, const uint16_t *pred) {
+    const Walk *w = fc->w;
+    if (w->psy_rd <= 0) return 0;
+    if (!fc->has_e) {
+        int32_t sb[64 * 64];
+        for (int y = 0; y < fc->H; y++)
+            for (int x = 0; x < fc->W; x++)
+                sb[y * fc->W + x] =
+                    fc->src[(fc->y0 + y) * fc->ss + fc->x0 + x];
+        psy_block_energy(sb, fc->W, fc->H, fc->W, fc->t, fc->src_e);
+        fc->has_e = 1;
+    }
+    int64_t d = psy_distortion_sum_u16(pred, fc->W, fc->H, fc->W, fc->t,
+                                       fc->src_e);
+    d = w->bd == 8 ? (d >> 1) : (d << 2);
+    return (int64_t)(d * w->psy_rd);
+}
+
+static int64_t fs_cost(FsCost *fc, const uint16_t *pred) {
+    return fs_sse(fc, pred) + fs_psy(fc, pred);
+}
+
+void walk_feature_search(Walk *w, const int32_t *leaves, int nl,
+                         int8_t *o_filt, int8_t *o_mm, int8_t *o_ii,
+                         int8_t *o_iiw, int8_t *o_ctype, int8_t *o_widx,
+                         int8_t *o_wsign) {
+    for (int l = 0; l < nl; l++) {
+        int mi_row = leaves[l * 3], mi_col = leaves[l * 3 + 1];
+        int bsize = leaves[l * 3 + 2];
+        int W = BW[bsize], H = BH[bsize];
+        int x0 = mi_col * 4, y0 = mi_row * 4;
+        int bw4 = W >> 2, bh4 = H >> 2;
+        int mi = mi_row * w->mi_cols + mi_col;
+        int ref = w->d_ref[mi], mode = w->d_mode[mi];
+        int use_inter = ref > 0;
+        int r1 = mi_row + bh4 < w->mi_rows ? mi_row + bh4 : w->mi_rows;
+        int c1 = mi_col + bw4 < w->mi_cols ? mi_col + bw4 : w->mi_cols;
+        if (!use_inter) {
+            for (int r = mi_row; r < r1; r++)
+                for (int c = mi_col; c < c1; c++)
+                    w->decoded[0][r * w->dec_stride[0] + c] = 1;
+            continue;
+        }
+        int is_comp = mode >= 17;
+        int mvr = w->d_mvr[mi], mvc = w->d_mvc[mi];
+        int mv2r = is_comp && w->d_mvr2 ? w->d_mvr2[mi] : 0;
+        int mv2c = is_comp && w->d_mvc2 ? w->d_mvc2[mi] : 0;
+        int ref_idx = ref == 1 ? 0 : 1;
+
+        FsCost fc;
+        fc.w = w; fc.W = W; fc.H = H;
+        fc.t = (W >= 8 && H >= 8) ? 8 : 4;
+        fc.src = w->src[0]; fc.ss = w->src_stride[0];
+        fc.x0 = x0; fc.y0 = y0; fc.has_e = 0;
+
+        uint16_t pred[64 * 64], altp[64 * 64];
+        if (is_comp)
+            mc_pred_compound_f(w, 0, x0, y0, W, H, mvr, mvc, mv2r, mv2c, 0,
+                               pred);
+        else
+            mc_pred_plane_f(w, ref_idx, 0, x0, y0, W, H, mvr, mvc, 0, pred);
+
+        /* ---- switchable interp filter (rebuild with SMOOTH/SHARP) */
+        int filt = 0;
+        int filt_coded = 0;
+        if (w->switchable_filters) {
+            if ((W < H ? W : H) >= 8 && mode == 15)
+                filt_coded = ref == 1 && (w->gm_row || w->gm_col);
+            else
+                filt_coded = 1;
+        }
+        if (filt_coded) {
+            int64_t best = fs_cost(&fc, pred);
+            for (int f = 1; f <= 2; f++) {
+                if (is_comp) {
+                    int32_t b0[64 * 64], b1[64 * 64];
+                    jnt_bufs(w, 0, x0, y0, W, H, mvr, mvc, mv2r, mv2c, f,
+                             b0, b1);
+                    const int R0 = 3, R1 = 7, FB = 7;
+                    int offset_bits = w->bd + 2 * FB - R0;
+                    int32_t roff = (1 << (offset_bits - R1))
+                        + (1 << (offset_bits - R1 - 1));
+                    int rb = 2 * FB - R0 - R1;
+                    int peak = (1 << w->bd) - 1;
+                    for (int k = 0; k < W * H; k++) {
+                        int32_t tmp = ((b0[k] + b1[k]) >> 1) - roff;
+                        tmp = (tmp + (1 << (rb - 1))) >> rb;
+                        if (tmp < 0) tmp = 0;
+                        if (tmp > peak) tmp = peak;
+                        altp[k] = (uint16_t)tmp;
+                    }
+                } else {
+                    mc_pred_plane_f(w, ref_idx, 0, x0, y0, W, H, mvr, mvc,
+                                    f, altp);
+                }
+                int64_t c = fs_sse(&fc, altp);
+                if (c >= best) continue;
+                c += fs_psy(&fc, altp);
+                if (c < best) {
+                    best = c;
+                    filt = f;
+                    memcpy(pred, altp, sizeof(uint16_t) * W * H);
+                }
+            }
+        }
+
+        /* ---- interintra + OBMC (single-ref only) */
+        int ii = -1, iiw = -1, mm = 0;
+        int ii_elig = w->enable_interintra && !is_comp
+            && W >= 8 && W <= 32 && H >= 8 && H <= 32;
+        int ob_elig = obmc_eligible_c(w, mi_row, mi_col, W, H, is_comp);
+        int64_t c_simple = 0, best_ii = -1;
+        if (ii_elig || ob_elig) c_simple = fs_cost(&fc, pred);
+        if (ii_elig) {
+            int32_t ab[1 + 128 + 128], lb[1 + 128 + 128];
+            int ha, hl;
+            gather_neighbors(w, 0, x0, y0, W, H, ab, lb, &ha, &hl);
+            uint16_t ip[64 * 64], best_ip[64 * 64];
+            int32_t mbuf[64 * 64];
+            for (int m = 0; m < 4; m++) {
+                predict_mode(w, II_TO_INTRA_C[m], ab, lb, ha, hl, W, H, ip);
+                ii_mask_c(w, m, W, H, mbuf);
+                memcpy(altp, pred, sizeof(uint16_t) * W * H);
+                ii_blend_c(altp, ip, mbuf, W * H);
+                int64_t c = fs_cost(&fc, altp);
+                if (c < c_simple && (best_ii < 0 || c < best_ii)) {
+                    best_ii = c;
+                    ii = m;
+                    memcpy(best_ip, ip, sizeof(uint16_t) * W * H);
+                }
+            }
+            if (ii >= 0 && W == H) {
+                /* wedge interintra: sign-0 masks with the winning mode's
+                   intra prediction (pick_interintra_wedge) */
+                for (int widx = 0; widx < 16; widx++) {
+                    const int32_t *wm = wedge_mask_c(w, W, widx, 0);
+                    memcpy(altp, pred, sizeof(uint16_t) * W * H);
+                    ii_blend_c(altp, best_ip, wm, W * H);
+                    int64_t c = fs_cost(&fc, altp);
+                    if (c < best_ii - (best_ii >> 5)) {
+                        best_ii = c;
+                        iiw = widx;
+                    }
+                }
+            }
+        }
+        if (ob_elig) {
+            memcpy(altp, pred, sizeof(uint16_t) * W * H);
+            uint16_t *preds[3] = {altp, 0, 0};
+            obmc_apply(w, mi_row, mi_col, W, H, preds);
+            int64_t c_obmc = fs_cost(&fc, altp);
+            int64_t c_beat = ii >= 0 ? best_ii : c_simple;
+            if (c_obmc < c_beat) {
+                mm = 1;
+                ii = -1;
+                iiw = -1;
+            }
+        }
+
+        /* ---- masked compound (wedge / diffwtd) */
+        int ctype = 0, widx_o = 0, wsign = 0;
+        if (is_comp && w->enable_masked_compound && W == H
+            && W >= 8 && W <= 64) {
+            int32_t b0[64 * 64], b1[64 * 64], mbuf[64 * 64];
+            jnt_bufs(w, 0, x0, y0, W, H, mvr, mvc, mv2r, mv2c, filt, b0, b1);
+            int64_t c_avg = fs_cost(&fc, pred);
+            int64_t best_w = -1;
+            int bw_ct = 0, bw_idx = 0, bw_sign = 0;
+            if (W <= 32) {
+                for (int widx = 0; widx < 16; widx++)
+                    for (int sign = 0; sign < 2; sign++) {
+                        const int32_t *wm = wedge_mask_c(w, W, widx, sign);
+                        blend_d16_c(w, b0, b1, wm, W, W, H, altp);
+                        int64_t c = fs_sse(&fc, altp);
+                        if (best_w >= 0 && c >= best_w) continue;
+                        c += fs_psy(&fc, altp);
+                        if (best_w < 0 || c < best_w) {
+                            best_w = c;
+                            bw_ct = 1; bw_idx = widx; bw_sign = sign;
+                        }
+                    }
+            }
+            for (int mt = 0; mt < 2; mt++) {
+                diffwtd_mask_c(w, b0, b1, W * H, mt, mbuf);
+                blend_d16_c(w, b0, b1, mbuf, W, W, H, altp);
+                int64_t c = fs_sse(&fc, altp);
+                if (best_w >= 0 && c >= best_w) continue;
+                c += fs_psy(&fc, altp);
+                if (best_w < 0 || c < best_w) {
+                    best_w = c;
+                    bw_ct = 2; bw_idx = mt; bw_sign = 0;
+                }
+            }
+            /* the masked syntax costs ~7 bits over the average's 1 */
+            if (best_w >= 0 && best_w < c_avg - (c_avg >> 5)) {
+                ctype = bw_ct;
+                widx_o = bw_idx;
+                wsign = bw_sign;
+            }
+        }
+
+        o_filt[mi] = (int8_t)filt;
+        o_mm[mi] = (int8_t)mm;
+        o_ii[mi] = (int8_t)(ii + 1);
+        o_iiw[mi] = (int8_t)(iiw + 1);
+        o_ctype[mi] = (int8_t)ctype;
+        o_widx[mi] = (int8_t)widx_o;
+        o_wsign[mi] = (int8_t)wsign;
+
+        /* pre-grid state for later leaves (OBMC neighbor filters) +
+           decoded marks (II neighbor availability) */
+        for (int r = mi_row; r < r1; r++)
+            for (int c = mi_col; c < c1; c++) {
+                if (w->g_filt) w->g_filt[r * w->mi_cols + c] = (int8_t)filt;
+                w->decoded[0][r * w->dec_stride[0] + c] = 1;
+            }
+    }
 }

@@ -602,6 +602,7 @@ def commit_frame(enc):
         hp, wp = planes[plane].shape
         return 0 <= y and 0 <= x and y + ph_ + 7 <= hp and x + pw_ + 7 <= wp
 
+    feat = getattr(enc, "feat", None)
     for (r, c), d in enc.inter_dec.items():
         if not d[0]:
             continue
@@ -611,6 +612,12 @@ def commit_frame(enc):
         W, H = geom
         if W != H or W < 8 or W > 64:
             # rectangular forced edge leaves stay on the host walk path
+            continue
+        if feat is not None and (feat["filt"][r, c] or feat["ii"][r, c]
+                                 or feat["mm"][r, c]
+                                 or feat["ctype"][r, c]):
+            # feature leaves (switchable filter / II / OBMC / masked
+            # compound) keep the host walk's prediction path
             continue
         # blocks overhanging the plane buffers read clamped (wrong)
         # source through dynamic_slice: host walk path
