@@ -202,12 +202,18 @@ class Encoder:
 
             mode = str(cfg.inter_me_backend)
             # auto: the device search is at/above native-search quality at
-            # the fast presets (-7.7% bytes +0.08dB at 480p p10); at <= 8
-            # the native kernel's per-block seeded subpel ladder still
-            # wins ~0.4-1.6 dB on hierarchical GoPs, so quality presets
-            # stay native until the device ladder closes the gap
+            # the fast presets (-7.7% bytes +0.08dB at 480p p10) and on
+            # SHORT pyramid intervals at every preset; on long intervals
+            # (deep-GoP base layers) its open-loop source-ref costs lose
+            # ~1.4dB to the closed-loop native kernel, so quality presets
+            # run a hybrid: device rows for intervals <= 4, native decide
+            # above (tools/ab_search.py A/B)
+            # p<=8 hybrid: the device decides only unreferenced leaf
+            # frames (interval 1, +/-0.03dB vs native); referenced frames
+            # keep the closed-loop native decide, seeded by the device MVs
+            self._dev_me_max_dist = (1 << 20 if (mode == "device"
+                                                 or cfg.preset >= 9) else 1)
             if mode == "device" or (mode == "auto"
-                                    and cfg.preset >= 9
                                     and device_backend_default()):
                 try:
                     self._me_pipe = get_pipeline(
@@ -507,7 +513,12 @@ class Encoder:
             jobs.append(dict(key=key, src=idx, ref_l=lo, ref_a=hi, gm=gm,
                              lam=lam, psy_rd=float(cfg.psy_rd),
                              bias_pct=float(bias)))
-            keys[idx] = (key, gm)
+            # base-layer jobs (no future ref) carry the GoP-chained
+            # long-term reference: their recon persists as the next GoP's
+            # d0, so open-loop decision error compounds across GoPs —
+            # treat them as infinitely "far" for the backend gate
+            dist = max(idx - lo, hi - idx) if hi is not None else (1 << 20)
+            keys[idx] = (key, gm, dist)
 
         def walk(lo, hi, depth):
             if hi - lo == 1:
@@ -958,9 +969,23 @@ class Encoder:
             self._ref_me_cache = {}
         inter_shared = {"ref_cache": self._ref_me_cache}
         if prefetch is not None and self._me_pipe is not None and not is_key:
+            # always fetch (drains the pipeline's result slot), then gate:
+            # at quality presets the device rows are the decision source
+            # only for SHORT pyramid intervals, where A/B shows them at or
+            # above the native kernel; long intervals (deep-GoP base/mid
+            # layers) keep the closed-loop native decide, whose recon-ref
+            # costs the open-loop search cannot model (tools/ab_search.py:
+            # device -1.4dB at interval 16, +0.25dB at interval <= 2)
             rows = self._me_pipe.get(prefetch[0])
-            if rows is not None:
+            dist = prefetch[2] if len(prefetch) > 2 else 0
+            if rows is not None and dist <= self._dev_me_max_dist:
                 inter_shared["device_rows"] = rows
+            elif rows is not None:
+                # long-interval frames: the device full-pel MVs become
+                # per-block SEEDS for the closed-loop native kernel, which
+                # then searches a much smaller range (the device HME
+                # already covered the reach)
+                inter_shared["device_seed_rows"] = rows
 
         # ---- IPP second reference: LAST2 (previous LAST, alternating DPB
         # slots 0/2) vs the GOLDEN key frame, picked by decimated SAD

@@ -454,11 +454,50 @@ class InterFrameEncoder(IntraFrameEncoder):
             tdx = (pc[r, c].astype(np.int32) >> 3)
             tseed = (np.ascontiguousarray(tdy, np.int32),
                      np.ascontiguousarray(tdx, np.int32))
+        # device-search MVs as per-block seeds (long-interval frames where
+        # the open-loop rows are not trusted as decisions): the dual-
+        # pyramid HME already covered the +/-128 reach, so the native
+        # kernel's own HME grid shrinks to a local refinement
+        sr0, sr1 = self.sr
+        dsr = self.shared.get("device_seed_rows")
+        if dsr is not None:
+            from ..ops.inter_search import pad_dims
+
+            Hp, Wp = pad_dims(self.h, self.w)
+            b = np.asarray(blocks, np.int32)
+            nb = len(b)
+            if tseed is None:
+                tseed = (np.full(nb, np.iinfo(np.int32).max, np.int32),
+                         np.full(nb, np.iinfo(np.int32).max, np.int32))
+            n_seeded = 0
+            for i in range(nb):
+                x0, y0, w, h = (int(b[i, 0]), int(b[i, 1]),
+                                int(b[i, 2]), int(b[i, 3]))
+                dv = dsr.get(w) if w == h else dsr.get((w, h))
+                if dv is None or (y0 % h) or (x0 % w):
+                    continue
+                idx = (y0 // h) * (Wp // w) + (x0 // w)
+                row = dv[0][idx]
+                if row[0] == 1 and row[2] >= 16:
+                    # decided NEWMV / compound: first MV
+                    tseed[0][i] = int(row[3]) >> 3
+                    tseed[1][i] = int(row[4]) >> 3
+                else:
+                    # intra/zero rows stash the best single-ref MV in the
+                    # mv2 slots (depth_stage row packing)
+                    tseed[0][i] = int(row[5]) >> 3
+                    tseed[1][i] = int(row[6]) >> 3
+                n_seeded += 1
+            # (shrinking the grid range when seeds cover the frame was
+            # tried twice and measurably hurt at long intervals — the
+            # native HME still finds better full-pel MVs than the rate-
+            # weighted device grid argmin; seeds stay candidates + pruning
+            # bounds only)
         return mc_native.inter_decide_frame(
             self.src[0], me.ref, me.ref_q, curq, ref_pad, self.pad, golden,
-            me._filters, filters4, self.bd, self.sr[0], self.gm_mv,
+            me._filters, filters4, self.bd, sr0, self.gm_mv,
             float(self.psy_rd), blocks, ref2_gate=ref2_gate,
-            search_range2=self.sr[1], inter_bias_pct=self.inter_bias_pct,
+            search_range2=sr1, inter_bias_pct=self.inter_bias_pct,
             tseed=tseed, ref_dists=self.ref_distances)
 
     def _dec_from_row(self, row):

@@ -578,8 +578,12 @@ def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
     col_mode = jnp.where(use_comp, 24, single_mode)
     col_my = jnp.where(use_comp, my_l, single_my) * 8
     col_mx = jnp.where(use_comp, mx_l, single_mx) * 8
-    col_m2y = jnp.where(use_comp, my_a * 8, 0)
-    col_m2x = jnp.where(use_comp, mx_a * 8, 0)
+    # non-compound rows stash the best single-ref MV in the mv2 slots
+    # (read only for mode >= 17 by every decision consumer): it seeds the
+    # native kernel when the host keeps the closed-loop decide for this
+    # frame (inter_encoder._native_decide device_seed_rows path)
+    col_m2y = jnp.where(use_comp, my_a, single_my) * 8
+    col_m2x = jnp.where(use_comp, mx_a, single_mx) * 8
 
     zeros = jnp.zeros_like(use_inter)
     rows = jnp.stack([
@@ -588,8 +592,8 @@ def depth_stage(src, ref_l, ref_a, cy_l, cx_l, g_l, cy_a, cx_a, g_a,
         jnp.where(use_inter == 1, col_mode, imode).astype(jnp.int32),
         jnp.where(use_inter == 1, col_my, 0).astype(jnp.int32),
         jnp.where(use_inter == 1, col_mx, 0).astype(jnp.int32),
-        jnp.where(use_inter == 1, col_m2y, 0).astype(jnp.int32),
-        jnp.where(use_inter == 1, col_m2x, 0).astype(jnp.int32),
+        col_m2y.astype(jnp.int32),
+        col_m2x.astype(jnp.int32),
         zeros,
     ], axis=-1).reshape(gr * gc, 8)
     cost = jnp.minimum(inter_biased, best_ic).reshape(gr * gc)
