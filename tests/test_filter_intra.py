@@ -31,6 +31,8 @@ def test_filter_intra_predict_matches_oracle():
     import tests.oracle as O
     import ctypes
 
+    if not O.available:
+        pytest.skip("oracle library unavailable")
     lib = O._lib
     fn = lib.svt_aom_highbd_filter_intra_predictor
     fn.argtypes = [ctypes.POINTER(ctypes.c_uint16), ctypes.c_ssize_t,
