@@ -38,10 +38,14 @@ def _satd16(blocks: np.ndarray) -> np.ndarray:
     return sa8d_blocks(q).reshape(n, 4).sum(axis=1)
 
 
-def tpl_analysis(frames: list, bd: int = 8):
+def tpl_analysis(frames: list, bd: int = 8, backend: str = "auto"):
     """Propagate dependency costs backward through `frames` (display order,
     frames[0] is the picture being rated). Returns (r0, beta_map) where
     beta_map is (bh, bw) per-16x16 rk/r0-style quality ratios for frames[0].
+
+    backend: "auto" runs the per-unit ME + SA8D cost pass on the device
+    when an accelerator is attached (ops/tpl — the whole group batches
+    into a few jitted programs); "host" forces the per-block loop.
     """
     luma = [np.asarray(f) >> (bd - 8) for f in frames]
     # large frames: run the propagation at half resolution (the reference's
@@ -54,6 +58,16 @@ def tpl_analysis(frames: list, bd: int = 8):
         luma = [decimate(f, 1) for f in luma]
         unit_px = BLK * 2
     n = len(luma)
+    if backend != "host" and min(luma[0].shape) >= 64:
+        from ..parallel.pipeline import device_backend_default
+
+        if backend == "device" or device_backend_default():
+            from ..ops.tpl import tpl_group_stats
+            from ..profiling import stage as _st
+
+            with _st("device:tpl"):
+                stats = tpl_group_stats(luma)
+            return _propagate(stats, n, unit_px)
     stats = []
     for i, y in enumerate(luma):
         tiles, bh, bw = _tiles16(y.astype(np.int64))
@@ -89,9 +103,12 @@ def tpl_analysis(frames: list, bd: int = 8):
         inter = np.minimum(np.maximum(inter, 1), intra)
         stats.append(dict(intra=intra.reshape(bh, bw), inter=inter.reshape(bh, bw),
                           mv=mvs, bh=bh, bw=bw))
+    return _propagate(stats, n, unit_px)
 
-    # backward propagation: how much of each block's cost is inherited by
-    # the reference blocks it predicts from (mc_flow_dispenser analog)
+
+def _propagate(stats: list, n: int, unit_px: int):
+    """Backward dependency propagation over per-frame cost stats and the
+    r0/beta reduction for frames[0] (mc_flow_dispenser analog)."""
     deps = [np.zeros((s["bh"], s["bw"]), np.float64) for s in stats]
     for i in range(n - 1, 0, -1):
         s = stats[i]
