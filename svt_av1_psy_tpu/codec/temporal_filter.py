@@ -74,15 +74,32 @@ def _filter_plane(center: np.ndarray, preds: list, weights: list) -> np.ndarray:
     return ((acc + den // 2) // den).astype(center.dtype)
 
 
-def temporal_filter(center, neighbors, strength: int, bd: int = 8):
+def temporal_filter(center, neighbors, strength: int, bd: int = 8,
+                    backend: str = "auto"):
     """Filter one source picture against neighbor source pictures.
 
     center: (y, u, v) arrays (u/v may be None). neighbors: list of such
     tuples (past + future originals). strength: 0..4 (0 = off).
-    Returns filtered (y, u, v)."""
+    Returns filtered (y, u, v).
+
+    backend: "auto" runs whole-frame device TF (ops/tf — TF-ME on the
+    HME+SSD-grid machinery, dense weight/blend stages) when an
+    accelerator is attached; "host" forces this per-block loop. The
+    filter is non-normative, so the two backends agree in shape
+    (thresholds, weight formula, refinement rule) but not bit-for-bit."""
     cy, cu, cv = center
     if strength <= 0 or not neighbors:
         return cy, cu, cv
+    if backend != "host" and min(np.asarray(cy).shape) >= 64:
+        from ..parallel.pipeline import device_backend_default
+
+        if backend == "device" or device_backend_default():
+            from ..ops.tf import temporal_filter_device
+            from ..profiling import stage as _st
+
+            with _st("device:tf"):
+                return temporal_filter_device(center, neighbors,
+                                              strength, bd)
     H, W = cy.shape
     # MSE decay scale: stronger filtering accepts larger block errors;
     # noise-adaptive per plane (the reference's noise_levels ->

@@ -1,0 +1,83 @@
+"""Device temporal filter (ops/tf) vs the host per-block kernel.
+
+TF is non-normative, so the backends need not be bit-exact — the tests
+check that the device path (a) actually denoises, (b) tracks the host
+kernel closely in output and (c) handles mono / 10-bit / odd sizes.
+"""
+
+import numpy as np
+import pytest
+
+from svt_av1_psy_tpu.codec.temporal_filter import temporal_filter
+
+
+def _yuv(rng, H, W, noise, base=None, shift=0, bd=8):
+    mx = (1 << bd) - 1
+    dt = np.uint8 if bd == 8 else np.uint16
+    if base is None:
+        base = (np.linspace(0, mx, W)[None, :]
+                + np.linspace(0, mx // 6, H)[:, None])
+    y = np.clip(np.roll(base, shift, axis=1)
+                + rng.normal(0, noise, (H, W)), 0, mx).astype(dt)
+    u = np.clip(mx // 2 + rng.normal(0, noise, (H // 2, W // 2)),
+                0, mx).astype(dt)
+    v = np.clip(mx // 2 - 8 + rng.normal(0, noise, (H // 2, W // 2)),
+                0, mx).astype(dt)
+    return y, u, v
+
+
+def test_device_tf_denoises_and_tracks_host():
+    rng = np.random.default_rng(7)
+    H, W = 96, 160
+    clean = (np.linspace(0, 255, W)[None, :]
+             + np.linspace(0, 40, H)[:, None])
+    c = _yuv(rng, H, W, 6.0, base=clean)
+    nbrs = [_yuv(rng, H, W, 6.0, base=clean, shift=-1),
+            _yuv(rng, H, W, 6.0, base=clean, shift=1)]
+    fy_h, fu_h, fv_h = temporal_filter(c, nbrs, 2, 8, backend="host")
+    fy_d, fu_d, fv_d = temporal_filter(c, nbrs, 2, 8, backend="device")
+    assert fy_d.shape == fy_h.shape and fy_d.dtype == fy_h.dtype
+    ref = np.clip(clean, 0, 255)
+
+    def mse(a):
+        return float(np.mean((a.astype(np.float64) - ref) ** 2))
+
+    assert mse(fy_d) < 0.6 * mse(c[0])          # it denoises
+    assert mse(fy_d) < 1.25 * mse(fy_h)         # about as well as host
+    for d, h in ((fy_d, fy_h), (fu_d, fu_h), (fv_d, fv_h)):
+        assert float(np.mean(np.abs(d.astype(int) - h.astype(int)))) < 4.0
+
+
+def test_device_tf_mono_10bit():
+    rng = np.random.default_rng(3)
+    H, W = 96, 160
+    mk = lambda: (np.clip(512 + rng.normal(0, 20, (H, W)), 0, 1023)
+                  .astype(np.uint16), None, None)
+    c = mk()
+    nbrs = [mk(), mk()]
+    fy_h, u, v = temporal_filter(c, nbrs, 3, 10, backend="host")
+    fy_d, ud, vd = temporal_filter(c, nbrs, 3, 10, backend="device")
+    assert ud is None and vd is None
+    assert fy_d.dtype == np.uint16 and fy_d.shape == (H, W)
+    assert fy_d.std() < 0.8 * c[0].std()        # flat field: noise drops
+    assert float(np.mean(np.abs(fy_d.astype(int) - fy_h.astype(int)))) < 16
+
+
+def test_device_tf_odd_dims():
+    rng = np.random.default_rng(11)
+    H, W = 70, 130                               # not SB-aligned
+    c = _yuv(rng, H, W, 5.0)
+    nbrs = [_yuv(rng, H, W, 5.0)]
+    fy, fu, fv = temporal_filter(c, nbrs, 2, 8, backend="device")
+    assert fy.shape == (H, W) and fu.shape == (H // 2, W // 2)
+    assert fy.dtype == np.uint8
+
+
+def test_small_frames_fall_back_to_host():
+    rng = np.random.default_rng(1)
+    c = _yuv(rng, 48, 48, 4.0)
+    nbrs = [_yuv(rng, 48, 48, 4.0)]
+    out_auto = temporal_filter(c, nbrs, 2, 8, backend="auto")
+    out_host = temporal_filter(c, nbrs, 2, 8, backend="host")
+    for a, b in zip(out_auto, out_host):
+        assert np.array_equal(a, b)
