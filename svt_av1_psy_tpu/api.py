@@ -350,8 +350,12 @@ class Encoder:
         ip = cfg.intra_period_length
         will_key = (self._frame_count == 0 or self._ref_planes is None
                     or (ip >= 0 and self._frames_since_key > ip))
-        strength = (cfg.kf_tf_strength if will_key else cfg.tf_strength) \
-            if cfg.enable_tf else 0
+        # the reference filters KEY frames and base-layer ALTREFs only
+        # (svt_av1_init_temporal_filtering is dispatched for those picture
+        # types, me_process.c:322); leaf/mid frames pass through. ALTREF
+        # TF happens at GoP assembly (_queue_gop) where the mini-GoP top
+        # and its neighbors are all in hand.
+        strength = cfg.kf_tf_strength if (cfg.enable_tf and will_key) else 0
         neighbors = list(self._tf_past) + [(f[0], f[1], f[2])
                                            for f in list(self._la_queue)[:3]]
         if (will_key and cfg.enable_tpl_la and self._pc.tpl and self._la_queue
@@ -363,12 +367,14 @@ class Encoder:
             from .profiling import stage as _st
 
             with _st("host:tpl"):
-                self._tpl = tpl_analysis(group, cfg.input_depth)
+                self._tpl = tpl_analysis(group, cfg.input_depth,
+                                         backend=cfg.tpl_backend)
         from .profiling import stage as _stage
 
-        with _stage("host:tf"):
+        with _stage("tf"):
             fy, fu, fv = temporal_filter((y, u, v), neighbors, strength,
-                                         cfg.input_depth)
+                                         cfg.input_depth,
+                                         backend=cfg.tf_backend)
         self._tf_past.append((y, u, v))
         if len(self._tf_past) > 2:
             self._tf_past.pop(0)
@@ -450,6 +456,25 @@ class Encoder:
         the previous GoP (whose search has been running meanwhile) — the
         two-stage search/commit pipeline replacing the reference's SRM
         stage concurrency."""
+        cfg = self.config
+        if cfg.enable_tf and cfg.tf_strength > 0 and len(buf) >= 4:
+            # ALTREF temporal filtering: the mini-GoP top is the long-term
+            # reference every other frame predicts from — filter it against
+            # its GoP neighbors (+ lookahead future frames when buffered),
+            # the reference's alt-ref TF (temporal_filtering.c, dispatched
+            # from pd_process for base-layer/ALTREF pictures)
+            from .codec.temporal_filter import temporal_filter
+            from .profiling import stage as _st
+
+            y, u, v, pts = buf[-1]
+            neighbors = [(f[0], f[1], f[2]) for f in buf[-4:-1]]
+            neighbors += [(f[0], f[1], f[2])
+                          for f in list(self._la_queue)[:3]]
+            with _st("tf"):
+                fy, fu, fv = temporal_filter(
+                    (y, u, v), neighbors, cfg.tf_strength, cfg.input_depth,
+                    backend=cfg.tf_backend)
+            buf = list(buf[:-1]) + [(fy, fu, fv, pts)]
         prefetch = self._prefetch_gop(buf) if self._use_device_me else None
         self._pending_gops.append((buf, prefetch))
         self._queue_base_src = buf[-1][0]
@@ -585,7 +610,8 @@ class Encoder:
 
             with _st("host:tpl"):
                 tpl_r0 = tpl_analysis([buf[n - 1][0]] + deps,
-                                      cfg.input_depth)[0]
+                                      cfg.input_depth,
+                                      backend=cfg.tpl_backend)[0]
 
         def enc_unshown(idx, lo, hi, depth):
             slot = free.pop()

@@ -84,9 +84,12 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8,
 
     backend: "auto" runs whole-frame device TF (ops/tf — TF-ME on the
     HME+SSD-grid machinery, dense weight/blend stages) when an
-    accelerator is attached; "host" forces this per-block loop. The
-    filter is non-normative, so the two backends agree in shape
-    (thresholds, weight formula, refinement rule) but not bit-for-bit."""
+    accelerator is attached; "host" forces this per-block loop. Frames
+    with min(dim) < 64 always take the host loop, including under an
+    explicit backend="device" request (the device grid machinery needs
+    at least one 64x64 SB). The filter is non-normative, so the two
+    backends agree in shape (thresholds, weight formula, refinement
+    rule) but not bit-for-bit."""
     cy, cu, cv = center
     if strength <= 0 or not neighbors:
         return cy, cu, cv

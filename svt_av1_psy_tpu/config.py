@@ -247,6 +247,14 @@ class EncoderConfig:
     # inter leaves as batched device programs (ops/commit.py) when an
     # accelerator is attached; "device"/"host" force one
     commit_backend: str = "auto"
+    # TPL backend: the host SA8D pass is the decision-quality default;
+    # "device" opts into the batched ops/tpl cost pass (A/B-gate before
+    # flipping the default — the round-4 device pass cost -0.62 dB on
+    # screen content), "auto" = device when an accelerator is attached
+    tpl_backend: str = "host"
+    # temporal-filter backend: "auto" = whole-frame device TF (ops/tf)
+    # when an accelerator is attached; "host" = per-block loop
+    tf_backend: str = "auto"
     enable_mfmv: int = -1
     enable_overlays: bool = False
     enable_paeth: int = -1
@@ -482,6 +490,8 @@ _SIMPLE_PARAMS = {
     "inter-me-backend": ("inter_me_backend", str),
     "filters-backend": ("filters_backend", str),
     "commit-backend": ("commit_backend", str),
+    "tpl-backend": ("tpl_backend", str),
+    "tf-backend": ("tf_backend", str),
     "enable-mfmv": ("enable_mfmv", _to_int),
     "enable-overlays": ("enable_overlays", _to_bool),
     "scm": ("screen_content_mode", _to_int),
@@ -636,6 +646,22 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     if cfg.hierarchical_levels == 0:
         cfg.hierarchical_levels = _default_hierarchical_levels(cfg)
     _check(2 <= cfg.hierarchical_levels <= 5, "hierarchical-levels in [2,5]")
+    for nm in ("tpl_backend", "tf_backend", "inter_me_backend",
+               "filters_backend", "commit_backend"):
+        ok = ("auto", "host", "device", "native")
+        _check(getattr(cfg, nm) in ok, f"{nm} must be one of {ok}")
+    if cfg.look_ahead_distance < 0:
+        # auto lookahead (enc_settings.c:970 + the later-derived window):
+        # TF and TPL need future source frames; resolve to one mini-GoP
+        # (+1 so the TF window reaches past the GoP top). Low-delay and
+        # still-picture paths take no lookahead, matching the reference.
+        if ((cfg.enable_tf or cfg.enable_tpl_la) and not cfg.avif
+                and cfg.pred_structure != PredStructure.LOW_DELAY
+                and cfg.intra_period_length != 0):
+            cfg.look_ahead_distance = min(
+                33, (1 << cfg.hierarchical_levels) + 1)
+        else:
+            cfg.look_ahead_distance = 0
     return cfg
 
 

@@ -117,6 +117,17 @@ def prep_frame(y_u16, Hp: int, Wp: int):
     return src, ref
 
 
+def prep_ref(y_u16, Hp: int, Wp: int):
+    """Reference-only prep: one fused edge pad (edge-padding twice equals
+    one pad with summed margins), for callers that never need the (Hp, Wp)
+    source view of this plane (e.g. TF neighbors)."""
+    jnp = _jnp()
+    h, w = y_u16.shape
+    x = y_u16.astype(jnp.float32)
+    return jnp.pad(x, ((PAD, PAD + Hp - h), (PAD, PAD + Wp - w)),
+                   mode="edge")
+
+
 # --------------------------------------------------------------- pieces
 def _pool(x, f):
     """Box-mean decimation. (Plain subsampling was tried — it is

@@ -24,10 +24,9 @@ import functools
 
 import numpy as np
 
-from .inter_search import (G, PAD, R, _gather_blocks, _jnp, _sb_to_grid,
-                           grids_stage, pad_dims, prep_frame)
+from .inter_search import (G, R, _gather_blocks, _jnp, _sb_to_grid,
+                           grids_stage, pad_dims, prep_frame, prep_ref)
 
-BLK = 32
 _CENTER_W = 16.0
 
 
@@ -38,8 +37,9 @@ def _jax():
 
 def _box5(d2):
     """5x5 windowed mean of per-pixel squared error, edge-padded (the host
-    kernel's integral-image box mean, as a reduce_window sum — 25-term
-    window adds keep f32 exact for 10-bit squared errors)."""
+    kernel's integral-image box mean, as a reduce_window sum — f32 window
+    adds are near-exact here; any rounding is negligible against the
+    exp-decay weighting this feeds)."""
     import jax.lax as lax
     jnp = _jnp()
     p = jnp.pad(d2, 2, mode="edge")
@@ -200,6 +200,10 @@ def temporal_filter_device(center, neighbors, strength: int, bd: int = 8):
         return prep_frame(jax.device_put(
             np.ascontiguousarray(p, np.uint16)), Hp=hp, Wp=wp)
 
+    def up_ref(p, hp, wp):
+        return prep_ref(jax.device_put(
+            np.ascontiguousarray(p, np.uint16)), Hp=hp, Wp=wp)
+
     src, _ = up(cy, Hp, Wp)
     if not mono:
         csrc_u, _ = up(cu, Hp2, Wp2)
@@ -207,7 +211,7 @@ def temporal_filter_device(center, neighbors, strength: int, bd: int = 8):
     preds_y, ws_y = [], []
     preds_u, ws_u, preds_v, ws_v = [], [], [], []
     for ny, nu, nv in neighbors:
-        _, nref = up(np.asarray(ny), Hp, Wp)
+        nref = up_ref(np.asarray(ny), Hp, Wp)
         g = grids_stage(src, nref)
         pred, w, mv32y, mv32x = tf_pair_stage(src, nref, *g,
                                               np.float32(thresh),
@@ -215,8 +219,8 @@ def temporal_filter_device(center, neighbors, strength: int, bd: int = 8):
         preds_y.append(pred)
         ws_y.append(w)
         if not mono:
-            _, ru = up(np.asarray(nu), Hp2, Wp2)
-            _, rv = up(np.asarray(nv), Hp2, Wp2)
+            ru = up_ref(np.asarray(nu), Hp2, Wp2)
+            rv = up_ref(np.asarray(nv), Hp2, Wp2)
             pu, wu, pv, wv = tf_chroma_stage(
                 csrc_u, csrc_v, ru, rv, mv32y, mv32x, w,
                 np.float32(thresh_uv), Hc=Hc, Wc=Wc)

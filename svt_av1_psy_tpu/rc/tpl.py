@@ -38,14 +38,16 @@ def _satd16(blocks: np.ndarray) -> np.ndarray:
     return sa8d_blocks(q).reshape(n, 4).sum(axis=1)
 
 
-def tpl_analysis(frames: list, bd: int = 8, backend: str = "auto"):
+def tpl_analysis(frames: list, bd: int = 8, backend: str = "host"):
     """Propagate dependency costs backward through `frames` (display order,
     frames[0] is the picture being rated). Returns (r0, beta_map) where
     beta_map is (bh, bw) per-16x16 rk/r0-style quality ratios for frames[0].
 
-    backend: "auto" runs the per-unit ME + SA8D cost pass on the device
-    when an accelerator is attached (ops/tpl — the whole group batches
-    into a few jitted programs); "host" forces the per-block loop.
+    backend: "host" (default — the decision-quality reference) runs the
+    per-block ME + SA8D loop; "device" opts into the batched ops/tpl cost
+    pass (faster after warm-up but its full-pel SA8D proxies still cost
+    quality on screen content — keep host until the A/B closes); "auto"
+    picks device when an accelerator is attached.
     """
     luma = [np.asarray(f) >> (bd - 8) for f in frames]
     # large frames: run the propagation at half resolution (the reference's

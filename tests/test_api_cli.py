@@ -60,7 +60,7 @@ def test_video_packets_decode():
 
 @requires_dav1d
 def test_recon_matches_decode_via_api():
-    cfg = EncoderConfig(width=64, height=64, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=64, height=64, recon_enabled=True)
     cfg.qp = 30
     enc = Encoder(cfg).init()
     enc.send_picture(*_frame(64, 64, 5))

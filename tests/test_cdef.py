@@ -84,7 +84,7 @@ def test_cdef_stream_conformant(dims, q, bd):
     y = (np.cumsum(rng.normal(0, peak / 40, (H, W)), axis=1) + peak // 2).clip(0, peak)
     y = (y + rng.random((H, W)) * peak / 12).clip(0, peak).astype(dt)
     u = rng.integers(peak // 3, peak // 2, (H // 2, W // 2)).astype(dt)
-    cfg = EncoderConfig(width=W, height=H, input_depth=bd, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=bd, recon_enabled=True)
     cfg.qp = q
     enc = Encoder(cfg).init()
     enc.send_picture(y, u, u.copy())

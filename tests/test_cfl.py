@@ -24,7 +24,7 @@ def test_cfl_ac_zero_mean():
 
 def _encode(y, u, v, bd=8, q=35, cfl=True):
     H, W = y.shape
-    cfg = EncoderConfig(width=W, height=H, input_depth=bd, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=bd, recon_enabled=True)
     cfg.qp = q
     enc = Encoder(cfg).init()
     if not cfl:
@@ -82,7 +82,7 @@ def test_cfl_video_ipp_conformant():
     """CFL key frame followed by P-frames referencing it."""
     W, H = 96, 64
     y, u, v = _correlated(W, H, seed=5)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True)
     cfg.qp = 40
     enc = Encoder(cfg).init()
     for i in range(3):

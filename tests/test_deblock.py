@@ -38,7 +38,7 @@ def test_deblocked_recon_matches_dav1d(dims, q, bd, tiles):
     dt = np.uint8 if bd == 8 else np.uint16
     y = (np.cumsum(rng.normal(0, peak / 40, (H, W)), axis=1) + peak // 2).clip(0, peak).astype(dt)
     u = rng.integers(peak // 3, peak // 2, ((H + 1) // 2, (W + 1) // 2)).astype(dt)
-    cfg = EncoderConfig(width=W, height=H, input_depth=bd, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=bd, recon_enabled=True,
                         tile_columns=tiles[0], tile_rows=tiles[1],
                         enable_variance_boost=False, enable_dlf_flag=1)
     cfg.qp = q

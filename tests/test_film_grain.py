@@ -158,7 +158,7 @@ def test_film_grain_estimation_e2e():
     u = np.full((H // 2, W // 2), 119, np.uint8)
     gy, gu, gv = apply_film_grain(tr, clean, u, u.copy())
 
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                         film_grain_denoise_strength=8)
     cfg.qp = 40
     enc = Encoder(cfg).init()
@@ -197,7 +197,7 @@ def test_film_grain_denoise_apply():
     gy, gu, gv = apply_film_grain(tr, clean, u, u.copy())
 
     def encode(apply_dn):
-        cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+        cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                             film_grain_denoise_strength=8,
                             film_grain_denoise_apply=apply_dn)
         cfg.qp = 30

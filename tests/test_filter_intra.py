@@ -60,7 +60,7 @@ def test_filter_intra_stream_conformant(dims):
     W, H = dims
     y = _sawtooth(W, H)
     u = np.full(((H + 1) // 2, (W + 1) // 2), 118, np.uint8)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True)
     cfg.qp = 35
     enc = Encoder(cfg).init()
     enc.send_picture(y, u, u.copy())
@@ -77,7 +77,7 @@ def test_above_right_at_sb_top_regression():
     W, H = 128, 96    # bottom SB row forces 64x32 blocks
     y = _sawtooth(W, H)
     u = np.full((H // 2, W // 2), 118, np.uint8)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                         enable_dlf_flag=False, cdef_level=0,
                         enable_variance_boost=False)
     cfg.qp = 35
@@ -94,7 +94,7 @@ def test_filter_intra_ipp_with_fallback():
     y = _sawtooth(W, H)
     u = np.full((H // 2, W // 2), 118, np.uint8)
     rng = np.random.default_rng(1)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True)
     cfg.qp = 40
     enc = Encoder(cfg).init()
     for i in range(3):

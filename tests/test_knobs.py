@@ -42,7 +42,7 @@ def test_max_32_tx_size_caps_leaves():
     u = np.full((64, 64), 128, np.uint8)
     sizes = {}
     for cap in (False, True):
-        cfg = EncoderConfig(width=128, height=128, preset=2, recon_enabled=True)
+        cfg = EncoderConfig(look_ahead_distance=0, width=128, height=128, preset=2, recon_enabled=True)
         cfg.qp = 35
         cfg.max_32_tx_size = cap
         enc = Encoder(cfg).init()
@@ -57,7 +57,7 @@ def test_max_32_tx_size_caps_leaves():
     ("palette_level", 7),   # out of range (palette itself is implemented)
 ])
 def test_unimplemented_features_rejected(field, value):
-    cfg = EncoderConfig(width=64, height=64)
+    cfg = EncoderConfig(look_ahead_distance=0, width=64, height=64)
     setattr(cfg, field, value)
     with pytest.raises(SvtAv1Error):
         verify_settings(cfg)
@@ -79,7 +79,7 @@ def test_hdr_metadata_obus():
     rng = np.random.default_rng(2)
     y = (np.cumsum(rng.normal(0, 5, (64, 64)), axis=1) + 128).clip(0, 255).astype(np.uint8)
     u = np.full((32, 32), 128, np.uint8)
-    cfg = EncoderConfig(width=64, height=64, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=64, height=64, recon_enabled=True)
     cfg.qp = 40
     cfg.mastering_display = md
     cfg.content_light = "1000,400"
@@ -109,7 +109,7 @@ def test_frame_luma_bias_lowers_q_for_dark_frames():
     from svt_av1_psy_tpu.config import PredStructure
 
     for bias in (0, 100):
-        cfg = EncoderConfig(width=64, height=64,
+        cfg = EncoderConfig(look_ahead_distance=0, width=64, height=64,
                             pred_structure=PredStructure.LOW_DELAY)
         cfg.qp = 35
         cfg.luminance_qp_bias = bias

@@ -62,7 +62,7 @@ def test_bitstream_identical_across_meshes():
     for n in (1, 2, 8):
         set_encode_mesh(encode_mesh(n))
         try:
-            cfg = EncoderConfig(width=W, height=H, preset=6)
+            cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, preset=6)
             cfg.qp = 35
             enc = Encoder(cfg).init()
             enc.send_picture(y, u, u.copy())

@@ -20,7 +20,7 @@ def test_log_levels(capsys, monkeypatch):
 
 
 def test_stream_info():
-    enc = Encoder(EncoderConfig(width=64, height=64)).init()
+    enc = Encoder(EncoderConfig(look_ahead_distance=0, width=64, height=64)).init()
     y = np.full((64, 64), 128, np.uint8)
     u = np.full((32, 32), 128, np.uint8)
     enc.send_picture(y, u, u.copy())
@@ -51,7 +51,7 @@ def test_t35_metadata_attach():
 
     from svt_av1_psy_tpu.config import PredStructure
 
-    enc = Encoder(EncoderConfig(width=64, height=64, recon_enabled=True,
+    enc = Encoder(EncoderConfig(look_ahead_distance=0, width=64, height=64, recon_enabled=True,
                                 pred_structure=PredStructure.LOW_DELAY)).init()
     y = np.full((64, 64), 128, np.uint8)
     u = np.full((32, 32), 128, np.uint8)

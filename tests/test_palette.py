@@ -35,7 +35,7 @@ def _screen(W, H, bd=8, seed=4):
 def test_palette_stream_conformant(case):
     W, H, bd = case["W"], case["H"], case.get("bd", 8)
     y, u = _screen(W, H, bd)
-    cfg = EncoderConfig(width=W, height=H, input_depth=bd, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=bd, recon_enabled=True,
                         screen_content_mode=1, palette_level=6,
                         tile_columns=case.get("tiles", (0, 0))[0],
                         tile_rows=case.get("tiles", (0, 0))[1])
@@ -68,7 +68,7 @@ def test_palette_usage_and_gain():
         return orig(self, mi_row, mi_col, bsize, y_mode, uv_is_dc, pal_info)
 
     def run(level):
-        cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+        cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                             screen_content_mode=1, palette_level=level)
         cfg.qp = 35
         enc = Encoder(cfg).init()
@@ -94,7 +94,7 @@ def test_palette_inter_sequence_conformant():
     leak into inter syntax)."""
     W, H = 160, 96
     y, u = _screen(W, H)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                         screen_content_mode=1, palette_level=6)
     cfg.qp = 40
     enc = Encoder(cfg).init()
@@ -141,7 +141,7 @@ def test_intrabc_conformant_and_effective():
         rec = None
         pkt = None
         for ibc in (-1, 0):
-            cfg = EncoderConfig(width=W, height=H, preset=4,
+            cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, preset=4,
                                 recon_enabled=True)
             cfg.qp = 40
             cfg.screen_content_mode = 1

@@ -47,7 +47,7 @@ def _encode_lr(W, H, n=1, bd=8, q=45, seed=5, **cfg_kw):
     dt = np.uint8 if bd == 8 else np.uint16
     clean = (np.cumsum(rng.normal(0, peak / 50, (H + 32, W + 32)), axis=1) + peak // 2).clip(0, peak)
     base = (clean + rng.normal(0, peak / 50, clean.shape)).clip(0, peak).astype(dt)
-    cfg = EncoderConfig(width=W, height=H, input_depth=bd, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=bd, recon_enabled=True,
                         enable_restoration_filtering=1, **cfg_kw)
     cfg.qp = q
     enc = Encoder(cfg).init()
@@ -99,7 +99,7 @@ def test_lr_improves_noisy_recon():
     u = np.full((64, 64), 115, np.uint8)
 
     def mse(enable):
-        cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+        cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                             enable_restoration_filtering=enable)
         cfg.qp = 50
         enc = Encoder(cfg).init()
@@ -128,7 +128,7 @@ def test_chroma_lr_conformant():
     u = ((np.cumsum(rng.normal(0, 6, (48, 64)), axis=0) + 128)
          + rng.normal(0, 6, (48, 64))).clip(0, 255).astype(np.uint8)
     v = u[::-1].copy()
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                         enable_restoration_filtering=1)
     cfg.qp = 48
     enc = Encoder(cfg).init()

@@ -64,7 +64,7 @@ def test_segmentation_stream_conformant(n):
     W, H = 160, 128
     y = _mixed_frame(W, H)
     u = np.full((H // 2, W // 2), 118, np.uint8)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True, aq_mode=1)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True, aq_mode=1)
     cfg.qp = 40
     enc = Encoder(cfg).init()
     for i in range(n):
@@ -90,7 +90,7 @@ def test_segmentation_changes_quant():
     u = np.full((H // 2, W // 2), 118, np.uint8)
 
     def encode(aq):
-        cfg = EncoderConfig(width=W, height=H, recon_enabled=True, aq_mode=aq,
+        cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True, aq_mode=aq,
                             enable_variance_boost=False)
         cfg.qp = 40
         enc = Encoder(cfg).init()

@@ -89,7 +89,7 @@ def test_sgr_stream_conformant():
     clean = (np.cumsum(rng.normal(0, 4, (H, W)), axis=1) + 128).clip(0, 255)
     y = np.clip(clean + rng.normal(0, 4, (H, W)), 0, 255).astype(np.uint8)
     u = np.full((64, 64), 128, np.uint8)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True, preset=6,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True, preset=6,
                         enable_restoration_filtering=1)
     cfg.qp = 45
     enc = Encoder(cfg).init()

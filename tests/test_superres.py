@@ -70,7 +70,7 @@ def test_superres_stream_conformant(case):
         frames = [(f.astype(np.uint16) << 2) for f in frames]
         u = (u.astype(np.uint16) << 2)
         v = (v.astype(np.uint16) << 2)
-    cfg = EncoderConfig(width=W, height=H, input_depth=bd, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=bd, recon_enabled=True,
                         superres_mode=SuperResMode.FIXED,
                         superres_kf_denom=case["denom"])
     cfg.qp = 35
@@ -98,7 +98,7 @@ def test_superres_saves_bits_at_similar_quality():
     frames, u, v = _clip(W, H, 1)
 
     def run(mode, denom):
-        cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+        cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                             stat_report=True, superres_mode=mode,
                             superres_kf_denom=denom)
         cfg.qp = 45
@@ -127,7 +127,7 @@ def test_superres_auto_modes_conformant(mode):
             + 128).clip(0, 255).astype(np.uint8)
     frames = [base[i : i + H, 2 * i : 2 * i + W].copy() for i in range(N)]
     u = np.full((H // 2, W // 2), 118, np.uint8)
-    cfg = EncoderConfig(width=W, height=H, superres_mode=SuperResMode(mode),
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, superres_mode=SuperResMode(mode),
                         recon_enabled=True, preset=10, superres_kf_qthres=43)
     cfg.qp = 55 if mode == 3 else 35
     enc = Encoder(cfg).init()

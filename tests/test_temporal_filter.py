@@ -129,3 +129,41 @@ def test_noise_estimate_and_adaptive_decay():
     # the noisy pair must actually mix (filtered != center), i.e. the
     # adaptive threshold keeps real-noise differences inside the window
     assert np.abs(fy_noisy.astype(int) - noisy.astype(int)).mean() > 0.2
+
+
+def test_tf_runs_by_default():
+    """Round-4 regression guard: enable_tf=1 (the default) must actually
+    execute TF — lookahead auto resolves to a real window, the keyframe
+    filters at the queue head, and the mini-GoP ALTREF filters at GoP
+    assembly."""
+    import svt_av1_psy_tpu.codec.temporal_filter as tfmod
+
+    cfg = EncoderConfig(width=64, height=64)
+    assert cfg.look_ahead_distance == -1
+    from svt_av1_psy_tpu.config import verify_settings
+
+    assert verify_settings(cfg).look_ahead_distance > 0
+
+    calls = []
+    orig = tfmod.temporal_filter
+
+    def spy(center, neighbors, strength, bd=8, backend="auto"):
+        calls.append((strength, len(neighbors)))
+        return orig(center, neighbors, strength, bd, backend="host")
+
+    tfmod.temporal_filter = spy
+    try:
+        _, frames = _noisy_scene(6, 64, 64, seed=9)
+        u = np.full((32, 32), 120, np.uint8)
+        enc = Encoder(EncoderConfig(width=64, height=64)).init()
+        for f in frames:
+            enc.send_picture(f, u, u.copy())
+        enc.flush()
+        n = 0
+        while enc.get_packet() is not None:
+            n += 1
+        assert n >= 6
+    finally:
+        tfmod.temporal_filter = orig
+    filtered = [c for c in calls if c[0] > 0 and c[1] > 0]
+    assert filtered, "no TF executed under the default config"

@@ -24,7 +24,7 @@ def _content(W, H, bd=8, seed=0):
 def test_multi_tile_conformance(tc, tr):
     W, H = 256, 192
     y, u, v = _content(W, H)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                         tile_columns=tc, tile_rows=tr, enable_variance_boost=False)
     cfg.qp = 35
     enc = Encoder(cfg).init()
@@ -39,7 +39,7 @@ def test_multi_tile_conformance(tc, tr):
 def test_10bit_conformance():
     W, H = 128, 96
     y, u, v = _content(W, H, bd=10)
-    cfg = EncoderConfig(width=W, height=H, input_depth=10, recon_enabled=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=10, recon_enabled=True)
     cfg.qp = 35
     enc = Encoder(cfg).init()
     enc.send_picture(y, u, v)
@@ -54,7 +54,7 @@ def test_10bit_conformance():
 def test_10bit_variance_boost():
     W = H = 128
     y, u, v = _content(W, H, bd=10, seed=3)
-    cfg = EncoderConfig(width=W, height=H, input_depth=10, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, input_depth=10, recon_enabled=True,
                         enable_variance_boost=True)
     cfg.qp = 40
     enc = Encoder(cfg).init()
@@ -69,7 +69,7 @@ def test_stat_report():
 
     W, H = 96, 64
     y, u, v = _content(W, H, seed=1)
-    cfg = EncoderConfig(width=W, height=H, stat_report=True)
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, stat_report=True)
     cfg.qp = 30
     enc = Encoder(cfg).init()
     enc.send_picture(y, u, v)

@@ -86,3 +86,59 @@ def test_tpl_stream_conformant_and_saves_bits():
     for i in (0, 2, 5):
         dy, du, dv = dav1d.decode_nth(s_t, i, W, H)
         assert np.array_equal(dy, r_t[i][0])
+
+
+# ------------------------------------------------------- device TPL tier
+
+def test_device_tpl_stats_track_host():
+    """ops/tpl.tpl_group_stats vs the host per-block pass: identical intra
+    costs (same SA8D of the mean-removed block), and inter costs that
+    track the host's within a small relative envelope (the device MV can
+    differ per unit, but its cost model is the same SA8D of the MC
+    residual, clamped to intra)."""
+    from svt_av1_psy_tpu.ops.tpl import tpl_group_stats
+    from svt_av1_psy_tpu.rc.tpl import _satd16, _tiles16
+
+    frames = [f.astype(np.uint16) for f in _frames(3, 192, 128, motion=(4, 8), seed=7)]
+    dev = tpl_group_stats(frames)
+    assert len(dev) == 3
+    for i, f in enumerate(frames):
+        tiles, bh, bw = _tiles16(f.astype(np.int64))
+        mean = tiles.mean(axis=(1, 2), keepdims=True).astype(np.int64)
+        intra_host = np.maximum(_satd16(tiles - mean), 1).reshape(bh, bw)
+        # device floors the f32 mean; host truncates via int64 — identical
+        # for non-negative sums, so intra costs must agree exactly
+        assert np.array_equal(dev[i]["intra"], intra_host.astype(np.float64)), i
+        if i:
+            assert np.all(dev[i]["inter"] <= dev[i]["intra"])
+            # translating content: the device search must find most units
+            # cheap to predict (inter well under intra on average)
+            assert dev[i]["inter"].mean() < 0.7 * dev[i]["intra"].mean()
+
+
+def test_device_tpl_r0_matches_host():
+    """End-to-end r0 from the device cost pass stays close to the host
+    pass on both predictable and unpredictable content."""
+    for scramble, seed in ((False, 1), (True, 2)):
+        frames = _frames(4, 192, 128, motion=(4, 8), seed=seed, scramble=scramble)
+        r0_h, _, _ = tpl_analysis(frames, backend="host")
+        r0_d, _, _ = tpl_analysis(frames, backend="device")
+        assert abs(r0_d - r0_h) < 0.12, (scramble, r0_h, r0_d)
+
+
+def test_tpl_backend_default_is_host(monkeypatch):
+    """The host pass is the decision-quality default: the default backend
+    must not touch ops/tpl (round-4 regression guard)."""
+    import svt_av1_psy_tpu.ops.tpl as ops_tpl
+
+    def boom(*a, **k):
+        raise AssertionError("device TPL dispatched under default backend")
+
+    monkeypatch.setattr(ops_tpl, "tpl_group_stats", boom)
+    frames = _frames(3, 128, 96)
+    r0, beta, _ = tpl_analysis(frames)          # default: host
+    assert 0.0 < r0 <= 1.0
+
+    from svt_av1_psy_tpu.config import EncoderConfig
+
+    assert EncoderConfig(width=64, height=64).tpl_backend == "host"

@@ -54,7 +54,7 @@ def test_delta_q_stream_conformant():
     y[:, :64] = rng.integers(0, 256, (H, 64)).astype(np.uint8)   # noisy left half
     y[64:, 64:] = 60 + (np.arange(64) // 8).astype(np.uint8)      # gentle gradient
     u = np.full((64, 64), 128, np.uint8)
-    cfg = EncoderConfig(width=W, height=H, recon_enabled=True,
+    cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, recon_enabled=True,
                         enable_variance_boost=True, variance_boost_strength=3)
     cfg.qp = 40  # crf 40 -> qindex 160
     enc = Encoder(cfg).init()
@@ -77,7 +77,7 @@ def test_variance_boost_improves_flat_regions():
     u = np.full((64, 64), 128, np.uint8)
 
     def run(boost):
-        cfg = EncoderConfig(width=W, height=H, enable_variance_boost=boost)
+        cfg = EncoderConfig(look_ahead_distance=0, width=W, height=H, enable_variance_boost=boost)
         cfg.qp = 45
         e = Encoder(cfg).init()
         e.send_picture(y, u, u.copy())
