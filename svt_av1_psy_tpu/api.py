@@ -88,6 +88,8 @@ class Encoder:
         self._la_queue: deque = deque()   # TF lookahead (y, u, v, pts)
         self._tf_past: list = []          # last original sources for TF
         self._submitted = 0
+        self._forced_keys: set = set()    # submit indices forced to key
+        self._sub_idx = 0                 # display-order _submit counter
         # device (TPU) inter-search pipeline state
         self._use_device_me = False
         self._me_pipe = None
@@ -116,6 +118,12 @@ class Encoder:
             chroma_sample_position=cfg.chroma_sample_position,
             enable_cdef=cfg.cdef_level != 0,
             enable_filter_intra=True,
+            # per-plane u/v delta_q diverge only via the user offsets
+            # (quantization_params needs separate_uv_delta_q to code v)
+            separate_uv_delta_q=(
+                cfg.chroma_u_dc_qindex_offset != cfg.chroma_v_dc_qindex_offset
+                or cfg.chroma_u_ac_qindex_offset
+                != cfg.chroma_v_ac_qindex_offset),
             # explicit 1 forces LR on; -1 (auto) defers to the preset ladder
             enable_restoration=((cfg.enable_restoration_filtering > 0
                                  or (cfg.enable_restoration_filtering < 0
@@ -276,12 +284,20 @@ class Encoder:
         self._check_init()
         return sequence_header_obu(self._seq)
 
-    def send_picture(self, y: np.ndarray, u=None, v=None, pts: Optional[int] = None):
+    def send_picture(self, y: np.ndarray, u=None, v=None,
+                     pts: Optional[int] = None, pic_type: int = 0):
         """Submit one picture. Synchronous (packet available immediately)
         unless temporal filtering with lookahead is active, in which case
-        pictures buffer until their TF window fills — call flush() at EOS."""
+        pictures buffer until their TF window fills — call flush() at EOS.
+
+        pic_type: 1 requests a key frame at this picture; honored only
+        when force_key_frames is enabled (the reference's pic_type on the
+        buffer header gated by enable-force-key-frames,
+        EbSvtAv1Enc.h force_key_frames)."""
         self._check_init()
         cfg = self.config
+        if cfg.force_key_frames and pic_type == 1:
+            self._forced_keys.add(self._submitted)
         if self._fg_estimate_pending:
             # fit the film-grain noise model to the first source frame
             # (noise_model.c svt_aom_denoise_and_model_run analog)
@@ -380,6 +396,25 @@ class Encoder:
             self._tf_past.pop(0)
         self._submit(fy, fu, fv, pts)
 
+    def _intra_mode_candidates(self):
+        """Intra search candidate set. --enable-paeth / --enable-smooth 0
+        remove those modes from the SEARCH (coding support is unaffected),
+        matching the reference's intra level gating
+        (enc_mode_config.c set_intra_ctrls paeth/smooth levels)."""
+        from .codec.constants import PredictionMode as P
+
+        modes = [P.DC_PRED, P.V_PRED, P.H_PRED, P.D45_PRED, P.D135_PRED,
+                 P.D113_PRED, P.D157_PRED, P.D203_PRED, P.D67_PRED,
+                 P.SMOOTH_PRED, P.SMOOTH_V_PRED, P.SMOOTH_H_PRED,
+                 P.PAETH_PRED]
+        cfg = self.config
+        if cfg.enable_paeth == 0:
+            modes.remove(P.PAETH_PRED)
+        if cfg.enable_smooth == 0:
+            for m in (P.SMOOTH_PRED, P.SMOOTH_V_PRED, P.SMOOTH_H_PRED):
+                modes.remove(m)
+        return tuple(modes)
+
     # -------------------------------------------- hierarchical scheduling
     def _submit(self, y, u, v, pts):
         """Display-order frame intake. LOW_DELAY: flat IPPP (synchronous).
@@ -391,12 +426,15 @@ class Encoder:
         from .config import PredStructure
 
         cfg = self.config
+        forced = self._sub_idx in self._forced_keys
+        self._sub_idx += 1
         if cfg.pred_structure != PredStructure.RANDOM_ACCESS or cfg.avif:
-            return self._encode_frame(y, u, v, pts)
+            return self._encode_frame(
+                y, u, v, pts, gop={"is_key": True} if forced else None)
         y = np.asarray(y)
         ip = cfg.intra_period_length
-        is_key = (self._ref_planes is None
-                  or (ip >= 0 and self._sub_since_key > ip))
+        is_key = forced or (self._ref_planes is None
+                            or (ip >= 0 and self._sub_since_key > ip))
         if (not is_key and cfg.scene_change_detection and self._pc.scene_change
                 and self._prev_sub_y is not None):
             from .codec.scene_change import detect_scene_change
@@ -417,6 +455,11 @@ class Encoder:
         self._sub_since_key += 1
         self._gop_buf.append((y, u, v, pts))
         gop_n = 1 << min(max(cfg.hierarchical_levels, 2), 5)
+        if cfg.startup_mg_size and self._sub_since_key <= gop_n:
+            # --startup-mg-size: the first mini-GoP after a key uses a
+            # shallower pyramid so references establish quickly
+            # (enc_settings.c startup_mg_size 2/3/4 levels)
+            gop_n = min(gop_n, 1 << min(max(cfg.startup_mg_size, 2), 4))
         if len(self._gop_buf) == gop_n:
             buf, self._gop_buf = self._gop_buf, []
             for part in self._split_gop_dynamic(buf):
@@ -582,7 +625,7 @@ class Encoder:
                 show=True, last=self._ref_planes, future=None,
                 refresh=1 << scratch, last_slot=self._last_slot,
                 future_slot=None, q_offset=0, update_last=True,
-                prefetch=pf.get(1), disp=disp_base))
+                layer=0, prefetch=pf.get(1), disp=disp_base))
             self._last_slot = scratch
             self._disp_idx = disp_base + 1
             return
@@ -621,6 +664,7 @@ class Encoder:
                 refresh=1 << slot, last_slot=slots[lo],
                 future_slot=(slots[hi] if hi is not None else None),
                 q_offset=OFF[min(depth, 4)], update_last=False,
+                layer=depth,
                 dists=(idx - lo, (hi - idx) if hi is not None else 1),
                 tpl_r0=(tpl_r0 if depth == 0 else None),
                 prefetch=pf.get(idx), disp=disp_base + idx - 1))
@@ -634,7 +678,8 @@ class Encoder:
                     show=True, last=recs[lo], future=recs[hi], refresh=0,
                     last_slot=slots[lo], future_slot=slots[hi],
                     q_offset=OFF[4], update_last=False, dists=(1, 1),
-                    prefetch=pf.get(lo + 1), disp=disp_base + lo))
+                    layer=depth, prefetch=pf.get(lo + 1),
+                    disp=disp_base + lo))
                 return
             mid = (lo + hi) // 2
             enc_unshown(mid, lo, hi, depth)
@@ -830,9 +875,35 @@ class Encoder:
 
             qindex = tpl_qindex(qindex, gop["tpl_r0"], cfg.input_depth,
                                 weight=0.9)
-        if gop is not None and gop.get("q_offset") and qindex > 1:
-            # temporal-layer delta (pyramid base boosted, leaves cheapened)
-            qindex = int(np.clip(qindex + int(gop["q_offset"]), 1, 255))
+        if gop is not None and not is_key and qindex > 1:
+            # temporal-layer delta (pyramid base boosted, leaves cheapened);
+            # --use-fixed-qindex-offsets replaces (1) or stacks on (2) the
+            # derived ladder with the user's per-layer offsets
+            # (enc_settings.c qindex_offsets[] handling)
+            off = int(gop.get("q_offset") or 0)
+            if cfg.use_fixed_qindex_offsets and cfg.qindex_offsets:
+                lay = int(gop.get("layer", 0))
+                u_off = int(cfg.qindex_offsets[
+                    min(lay, len(cfg.qindex_offsets) - 1)])
+                off = u_off if cfg.use_fixed_qindex_offsets == 1 \
+                    else off + u_off
+            if off:
+                qindex = int(np.clip(qindex + off, 1, 255))
+        if is_key and cfg.use_fixed_qindex_offsets \
+                and cfg.key_frame_qindex_offset and qindex > 1:
+            qindex = int(np.clip(
+                qindex + int(cfg.key_frame_qindex_offset), 1, 255))
+        if cfg.startup_qp_offset and qindex > 1 and not is_key \
+                and self._frame_count <= (1 << cfg.hierarchical_levels):
+            # --startup-qp-offset: extra offset while the first mini-GoP
+            # establishes references (enc_settings.c startup_qp_offset)
+            qindex = int(np.clip(qindex + int(cfg.startup_qp_offset) * 4,
+                                 1, 255))
+        if qindex > 1 and (cfg.min_qp_allowed > 1 or cfg.max_qp_allowed < 63):
+            # --min-qp/--max-qp clamp the final RC output (rc_process.c
+            # qindex clamping; qp units scale x4 to qindex)
+            qindex = int(np.clip(qindex, cfg.min_qp_allowed * 4,
+                                 cfg.max_qp_allowed * 4))
         if _recode is not None:
             # overshoot re-encode: force the bumped qindex past every
             # modifier (they already shaped the first attempt's value)
@@ -878,18 +949,43 @@ class Encoder:
                 int(cfg.variance_boost_curve))
         from .codec.qm import frame_qm_levels
 
+        if sb_qindex_map is not None \
+                and (cfg.min_qp_allowed > 1 or cfg.max_qp_allowed < 63):
+            sb_qindex_map = np.clip(sb_qindex_map, cfg.min_qp_allowed * 4,
+                                    cfg.max_qp_allowed * 4)
         # extended CRF (63.25-70 + quarter steps): qindex_offset =
         # crf*4 - qp*4 with qp = min(63, floor(crf)) (enc_settings.c:1518)
         ext_off = int(round(float(cfg.crf) * 4)) - min(63, int(cfg.crf)) * 4
         chroma_delta = _chroma_qindex_delta(qindex, int(cfg.tune),
                                             cfg.color_primaries, ext_off)
-        qm_levels = frame_qm_levels(cfg, qindex, chroma_delta, chroma_delta)
+        if cfg.use_fixed_qindex_offsets:
+            # per-layer / key-frame chroma offsets stack on the tune delta
+            # (enc_settings.c chroma_qindex_offsets[])
+            if is_key:
+                chroma_delta += int(cfg.key_frame_chroma_qindex_offset)
+            elif cfg.chroma_qindex_offsets:
+                lay = int(gop.get("layer", 0)) if gop is not None else 0
+                chroma_delta += int(cfg.chroma_qindex_offsets[
+                    min(lay, len(cfg.chroma_qindex_offsets) - 1)])
+            chroma_delta = int(np.clip(chroma_delta, -63, 63))
+        # per-plane DC/AC qindex offsets (EbSvtAv1Enc.h luma_y_dc_/
+        # chroma_*_qindex_offset): the same values feed the quantizers and
+        # the frame header's delta_q fields, so streams stay conformant
+        _cl = lambda o: int(np.clip(o, -63, 63))
+        plane_dq = (_cl(cfg.luma_y_dc_qindex_offset),
+                    _cl(chroma_delta + cfg.chroma_u_dc_qindex_offset),
+                    _cl(chroma_delta + cfg.chroma_u_ac_qindex_offset),
+                    _cl(chroma_delta + cfg.chroma_v_dc_qindex_offset),
+                    _cl(chroma_delta + cfg.chroma_v_ac_qindex_offset))
+        qm_levels = frame_qm_levels(cfg, qindex, plane_dq[2], plane_dq[4])
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd,
                       seg_params=seg_params, sb_seg_map=sb_seg_map,
                       noise_norm=cfg.noise_norm_strength,
                       enable_filter_intra=True, chroma_delta=chroma_delta,
+                      plane_dq=plane_dq,
+                      mode_candidates=self._intra_mode_candidates(),
                       allow_sct=getattr(self, "_allow_sct", False),
                       palette_level=cfg.palette_level)
         gm_mv = (0, 0)
@@ -1262,8 +1358,9 @@ class Encoder:
             fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
                          allow_screen_content_tools=getattr(self, "_allow_sct", False),
-                         u_dc_delta_q=chroma_delta, u_ac_delta_q=chroma_delta,
-                         v_dc_delta_q=chroma_delta, v_ac_delta_q=chroma_delta,
+                         y_dc_delta_q=plane_dq[0],
+                         u_dc_delta_q=plane_dq[1], u_ac_delta_q=plane_dq[2],
+                         v_dc_delta_q=plane_dq[3], v_ac_delta_q=plane_dq[4],
                          film_grain=fg, lr_types=lr_types,
                          lr_unit_size=256, lr_uv_unit_size=128,
                          segmentation=seg_params,

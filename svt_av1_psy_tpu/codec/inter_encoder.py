@@ -563,6 +563,11 @@ class InterFrameEncoder(IntraFrameEncoder):
             # once recon is device-resident (filters-backend=device
             # closes that loop on untunneled hardware).
             want = False
+        if want and self.plane_dq[1:3] != self.plane_dq[3:5]:
+            # the device commit shares one chroma quant row for u and v;
+            # per-plane u != v deltas (chroma_*_qindex_offset) take the
+            # host walk instead
+            want = False
         if not want or getattr(self, "inter_dec", None) is None:
             return
         from . import walk_native

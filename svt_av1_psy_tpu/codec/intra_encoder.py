@@ -154,7 +154,7 @@ class IntraFrameEncoder:
                  target_bsize=BlockSize.BLOCK_32X32,
                  sb_qindex_map=None, delta_q_res=4, qm_levels=None, psy_rd=0.0,
                  seg_params=None, sb_seg_map=None, noise_norm=0,
-                 enable_filter_intra=False, chroma_delta=0,
+                 enable_filter_intra=False, chroma_delta=0, plane_dq=None,
                  decisions=None, filter_intra_search=True, cfl_search=True,
                  allow_sct=False, palette_level=-1, allow_intrabc=False,
                  mode_candidates=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
@@ -196,6 +196,12 @@ class IntraFrameEncoder:
         # chroma planes quantize at base + chroma_delta (tune-specific
         # chroma boost, rc_process.c:3444-3473; signaled as u/v delta q)
         self.chroma_delta = int(chroma_delta)
+        # per-plane DC/AC qindex deltas (y_dc, u_dc, u_ac, v_dc, v_ac) —
+        # must equal the frame header's delta_q fields (the user's
+        # luma_y_dc_/chroma_*_qindex_offset knobs stack on chroma_delta)
+        self.plane_dq = (tuple(int(d) for d in plane_dq)
+                         if plane_dq is not None
+                         else (0,) + (int(chroma_delta),) * 4)
         self.quant = self._build_quants(qindex)
         # quantizer matrices (spec §9.5): per-frame (qm_y, qm_u, qm_v) levels
         # or None for flat; applied to 2D transforms only (full_loop.c:1365)
@@ -247,8 +253,9 @@ class IntraFrameEncoder:
 
     # ------------------------------------------------------------ segments
     def _build_quants(self, qindex):
-        d = self.chroma_delta
-        return [build_plane_quant(qindex, 0 if p == 0 else d, 0 if p == 0 else d,
+        pdq = self.plane_dq
+        deltas = ((pdq[0], 0), (pdq[1], pdq[2]), (pdq[3], pdq[4]))
+        return [build_plane_quant(qindex, deltas[p][0], deltas[p][1],
                                   self.bd, self.sharpness, self.qindex)
                 for p in range(self.nplanes)]
 

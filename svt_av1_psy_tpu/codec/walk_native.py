@@ -621,10 +621,11 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
     # ---- quant tables: one row per distinct per-SB qindex (+ base)
     def qp_vals(qindex):
         rows = []
+        pdq = enc.plane_dq
+        deltas = ((pdq[0], 0), (pdq[1], pdq[2]), (pdq[3], pdq[4]))
         for p in range(enc.nplanes):
-            d = 0 if p == 0 else enc.chroma_delta
-            pq = build_plane_quant(qindex, d, d, enc.bd, enc.sharpness,
-                                   enc.qindex)
+            pq = build_plane_quant(qindex, deltas[p][0], deltas[p][1],
+                                   enc.bd, enc.sharpness, enc.qindex)
             rows.append([pq.zbin[0], pq.zbin[1], pq.round[0], pq.round[1],
                          pq.quant[0], pq.quant[1], pq.quant_shift[0],
                          pq.quant_shift[1], pq.dequant[0], pq.dequant[1]])

@@ -501,10 +501,13 @@ def _leaf_qp_rows(enc, qidx_leaves):
         got = cache.get(q)
         if got is None:
             vals = []
+            pdq = enc.plane_dq
+            # one shared chroma row: the commit backend is gated off when
+            # u and v deltas differ (inter_encoder commit eligibility)
+            deltas = ((pdq[0], 0), (pdq[1], pdq[2]))
             for p in range(2):
-                d = 0 if p == 0 else enc.chroma_delta
-                pq = build_plane_quant(q, d, d, enc.bd, enc.sharpness,
-                                       enc.qindex)
+                pq = build_plane_quant(q, deltas[p][0], deltas[p][1],
+                                       enc.bd, enc.sharpness, enc.qindex)
                 vals.append([pq.zbin[0], pq.zbin[1], pq.round[0],
                              pq.round[1], pq.quant[0], pq.quant[1],
                              pq.quant_shift[0], pq.quant_shift[1],

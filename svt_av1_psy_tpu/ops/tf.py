@@ -170,12 +170,55 @@ def tf_finalize_stage(src, preds, ws, Hr: int, Wr: int):
     return out[:Hr, :Wr]
 
 
+# HBM budget: the TF pair program's live im2col/grid temps scale with the
+# SB count; one whole 4K frame (2040 SBs) needs ~21 GB and OOMs a 16 GB
+# chip. Above this budget the frame splits into horizontal SB-row bands
+# processed independently — TF-ME MVs are clipped band-internal by the
+# grid machinery anyway, and the filter is non-normative, so the only
+# effect is that motion crossing a band boundary earns weight ~0 (no
+# filtering there) instead of a match.
+_SB_BUDGET = 512
+
+
 def temporal_filter_device(center, neighbors, strength: int, bd: int = 8):
     """Device analog of codec.temporal_filter.temporal_filter: same
     signature, same thresholds (host-side noise estimation is one cheap
     vectorized pass), whole-frame device TF-ME + filtering. All programs
     for all neighbors dispatch before the first fetch; exactly three
-    device->host transfers (the filtered planes)."""
+    device->host transfers (the filtered planes). Frames above _SB_BUDGET
+    superblocks band-split to bound HBM."""
+    cy0 = np.asarray(center[0])
+    H, W = cy0.shape
+    nsc = -(-W // 64)
+    if -(-H // 64) * nsc > _SB_BUDGET:
+        rows = max(1, _SB_BUDGET // nsc) * 64
+        outs = []
+        y0 = 0
+        while y0 < H:
+            y1 = min(y0 + rows, H)
+            if H - y1 < 64:      # fold a short tail into the last band
+                y1 = H
+
+            def cut(t, lo, hi):
+                return tuple(
+                    None if p is None
+                    else np.asarray(p)[lo >> s: (hi + s) >> s]
+                    for p, s in zip(t, (0, 1, 1)))
+
+            outs.append(_tf_device_frame(cut(center, y0, y1),
+                                         [cut(nb, y0, y1)
+                                          for nb in neighbors],
+                                         strength, bd))
+            y0 = y1
+        fy = np.concatenate([o[0] for o in outs], axis=0)
+        if outs[0][1] is None:
+            return fy, None, None
+        return (fy, np.concatenate([o[1] for o in outs], axis=0),
+                np.concatenate([o[2] for o in outs], axis=0))
+    return _tf_device_frame(center, neighbors, strength, bd)
+
+
+def _tf_device_frame(center, neighbors, strength: int, bd: int = 8):
     import jax
 
     from ..codec.temporal_filter import _noise_decay, estimate_plane_noise
