@@ -116,7 +116,10 @@ class Encoder:
             matrix_coefficients=cfg.matrix_coefficients,
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
-            enable_cdef=cfg.cdef_level != 0,
+            # --fast-decode trims decoder-side filter cost: level 2 drops
+            # CDEF too (enc_settings.c fast_decode -> shallower loop
+            # filters / restoration gating)
+            enable_cdef=cfg.cdef_level != 0 and cfg.fast_decode < 2,
             enable_filter_intra=True,
             # per-plane u/v delta_q diverge only via the user offsets
             # (quantization_params needs separate_uv_delta_q to code v)
@@ -128,6 +131,7 @@ class Encoder:
             enable_restoration=((cfg.enable_restoration_filtering > 0
                                  or (cfg.enable_restoration_filtering < 0
                                      and self._pc.restoration))
+                                and cfg.fast_decode == 0
                                 and cfg.tile_columns == 0 and cfg.tile_rows == 0),
             enable_superres=int(cfg.superres_mode) != 0,
             # inter-intra compound: the syntax is seq-gated only, so the bit
@@ -195,16 +199,40 @@ class Encoder:
             from .rc.firstpass import FirstPassWriter
 
             self._firstpass = FirstPassWriter()
-        elif cfg.pass_num >= 2 and cfg.stats_file:
+        elif cfg.pass_num >= 2 and (cfg.rc_stats_buffer or cfg.stats_file):
             from .rc.firstpass import parse_stats, second_pass_budgets
 
-            stats = parse_stats(Path(cfg.stats_file).read_bytes())
+            # in-memory stats buffer (SvtAv1FixedBuf rc_stats_buffer,
+            # EbSvtAv1Enc.h) takes precedence over the stats file path
+            raw = (bytes(cfg.rc_stats_buffer) if cfg.rc_stats_buffer
+                   else Path(cfg.stats_file).read_bytes())
+            stats = parse_stats(raw)
             self._budgets = second_pass_budgets(
                 stats, cfg.target_bit_rate, cfg.fps_num / max(cfg.fps_denom, 1))
+        # explicit multi-chip mesh (tpu-mesh-shape): installs the
+        # (frame, tile) jax.sharding.Mesh the device searches shard over
+        if cfg.tpu_mesh_shape:
+            from .parallel.mesh import encode_mesh, set_encode_mesh
+
+            fp = int(cfg.tpu_mesh_shape[0])
+            nd = fp * (int(cfg.tpu_mesh_shape[1])
+                       if len(cfg.tpu_mesh_shape) > 1 else 1)
+            set_encode_mesh(encode_mesh(nd, frame_parallel=fp))
+        # --lp/--pin/--ss: one worker thread is the only host parallelism
+        # on this architecture; lp 1 requests fully synchronous operation
+        # (no search/commit overlap). pin/ss are NUMA placement hints with
+        # no effect on a TPU host — acknowledged, not acted on.
+        lp = cfg.level_of_parallelism or cfg.logical_processors
+        if cfg.pin_threads or cfg.target_socket >= 0:
+            from .log import svt_info as _svt_info
+
+            _svt_info("pin/ss thread-placement hints have no effect on "
+                      "this platform")
         # device (TPU) inter mode-decision search: prefetch whole mini-GoP
         # chunks through a worker thread, overlapped with the commit walk
         # (parallel/pipeline.py). "auto" = on when an accelerator exists.
-        if not cfg.avif and cfg.pred_structure == PredStructure.RANDOM_ACCESS:
+        if (not cfg.avif and cfg.pred_structure == PredStructure.RANDOM_ACCESS
+                and lp != 1):
             from .parallel.pipeline import (device_backend_default,
                                             get_pipeline)
 
@@ -306,7 +334,12 @@ class Encoder:
 
             fg, _ = estimate_film_grain(
                 np.asarray(y), None if u is None else np.asarray(u),
-                None if v is None else np.asarray(v), bd=cfg.input_depth)
+                None if v is None else np.asarray(v), bd=cfg.input_depth,
+                # --adaptive-film-grain: grain-model footprint scales with
+                # resolution (>=1080p grain correlates over a longer range)
+                ar_lag=(3 if (cfg.adaptive_film_grain
+                              and min(cfg.width, cfg.height) >= 1080)
+                        else 2))
             if fg is None:
                 from .codec.film_grain import photon_noise_params
 
@@ -832,6 +865,12 @@ class Encoder:
 
                 qindex = qp_scale_compress_qindex(
                     qindex, cfg.qp_scale_compress_strength, cfg.input_depth, is_key)
+            if cfg.max_bit_rate and getattr(self, "_mbr_qadj", 0) \
+                    and qindex > 1:
+                # capped CRF: the leaky-bucket overshoot penalty (see the
+                # post-encode feedback below) raises qindex while the
+                # rolling rate exceeds --mbr
+                qindex = int(np.clip(qindex + self._mbr_qadj, 1, 255))
         else:
             if self._rc is None:
                 from .rc.rate_control import RateControl
@@ -842,7 +881,12 @@ class Encoder:
                     width=cfg.width, height=cfg.height, bd=cfg.input_depth,
                     cbr=cfg.rate_control_mode == RateControlMode.CBR,
                     undershoot_pct=cfg.undershoot_pct,
-                    overshoot_pct=cfg.overshoot_pct, buf_sz_ms=cfg.buf_sz)
+                    overshoot_pct=cfg.overshoot_pct, buf_sz_ms=cfg.buf_sz,
+                    buf_initial_ms=cfg.buf_initial_sz,
+                    buf_optimal_ms=cfg.buf_optimal_sz,
+                    vbv_bufsize=cfg.vbv_bufsize,
+                    min_section_pct=cfg.minsection_pct,
+                    max_section_pct=cfg.maxsection_pct)
             target = None
             if self._budgets is not None and self._frame_count < len(self._budgets):
                 # rescale the remaining plan by the remaining allowance so
@@ -1024,8 +1068,10 @@ class Encoder:
                          and tile_cols_log2 == 0 and tile_rows_log2 == 0)
 
         # switchable interpolation filters: per-block filter syntax on the
-        # Python-walk presets (read_interpolation_filter; dual filter off)
+        # Python-walk presets (read_interpolation_filter; dual filter off);
+        # --fast-decode >= 1 pins EIGHTTAP_REGULAR (cheaper decoder MC)
         filt_switchable = (not is_key and cfg.preset <= 6
+                           and cfg.fast_decode == 0
                            and tile_cols_log2 == 0 and tile_rows_log2 == 0)
 
         # IBC (intra block copy): screen-content key frames; the spec turns
@@ -1508,6 +1554,19 @@ class Encoder:
         self._last_qindex = qindex
         if self._rc is not None:
             self._rc.update(is_key, qindex, len(payload))
+        if cfg.max_bit_rate and self._rc is None:
+            # capped CRF (--mbr): leaky-bucket feedback at the max rate.
+            # Bits beyond the tolerated per-frame allowance fill the
+            # bucket; the fill maps to a qindex penalty on later frames
+            # (rc_process.c capped_crf virtual-buffer regulation).
+            fps = cfg.fps_num / max(cfg.fps_denom, 1)
+            bpf_max = cfg.max_bit_rate / max(fps, 1e-6)
+            allow = bpf_max * (1.0 + cfg.mbr_overshoot_pct / 100.0)
+            cap = cfg.max_bit_rate * 2.0    # 2-second bucket
+            fill = max(0.0, getattr(self, "_mbr_fill", 0.0)
+                       + len(payload) * 8 - allow)
+            self._mbr_fill = min(fill, cap)
+            self._mbr_qadj = int(round(48.0 * self._mbr_fill / cap))
         self._spent_bits += len(payload) * 8
         self._frames_since_key = 1 if is_key else self._frames_since_key + 1
         self._frame_count += 1

@@ -158,10 +158,14 @@ def noise_dct_floor(resid_flat: np.ndarray, bd: int = 8) -> np.ndarray:
 
 def estimate_film_grain(y: np.ndarray, u=None, v=None, bd: int = 8,
                         strength: float = 1.0, seed: int = 7391,
-                        denoise: bool = False):
+                        denoise: bool = False, ar_lag: int = 2):
     """Fit FilmGrainParams to the source noise (reference entry point:
     svt_aom_denoise_and_model_run). Returns (params | None, denoised_y | None);
-    params is None when the content has no measurable grain."""
+    params is None when the content has no measurable grain.
+
+    ar_lag: AR neighborhood radius (--adaptive-film-grain scales the grain
+    model footprint with resolution; high-res grain has longer-range
+    correlation, noise_model.c lag selection)."""
     got = analyze_plane(y)
     if got is None:
         return None, None
@@ -184,7 +188,7 @@ def estimate_film_grain(y: np.ndarray, u=None, v=None, bd: int = 8,
     if not pts:
         pts = [(128, float(np.median(sig)))]
     # ---- AR fit on the flat-block noise
-    lag = 2
+    lag = int(min(max(ar_lag, 1), 3))
     c = _ar_fit(resid[fi], sig, lag)
     shift = 7
     tot = np.abs(c).sum()

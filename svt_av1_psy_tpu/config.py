@@ -308,9 +308,9 @@ class EncoderConfig:
     progress: int = 1
 
     # --- TPU-specific (new; no reference analog) -------------------------------
-    tpu_mesh_shape: tuple = ()           # e.g. (8,) tiles/frames over chips
-    tpu_frame_batch: int = 1             # frames batched per device launch
-    tpu_precision: str = "int-exact"     # conformant integer path
+    # (frame_parallel, tile_parallel) jax.sharding.Mesh installed at init
+    # (parallel/mesh.set_encode_mesh); () = single-device default
+    tpu_mesh_shape: tuple = ()
 
     # ------------------------------------------------------------------ derived
     @property
@@ -615,6 +615,7 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
                "superres-denom out of range [8, 16]")
     _check(0 <= cfg.qp <= MAX_CRF, f"qp/crf {cfg.qp} out of range [0, {MAX_CRF}]")
     _check(cfg.rate_control_mode in (0, 1, 2), "bad rc mode")
+    cfg.rate_control_mode = RateControlMode(int(cfg.rate_control_mode))
     if cfg.rate_control_mode != 0:
         _check(cfg.target_bit_rate > 0, "VBR/CBR require target-bit-rate > 0")
     _check(int(cfg.tune) in (0, 1, 2, 3, 4), "bad tune")
@@ -650,6 +651,34 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
                "filters_backend", "commit_backend"):
         ok = ("auto", "host", "device", "native")
         _check(getattr(cfg, nm) in ok, f"{nm} must be one of {ok}")
+    # honest rejections (enc_settings.c:40 contract): features the encoder
+    # does not implement must error, not silently no-op
+    _check(cfg.sframe_dist == 0, "S-frames (sframe-dist) not implemented")
+    _check(cfg.sframe_mode in (SFrameMode.STRICT_BASE,
+                               SFrameMode.NEAREST_BASE), "bad sframe-mode")
+    _check(not cfg.enable_overlays, "ALTREF overlay frames not implemented")
+    _check(cfg.intra_refresh_type == IntraRefreshType.KF,
+           "open-GOP forward key frames (irefresh-type 1) not implemented")
+    _check(cfg.hbd_mds == 0, "reduced-precision HBD mode decision "
+           "(hbd-mds != 0) not implemented")
+    _check(not cfg.gop_constraint_rc,
+           "gop-constraint-rc not implemented (VBR converges per-sequence)")
+    _check(cfg.fast_decode in (0, 1, 2), "fast-decode in [0,2]")
+    _check(cfg.enable_adaptive_quantization in (0, 1, 2),
+           "adaptive-quantization in [0,2]")
+    if cfg.enable_adaptive_quantization != 2:
+        # --enable-adaptive-quantization is the reference's public alias
+        # for the AQ mode (enc_settings.c enable_adaptive_quantization ->
+        # aq_mode); non-default values override aq_mode
+        cfg.aq_mode = cfg.enable_adaptive_quantization
+    if cfg.max_bit_rate:
+        _check(cfg.rate_control_mode == 0,
+               "max-bit-rate (capped CRF) applies to CRF mode only")
+        _check(cfg.max_bit_rate > 0, "max-bit-rate must be positive")
+    _check(not (cfg.restricted_motion_vector
+                and (cfg.tile_columns or cfg.tile_rows)),
+           "restricted-motion-vector with multiple tiles not implemented "
+           "(single-tile streams satisfy the tile-MV restriction trivially)")
     if cfg.look_ahead_distance < 0:
         # auto lookahead (enc_settings.c:970 + the later-derived window):
         # TF and TPL need future source frames; resolve to one mini-GoP

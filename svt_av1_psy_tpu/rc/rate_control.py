@@ -95,6 +95,11 @@ class RateControl:
     undershoot_pct: int = 25
     overshoot_pct: int = 25
     buf_sz_ms: int = 6000
+    buf_initial_ms: int = 6000    # CBR decoder-buffer start (buf-initial-sz)
+    buf_optimal_ms: int = 5000    # CBR steering target (buf-optimal-sz)
+    vbv_bufsize: int = 0          # bits; overrides the ms-derived cap (>0)
+    min_section_pct: int = 0      # per-frame target floor, % of average
+    max_section_pct: int = 2000   # per-frame target ceiling, % of average
     min_q: int = 1
     max_q: int = MAXQ
     # feedback state (av1_rc_init: 1.0 for KF, 0.7 otherwise)
@@ -104,7 +109,16 @@ class RateControl:
     def __post_init__(self):
         self.mbs = max(1, ((self.width + 15) // 16) * ((self.height + 15) // 16))
         self.bits_per_frame = self.target_bit_rate / max(self.fps, 1e-6)
-        self.buffer_cap = self.target_bit_rate * self.buf_sz_ms / 1000.0
+        # --vbv-bufsize (bits) overrides the millisecond-derived cap
+        self.buffer_cap = (float(self.vbv_bufsize) if self.vbv_bufsize > 0
+                           else self.target_bit_rate * self.buf_sz_ms / 1000.0)
+        if self.cbr and self.buf_initial_ms != self.buf_optimal_ms:
+            # CBR decoder-buffer model: start at buf-initial-sz and steer
+            # toward buf-optimal-sz (rc_process.c starting/optimal buffer
+            # level). A fuller-than-optimal start appears here as schedule
+            # slack (negative level -> early frames may spend more).
+            self.buffer_level = (-(self.buf_initial_ms - self.buf_optimal_ms)
+                                 / 1000.0 * self.target_bit_rate)
 
     def _target_bits(self, is_key: bool) -> float:
         target = self.bits_per_frame * (self.kf_boost if is_key else 1.0)
@@ -114,6 +128,16 @@ class RateControl:
         else:
             # VBR redistributes surplus/deficit more gently
             target -= self.buffer_level / (4.0 * max(self.fps, 1.0))
+        if not is_key:
+            # --minsection-pct/--maxsection-pct clamp the per-frame target
+            # as a percentage of the average (av1_rc_clamp_pframe_target
+            # vbrmin/vbrmax_section semantics)
+            if self.min_section_pct > 0:
+                target = max(target,
+                             self.bits_per_frame * self.min_section_pct / 100.0)
+            if self.max_section_pct > 0:
+                target = min(target,
+                             self.bits_per_frame * self.max_section_pct / 100.0)
         return max(target, self.bits_per_frame * 0.1)
 
     BPER_MB_NORMBITS = 9  # rc_process.c:1753

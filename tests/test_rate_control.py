@@ -102,3 +102,112 @@ def test_vbr_stream_hits_rate_and_decodes():
     for i in (0, N // 2, N - 1):
         dy, du, dv = dav1d.decode_nth(stream, i, W, H)
         assert np.array_equal(dy, recons[i][0])
+
+
+def test_section_pct_clamps_target():
+    from svt_av1_psy_tpu.rc.rate_control import RateControl
+
+    rc = RateControl(target_bit_rate=300_000, fps=30, width=640, height=360,
+                     min_section_pct=50, max_section_pct=150)
+    bpf = rc.bits_per_frame
+    rc.buffer_level = -rc.buffer_cap          # huge surplus -> big target
+    assert rc._target_bits(False) <= bpf * 1.5 + 1e-6
+    rc.buffer_level = rc.buffer_cap           # huge deficit -> small target
+    assert rc._target_bits(False) >= bpf * 0.5 - 1e-6
+    # key frames are exempt (kf boost must survive)
+    assert rc._target_bits(True) > bpf * 1.5
+
+
+def test_cbr_buffer_model_knobs():
+    from svt_av1_psy_tpu.rc.rate_control import RateControl
+
+    rc = RateControl(target_bit_rate=240_000, fps=30, width=320, height=180,
+                     cbr=True, buf_initial_ms=8000, buf_optimal_ms=4000,
+                     vbv_bufsize=100_000)
+    assert rc.buffer_cap == 100_000.0         # vbv override (bits)
+    assert rc.buffer_level < 0                # initial > optimal = slack
+    # slack grows the early-frame allowance vs a neutral start
+    neutral = RateControl(target_bit_rate=240_000, fps=30, width=320,
+                          height=180, cbr=True)
+    assert rc._target_bits(False) > neutral._target_bits(False)
+
+
+def test_adaptive_quantization_alias_sets_aq_mode():
+    from svt_av1_psy_tpu.config import EncoderConfig, verify_settings
+
+    cfg = EncoderConfig(width=64, height=64, look_ahead_distance=0)
+    cfg.enable_adaptive_quantization = 0
+    cfg = verify_settings(cfg)
+    assert cfg.aq_mode == 0
+
+
+def test_capped_crf_reduces_rate_and_decodes():
+    """--mbr with CRF: the leaky bucket raises qindex on overshoot, the
+    stream shrinks, and it still decodes bit-exactly."""
+    from pathlib import Path
+
+    import pytest
+
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.config import EncoderConfig
+
+    rng = np.random.default_rng(3)
+    W, H, N = 160, 96, 8
+    ys = [np.clip(np.cumsum(rng.normal(0, 6, (H, W)), axis=1) + 120, 0,
+                  255).astype(np.uint8) for _ in range(N)]
+    u = np.full((H // 2, W // 2), 120, np.uint8)
+
+    def run(mbr):
+        cfg = EncoderConfig(width=W, height=H, look_ahead_distance=0,
+                            preset=10, recon_enabled=True)
+        cfg.qp = 20
+        cfg.max_bit_rate = mbr
+        enc = Encoder(cfg).init()
+        total, pkts = 0, []
+        for i, y in enumerate(ys):
+            enc.send_picture(y, u, u.copy(), pts=i)
+            while (p := enc.get_packet()) is not None:
+                pkts.append(p)
+        enc.flush()
+        while (p := enc.get_packet()) is not None:
+            pkts.append(p)
+        return pkts
+
+    free = run(0)
+    capped = run(40_000)    # ~1.3 kbit/frame at 30fps: far below free rate
+    nb_free = sum(len(p.data) for p in free)
+    nb_capped = sum(len(p.data) for p in capped)
+    assert nb_capped < nb_free
+    if not Path("/usr/lib/x86_64-linux-gnu/libdav1d.so.6").exists():
+        pytest.skip("dav1d unavailable")
+    from svt_av1_psy_tpu.io import dav1d
+
+    stream = b"".join(p.data for p in capped)
+    disp = [p for p in capped if p.recon is not None]
+    for i, p in enumerate(disp):
+        d = dav1d.decode_nth(stream, i, W, H)
+        assert all(np.array_equal(a, b) for a, b in zip(d, p.recon)), i
+
+
+def test_rc_stats_buffer_drives_second_pass():
+    """pass 2 accepts the first-pass stats via rc_stats_buffer (no file)."""
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.config import EncoderConfig
+
+    rng = np.random.default_rng(11)
+    W, H, N = 128, 96, 6
+    ys = [np.clip(np.cumsum(rng.normal(0, 5, (H, W)), axis=1) + 110, 0,
+                  255).astype(np.uint8) for _ in range(N)]
+    u = np.full((H // 2, W // 2), 125, np.uint8)
+    cfg1 = EncoderConfig(width=W, height=H, pass_num=1, rate_control_mode=1,
+                         target_bit_rate=200_000, look_ahead_distance=0)
+    e1 = Encoder(cfg1).init()
+    for i, y in enumerate(ys):
+        e1.send_picture(y, u, u.copy(), pts=i)
+    e1.flush()
+    buf = e1.first_pass_data()
+    cfg2 = EncoderConfig(width=W, height=H, pass_num=2, rate_control_mode=1,
+                         target_bit_rate=200_000, rc_stats_buffer=buf,
+                         look_ahead_distance=0)
+    e2 = Encoder(cfg2).init()
+    assert e2._budgets is not None and len(e2._budgets) == N
