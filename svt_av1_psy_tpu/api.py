@@ -1361,13 +1361,16 @@ class Encoder:
                 lr_src = (y, u, v)
                 lr_w = cfg.width
             rsts = [None] * len(enc.planes)
+            lr_backend = ("device" if cfg.filters_backend == "device"
+                          else "host")
             # 256px luma / 128px chroma units (the reference's
             # RESTORATION_UNITSIZE_MAX sizing): 16x fewer unit searches
             # than 64px units and less coefficient rate
             rsts[0] = pick_lr(np.asarray(lr_src[0]), lr_recon[0],
                               lr_deblocked[0], lr_w, cfg.height, 0,
                               cfg.input_depth, unit_size=256,
-                              sgr_eps_step=self._pc.sgr_eps_step)
+                              sgr_eps_step=self._pc.sgr_eps_step,
+                              backend=lr_backend)
             if len(enc.planes) > 1:
                 cw, ch = (lr_w + 1) >> 1, (cfg.height + 1) >> 1
                 for plane, srcp in ((1, lr_src[1]), (2, lr_src[2])):
@@ -1375,7 +1378,8 @@ class Encoder:
                         np.asarray(srcp), lr_recon[plane],
                         lr_deblocked[plane], cw, ch, 1, cfg.input_depth,
                         unit_size=256,
-                        sgr_eps_step=self._pc.sgr_eps_step)
+                        sgr_eps_step=self._pc.sgr_eps_step,
+                        backend=lr_backend)
             if any(r is not None and r.frame_type != RESTORE_NONE for r in rsts):
                 # LR syntax is coded per SB, so re-encode the tiles with the
                 # chosen units (the reference's EncDec/EC split; decisions are

@@ -285,11 +285,18 @@ def _solve_taps(dgd_ext: np.ndarray, src: np.ndarray, iters: int = 2,
 
 def pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
             bd: int = 8, unit_size: int = 64,
-            enable_sgr: bool = True, sgr_eps_step: int = 1) -> PlaneRestoration:
+            enable_sgr: bool = True, sgr_eps_step: int = 1,
+            backend: str = "host") -> PlaneRestoration:
     """Per-unit restoration search (restoration_pick.c:1611 analog):
     Wiener (alternating LS taps) vs SGRPROJ (projection search over the 16
     parameter sets) vs NONE by exact SSE; the frame type becomes WIENER /
-    SGRPROJ when one tool wins everywhere, else RESTORE_SWITCHABLE."""
+    SGRPROJ when one tool wins everywhere, else RESTORE_SWITCHABLE.
+
+    backend="device" moves the SGRPROJ parameter sweep to the accelerator
+    (ops/lr_search.sgr_search_units): one jitted whole-plane program
+    estimates every ep's projected SSE; the host then runs the exact
+    integer filter only for each unit's winning ep (the committed filter
+    and its SSE stay exact — the device pass only picks which ep to try)."""
     if sgr_eps_step <= 0:
         enable_sgr = False
         sgr_eps_step = 1
@@ -299,6 +306,17 @@ def pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
     above, below = save_boundary_rows(np.asarray(deblock_plane), crop,
                                       crop_w, crop_h, ss)
     src = np.asarray(src_plane)[:crop_h, :crop_w].astype(np.int64)
+    dev_sgr = None
+    if enable_sgr and backend == "device":
+        from ..ops.lr_search import sgr_search_units
+
+        try:
+            dev_sgr = sgr_search_units(src, crop, pr, bd,
+                                       eps=range(0, 16, sgr_eps_step))
+        except Exception:
+            from ..log import svt_warn
+
+            svt_warn("device SGR sweep unavailable; host search")
     kinds = set()
     for ui in range(pr.vunits):
         for uj in range(pr.hunits):
@@ -323,11 +341,14 @@ def pick_lr(src_plane, cdef_plane, deblock_plane, crop_w, crop_h, ss,
             filt = filter_unit(ext, pr, above, below, v0, v1, h0, h1, info, bd)
             sse = int(((filt - s) ** 2).sum())
             if enable_sgr:
-                from .sgr import search_sgr_unit
+                if dev_sgr is not None:
+                    ep, xqd, _ = dev_sgr[(ui, uj)]
+                else:
+                    from .sgr import search_sgr_unit
 
-                ep, xqd, _ = search_sgr_unit(
-                    s, ext[v0 : v1 + 6, h0 : h1 + 6], h1 - h0, v1 - v0, bd,
-                    eps=range(0, 16, sgr_eps_step))
+                    ep, xqd, _ = search_sgr_unit(
+                        s, ext[v0 : v1 + 6, h0 : h1 + 6], h1 - h0, v1 - v0,
+                        bd, eps=range(0, 16, sgr_eps_step))
                 sinfo = ("S", ep, xqd)
                 sfilt = filter_unit(ext, pr, above, below, v0, v1, h0, h1,
                                     sinfo, bd)

@@ -259,15 +259,25 @@ def _sb_windows(ref, ctr_y, ctr_x, nsr, nsc):
     win = 64 + 2 * R
     i = jnp.arange(n, dtype=jnp.int32)
     x0 = (i % nsc) * 64 + PAD - R + ctr_x
-    bands = jnp.stack([
-        lax.dynamic_slice(ref, (r * 64 + PAD - R - reach, 0), (band_h, Wr))
-        for r in range(nsr)])            # (nsr, band_h, Wr)
     yin = ctr_y + reach                  # window start within its band
 
-    def sl(b, y, x):
-        return lax.dynamic_slice(b, (y, x), (win, win))
+    def sl(b):
+        def one(y, x):
+            return lax.dynamic_slice(b, (y, x), (win, win))
+        return one
 
-    return jax.vmap(sl)(bands[i // nsc], yin, x0)
+    # Per-band vmap (nsc slices from ONE (band_h, Wr) operand), bands
+    # consumed one at a time. Indexing a stacked (nsr, band_h, Wr) tensor
+    # by SB under a single all-N vmap made XLA materialize the band per SB
+    # — f32[N, band_h, Wr] HLO temps, 2x10.3 GB at 4K (compile OOM /
+    # remat-compressed 26 s/frame execution).
+    rows = []
+    for r in range(nsr):
+        band = lax.dynamic_slice(
+            ref, (r * 64 + PAD - R - reach, 0), (band_h, Wr))
+        s = slice(r * nsc, (r + 1) * nsc)
+        rows.append(jax.vmap(sl(band))(yin[s], x0[s]))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _child_grids(wins, kids, kids2):

@@ -171,13 +171,14 @@ def tf_finalize_stage(src, preds, ws, Hr: int, Wr: int):
 
 
 # HBM budget: the TF pair program's live im2col/grid temps scale with the
-# SB count; one whole 4K frame (2040 SBs) needs ~21 GB and OOMs a 16 GB
-# chip. Above this budget the frame splits into horizontal SB-row bands
-# processed independently — TF-ME MVs are clipped band-internal by the
-# grid machinery anyway, and the filter is non-normative, so the only
-# effect is that motion crossing a band boundary earns weight ~0 (no
-# filtering there) instead of a match.
-_SB_BUDGET = 512
+# SB count (~1.7 MB/SB at peak: the 81x81 correlation surface + its
+# patches). A whole 4K frame (2040 SBs) peaks ~7 GB — fine on a 16 GB
+# chip since the per-SB band-materialization bug in _sb_windows was fixed
+# — so only beyond-4K frames band-split. Bands process independently:
+# TF-ME MVs are clipped band-internal by the grid machinery anyway, and
+# the filter is non-normative, so the only effect is that motion crossing
+# a band boundary earns weight ~0 (no filtering there) instead of a match.
+_SB_BUDGET = 2048
 
 
 def temporal_filter_device(center, neighbors, strength: int, bd: int = 8):

@@ -138,3 +138,37 @@ def test_chroma_lr_conformant():
     assert np.array_equal(dy, pkt.recon[0])
     assert np.array_equal(du, pkt.recon[1])
     assert np.array_equal(dv, pkt.recon[2])
+
+
+def test_pick_lr_device_backend_matches_host():
+    """The device SGR sweep (ops/lr_search wired via pick_lr
+    backend="device") must pick parameters whose EXACT committed SSE is
+    within noise of the host's exhaustive per-unit search — the device
+    pass only selects the ep; the committed filter is the exact one."""
+    from svt_av1_psy_tpu.codec.restoration import RESTORE_NONE, pick_lr
+
+    rng = np.random.default_rng(3)
+    W = H = 160
+    src = (np.cumsum(rng.normal(0, 5, (H, W)), axis=1) + 128).clip(0, 255)
+    src = src.astype(np.uint8)
+    dgd = np.clip(src.astype(np.int32)
+                  + rng.integers(-9, 10, (H, W)), 0, 255).astype(np.uint8)
+
+    def total_sse(pr):
+        from svt_av1_psy_tpu.codec.restoration import (apply_restoration)
+        rec = [dgd.astype(np.uint8).copy()]
+        apply_restoration(rec, [dgd.copy()], [pr], 8)
+        return float(((rec[0].astype(np.int64) - src) ** 2).sum())
+
+    host = pick_lr(src, dgd, dgd, W, H, 0, 8, unit_size=64,
+                   backend="host")
+    dev = pick_lr(src, dgd, dgd, W, H, 0, 8, unit_size=64,
+                  backend="device")
+    assert host.frame_type != RESTORE_NONE
+    assert dev.frame_type != RESTORE_NONE
+    sse_h, sse_d = total_sse(host), total_sse(dev)
+    base = float(((dgd.astype(np.int64) - src) ** 2).sum())
+    # both must improve on the unrestored plane, and the device pick must
+    # recover >= 90% of the host search's SSE reduction
+    assert sse_h < base and sse_d < base
+    assert (base - sse_d) >= 0.90 * (base - sse_h)
