@@ -796,6 +796,9 @@ class Encoder:
             self._allow_sct = sc0
         elif cfg.screen_content_mode == 0:
             self._allow_sct = False
+        if cfg.lossless:
+            # palette/IBC syntax surfaces are not wired into the WHT walk
+            self._allow_sct = False
         # ---- super-resolution (key frames: encode at a downscaled width,
         # the decoder upscales normatively before loop restoration; inter
         # frames reference the upscaled recon at full size, so no scaled-MC
@@ -1022,6 +1025,17 @@ class Encoder:
                     _cl(chroma_delta + cfg.chroma_v_dc_qindex_offset),
                     _cl(chroma_delta + cfg.chroma_v_ac_qindex_offset))
         qm_levels = frame_qm_levels(cfg, qindex, plane_dq[2], plane_dq[4])
+        if cfg.lossless:
+            # lossless (EbSvtAv1Enc.h:940): CodedLossless requires qindex 0
+            # with zero dc/ac delta_q in every plane and no per-SB deltas
+            # (spec coded_lossless); the intra walk's WHT-4x4 path engages
+            # at qindex 0 (intra_encoder._encode_block_lossless)
+            qindex = 0
+            sb_qindex_map = None
+            seg_params = sb_seg_map = None
+            chroma_delta = 0
+            plane_dq = (0, 0, 0, 0, 0)
+            qm_levels = None
         common = dict(bd=cfg.input_depth, monochrome=self._seq.monochrome,
                       sharpness=cfg.sharpness, sb_qindex_map=sb_qindex_map,
                       qm_levels=qm_levels, psy_rd=cfg.psy_rd,
@@ -1136,6 +1150,22 @@ class Encoder:
         if not hasattr(self, "_ref_me_cache"):
             self._ref_me_cache = {}
         inter_shared = {"ref_cache": self._ref_me_cache}
+        import os as _os
+
+        from .codec import mc_native as _mc_native
+
+        if self._use_device_me and (_os.environ.get("SVT_TPU_CLOSED_DECIDE")
+                                    or not _mc_native.available()):
+            # frames whose open-loop device rows are not trusted run the
+            # device ladder CLOSED-loop (recon refs) instead of the native
+            # decide (inter_encoder._closed_device_rows). Default only
+            # when the native kernel is absent: measured at 480p p6 x33 it
+            # recovers +1.0 dB of the open-loop gap (27.29 -> 28.29) but
+            # still trails the native closed-loop decide (28.94), so with
+            # the C library present the hybrid keeps native for referenced
+            # frames. (A device-partition/native-leaves split was also
+            # measured and rejected: -1.85 dB at 480p.)
+            inter_shared["closed_device_decide"] = True
         if prefetch is not None and self._me_pipe is not None and not is_key:
             # always fetch (drains the pipeline's result slot), then gate:
             # at quality presets the device rows are the decision source
@@ -1241,11 +1271,16 @@ class Encoder:
 
         def make_enc():
             if is_key:
+                kw = dict(common)
+                if cfg.lossless:
+                    from .codec.constants import BlockSize as _BS
+
+                    kw["target_bsize"] = _BS.BLOCK_8X8
                 e = IntraFrameEncoder(
                     cfg.width, cfg.height, qindex, decisions=decisions,
                     filter_intra_search=self._pc.filter_intra_search,
                     cfl_search=self._pc.cfl_search, allow_intrabc=allow_ibc,
-                    **common)
+                    **kw)
                 e.sr_denom = sr_denom   # LR unit mapping scales with superres
                 return e
             from .codec.inter_encoder import InterFrameEncoder
@@ -1281,8 +1316,9 @@ class Encoder:
         def run_filters(enc):
             """DLF + CDEF on the encoder's recon; returns the post-DLF copy
             (LR boundary source) and the cdef parameters used."""
-            if allow_ibc:
-                # intrabc frames: loop filters are normatively disabled
+            if allow_ibc or qindex == 0:
+                # intrabc / CodedLossless frames: loop filters are
+                # normatively disabled (spec 5.9.11 / coded_lossless)
                 return ([ps.recon.copy() for ps in enc.planes],
                         0, 0, (0, 0), (0, 0), 3)
             lvl_y = lvl_uv = 0
@@ -1345,7 +1381,7 @@ class Encoder:
         if sr_denom > 8:
             up_final = upscale_all([ps.recon for ps in enc.planes])
         lr_types = (0, 0, 0)
-        if self._seq.enable_restoration and not allow_ibc:
+        if self._seq.enable_restoration and not allow_ibc and qindex > 0:
             from .codec.restoration import RESTORE_NONE, apply_restoration, pick_lr
 
             # LR operates on the (upscaled, full-width) frame (spec order:

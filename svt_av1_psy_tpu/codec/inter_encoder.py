@@ -329,6 +329,39 @@ class InterFrameEncoder(IntraFrameEncoder):
                 walk(mi_row, mi_col, BlockSize.BLOCK_64X64)
         return out
 
+    def _closed_device_rows(self):
+        """CLOSED-LOOP device decide: the same staged TPU search the
+        pipeline runs open-loop (ops/inter_search), but against this
+        frame's actual reconstructed references — the open-loop rows'
+        one quality gap on long pyramid intervals (source-ref costs
+        cannot model recon noise; tools/ab_search.py measured -1.4 dB at
+        interval 16). Synchronous: recon only exists at commit time, so
+        this search cannot be prefetched; it replaces the native decide
+        for the covered (square/rect, grid-aligned) jobs."""
+        from ..ops.inter_search import search_frame_np
+        from ..profiling import stage
+        from .rd import lambda_sse_per_bit
+
+        try:
+            with stage("device:inter_search"):
+                h, w = self.h, self.w
+                src = np.asarray(self.src[0])[:h, :w]
+                ref_l = np.asarray(self.me[LAST_FRAME].ref)[:h, :w]
+                ref_a = (np.asarray(self.me[self.ref2].ref)[:h, :w]
+                         if self.ref2 is not None else None)
+                lam = 0.35 * float(lambda_sse_per_bit(self.qindex, self.bd,
+                                                      "p"))
+                return search_frame_np(
+                    src, ref_l, ref_a, self.gm_mv, lam,
+                    float(self.psy_rd), float(self.inter_bias_pct),
+                    self.bd, depths=self.inter_depths,
+                    rect=self.inter_rect)
+        except Exception:
+            from ..log import svt_warn
+
+            svt_warn("closed-loop device decide unavailable; native")
+            return None
+
     def _decide_jobs(self, jobs):
         """Decision rows + costs for (r, c, W, H) candidate jobs, from the
         prefetched device search where it covers the block (square,
@@ -336,6 +369,8 @@ class InterFrameEncoder(IntraFrameEncoder):
         the rest (forced odd-size edge leaves). Returns (res, costj) dicts
         keyed by (r, c, W, H), or None when no backend is available."""
         dr = self.shared.get("device_rows")
+        if dr is None and self.shared.get("closed_device_decide"):
+            dr = self._closed_device_rows()
         res, costj = {}, {}
         native_jobs = []
         if dr is not None:

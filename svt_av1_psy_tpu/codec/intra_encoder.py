@@ -168,6 +168,10 @@ class IntraFrameEncoder:
         # (32x32 default: full coefficient coverage; TX_64 codes only the
         # low-frequency 32x32 region). TX_MODE_LARGEST, so tx == block.
         self.target_bsize = BlockSize(target_bsize)
+        # lossless coding (qindex 0): TxMode is ONLY_4X4 and every 4x4
+        # transform is the WHT (spec 7.13.3); blocks code as 8x8 leaves
+        # with four 4x4 luma txbs (EbSvtAv1Enc.h:940 --lossless)
+        self.lossless = qindex == 0
         self.w, self.h = width, height
         self.bd = bd
         self.mono = monochrome
@@ -657,6 +661,8 @@ class IntraFrameEncoder:
 
     # ------------------------------------------------------------- block
     def _encode_block(self, mi_row, mi_col, bsize):
+        if self.lossless:
+            return self._encode_block_lossless(mi_row, mi_col, bsize)
         W, H = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
         x0, y0 = mi_col * 4, mi_row * 4
         bw4, bh4 = W >> 2, H >> 2
@@ -935,6 +941,138 @@ class IntraFrameEncoder:
                 for rr in range(mi_row, r1):
                     for cc in range(mi_col, c1):
                         self.pal_colors[(rr, cc)] = cols_t
+
+    def _encode_block_lossless(self, mi_row, mi_col, bsize):
+        """Lossless 8x8 block: per-4x4-txb intra prediction + forward WHT
+        + qindex-0 quantize (step 4 on coefficients scaled by 4 — exact)
+        + inverse WHT recon. The decoder's recon equals the source
+        exactly, so prediction from recon neighbors is prediction from
+        source (spec 7.13.3 WHT; TxMode ONLY_4X4 at CodedLossless).
+        Reference: EbSvtAv1Enc.h:940 --lossless."""
+        from .transforms import fwht4x4, iwht4x4_add
+
+        W, H = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+        # leaves are 8x8 except frame-edge nodes the partition walk forces
+        # to HORZ/VERT rects; every leaf tiles exactly with 4x4 txbs
+        x0, y0 = mi_col * 4, mi_row * 4
+        bw4, bh4 = W >> 2, H >> 2
+        seg = self._block_segment(mi_row, mi_col)
+
+        # ---- luma mode decision on the whole block (rate matters, not
+        # distortion — recon is exact either way; fewer residual bits win)
+        above_buf, left_buf, have_a, have_l = self._gather_neighbors(
+            0, x0, y0, W, H)
+        src = self.src[0][y0 : y0 + H, x0 : x0 + W]
+        safe = (PredictionMode.DC_PRED, PredictionMode.V_PRED,
+                PredictionMode.H_PRED, PredictionMode.SMOOTH_PRED,
+                PredictionMode.PAETH_PRED)
+        best_mode, best_cost = PredictionMode.DC_PRED, None
+        for mode in safe:
+            pred = self._predict(int(mode), above_buf, left_buf,
+                                 have_a, have_l, W, H)
+            cost = int(np.abs(src.astype(np.int64) - pred).sum())
+            if best_cost is None or cost < best_cost:
+                best_mode, best_cost = mode, cost
+        y_mode = best_mode
+
+        scan = self.tables.scan(0, 0)           # TX_4X4, DCT_DCT
+
+        def code_txb(plane, px, py, mode):
+            """Predict/transform/quantize ONE 4x4 txb; recon immediately
+            (later txbs of this block predict from it). Txbs entirely
+            beyond the mi-aligned plane extent are not coded (spec
+            residual(): transform blocks outside the frame are skipped)."""
+            ps_ = self.planes[plane]
+            if px >= ps_.width or py >= ps_.height:
+                return None
+            pa, pl, ha, hl = self._gather_neighbors(plane, px, py, 4, 4)
+            pred = self._predict(int(mode), pa, pl, ha, hl, 4, 4)
+            psrc = self.src[plane][py : py + 4, px : px + 4]
+            resid = psrc.astype(np.int32) - pred.astype(np.int32)
+            co = fwht4x4(resid[None])[0]
+            qc, dqc, eob = quantize_b(co.reshape(1, -1), scan,
+                                      self.quant[plane], 0)
+            recon = iwht4x4_add(dqc.reshape(1, 4, 4),
+                                pred[None].astype(np.uint16), self.bd)[0]
+            ps = self.planes[plane]
+            wr = min(4, ps.width - px)
+            hr = min(4, ps.height - py)
+            ps.recon[py : py + hr, px : px + wr] = recon[:hr, :wr]
+            self.decoded[plane][py >> 2, px >> 2] = True
+            return (plane, px, py, qc[0], int(eob[0]))
+
+        results = []
+        for ty in range(0, H, 4):               # luma txbs, raster
+            for tx in range(0, W, 4):
+                got = code_txb(0, x0 + tx, y0 + ty, y_mode)
+                if got is not None:
+                    results.append(got)
+        has_uv = not self.mono
+        uv_mode = UVPredictionMode.UV_DC_PRED
+        if has_uv:
+            cx, cy = x0 >> 1, y0 >> 1
+            cw, ch = W >> 1, H >> 1
+            for plane in (1, 2):                # u txbs raster, then v
+                for ty in range(0, ch, 4):
+                    for tx in range(0, cw, 4):
+                        got = code_txb(plane, cx + tx, cy + ty, 0)
+                        if got is not None:
+                            results.append(got)
+
+        skip = all(r[4] == 0 for r in results)
+
+        # ---- syntax (same order as _encode_block; no palette/fi/IBC/
+        # delta-q surfaces in a lossless session, no tx_type at qindex 0)
+        self._write_skip(mi_row, mi_col, skip)
+        self._write_segment_id(mi_row, mi_col, bsize, seg, skip)
+        self._write_y_mode_kf(mi_row, mi_col, bsize, y_mode)
+        if has_uv:
+            # lossless CFL rule (is_cfl_allowed): CfL is available only
+            # when the chroma plane block equals the 4x4 transform — NOT
+            # the normal <=32x32 rule (that mismatch desyncs the forced
+            # rect edge leaves: 16x32/32x16 code uv with 13 symbols here)
+            cfl_allowed = W <= 8 and H <= 8
+            self.fc.write(self.enc, "uv_mode",
+                          (int(cfl_allowed), int(y_mode)),
+                          int(uv_mode), 14 if cfl_allowed else 13)
+        if (self.enable_filter_intra and max(W, H) <= 32
+                and int(y_mode) == int(PredictionMode.DC_PRED)):
+            # seq enable_filter_intra: eligible DC blocks (spec 5.11.10:
+            # max dim <= 32) must code the flag even though the lossless
+            # walk never uses the tool
+            self.fc.write(self.enc, "filter_intra", (int(bsize),), 0, 2)
+
+        # ---- coefficients per txb + per-unit context/filter-map updates
+        for plane, px, py, qc, eob in results:
+            ps = self.planes[plane]
+            xu, yu = px >> 2, py >> 2
+            if not skip:
+                plane_type = int(plane > 0)
+                # chroma ctx offset 10 when the chroma block exceeds the
+                # 4x4 tx (forced rect edge leaves > 8x8)
+                txb_skip_ctx, dc_sign_ctx = get_txb_ctx(
+                    plane_type, 0,
+                    ps.above_ctx[xu : xu + 1], ps.left_ctx[yu : yu + 1],
+                    False, plane_type == 1 and (W > 8 or H > 8))
+                writer = (write_coeffs_txb_native if self.use_native_ec
+                          else write_coeffs_txb)
+                cul = writer(self.fc, self.enc, qc, eob, 0, 0, plane_type,
+                             txb_skip_ctx, dc_sign_ctx, tx_type_writer=None)
+            else:
+                cul = 0
+            ps.above_ctx[xu] = cul
+            ps.left_ctx[yu] = cul
+            m = self.dlf_maps[plane]
+            m.txw[yu, xu] = 4
+            m.txh[yu, xu] = 4
+            m.skip[yu, xu] = skip
+            m.bedge_v[yu, xu] = True
+            m.bedge_h[yu, xu] = True
+
+        r1 = min(mi_row + bh4, self.mi_rows)
+        c1 = min(mi_col + bw4, self.mi_cols)
+        self.mi_mode[mi_row:r1, mi_col:c1] = int(y_mode)
+        self.mi_skip[mi_row:r1, mi_col:c1] = int(skip)
 
     # per-directional-mode edge unit vectors (mode angle degrees)
     _DIR_MODES = (PredictionMode.V_PRED, PredictionMode.H_PRED, PredictionMode.D45_PRED,

@@ -473,3 +473,65 @@ def tx_types_for_size(tx_size: int, intra: bool = True):
         if ok:
             out.append(TxType(tt))
     return out
+
+
+# ------------------------------------------------- lossless WHT (4x4)
+
+def _wht_lift(a, b, c, d):
+    """Shared integer lifting butterfly (spec 7.13.3 inverse WHT body;
+    the forward runs the same lifting on the residual, av1 fwht4x4)."""
+    a = a + b
+    d = d - c
+    e = (a - d) >> 1
+    b = e - b
+    c = e - c
+    a = a - c
+    d = d + b
+    return a, b, c, d
+
+
+def fwht4x4(residual: np.ndarray) -> np.ndarray:
+    """Forward Walsh-Hadamard 4x4 for lossless coding (av1 fwht4x4 /
+    spec 7.13.3 inverse-WHT counterpart): residual (B, 4, 4) int ->
+    coefficients (B, 4, 4) int32, scaled by 4 (UNIT_QUANT_FACTOR) so the
+    qindex-0 quantizer step of 4 round-trips exactly."""
+    x = residual.astype(np.int64)
+    # pass 1: columns (in0..in3 = rows of the column)
+    a, b, c, d = x[:, 0, :], x[:, 1, :], x[:, 2, :], x[:, 3, :]
+    a, b, c, d = _wht_lift(a, b, c, d)
+    # output order a, c, d, b (matches the inverse's a,c,d,b read order)
+    y = np.stack([a, c, d, b], axis=1)
+    # pass 2: rows
+    a, b, c, d = y[:, :, 0], y[:, :, 1], y[:, :, 2], y[:, :, 3]
+    a, b, c, d = _wht_lift(a, b, c, d)
+    out = np.stack([a, c, d, b], axis=2)
+    return (out << 2).astype(np.int32)
+
+
+def iwht4x4_add(coeffs: np.ndarray, pred: np.ndarray, bd: int = 8) -> np.ndarray:
+    """Inverse WHT + add + clip (spec 7.13.3, av1 iwht4x4_16_add):
+    coeffs (B, 4, 4) int32 (quantizer output, multiples of 4),
+    pred (B, 4, 4) uint16 -> recon (B, 4, 4) uint16."""
+    x = coeffs.astype(np.int64) >> 2                  # UNIT_QUANT_SHIFT
+    # pass 1: rows, reading [a, c, d, b]
+    a, c, d, b = x[:, :, 0], x[:, :, 1], x[:, :, 2], x[:, :, 3]
+    a = a + c
+    d = d - b
+    e = (a - d) >> 1
+    b = e - b
+    c = e - c
+    a = a - b
+    d = d + c
+    y = np.stack([a, b, c, d], axis=2)
+    # pass 2: columns
+    a, c, d, b = y[:, 0, :], y[:, 1, :], y[:, 2, :], y[:, 3, :]
+    a = a + c
+    d = d - b
+    e = (a - d) >> 1
+    b = e - b
+    c = e - c
+    a = a - b
+    d = d + c
+    res = np.stack([a, b, c, d], axis=1)
+    out = pred.astype(np.int64) + res
+    return np.clip(out, 0, (1 << bd) - 1).astype(np.uint16)

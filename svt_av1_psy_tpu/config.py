@@ -602,8 +602,18 @@ def verify_settings(cfg: EncoderConfig) -> EncoderConfig:
     # swallowing these would misreport parity
     _check(0 <= cfg.luminance_qp_bias <= 100,
            "luminance-qp-bias out of range [0, 100]")
-    _check(not cfg.lossless,
-           "lossless coding (WHT 4x4 path) is not implemented yet")
+    if cfg.lossless:
+        # lossless = qindex-0 WHT-4x4 all-intra coding (EbSvtAv1Enc.h:940);
+        # rate-controlled / inter / scaled / grained sessions cannot be
+        # CodedLossless (spec coded_lossless requires qindex 0 everywhere)
+        _check(cfg.rate_control_mode in (0, RateControlMode.CRF_CQP),
+               "lossless requires CRF/CQP mode")
+        _check(cfg.avif or cfg.intra_period_length in (-1, 0),
+               "lossless requires intra-only (--keyint 0)")
+        _check(int(cfg.superres_mode) == 0,
+               "lossless cannot combine with super-resolution")
+        _check(not cfg.film_grain_denoise_strength,
+               "lossless cannot combine with film-grain denoising")
     _check(-1 <= cfg.palette_level <= 6, "palette_level out of range [-1, 6]")
     _check(-1 <= cfg.intrabc_mode <= 3, "intrabc_mode out of range [-1, 3]")
     _check(int(cfg.superres_mode) in (0, 1, 2, 3, 4),
