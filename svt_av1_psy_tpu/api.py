@@ -1299,6 +1299,7 @@ class Encoder:
                 gm_wm=gm_wm,
                 inter_bias_pct=inter_bias_pct,
                 inter_tx_search=len(self._pc.tx_search_depths) > 0,
+                tx_size_search=self._pc.tx_size_search,
                 motion_mode_switchable=mm_switchable,
                 enable_interintra=self._seq.enable_interintra_compound,
                 enable_masked_compound=self._seq.enable_masked_compound,
@@ -1443,6 +1444,7 @@ class Encoder:
             # decorrelate grain across frames (each frame re-codes its seed)
             fg.random_seed = (fg.random_seed + 3248 * self._frame_count) & 0xFFFF
         fp = FrameParams(base_q_idx=qindex, delta_q_present=sb_qindex_map is not None,
+                         tx_mode_select=getattr(enc, "tx_mode_select", False),
                          allow_screen_content_tools=getattr(self, "_allow_sct", False),
                          y_dc_delta_q=plane_dq[0],
                          u_dc_delta_q=plane_dq[1], u_ac_delta_q=plane_dq[2],

@@ -139,6 +139,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  inter_tx_search=False, golden_const=None,
                  motion_mode_switchable=False, enable_interintra=False,
                  enable_masked_compound=False, rdoq_fast=False,
+                 tx_size_search=False,
                  seed_grid=None, switchable_filters=False,
                  device_commit=None, sign_bias=None,
                  skip_mode_present=False, skip_mode_pair=None,
@@ -175,6 +176,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.switchable_filters = bool(switchable_filters)
         self.leaf_geom = {}     # (mi_row, mi_col) -> (W, H) of decided leaves
         self.inter_txt = {}     # (mi_row, mi_col) -> luma TxType
+        # TX-size search: one-depth var-tx splits (TX_MODE_SELECT)
+        self.tx_size_search = bool(tx_size_search)
+        self.inter_txsplit = {}  # (mi_row, mi_col) -> True (split leaf)
+        self.tx_mode_select = False
         # device residual commit (ops/commit.py): None = auto (on when an
         # accelerator is attached), True/False forces
         self.device_commit = device_commit
@@ -555,6 +560,18 @@ class InterFrameEncoder(IntraFrameEncoder):
         re-architected as batch-then-walk)."""
         self._pre_walk_decide()
         self._feature_pre_search()
+        if self.inter_txsplit:
+            # var-tx split coding lives only in the C walk; the Python
+            # fallback codes TX_MODE_LARGEST, so the frame header must
+            # agree with whichever walk will actually run (eligibility is
+            # final only after the feature pre-pass sets self.feat)
+            from . import walk_native
+
+            if not walk_native.eligible(self):
+                self.inter_txsplit = {}
+                self.tx_mode_select = False
+                self.shared["inter_txsplit"] = {}
+                self.shared["tx_mode_select"] = False
         self._device_commit()
 
     def _feature_pre_search(self):
@@ -639,6 +656,8 @@ class InterFrameEncoder(IntraFrameEncoder):
         if self.inter_dec is not None:
             self.decisions = self.shared.get("inter_decisions")
             self.inter_txt = self.shared.get("inter_txt", {})
+            self.inter_txsplit = self.shared.get("inter_txsplit", {})
+            self.tx_mode_select = self.shared.get("tx_mode_select", False)
             return
         have_dev = self.shared.get("device_rows") is not None
         if not mc_native.available() and not have_dev:
@@ -954,18 +973,23 @@ class InterFrameEncoder(IntraFrameEncoder):
             if W != H or W > 32:       # square 8/16/32 (prebuilt C tables)
                 continue
             groups.setdefault(W, []).append((r, c, d))
+        # TX-SIZE search (perform_tx_partitioning, product_coding_loop.c
+        # :5307, Docs/Appendix-TX-Search.md): also price each leaf's
+        # one-depth var-tx split; splits engage TX_MODE_SELECT and the C
+        # walk codes the txfm_partition tree. Gated off under an explicit
+        # device commit (prefilled leaves quantize at the block tx).
+        do_split = (self.tx_size_search and self.device_commit is not True
+                    and self.qindex > 0 and self.gm_wm is None
+                    and self.use_native_ec)
         mid = 1 << 12   # signed-residual bias for inverse_transform_add
-        for W, items in groups.items():
+
+        def tx_costs(resids, W, extra_bits):
+            """(len(cands), n) RD costs at the W-square tx; resids
+            (n, W, W)."""
             tx = int(MAX_TX_RECT[_BSIZE_BY_WH[(W, W)]])
             eset = inter_ext_tx_set(tx)
             cands = (0, 9) if eset == 3 else INTER_TX_CANDS
-            n = len(items)
-            resids = np.empty((n, W, W), np.int32)
-            for k, (r, c, d) in enumerate(items):
-                pred = self._leaf_pred_luma(r, c, W, W, d)
-                x0, y0 = c * 4, r * 4
-                src = self.src[0][y0 : y0 + W, x0 : x0 + W]
-                resids[k] = src.astype(np.int32) - pred.astype(np.int32)
+            n = len(resids)
             costs = np.empty((len(cands), n), np.float64)
             for ci, tt in enumerate(cands):
                 co = forward_transform_2d(resids.astype(np.int32), tx, tt,
@@ -986,13 +1010,45 @@ class InterFrameEncoder(IntraFrameEncoder):
                 bits = ((aq > 0).sum(axis=1) * 2.0
                         + np.log2(aq.astype(np.float64) + 1).sum(axis=1))
                 bits += (eob > 0) * 4.0 + (2.0 if tt != 0 else 0.0)
-                costs[ci] = dist + lam * bits
-            best = np.argmin(costs, axis=0)
+                costs[ci] = dist + lam * (bits + extra_bits)
+            return cands, costs
+
+        for W, items in groups.items():
+            n = len(items)
+            resids = np.empty((n, W, W), np.int32)
             for k, (r, c, d) in enumerate(items):
+                pred = self._leaf_pred_luma(r, c, W, W, d)
+                x0, y0 = c * 4, r * 4
+                src = self.src[0][y0 : y0 + W, x0 : x0 + W]
+                resids[k] = src.astype(np.int32) - pred.astype(np.int32)
+            cands, costs = tx_costs(resids, W, 0.0)
+            best = np.argmin(costs, axis=0)
+            full_cost = costs[best, np.arange(n)]
+            split_tt = split_cost = None
+            if do_split and W >= 8:
+                h = W >> 1
+                quads = (resids.reshape(n, 2, h, 2, h).swapaxes(2, 3)
+                         .reshape(n * 4, h, h))
+                scand, scosts = tx_costs(quads, h, 0.0)
+                per_blk = scosts.reshape(len(scand), n, 4).sum(axis=2)
+                # + partition flags (1 parent + 4 child txfm_split bits)
+                per_blk += lam * 5.0
+                sbest = np.argmin(per_blk, axis=0)
+                split_cost = per_blk[sbest, np.arange(n)]
+                split_tt = [int(scand[i]) for i in sbest]
+            for k, (r, c, d) in enumerate(items):
+                if split_cost is not None and split_cost[k] < full_cost[k]:
+                    self.inter_txsplit[(r, c)] = True
+                    if split_tt[k]:
+                        self.inter_txt[(r, c)] = split_tt[k]
+                    continue
                 tt = int(cands[int(best[k])])
                 if tt:
                     self.inter_txt[(r, c)] = tt
+        self.tx_mode_select = bool(self.inter_txsplit)
         self.shared["inter_txt"] = self.inter_txt
+        self.shared["inter_txsplit"] = self.inter_txsplit
+        self.shared["tx_mode_select"] = self.tx_mode_select
 
     def _obmc_eligible(self, mi_row, mi_col, W, H, y_mode, ref_sel, is_comp):
         """motion_mode_allowed == OBMC_CAUSAL (entropy_coding.c:1234):

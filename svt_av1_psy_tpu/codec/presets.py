@@ -35,6 +35,9 @@ class PresetConfig:
                                  # (rdoq_ctrls eob_fast analog)
     inter_rect: bool = False     # PARTITION_HORZ/VERT candidates in the
                                  # inter DP (product_coding_loop.c:9791)
+    tx_size_search: bool = False  # one-depth var-tx split search on inter
+                                  # leaves (perform_tx_partitioning,
+                                  # product_coding_loop.c:5307)
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
@@ -84,4 +87,8 @@ def preset_config(preset: int) -> PresetConfig:
                         # kernel (~3x the decide cost), so gated to the
                         # quality presets like the reference's rect
                         # partition leveling (enc_mode_config.c)
-                        inter_rect=p <= 6)
+                        inter_rect=p <= 6,
+                        # var-tx split search rides the existing TX-type
+                        # batch; quality presets only (tx_size_early_exit
+                        # leveling analog)
+                        tx_size_search=p <= 6)

@@ -118,6 +118,10 @@ class _CWalk(ctypes.Structure):
         ("cdf_obmc", _VP), ("cdf_comp_group_idx", _VP),
         ("cdf_compound_type", _VP), ("cdf_switchable_interp", _VP),
         ("psy_rd", ctypes.c_double),
+        # ---- TX size search extension (var-tx, TX_MODE_SELECT) ----
+        ("tx_mode_select", _I), ("d_txsplit", _VP),
+        ("txfm_above", _VP), ("txfm_left", _VP),
+        ("cdf_tx_size", _VP), ("cdf_txfm_partition", _VP),
     ]
 
 
@@ -548,6 +552,21 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
                 d_txt[r, c] = tt
             keep.append(d_txt)
             w.d_txt = _ptr(d_txt)
+        # TX-size search (var-tx): per-mi split map + txfm partition
+        # context rows (tile-reset to 64, the no-neighbor init)
+        w.tx_mode_select = int(getattr(enc, "tx_mode_select", False))
+        if w.tx_mode_select:
+            d_sp = np.zeros(shape, np.int8)
+            for (r, c) in getattr(enc, "inter_txsplit", {}):
+                d_sp[r, c] = 1
+            ta = np.full(enc.mi_cols, 64, np.uint8)
+            tl = np.full(enc.mi_rows, 64, np.uint8)
+            keep += [d_sp, ta, tl]
+            w.d_txsplit = _ptr(d_sp)
+            w.txfm_above, w.txfm_left = _ptr(ta), _ptr(tl)
+            t0 = enc.fc.tables
+            w.cdf_tx_size = _ptr(t0["tx_size"])
+            w.cdf_txfm_partition = _ptr(t0["txfm_partition"])
         for ri, rf in ((0, LAST_FRAME), (1, enc.ref2)):
             if rf is not None and rf in enc.refs:
                 for p in range(enc.nplanes):
@@ -752,6 +771,11 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
             # II needs walk-time recon neighbors and OBMC walk-order grid
             # state: those leaves compute in-walk, not in the precommit
             if feat is not None and (feat["ii"][r, c] or feat["mm"][r, c]):
+                continue
+            # var-tx split leaves quantize per CHILD tx inside the walk;
+            # the precommit's block-tx batch would use the child tx type
+            # at the parent size (possibly outside its set)
+            if (r, c) in getattr(enc, "inter_txsplit", {}):
                 continue
             rows.append((r, c, bs_by_wh[(W, H)]))
             ny = min(W, 32) * min(H, 32)

@@ -266,7 +266,19 @@ typedef struct {
     uint16_t *cdf_compound_type;     /* (22,3) */
     uint16_t *cdf_switchable_interp; /* (8,4) */
     double psy_rd;                   /* feature-search psy-rd strength */
+    /* ---- TX size search extension (TX_MODE_SELECT var-tx; reference:
+       perform_tx_partitioning, product_coding_loop.c:5307 +
+       Docs/Appendix-TX-Search.md) ---- */
+    int tx_mode_select;       /* frame header tx_mode == TX_MODE_SELECT */
+    const int8_t *d_txsplit;  /* per-mi: 1 = split this leaf's luma tx */
+    uint8_t *txfm_above;      /* per-mi-col tx-width bytes (tile-reset) */
+    uint8_t *txfm_left;       /* per-mi-row tx-height bytes */
+    uint16_t *cdf_tx_size;        /* (4,3,4): intra tx-depth symbol */
+    uint16_t *cdf_txfm_partition; /* (21,3): inter var-tx split flag */
 } Walk;
+
+/* Split_Tx_Size (spec 9.3): one var-tx / tx-depth step per tx size */
+static const uint8_t SUB_TX[19] = {0,0,1,2,3,0,0,1,1,2,2,3,3,5,6,7,8,9,10};
 
 static int bsize_of(int W, int H) {
     for (int b = 0; b < 22; b++)
@@ -480,6 +492,8 @@ static const int32_t *qp_row(const Walk *w, int sb_r, int sb_c, int plane) {
 typedef struct {
     int plane, px, py, pw, ph, tx_size, tx_type, eob;
     int pre;                   /* device-precomputed: qc/recon ready */
+    int sub;                   /* var-tx child: tx smaller than the block
+                                  (luma txb_skip ctx uses Skip_Contexts) */
     const int32_t *pre_qc_p;   /* packed device qcoeffs when pre */
     uint16_t pred[64 * 64];
     int32_t qc[32 * 32], dqc[32 * 32];
@@ -494,6 +508,7 @@ static void run_plane(Walk *w, PlaneRes *r, int sb_r, int sb_c) {
 static void run_plane_rdoq(Walk *w, PlaneRes *r, int sb_r, int sb_c, int rdoq) {
     long long wp_t0 = wp_now();
     r->pre = 0;
+    r->sub = 0;
     int cw = r->pw < 32 ? r->pw : 32, ch = r->ph < 32 ? r->ph : 32;
     int32_t resid[64 * 64];
     const uint16_t *src = w->src[r->plane];
@@ -665,6 +680,21 @@ static void code_residual_planes(Walk *w, PlaneRes *res, int nres, int skip,
             int plane_type = r->plane > 0;
             /* txb_skip_ctx: block matches tx -> 0 for luma; chroma base+7 */
             int txb_skip_ctx = 0;
+            if (!plane_type && r->sub) {
+                /* var-tx child: Skip_Contexts over the neighbor levels */
+                static const uint8_t SKIP_CTXS[5][5] = {
+                    {1, 2, 2, 2, 3}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 5},
+                    {1, 4, 4, 4, 5}, {1, 4, 4, 4, 6}};
+                int top = 0, lft = 0;
+                for (int k = 0; k < wu; k++) top |= actx[xu + k];
+                for (int k = 0; k < hu; k++) lft |= lctx[yu + k];
+                top &= COEFF_CTX_MASK;
+                lft &= COEFF_CTX_MASK;
+                int mx = (top | lft) < 4 ? (top | lft) : 4;
+                int mn = top < lft ? top : lft;
+                if (mn > 4) mn = 4;
+                txb_skip_ctx = SKIP_CTXS[mn][mx];
+            }
             int signs = 0;
             for (int k = 0; k < wu; k++) {
                 int s = actx[xu + k] >> COEFF_CTX_BITS;
@@ -712,6 +742,85 @@ static void code_residual_planes(Walk *w, PlaneRes *res, int nres, int skip,
         walk_prof_ns[3] += wp_now() - wp_t0;
         recon_plane_res(w, r, skip || r->eob == 0);
     }
+}
+
+/* ---------------------------------------------- TX size syntax (var-tx) */
+static void txfm_set_span(Walk *w, int mi_row, int mi_col, int bw4, int bh4,
+                          int txw, int txh) {
+    for (int i = 0; i < bw4 && mi_col + i < w->mi_cols; i++)
+        w->txfm_above[mi_col + i] = (uint8_t)txw;
+    for (int i = 0; i < bh4 && mi_row + i < w->mi_rows; i++)
+        w->txfm_left[mi_row + i] = (uint8_t)txh;
+}
+
+static int txfm_part_ctx(Walk *w, int mi_row, int mi_col, int W, int H,
+                         int tx_size) {
+    /* txfm_partition_context: above/left tx dims vs this tx + a category
+       from the block's square-up max tx */
+    int above = w->txfm_above[mi_col] < TXW[tx_size];
+    int left = w->txfm_left[mi_row] < TXH[tx_size];
+    int maxd = W > H ? W : H;
+    int sq = maxd >= 64 ? 4 : maxd >= 32 ? 3 : maxd >= 16 ? 2 : 1;
+    /* category compares the tx's SQUARE-UP against the block's (rect
+       max-tx at depth 0 is the same category as its square: dav1d
+       cat = 2*(TX_64X64 - sqr_up(tx)) - depth) */
+    int category = (SQR_UP[tx_size] != sq && sq > 1) + (4 - sq) * 2;
+    return category * 3 + above + left;
+}
+
+static void write_vartx(Walk *w, int mi_row, int mi_col, int W, int H,
+                        int tx_size, int depth, int split) {
+    /* write_tx_size_vartx: one flag per unit; our decisions split one
+       depth only, so children always code flag 0 (MAX_VARTX_DEPTH = 2
+       never binds for the <= 64px units this walk codes) */
+    if (mi_row >= w->mi_rows || mi_col >= w->mi_cols) return;
+    int ctx = txfm_part_ctx(w, mi_row, mi_col, W, H, tx_size);
+    int tw4 = TXW[tx_size] >> 2, th4 = TXH[tx_size] >> 2;
+    if (!split) {
+        ec_symbol(w->enc, 0, w->cdf_txfm_partition + ctx * 3, 2, w->adapt);
+        txfm_set_span(w, mi_row, mi_col, tw4, th4,
+                      TXW[tx_size], TXH[tx_size]);
+        return;
+    }
+    ec_symbol(w->enc, 1, w->cdf_txfm_partition + ctx * 3, 2, w->adapt);
+    int stx = SUB_TX[tx_size];
+    if (stx == 0) {              /* TX_4X4 children: no further flags */
+        txfm_set_span(w, mi_row, mi_col, tw4, th4, 4, 4);
+        return;
+    }
+    int sw4 = TXW[stx] >> 2, sh4 = TXH[stx] >> 2;
+    for (int r = 0; r < th4; r += sh4)
+        for (int c = 0; c < tw4; c += sw4)
+            write_vartx(w, mi_row + r, mi_col + c, W, H, stx, depth + 1, 0);
+}
+
+static void write_intra_tx_size(Walk *w, int mi_row, int mi_col, int bsize) {
+    /* write_selected_tx_size: depth-0 symbol (the walk's intra blocks
+       keep the max rect tx; coded only because TX_MODE_SELECT is on) */
+    int maxtx = MAX_TX[bsize];
+    int chain = 0, t = maxtx;
+    while (t != 0) { chain++; t = SUB_TX[t]; }
+    int cat = chain - 1;
+    if (cat > 3) cat = 3;
+    int maxdepth = chain < 2 ? chain : 2;
+    int mtw = TXW[maxtx], mth = TXH[maxtx];
+    int have_a = mi_row > w->tile_r0, have_l = mi_col > w->tile_c0;
+    int above = w->txfm_above[mi_col] >= mtw;
+    int left = w->txfm_left[mi_row] >= mth;
+    if (have_a) {
+        int j = (mi_row - 1) * w->mi_cols + mi_col;
+        if (w->g_ref[j]) above = w->g_bw4[j] * 4 >= mtw;
+    }
+    if (have_l) {
+        int j = mi_row * w->mi_cols + mi_col - 1;
+        if (w->g_ref[j]) left = w->g_bh4[j] * 4 >= mth;
+    }
+    int ctx = (have_a && have_l) ? above + left
+              : (have_a ? above : (have_l ? left : 0));
+    ec_symbol(w->enc, 0, w->cdf_tx_size + (cat * 3 + ctx) * 4,
+              maxdepth + 1, w->adapt);
+    txfm_set_span(w, mi_row, mi_col, BW[bsize] >> 2, BH[bsize] >> 2,
+                  mtw, mth);
 }
 
 /* ------------------------------------------------------------- the block */
@@ -2251,6 +2360,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     int pslot = (w->pre_slot && use_inter) ? w->pre_slot[mi] - 1 : -1;
     if (pslot >= 0) {
         ry->pre = 1;
+        ry->sub = 0;
         ry->pre_qc_p = w->pre_qc + w->pre_off[pslot * 3];
         ry->eob = w->pre_eob[pslot * 3];
     } else if (use_inter) {
@@ -2277,6 +2387,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             r->tx_type = 0;      /* finalized after the luma quantize */
             if (pslot >= 0) {
                 r->pre = 1;
+                r->sub = 0;
                 r->pre_qc_p = w->pre_qc + w->pre_off[pslot * 3 + pl];
                 r->eob = w->pre_eob[pslot * 3 + pl];
                 continue;
@@ -2301,14 +2412,49 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         obmc_apply(w, mi_row, mi_col, W, H, preds);
     }
 
-    if (pslot < 0)
-        run_plane_rdoq(w, ry, sb_r, sb_c, w->rdoq_fast && use_inter);
+    /* var-tx: split this leaf's luma tx one depth when the pre-pass
+       search decided it (TX_MODE_SELECT; perform_tx_partitioning,
+       product_coding_loop.c:5307) */
+    int split = (w->tx_mode_select && use_inter && pslot < 0
+                 && w->qindex > 0 && w->d_txsplit && w->d_txsplit[mi]
+                 && ry->tx_size != 0);
+    PlaneRes kids[4];
+    int nkids = 0;
+    if (pslot < 0) {
+        if (!split) {
+            run_plane_rdoq(w, ry, sb_r, sb_c, w->rdoq_fast && use_inter);
+        } else {
+            int stx = SUB_TX[ry->tx_size];
+            int cw2 = TXW[stx], ch2 = TXH[stx];
+            for (int sy = 0; sy < H; sy += ch2)
+                for (int sx = 0; sx < W; sx += cw2) {
+                    if (x0 + sx >= w->pw[0] || y0 + sy >= w->ph[0])
+                        continue;   /* decoder skips out-of-frame txbs */
+                    PlaneRes *k = &kids[nkids++];
+                    k->plane = 0;
+                    k->px = x0 + sx; k->py = y0 + sy;
+                    k->pw = cw2; k->ph = ch2;
+                    k->tx_size = stx;
+                    k->tx_type = tt_y;
+                    for (int yy = 0; yy < ch2; yy++)
+                        memcpy(k->pred + yy * cw2,
+                               ry->pred + (sy + yy) * W + sx,
+                               cw2 * sizeof(uint16_t));
+                    run_plane_rdoq(w, k, sb_r, sb_c,
+                                   w->rdoq_fast && use_inter);
+                    k->sub = 1;
+                }
+            ry->eob = 0;   /* aggregate below; block-level res unused */
+        }
+    }
+    int luma_tl_eob = split ? kids[0].eob : res[0].eob;
     for (int i = 1; i < nres; i++) {
         PlaneRes *r = &res[i];
         /* inter chroma inherits the luma type when in the chroma tx
-           size's set (spec 5.11.40 compute_tx_type) */
+           size's set (spec 5.11.40 compute_tx_type; the co-located luma
+           4x4 is the block's top-left child) */
         int tt_uv = use_inter ? tt_y : 0;
-        if (res[0].eob == 0) tt_uv = 0;   /* luma eob 0: stored type DCT */
+        if (luma_tl_eob == 0) tt_uv = 0;  /* luma eob 0: stored type DCT */
         if (SQR_UP[r->tx_size] > 3) tt_uv = 0;
         else if (SQR_UP[r->tx_size] == 3 && tt_uv != 0 && tt_uv != 9)
             tt_uv = 0;
@@ -2318,7 +2464,16 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     }
 
     int skip = 1;
-    for (int i = 0; i < nres; i++) if (res[i].eob) skip = 0;
+    for (int i = split ? 1 : 0; i < nres; i++) if (res[i].eob) skip = 0;
+    for (int i = 0; i < nkids; i++) if (kids[i].eob) skip = 0;
+    if (split && skip) {
+        /* all-zero children == all-zero block: revert to depth 0 so the
+           DLF tx dims match the decoder's skip-inferred (max) tx */
+        split = 0;
+        ry->pre = 0;
+        ry->sub = 0;
+        ry->eob = 0;
+    }
 
     /* MV stack (needed for inter syntax only) */
     int st_r[10], st_c[10], st_w[10], nstack = 0, mode_ctx = 0, refmv_count = 0;
@@ -2356,6 +2511,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
        skip_mode bit replaces the whole block syntax.  Mirrors the Python
        walk's conversion bit-exactly. */
     if (w->skip_mode_present && W >= 8 && H >= 8 && skip && use_inter
+        && !split
         && w->skip_ref0 == 1 && w->skip_ref1 == w->ref2_const
         && !(is_comp && mode == 17)
         && ft.ii < 0 && !ft.mm && ft.ctype == 0) {
@@ -2551,8 +2707,25 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             ec_symbol(w->enc, 0, w->cdf_fi + bsize * 3, 2, w->adapt);
     }
 
+    /* ---- block tx size (read_block_tx_size; only under TX_MODE_SELECT) */
+    if (w->tx_mode_select) {
+        if (use_inter && !skip) {
+            write_vartx(w, mi_row, mi_col, W, H, ry->tx_size, 0, split);
+        } else if (use_inter) {
+            /* skip inter: no bits; ctx spans take the BLOCK dims */
+            txfm_set_span(w, mi_row, mi_col, bw4, bh4, W, H);
+        } else {
+            write_intra_tx_size(w, mi_row, mi_col, bsize);
+        }
+    }
+
     /* ---- coefficients + recon */
-    code_residual_planes(w, res, nres, skip, use_inter, mode);
+    if (split) {
+        code_residual_planes(w, kids, nkids, skip, use_inter, mode);
+        code_residual_planes(w, res + 1, nres - 1, skip, use_inter, mode);
+    } else {
+        code_residual_planes(w, res, nres, skip, use_inter, mode);
+    }
 
     /* ---- mi + MV-prediction grid state */
     int r1 = mi_row + bh4 < w->mi_rows ? mi_row + bh4 : w->mi_rows;
