@@ -700,6 +700,11 @@ class Encoder:
                 layer=depth,
                 dists=(idx - lo, (hi - idx) if hi is not None else 1),
                 tpl_r0=(tpl_r0 if depth == 0 else None),
+                # third reference: the GoP anchor (d0) as GOLDEN where it
+                # is not already LAST (7-ref roles, pd_process.c:1030)
+                golden=(recs[0] if lo > 0 else None),
+                golden_slot=(slots[0] if lo > 0 else None),
+                golden_dist=idx,
                 prefetch=pf.get(idx), disp=disp_base + idx - 1))
             slots[idx], recs[idx], disp[idx] = slot, r, rec
 
@@ -712,6 +717,9 @@ class Encoder:
                     last_slot=slots[lo], future_slot=slots[hi],
                     q_offset=OFF[4], update_last=False, dists=(1, 1),
                     layer=depth, prefetch=pf.get(lo + 1),
+                    golden=(recs[0] if lo > 0 else None),
+                    golden_slot=(slots[0] if lo > 0 else None),
+                    golden_dist=lo + 1,
                     disp=disp_base + lo))
                 return
             mid = (lo + hi) // 2
@@ -1230,6 +1238,9 @@ class Encoder:
             fs = gop.get("future_slot")
             if fs is not None:
                 idx[6] = int(fs)
+            gs = gop.get("golden_slot")
+            if gs is not None:
+                idx[3] = int(gs)       # GOLDEN = the GoP anchor's slot
             ref_idx_early = tuple(idx)
         else:
             ls = self._ipp_hist[-1][0] if self._ipp_hist else 0
@@ -1287,8 +1298,11 @@ class Encoder:
 
             return InterFrameEncoder(
                 cfg.width, cfg.height, qindex, last_planes, gm_mv=gm_mv,
-                golden_planes=(None if gop is not None else ipp_ref2_planes),
+                golden_planes=(gop.get("golden") if gop is not None
+                               else ipp_ref2_planes),
                 golden_const=(None if gop is not None else ipp_ref2_const),
+                ref3_dist=(int(gop.get("golden_dist") or 1)
+                           if gop is not None else 1),
                 future_planes=(gop.get("future") if gop is not None else None),
                 ref_distances=(gop.get("dists", (1, 1)) if gop is not None
                                else (1, ipp_ref2_dist)),
@@ -1490,6 +1504,9 @@ class Encoder:
                 if fs is not None:
                     idx[6] = int(fs)          # ALTREF
                     fp.reference_select = True
+                gs = gop.get("golden_slot")
+                if gs is not None:
+                    idx[3] = int(gs)          # GOLDEN = the GoP anchor
                 fp.ref_frame_idx = tuple(idx)
             else:
                 # DPB: LAST alternates slots 0/2 so the previous LAST stays

@@ -139,7 +139,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  inter_tx_search=False, golden_const=None,
                  motion_mode_switchable=False, enable_interintra=False,
                  enable_masked_compound=False, rdoq_fast=False,
-                 tx_size_search=False,
+                 tx_size_search=False, ref3_dist=1,
                  seed_grid=None, switchable_filters=False,
                  device_commit=None, sign_bias=None,
                  skip_mode_present=False, skip_mode_pair=None,
@@ -254,8 +254,16 @@ class InterFrameEncoder(IntraFrameEncoder):
         # or LAST2 (the caller picks via golden_const). One extra ref per
         # frame keeps the decide kernel's 2-ref shape.
         gconst = GOLDEN_FRAME if golden_const is None else int(golden_const)
+        self.ref3 = None
+        self.ref3_dist = int(max(1, ref3_dist))
         if future_planes is not None:
             _add_ref(ALTREF_FRAME, future_planes)
+            if golden_planes is not None:
+                # third reference (7-ref roles, pd_process.c:1030-1055):
+                # the GoP anchor rides as GOLDEN next to LAST+ALTREF; a
+                # post-decide rescue pass flips occluded blocks to it
+                _add_ref(GOLDEN_FRAME, golden_planes)
+                self.ref3 = GOLDEN_FRAME
         elif golden_planes is not None:
             _add_ref(gconst, golden_planes)
         self.ref2 = (ALTREF_FRAME if future_planes is not None
@@ -568,8 +576,14 @@ class InterFrameEncoder(IntraFrameEncoder):
             from . import walk_native
 
             if not walk_native.eligible(self):
+                # drop the split decisions AND their tx types: a split
+                # leaf's stored type is the CHILD's, which may be outside
+                # the parent tx size's set (e.g. ADST at 32x32)
+                for k in self.inter_txsplit:
+                    self.inter_txt.pop(k, None)
                 self.inter_txsplit = {}
                 self.tx_mode_select = False
+                self.shared["inter_txt"] = self.inter_txt
                 self.shared["inter_txsplit"] = {}
                 self.shared["tx_mode_select"] = False
         self._device_commit()
@@ -920,6 +934,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                 extract(r0, c0, 64)
 
         self._refine_fullpel(dec_map)
+        self._third_ref_rescue(dec_map, costj)
         dec_obj = IntraDecisions(parts=parts, modes={}, tx_types={},
                                  max_leaf=dmax, min_leaf=dmin, rect=rects)
         self.decisions = dec_obj
@@ -928,6 +943,57 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.shared["inter_dec"] = dec_map
         self.shared["inter_decisions"] = dec_obj
         return True
+
+    def _third_ref_rescue(self, dec_map, costj):
+        """7-ref increment (pd_process.c:1030-1055 roles): re-search
+        poorly-predicted leaves against the GoP anchor (GOLDEN) and flip
+        them when the closed-loop cost improves — the long-range past ref
+        rescues occlusions/uncovered background the (LAST, ALTREF)
+        interval pair cannot see."""
+        if self.ref3 is None or not mc_native.available():
+            return
+        cand = []
+        for (r, c), (w, h) in self.leaf_geom.items():
+            d = dec_map.get((r, c))
+            if d is None:
+                continue
+            cost = costj.get((r, c, w, h))
+            # rescue threshold: ~32 SSE/px (well-predicted blocks skip
+            # the second search; the kernel costs are SSE+psy domain)
+            if cost is not None and cost > float((w * h) << 5):
+                cand.append((r, c, w, h, float(cost)))
+        if not cand:
+            return
+        blocks = np.array([(c * 4, r * 4, w, h)
+                           for (r, c, w, h, _) in cand], np.int32)
+        me3 = self.me[self.ref3]
+        me = self.me[LAST_FRAME]
+        curq = me._cur_pyramid(self.src[0])
+        from .spec_tables import get_tables
+
+        filters4 = np.ascontiguousarray(
+            get_tables()._raw["interp_sub_pel_filters_4"], np.int32)
+        ref_pad3 = np.ascontiguousarray(self.refs[self.ref3][0], np.int32)
+        sr3 = int(np.clip(16 + 8 * self.ref3_dist, 16, 64))
+        from ..profiling import stage
+
+        with stage("host:inter_decide"):
+            rows = mc_native.inter_decide_frame(
+                self.src[0], me3.ref, me3.ref_q, curq, ref_pad3, self.pad,
+                None, me3._filters, filters4, self.bd, sr3, (0, 0),
+                float(self.psy_rd), blocks, ref2_gate=4,
+                search_range2=sr3, inter_bias_pct=self.inter_bias_pct,
+                tseed=None, ref_dists=(self.ref3_dist, self.ref3_dist))
+        if rows is None:
+            return
+        for (r, c, w, h, old), row in zip(cand, rows):
+            ui, md = int(row[0]), int(row[2])
+            # accept only clear wins (10% margin pays the ref-frame bits)
+            if ui != 1 or md not in (15, 16) or float(row[7]) >= 0.9 * old:
+                continue
+            # GLOBALMV on a non-LAST ref is identity (zero MV)
+            mv = (0, 0) if md == 15 else (int(row[3]), int(row[4]))
+            dec_map[(r, c)] = (1, self.ref3, md, mv[0], mv[1])
 
     def _leaf_pred_luma(self, r, c, W, H, d):
         """Luma prediction of a decided inter leaf (mirrors _encode_block's

@@ -122,6 +122,8 @@ class _CWalk(ctypes.Structure):
         ("tx_mode_select", _I), ("d_txsplit", _VP),
         ("txfm_above", _VP), ("txfm_left", _VP),
         ("cdf_tx_size", _VP), ("cdf_txfm_partition", _VP),
+        # ---- third reference extension (GOLDEN rescue) ----
+        ("refp3", _VP * 3), ("refp3_stride", _I * 3), ("ref3_const", _I),
     ]
 
 
@@ -574,6 +576,14 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
                     keep.append(arr)
                     w.refp[ri * 3 + p] = _ptr(arr)
                     w.refp_stride[ri * 3 + p] = arr.shape[1]
+        rf3 = getattr(enc, "ref3", None)
+        if rf3 is not None and rf3 in enc.refs:
+            w.ref3_const = int(rf3)
+            for p in range(enc.nplanes):
+                arr = np.ascontiguousarray(enc.refs[rf3][p], np.int32)
+                keep.append(arr)
+                w.refp3[p] = _ptr(arr)
+                w.refp3_stride[p] = arr.shape[1]
         w.pad = enc.pad
         f8 = enc.me[LAST_FRAME]._filters
         f4 = np.ascontiguousarray(

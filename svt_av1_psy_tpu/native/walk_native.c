@@ -275,6 +275,11 @@ typedef struct {
     uint8_t *txfm_left;       /* per-mi-row tx-height bytes */
     uint16_t *cdf_tx_size;        /* (4,3,4): intra tx-depth symbol */
     uint16_t *cdf_txfm_partition; /* (21,3): inter var-tx split flag */
+    /* ---- third reference extension (7-ref roles: GOLDEN rescue on
+       hierarchical GoPs; reference pd_process.c:1030-1055) ---- */
+    const int32_t *refp3[3];      /* padded GOLDEN planes (or NULL) */
+    int refp3_stride[3];
+    int ref3_const;               /* coded ref constant (4) or 0 */
 } Walk;
 
 /* Split_Tx_Size (spec 9.3): one var-tx / tx-depth step per tx size */
@@ -996,12 +1001,20 @@ static const int32_t *fkern4(const Walk *w, int filt) {
     return w->filters4;
 }
 
+static int ref_to_idx(const Walk *w, int ref) {
+    if (ref == 1) return 0;
+    if (w->ref3_const && ref == w->ref3_const) return 2;
+    return 1;
+}
+
 static void mc_pred_plane_f(const Walk *w, int ref_idx, int plane, int px,
                             int py, int pw_, int ph_, int mvr, int mvc,
                             int filt, uint16_t *out) {
     long long wp_t0 = wp_now();
-    const int32_t *ref = w->refp[ref_idx * 3 + plane];
-    int stride = w->refp_stride[ref_idx * 3 + plane];
+    const int32_t *ref = ref_idx == 2 ? w->refp3[plane]
+                                      : w->refp[ref_idx * 3 + plane];
+    int stride = ref_idx == 2 ? w->refp3_stride[plane]
+                              : w->refp_stride[ref_idx * 3 + plane];
     int ipy, ipx, fy, fx;
     if (plane == 0) {
         ipy = mvr >> 3; fy = (mvr & 7) << 1;
@@ -2188,7 +2201,7 @@ static void obmc_apply(const Walk *w, int mi_row, int mi_col, int W, int H,
         int ref = w->g_ref[idx];
         int nf = w->g_filt ? w->g_filt[idx] : 0;
         if (nf >= 3) nf = 0;
-        int ref_idx = ref == 1 ? 0 : 1;
+        int ref_idx = ref_to_idx(w, ref);
         for (int p = 0; p < w->nplanes; p++) {
             if (!preds[p]) continue;
             if (p > 0 && skip_ca) continue;
@@ -2219,7 +2232,7 @@ static void obmc_apply(const Walk *w, int mi_row, int mi_col, int W, int H,
         int ref = w->g_ref[idx];
         int nf = w->g_filt ? w->g_filt[idx] : 0;
         if (nf >= 3) nf = 0;
-        int ref_idx = ref == 1 ? 0 : 1;
+        int ref_idx = ref_to_idx(w, ref);
         for (int p = 0; p < w->nplanes; p++) {
             if (!preds[p]) continue;
             int ss = p ? 1 : 0;
@@ -2343,7 +2356,7 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     int is_comp = use_inter && mode >= 17;
     int mv2r = is_comp && w->d_mvr2 ? w->d_mvr2[mi] : 0;
     int mv2c = is_comp && w->d_mvc2 ? w->d_mvc2[mi] : 0;
-    int ref_idx = ref == 1 ? 0 : 1;
+    int ref_idx = ref_to_idx(w, ref);
     Feats ft = {0, 0, -1, -1, 0, 0, 0};
     if (use_inter) read_feats(w, mi, &ft);
 
@@ -2996,7 +3009,7 @@ void walk_precommit(Walk *w, const int32_t *leaves, int nl,
         jb->sb_r = mi_row >> 4;
         jb->sb_c = mi_col >> 4;
         jb->qc_off = qc_off;
-        jb->ref_idx = ref == 1 ? 0 : 1;
+        jb->ref_idx = ref_to_idx(w, ref);
         jb->is_comp = is_comp;
         jb->mvr = w->d_mvr[mi];
         jb->mvc = w->d_mvc[mi];
@@ -3163,7 +3176,7 @@ void walk_feature_search(Walk *w, const int32_t *leaves, int nl,
         int mvr = w->d_mvr[mi], mvc = w->d_mvc[mi];
         int mv2r = is_comp && w->d_mvr2 ? w->d_mvr2[mi] : 0;
         int mv2c = is_comp && w->d_mvc2 ? w->d_mvc2[mi] : 0;
-        int ref_idx = ref == 1 ? 0 : 1;
+        int ref_idx = ref_to_idx(w, ref);
 
         FsCost fc;
         fc.w = w; fc.W = W; fc.H = H;
