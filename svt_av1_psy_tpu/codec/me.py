@@ -3,7 +3,8 @@
 Reference analog: motion_estimation.c (hme_level_0/1/2 :820-1025,
 integer_search_b64 :1249, svt_aom_motion_estimation_b64 :3076) and the
 subpel refinement in mcomp.c. Batched over all blocks of a frame; the SAD
-grids are the device kernels in ops/analysis.py (numpy here, same math).
+grids run on device in ops/inter_search (_hme/_child_grids; numpy here,
+same math).
 
 MVs are in 1/8-pel units (AV1 MV precision), stored (row, col).
 """
@@ -33,7 +34,8 @@ def _sad_grid(cur: np.ndarray, ref: np.ndarray, cy: int, cx: int, rad: int,
               step: int = 1):
     """SAD of `cur` (h, w) against ref windows centered at (cy+dy, cx+dx),
     dy/dx in [-rad, rad]. C kernel with early-exit rows (the device analog
-    is ops/analysis.sad_grid). Returns (best_dy, best_dx, best_sad)."""
+    is ops/inter_search._hme's decimated SSD surface). Returns
+    (best_dy, best_dx, best_sad)."""
     h, w = cur.shape
     H, W = ref.shape
     y0 = max(cy - rad, 0)

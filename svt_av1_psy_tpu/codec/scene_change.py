@@ -5,7 +5,7 @@ The reference compares decimated-luma histogram/SAD statistics of
 consecutive pictures against the running average. This detector uses the
 same signals on the 1/4-res pyramid: mean-abs-diff of co-located blocks and
 luma histogram intersection; either firing strongly marks a scene cut.
-Batched (device analog: ops/analysis.sad_grid on the decimated pyramid).
+Batched (device analog: the decimated SSD surfaces in ops/inter_search).
 """
 
 from __future__ import annotations

@@ -4,7 +4,8 @@ Energy of a block = SA8D(block) - SAD(block)/4 (texture minus flat energy);
 psy distortion = sum over 8x8 (or 4x4 for thin blocks) tiles of
 |energy(source) - energy(recon)|, scaled by the psy-rd strength. Steers mode
 decision toward candidates that preserve source energy instead of blurring
-it. Batched over tiles (device analog: ops/analysis.satd8x8).
+it. Batched over tiles (device analog: ops/inter_search._tile_energy's
+Hadamard-matmul SA8D).
 """
 
 from __future__ import annotations
