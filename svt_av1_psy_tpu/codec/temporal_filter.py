@@ -117,8 +117,30 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8,
     n_preds_y, n_w = [], []
     n_preds_u, n_preds_v = [], []
     mono = cu is None
+    from . import mc_native as _mcn
+
+    use_subpel = _mcn.available()
     for ny, nu, nv in neighbors:
         me = MotionEstimator(np.asarray(ny), search_range=32)
+        ny_pad = (np.pad(np.asarray(ny), ((3, 4), (3, 4)), mode="edge")
+                  if use_subpel else None)
+
+        def nblk(by_, bx_, h_, w_, mv):
+            """Neighbor prediction at a 1/8-pel MV (subpel TF-ME,
+            temporal_filtering.c:1557-1568): integer part clamped
+            in-frame, fractional part through the normative 8-tap
+            convolve. Full-pel (or no native lib) is a plain copy."""
+            dy_, dx_ = mv[0] >> 3, mv[1] >> 3
+            sy_ = min(max(by_ + dy_, 0), H - h_)
+            sx_ = min(max(bx_ + dx_, 0), W - w_)
+            f8y, f8x = mv[0] & 7, mv[1] & 7
+            if use_subpel and (f8y or f8x):
+                patch = ny_pad[sy_ : sy_ + h_ + 7, sx_ : sx_ + w_ + 7]
+                blk_ = _mcn.convolve_block(patch, w_, h_, f8x << 1,
+                                           f8y << 1, bd=bd)
+                return blk_.astype(cy.dtype), sy_, sx_
+            return np.asarray(ny)[sy_ : sy_ + h_, sx_ : sx_ + w_], sy_, sx_
+
         pred_y = np.empty_like(cy)
         w_map = np.zeros(((H + _BLK - 1) // _BLK, (W + _BLK - 1) // _BLK), np.int32)
         mv_map = np.zeros(w_map.shape + (2,), np.int32)
@@ -127,11 +149,9 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8,
             for bx in range(0, W, _BLK):
                 h = min(_BLK, H - by)
                 w = min(_BLK, W - bx)
-                res = me.search_block(np.asarray(cy), bx, by, w, h, subpel=False)
-                dy, dx = res.mv[0] >> 3, res.mv[1] >> 3
-                sy = min(max(by + dy, 0), H - h)
-                sx = min(max(bx + dx, 0), W - w)
-                blk = np.asarray(ny)[sy : sy + h, sx : sx + w]
+                res = me.search_block(np.asarray(cy), bx, by, w, h,
+                                      subpel=use_subpel)
+                blk, sy, sx = nblk(by, bx, h, w, res.mv)
                 mse = float(np.mean((blk.astype(np.int64)
                                      - cy[by : by + h, bx : bx + w]) ** 2))
                 # 16x16 sub-block refinement when the whole-block match is
@@ -144,12 +164,9 @@ def temporal_filter(center, neighbors, strength: int, bd: int = 8,
                         for ox in (0, half):
                             r2 = me.search_block(np.asarray(cy), bx + ox,
                                                  by + oy, half, half,
-                                                 subpel=False)
-                            d2y, d2x = r2.mv[0] >> 3, r2.mv[1] >> 3
-                            s2y = min(max(by + oy + d2y, 0), H - half)
-                            s2x = min(max(bx + ox + d2x, 0), W - half)
-                            sb = np.asarray(ny)[s2y : s2y + half,
-                                                s2x : s2x + half]
+                                                 subpel=use_subpel)
+                            sb, _, _ = nblk(by + oy, bx + ox, half, half,
+                                            r2.mv)
                             blk[oy : oy + half, ox : ox + half] = sb
                             errs.append(np.mean(
                                 (sb.astype(np.int64)

@@ -43,7 +43,9 @@ def test_device_tf_denoises_and_tracks_host():
         return float(np.mean((a.astype(np.float64) - ref) ** 2))
 
     assert mse(fy_d) < 0.6 * mse(c[0])          # it denoises
-    assert mse(fy_d) < 1.25 * mse(fy_h)         # about as well as host
+    # host TF-ME now refines to subpel (temporal_filtering.c:1557 parity);
+    # the device pass is still full-pel, so allow it a wider band
+    assert mse(fy_d) < 1.4 * mse(fy_h)
     for d, h in ((fy_d, fy_h), (fu_d, fu_h), (fv_d, fv_h)):
         assert float(np.mean(np.abs(d.astype(int) - h.astype(int)))) < 4.0
 
