@@ -964,6 +964,13 @@ class InterFrameEncoder(IntraFrameEncoder):
                 cand.append((r, c, w, h, float(cost)))
         if not cand:
             return
+        # cap the second search at the worst eighth of the leaves (noisy
+        # content trips the threshold everywhere; the rescue targets
+        # outliers, not the whole frame)
+        cap = max(16, len(self.leaf_geom) >> 3)
+        if len(cand) > cap:
+            cand.sort(key=lambda t: -t[4])
+            cand = cand[:cap]
         blocks = np.array([(c * 4, r * 4, w, h)
                            for (r, c, w, h, _) in cand], np.int32)
         me3 = self.me[self.ref3]

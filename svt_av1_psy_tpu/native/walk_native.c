@@ -2481,11 +2481,15 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     for (int i = 0; i < nkids; i++) if (kids[i].eob) skip = 0;
     if (split && skip) {
         /* all-zero children == all-zero block: revert to depth 0 so the
-           DLF tx dims match the decoder's skip-inferred (max) tx */
+           DLF tx dims match the decoder's skip-inferred (max) tx. The
+           stored type is the CHILD's (possibly outside the parent tx
+           size's set); skip blocks are DCT (zero coeffs), so reset it. */
         split = 0;
         ry->pre = 0;
         ry->sub = 0;
         ry->eob = 0;
+        ry->tx_type = 0;
+        tt_y = 0;
     }
 
     /* MV stack (needed for inter syntax only) */

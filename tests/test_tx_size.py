@@ -43,6 +43,10 @@ def _encode(frames, u, v, W, H, force_splits=False, **cfg_kw):
                 g = self.leaf_geom.get((r, c))
                 if g:
                     self.inter_txsplit[(r, c)] = True
+                    if g[0] == g[1] and g[0] <= 32:
+                        # child-type leak repro (what the search stores)
+                        self.inter_txt[(r, c)] = 3  # ADST_ADST
+
             self.tx_mode_select = bool(self.inter_txsplit)
             self.shared["inter_txsplit"] = self.inter_txsplit
             self.shared["tx_mode_select"] = self.tx_mode_select
@@ -105,6 +109,31 @@ def test_natural_tx_search_conformant():
     frames, u, v = _clip(W, H, 4, seed=11)
     pkts, counts = _encode(frames, u, v, W, H,
                            hierarchical_levels=0, look_ahead_distance=0)
+    stream = b"".join(p.data for p in pkts)
+    disp = [p for p in pkts if p.recon is not None]
+    for i, p in enumerate(disp):
+        d = dav1d.decode_nth(stream, i, W, H)
+        assert all(np.array_equal(a, b) for a, b in zip(d, p.recon)), i
+
+
+@requires_dav1d
+def test_forced_splits_with_zero_children_revert():
+    """A split leaf whose children ALL quantize to zero reverts to a
+    depth-0 skip block; the revert must also reset the stored (child) tx
+    type — an ADST child type at a 32x32 parent has no transform table
+    and crashed the walk (caught on the 480p A/B clip at crf 25)."""
+    W, H = 128, 64
+    rng = np.random.default_rng(2)
+    base = (np.cumsum(rng.normal(0, 5, (H, W)), axis=1)
+            + 128).clip(0, 255).astype(np.uint8)
+    # near-static: children quantize to zero at high qp
+    frames = [np.clip(base.astype(np.int16) + i, 0, 255).astype(np.uint8)
+              for i in range(4)]
+    u = np.full((H // 2, W // 2), 120, np.uint8)
+    v = np.full((H // 2, W // 2), 132, np.uint8)
+    pkts, counts = _encode(frames, u, v, W, H, force_splits=True,
+                           hierarchical_levels=0, look_ahead_distance=0)
+    assert sum(counts) > 0
     stream = b"".join(p.data for p in pkts)
     disp = [p for p in pkts if p.recon is not None]
     for i, p in enumerate(disp):
