@@ -802,6 +802,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                                   + ncost(r + half, c + half, S2)
                                   + lam * float(rm.part_split_bits[BSL[S]]))
                 horz_cost = vert_cost = np.inf
+                ab_cost = [np.inf] * 4   # HORZ_A, HORZ_B, VERT_A, VERT_B
                 if self.inter_rect and S >= 16 and S <= dmax:
                     horz_cost = (costj[(r, c, S, S >> 1)]
                                  + costj[(r + half, c, S, S >> 1)]
@@ -811,6 +812,29 @@ class InterFrameEncoder(IntraFrameEncoder):
                                  + costj[(r, c + half, S >> 1, S)]
                                  + lam * (float(rm.part_vert_bits[BSL[S]])
                                           + 2 * LEAF_BITS))
+                    # AB partitions (product_coding_loop.c:9791): priced
+                    # from costs the job set already computed (quarter
+                    # squares + rect halves) - no extra native searches
+                    S2 = S >> 1
+
+                    def q(rr, cc):
+                        return costj.get((rr, cc, S2, S2))
+
+                    combos = (
+                        (q(r, c), q(r, c + half),
+                         costj.get((r + half, c, S, S2))),        # HORZ_A
+                        (costj.get((r, c, S, S2)),
+                         q(r + half, c), q(r + half, c + half)),  # HORZ_B
+                        (q(r, c), q(r + half, c),
+                         costj.get((r, c + half, S2, S))),        # VERT_A
+                        (costj.get((r, c, S2, S)),
+                         q(r, c + half), q(r + half, c + half)),  # VERT_B
+                    )
+                    for i, parts3 in enumerate(combos):
+                        if all(p is not None for p in parts3):
+                            ab_cost[i] = (float(sum(parts3))
+                                          + lam * (float(rm.part_split_bits[BSL[S]])
+                                                   + 3 * LEAF_BITS))
                 cost = none_cost
                 if split_cost < cost:
                     cost, split = split_cost, 1
@@ -818,6 +842,9 @@ class InterFrameEncoder(IntraFrameEncoder):
                     cost, split = horz_cost, 2
                 if vert_cost < cost:
                     cost, split = vert_cost, 3
+                for i, acst in enumerate(ab_cost):
+                    if acst < cost:
+                        cost, split = acst, 4 + i
             elif has_cols:
                 sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
                 w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
@@ -869,7 +896,27 @@ class InterFrameEncoder(IntraFrameEncoder):
             bsize = _BSIZE_BY_WH[(S, S)]
             if has_rows and has_cols:
                 part = memo[(r, c, S)][1] if S <= dmax else 1
-                if part >= 2:
+                if part >= 4:         # AB: two quarters + one rect half
+                    rects[S][(r * 4) // S, (c * 4) // S] = part
+                    S2 = S >> 1
+                    geoms3 = {
+                        4: (((r, c), S2, S2), ((r, c + half), S2, S2),
+                            ((r + half, c), S, S2)),
+                        5: (((r, c), S, S2), ((r + half, c), S2, S2),
+                            ((r + half, c + half), S2, S2)),
+                        6: (((r, c), S2, S2), ((r + half, c), S2, S2),
+                            ((r, c + half), S2, S)),
+                        7: (((r, c), S2, S), ((r, c + half), S2, S2),
+                            ((r + half, c + half), S2, S2)),
+                    }[part]
+                    for ((rr, cc), w_, h_) in geoms3:
+                        t = self._dec_from_row(res[(rr, cc, w_, h_)])
+                        if self.gm_wm is not None:
+                            t = self._warp_upgrade_dec(
+                                rr, cc, w_, h_, t, costj[(rr, cc, w_, h_)])
+                        dec_map[(rr, cc)] = t
+                        self.leaf_geom[(rr, cc)] = (w_, h_)
+                elif part >= 2:
                     rects[S][(r * 4) // S, (c * 4) // S] = part
                     if part == 2:     # HORZ: two SxS/2 leaves
                         geoms = ((r, c), (r + half, c))
@@ -1051,8 +1098,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         # one-depth var-tx split; splits engage TX_MODE_SELECT and the C
         # walk codes the txfm_partition tree. Gated off under an explicit
         # device commit (prefilled leaves quantize at the block tx).
+        # qindex gate: measured on the 480p p6 A/B clip, splits win at
+        # crf 25/35 (-0.6%/-0.2% bytes, +0.05 dB) but lose slightly at
+        # crf 45 (+0.6% bytes) - residuals coarse enough to quantize away
+        # rarely pay the partition-flag rate
         do_split = (self.tx_size_search and self.device_commit is not True
-                    and self.qindex > 0 and self.gm_wm is None
+                    and 0 < self.qindex <= 160 and self.gm_wm is None
                     and self.use_native_ec)
         mid = 1 << 12   # signed-residual bias for inverse_transform_add
 

@@ -103,9 +103,11 @@ def _partition_subsize(bsize: BlockSize, part: PartitionType) -> BlockSize:
         return bsize
     if part == PartitionType.PARTITION_SPLIT:
         return _BSIZE_BY_WH[(w // 2, h // 2)]
-    if part == PartitionType.PARTITION_HORZ:
+    if part in (PartitionType.PARTITION_HORZ, PartitionType.PARTITION_HORZ_A,
+                PartitionType.PARTITION_HORZ_B):
         return _BSIZE_BY_WH[(w, h // 2)]
-    if part == PartitionType.PARTITION_VERT:
+    if part in (PartitionType.PARTITION_VERT, PartitionType.PARTITION_VERT_A,
+                PartitionType.PARTITION_VERT_B):
         return _BSIZE_BY_WH[(w // 2, h)]
     raise ValueError(part)
 
@@ -597,6 +599,9 @@ class IntraFrameEncoder:
                     part = PartitionType.PARTITION_HORZ
                 elif rp == 3:
                     part = PartitionType.PARTITION_VERT
+                elif 4 <= rp <= 7:
+                    # AB partitions (product_coding_loop.c:9791 ladder)
+                    part = PartitionType(rp)
                 elif W > 8 and self.decisions.split(mi_row, mi_col, W):
                     part = PartitionType.PARTITION_SPLIT
                 else:
@@ -616,23 +621,61 @@ class IntraFrameEncoder:
             self._write_partition(mi_row, mi_col, bsize, part, has_rows, has_cols)
 
         subsize = _partition_subsize(bsize, part)
-        if part == PartitionType.PARTITION_NONE:
+        quarter = _partition_subsize(bsize, PartitionType.PARTITION_SPLIT)
+        PT = PartitionType
+        if part == PT.PARTITION_NONE:
             self._encode_block(mi_row, mi_col, bsize)
-        elif part == PartitionType.PARTITION_HORZ:
+        elif part == PT.PARTITION_HORZ:
             self._encode_block(mi_row, mi_col, subsize)
             if mi_row + half < self.mi_rows:
                 self._encode_block(mi_row + half, mi_col, subsize)
-        elif part == PartitionType.PARTITION_VERT:
+        elif part == PT.PARTITION_VERT:
             self._encode_block(mi_row, mi_col, subsize)
             if mi_col + half < self.mi_cols:
                 self._encode_block(mi_row, mi_col + half, subsize)
+        elif part == PT.PARTITION_HORZ_A:      # spec decode_partition order
+            self._encode_block(mi_row, mi_col, quarter)
+            self._encode_block(mi_row, mi_col + half, quarter)
+            self._encode_block(mi_row + half, mi_col, subsize)
+        elif part == PT.PARTITION_HORZ_B:
+            self._encode_block(mi_row, mi_col, subsize)
+            self._encode_block(mi_row + half, mi_col, quarter)
+            self._encode_block(mi_row + half, mi_col + half, quarter)
+        elif part == PT.PARTITION_VERT_A:
+            self._encode_block(mi_row, mi_col, quarter)
+            self._encode_block(mi_row + half, mi_col, quarter)
+            self._encode_block(mi_row, mi_col + half, subsize)
+        elif part == PT.PARTITION_VERT_B:
+            self._encode_block(mi_row, mi_col, subsize)
+            self._encode_block(mi_row, mi_col + half, quarter)
+            self._encode_block(mi_row + half, mi_col + half, quarter)
         else:  # SPLIT
             self._walk_partition(mi_row, mi_col, subsize)
             self._walk_partition(mi_row, mi_col + half, subsize)
             self._walk_partition(mi_row + half, mi_col, subsize)
             self._walk_partition(mi_row + half, mi_col + half, subsize)
 
-        if part != PartitionType.PARTITION_SPLIT:
+        def _ctx_span(r, c, ctx_bsize, span_bsize):
+            a, l = PARTITION_CTX_LOOKUP[ctx_bsize]
+            w4 = int(BLOCK_WIDTH[span_bsize]) >> 2
+            h4 = int(BLOCK_HEIGHT[span_bsize]) >> 2
+            self.part_above[c : c + w4] = a
+            self.part_left[r : r + h4] = l
+
+        # update_ext_partition_context: AB partitions update in two spans
+        if part == PT.PARTITION_HORZ_A:
+            _ctx_span(mi_row, mi_col, quarter, subsize)
+            _ctx_span(mi_row + half, mi_col, subsize, subsize)
+        elif part == PT.PARTITION_HORZ_B:
+            _ctx_span(mi_row, mi_col, subsize, subsize)
+            _ctx_span(mi_row + half, mi_col, quarter, subsize)
+        elif part == PT.PARTITION_VERT_A:
+            _ctx_span(mi_row, mi_col, quarter, subsize)
+            _ctx_span(mi_row, mi_col + half, subsize, subsize)
+        elif part == PT.PARTITION_VERT_B:
+            _ctx_span(mi_row, mi_col, subsize, subsize)
+            _ctx_span(mi_row, mi_col + half, quarter, subsize)
+        elif part != PT.PARTITION_SPLIT:
             a, l = PARTITION_CTX_LOOKUP[subsize]
             self.part_above[mi_col : mi_col + bw4] = a
             self.part_left[mi_row : mi_row + bw4] = l

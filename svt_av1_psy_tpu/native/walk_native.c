@@ -2802,6 +2802,7 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
                         + (mi_col * 4) / W] : 0;
         if (rv == 2) part = PART_HORZ;
         else if (rv == 3) part = PART_VERT;
+        else if (rv >= 4 && rv <= 7) part = rv;   /* HORZ_A..VERT_B */
         else
             part = (W > 8 && dec_split(w, mi_row, mi_col, W))
                    ? PART_SPLIT : PART_NONE;
@@ -2813,7 +2814,10 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
     if (bsize >= 3)
         write_partition(w, mi_row, mi_col, bsize, part, has_rows, has_cols);
 
-    int subsize = subsize_of(bsize, part);
+    int subsize = subsize_of(bsize, part >= 4 ? (part == 4 || part == 5
+                                                  ? PART_HORZ : PART_VERT)
+                                               : part);
+    int quarter = subsize_of(bsize, PART_SPLIT);
     if (part == PART_NONE) {
         enc_block(w, mi_row, mi_col, bsize, sb_r, sb_c);
     } else if (part == PART_HORZ) {
@@ -2824,6 +2828,22 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
         enc_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
         if (mi_col + half < w->mi_cols)
             enc_block(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
+    } else if (part == 4) {            /* HORZ_A (spec decode_partition) */
+        enc_block(w, mi_row, mi_col, quarter, sb_r, sb_c);
+        enc_block(w, mi_row, mi_col + half, quarter, sb_r, sb_c);
+        enc_block(w, mi_row + half, mi_col, subsize, sb_r, sb_c);
+    } else if (part == 5) {            /* HORZ_B */
+        enc_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
+        enc_block(w, mi_row + half, mi_col, quarter, sb_r, sb_c);
+        enc_block(w, mi_row + half, mi_col + half, quarter, sb_r, sb_c);
+    } else if (part == 6) {            /* VERT_A */
+        enc_block(w, mi_row, mi_col, quarter, sb_r, sb_c);
+        enc_block(w, mi_row + half, mi_col, quarter, sb_r, sb_c);
+        enc_block(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
+    } else if (part == 7) {            /* VERT_B */
+        enc_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
+        enc_block(w, mi_row, mi_col + half, quarter, sb_r, sb_c);
+        enc_block(w, mi_row + half, mi_col + half, quarter, sb_r, sb_c);
     } else {
         walk(w, mi_row, mi_col, subsize, sb_r, sb_c);
         walk(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
@@ -2831,7 +2851,24 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
         walk(w, mi_row + half, mi_col + half, subsize, sb_r, sb_c);
     }
 
-    if (part != PART_SPLIT) {
+    if (part >= 4 && part <= 7) {
+        /* update_ext_partition_context: two spans, ctx from the quarter
+           on the SPLIT-like half */
+        int sw4 = BW[subsize] >> 2, sh4 = BH[subsize] >> 2;
+        int first_q = (part == 4 || part == 6);
+        int r2 = (part == 4 || part == 5) ? mi_row + half : mi_row;
+        int c2 = (part == 6 || part == 7) ? mi_col + half : mi_col;
+        int cb1 = first_q ? quarter : subsize;
+        int cb2 = first_q ? subsize : quarter;
+        for (int c = mi_col; c < mi_col + sw4 && c < w->mi_cols; c++)
+            w->part_above[c] = PCTX_A[cb1];
+        for (int r = mi_row; r < mi_row + sh4 && r < w->mi_rows; r++)
+            w->part_left[r] = PCTX_L[cb1];
+        for (int c = c2; c < c2 + sw4 && c < w->mi_cols; c++)
+            w->part_above[c] = PCTX_A[cb2];
+        for (int r = r2; r < r2 + sh4 && r < w->mi_rows; r++)
+            w->part_left[r] = PCTX_L[cb2];
+    } else if (part != PART_SPLIT) {
         int c1 = mi_col + bw4 < w->mi_cols ? mi_col + bw4 : w->mi_cols;
         int r1 = mi_row + bw4 < w->mi_rows ? mi_row + bw4 : w->mi_rows;
         for (int c = mi_col; c < c1; c++) w->part_above[c] = PCTX_A[subsize];
