@@ -1310,6 +1310,7 @@ class Encoder:
                 shared=inter_shared,
                 inter_depths=self._pc.inter_depths,
                 inter_rect=self._pc.inter_rect,
+                inter_part4=self._pc.inter_part4,
                 gm_wm=gm_wm,
                 inter_bias_pct=inter_bias_pct,
                 inter_tx_search=len(self._pc.tx_search_depths) > 0,

@@ -35,8 +35,9 @@ _SQR = np.array([0, 1, 2, 3, 4, 0, 0, 1, 1, 2, 2, 3, 3, 0, 0, 1, 1, 2, 2])
 _SQR_UP = np.array([0, 1, 2, 3, 4, 1, 1, 2, 2, 3, 3, 4, 4, 2, 2, 3, 3, 4, 4])
 TXS_CTX = (_SQR + _SQR_UP + 1) >> 1
 TXSIZE_LOG2_MINUS4 = np.array(
-    [0, 2, 4, 6, 6, 1, 1, 3, 3, 5, 5, 6, 6, 2, 2, 4, 4, 6, 6]
-)  # log2(clipped w*h) - 4
+    [0, 2, 4, 6, 6, 1, 1, 3, 3, 5, 5, 6, 6, 2, 2, 4, 4, 5, 5]
+)  # log2(min(w,32)*min(h,32)) - 4: TX_16X64/TX_64X16 code 16x32/32x16
+#   areas = class 5 (spec eobMultisize), not 6
 
 EOB_GROUP_START = np.array([0, 1, 2, 3, 5, 9, 17, 33, 65, 129, 257, 513], np.int16)
 EOB_OFFSET_BITS = np.array([0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9], np.int16)

@@ -35,7 +35,7 @@ from .quant import quantize_b
 from .transforms import forward_transform_2d, inverse_transform_add
 
 # size_group_lookup (definitions.h) for the non-kf y-mode cdf
-SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3]
+SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 0, 0, 1, 1, 2, 2]
 
 # inter-intra smooth blending (inter_prediction.c:2140 ii_weights1d /
 # build_smooth_interintra_mask; blend = AOM_BLEND_A64)
@@ -143,7 +143,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                  seed_grid=None, switchable_filters=False,
                  device_commit=None, sign_bias=None,
                  skip_mode_present=False, skip_mode_pair=None,
-                 skip_mode_weights=(0, 0), inter_rect=False, **kw):
+                 skip_mode_weights=(0, 0), inter_rect=False,
+                 inter_part4=False, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -152,6 +153,8 @@ class InterFrameEncoder(IntraFrameEncoder):
         # PARTITION_HORZ/VERT candidates at 16..dmax nodes
         # (product_coding_loop.c:9791-9895)
         self.inter_rect = bool(inter_rect)
+        # HORZ_4/VERT_4 strip candidates at 32/64 nodes (research presets)
+        self.inter_part4 = bool(inter_part4)
         # tune-3 unipred psy bias percent applied to inter costs in the
         # decide kernel (uni_psy_bias/bi_psy_bias, md_process.h:1277)
         self.inter_bias_pct = int(inter_bias_pct)
@@ -729,6 +732,13 @@ class InterFrameEncoder(IntraFrameEncoder):
                         rect_jobs.append((r + half, c, S, S >> 1))
                         rect_jobs.append((r, c, S >> 1, S))
                         rect_jobs.append((r, c + half, S >> 1, S))
+                        if self.inter_part4 and S >= 32:
+                            # HORZ_4/VERT_4 strips (>= 32: the 16x4
+                            # strips' sub-4 chroma rules stay out)
+                            sm = S >> 4        # strip pitch in mi units
+                            for i in range(4):
+                                rect_jobs.append((r + i * sm, c, S, S >> 2))
+                                rect_jobs.append((r, c + i * sm, S >> 2, S))
                 if S > dmin:
                     S2 = S >> 1
                     collect(r, c, S2)
@@ -835,6 +845,22 @@ class InterFrameEncoder(IntraFrameEncoder):
                             ab_cost[i] = (float(sum(parts3))
                                           + lam * (float(rm.part_split_bits[BSL[S]])
                                                    + 3 * LEAF_BITS))
+                h4_cost = v4_cost = np.inf
+                if self.inter_part4 and self.inter_rect \
+                        and 32 <= S <= dmax:
+                    sm = S >> 4
+                    h4 = [costj.get((r + i * sm, c, S, S >> 2))
+                          for i in range(4)]
+                    v4 = [costj.get((r, c + i * sm, S >> 2, S))
+                          for i in range(4)]
+                    if all(x is not None for x in h4):
+                        h4_cost = (float(sum(h4))
+                                   + lam * (float(rm.part_split_bits[BSL[S]])
+                                            + 4 * LEAF_BITS))
+                    if all(x is not None for x in v4):
+                        v4_cost = (float(sum(v4))
+                                   + lam * (float(rm.part_split_bits[BSL[S]])
+                                            + 4 * LEAF_BITS))
                 cost = none_cost
                 if split_cost < cost:
                     cost, split = split_cost, 1
@@ -845,6 +871,10 @@ class InterFrameEncoder(IntraFrameEncoder):
                 for i, acst in enumerate(ab_cost):
                     if acst < cost:
                         cost, split = acst, 4 + i
+                if h4_cost < cost:
+                    cost, split = h4_cost, 8
+                if v4_cost < cost:
+                    cost, split = v4_cost, 9
             elif has_cols:
                 sub = _partition_subsize(bsize, PartitionType.PARTITION_HORZ)
                 w, h = int(BLOCK_WIDTH[sub]), int(BLOCK_HEIGHT[sub])
@@ -896,7 +926,23 @@ class InterFrameEncoder(IntraFrameEncoder):
             bsize = _BSIZE_BY_WH[(S, S)]
             if has_rows and has_cols:
                 part = memo[(r, c, S)][1] if S <= dmax else 1
-                if part >= 4:         # AB: two quarters + one rect half
+                if part >= 8:         # HORZ_4/VERT_4: four strips
+                    rects[S][(r * 4) // S, (c * 4) // S] = part
+                    sm = S >> 4
+                    if part == 8:
+                        geoms4 = tuple(((r + i * sm, c), S, S >> 2)
+                                       for i in range(4))
+                    else:
+                        geoms4 = tuple(((r, c + i * sm), S >> 2, S)
+                                       for i in range(4))
+                    for ((rr, cc), w_, h_) in geoms4:
+                        t = self._dec_from_row(res[(rr, cc, w_, h_)])
+                        if self.gm_wm is not None:
+                            t = self._warp_upgrade_dec(
+                                rr, cc, w_, h_, t, costj[(rr, cc, w_, h_)])
+                        dec_map[(rr, cc)] = t
+                        self.leaf_geom[(rr, cc)] = (w_, h_)
+                elif part >= 4:       # AB: two quarters + one rect half
                     rects[S][(r * 4) // S, (c * 4) // S] = part
                     S2 = S >> 1
                     geoms3 = {
@@ -998,6 +1044,11 @@ class InterFrameEncoder(IntraFrameEncoder):
         rescues occlusions/uncovered background the (LAST, ALTREF)
         interval pair cannot see."""
         if self.ref3 is None or not mc_native.available():
+            return
+        if max(self.ref_distances) < 2:
+            # interval-1 leaves see what the anchor sees; the rescue pays
+            # on referenced layers (bench: unconditional rescue cost ~25%
+            # of the p6 decide leg on pans)
             return
         cand = []
         for (r, c), (w, h) in self.leaf_geom.items():
@@ -1651,7 +1702,8 @@ class InterFrameEncoder(IntraFrameEncoder):
         ii_wedge = None
         obmc_used = False
         ii_eligible = (use_inter and not is_comp and self.enable_interintra
-                       and 8 <= W <= 32 and 8 <= H <= 32)
+                       and 8 <= W <= 32 and 8 <= H <= 32
+                       and W <= 2 * H and H <= 2 * W)
         if use_inter and feat is not None:
             # commit the pre-pass decisions: II blends with the real recon
             # neighbors, OBMC with the walk-order grid state
@@ -1764,7 +1816,8 @@ class InterFrameEncoder(IntraFrameEncoder):
             c_avg = (int(np.sum((src64 - y_pred) ** 2))
                      + self._psy_cost(src, y_pred))
             best_w = None
-            if W <= 32:   # wedge codebooks exist for 8..32
+            if W <= 32 and W <= 2 * H and H <= 2 * W:
+                # wedge codebooks exist for 8..32 (ratio <= 2)
                 for widx in range(16):
                     for sign in (0, 1):
                         bp = WG.blend_d16(b0, b1,
@@ -2011,7 +2064,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                 elif y_mode == NEARMV:
                     self._write_drl_near(weights, refmv_count)
             if (self.enable_interintra and not is_comp
-                    and 8 <= W <= 32 and 8 <= H <= 32):
+                    and 8 <= W <= 32 and 8 <= H <= 32
+                    and W <= 2 * H and H <= 2 * W):
                 # read_interintra_mode (spec 5.11.23; entropy_coding.c
                 # write_inter_intra_info): flag, mode, wedge flag (0)
                 grp = SIZE_GROUP[int(bsize)]
@@ -2040,7 +2094,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                 self.fc.write(self.enc, "comp_group_idx", (ctx,),
                               int(wedge_info is not None), 2)
                 if wedge_info is not None:
-                    if W <= 32:   # wedge available -> explicit type symbol
+                    if W <= 32 and W <= 2 * H and H <= 2 * W:
+                        # wedge available -> explicit type symbol
                         self.fc.write(self.enc, "compound_type",
                                       (int(bsize),),
                                       int(wedge_info[0] == "d"), 2)

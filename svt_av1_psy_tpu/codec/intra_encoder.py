@@ -109,6 +109,10 @@ def _partition_subsize(bsize: BlockSize, part: PartitionType) -> BlockSize:
     if part in (PartitionType.PARTITION_VERT, PartitionType.PARTITION_VERT_A,
                 PartitionType.PARTITION_VERT_B):
         return _BSIZE_BY_WH[(w // 2, h)]
+    if part == PartitionType.PARTITION_HORZ_4:
+        return _BSIZE_BY_WH[(w, h // 4)]
+    if part == PartitionType.PARTITION_VERT_4:
+        return _BSIZE_BY_WH[(w // 4, h)]
     raise ValueError(part)
 
 
@@ -599,8 +603,8 @@ class IntraFrameEncoder:
                     part = PartitionType.PARTITION_HORZ
                 elif rp == 3:
                     part = PartitionType.PARTITION_VERT
-                elif 4 <= rp <= 7:
-                    # AB partitions (product_coding_loop.c:9791 ladder)
+                elif 4 <= rp <= 9:
+                    # AB/4-way partitions (product_coding_loop.c:9791)
                     part = PartitionType(rp)
                 elif W > 8 and self.decisions.split(mi_row, mi_col, W):
                     part = PartitionType.PARTITION_SPLIT
@@ -649,6 +653,16 @@ class IntraFrameEncoder:
             self._encode_block(mi_row, mi_col, subsize)
             self._encode_block(mi_row, mi_col + half, quarter)
             self._encode_block(mi_row + half, mi_col + half, quarter)
+        elif part == PT.PARTITION_HORZ_4:
+            qh = bw4 >> 2
+            for i in range(4):
+                if mi_row + i * qh < self.mi_rows:
+                    self._encode_block(mi_row + i * qh, mi_col, subsize)
+        elif part == PT.PARTITION_VERT_4:
+            qw = bw4 >> 2
+            for i in range(4):
+                if mi_col + i * qw < self.mi_cols:
+                    self._encode_block(mi_row, mi_col + i * qw, subsize)
         else:  # SPLIT
             self._walk_partition(mi_row, mi_col, subsize)
             self._walk_partition(mi_row, mi_col + half, subsize)

@@ -38,6 +38,9 @@ class PresetConfig:
     tx_size_search: bool = False  # one-depth var-tx split search on inter
                                   # leaves (perform_tx_partitioning,
                                   # product_coding_loop.c:5307)
+    inter_part4: bool = False     # HORZ_4/VERT_4 strip partitions at the
+                                  # research presets (4 extra rect jobs
+                                  # per 32/64 node)
 
 
 # speed ladder (preset index -2..13; -3/-2 are research modes = row 0).
@@ -91,4 +94,5 @@ def preset_config(preset: int) -> PresetConfig:
                         # var-tx split search rides the existing TX-type
                         # batch; quality presets only (tx_size_early_exit
                         # leveling analog)
-                        tx_size_search=p <= 6)
+                        tx_size_search=p <= 6,
+                        inter_part4=preset <= 3)

@@ -79,7 +79,9 @@ static const uint8_t BH[22] = {4,8,4,8,16,8,16,32,16,32,64,32,64,128,64,128,16,4
 static const uint8_t TXW[19] = {4,8,16,32,64,4,8,8,16,16,32,32,64,4,16,8,32,16,64};
 static const uint8_t TXH[19] = {4,8,16,32,64,8,4,16,8,32,16,64,32,16,4,32,8,64,16};
 static const uint8_t TXS_CTX[19] = {0,1,2,3,4,1,1,2,2,3,3,4,4,1,1,2,2,3,3};
-static const uint8_t TXLOG2M4[19] = {0,2,4,6,6,1,1,3,3,5,5,6,6,2,2,4,4,6,6};
+/* eob class: log2(min(w,32)*min(h,32)) - 4 (spec eobMultisize) —
+   TX_16X64/TX_64X16 code a 16x32/32x16 area = class 5, not 6 */
+static const uint8_t TXLOG2M4[19] = {0,2,4,6,6,1,1,3,3,5,5,6,6,2,2,4,4,5,5};
 static const uint8_t SQR[19]   = {0,1,2,3,4,0,0,1,1,2,2,3,3,0,0,1,1,2,2};
 static const uint8_t SQR_UP[19]= {0,1,2,3,4,1,1,2,2,3,3,4,4,2,2,3,3,4,4};
 static const int8_t  TX_CLASS[16] = {0,0,0,0,0,0,0,0,0,0,2,1,2,1,2,1};
@@ -986,7 +988,9 @@ static void encode_block(Walk *w, int mi_row, int mi_col, int bsize,
 
 /* ================================================ inter (P-frame) blocks */
 /* size_group_lookup for the non-kf y-mode cdf (definitions.h) */
-static const uint8_t SIZE_GROUP[22] = {0,0,0,1,1,1,2,2,2,3,3,3,3,3,3,3,1,1,2,2,3,3};
+/* size_group_lookup: the six extended bsizes (4x16..64x16) group as
+   0,0,1,1,2,2 - one LOWER than their areas suggest */
+static const uint8_t SIZE_GROUP[22] = {0,0,0,1,1,1,2,2,2,3,3,3,3,3,3,3,0,0,1,1,2,2};
 
 /* MC prediction for one plane (mirror of inter_encoder._mc_pred +
    mc_native.convolve_block kernel selection: 4-tap tables at dim <= 4) */
@@ -2646,7 +2650,9 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
         }
         /* interintra (read_interintra_mode): flag, mode, wedge */
         if (w->enable_interintra && !is_comp
-            && W >= 8 && W <= 32 && H >= 8 && H <= 32) {
+            && W >= 8 && W <= 32 && H >= 8 && H <= 32
+            && W <= 2 * H && H <= 2 * W) {   /* spec: 8x8..32x32 enum
+                                                range excludes 8x32/32x8 */
             int grp = SIZE_GROUP[bsize];
             ec_symbol(w->enc, ft.ii >= 0, w->cdf_interintra + grp * 3, 2,
                       w->adapt);
@@ -2672,7 +2678,8 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
             ec_symbol(w->enc, ft.ctype > 0, w->cdf_comp_group_idx + gctx * 3,
                       2, w->adapt);
             if (ft.ctype > 0) {
-                if (W <= 32)   /* wedge codebook exists -> explicit symbol */
+                if (W <= 32 && W <= 2 * H && H <= 2 * W)
+                    /* wedge codebook exists -> explicit symbol */
                     ec_symbol(w->enc, ft.ctype == 2,
                               w->cdf_compound_type + bsize * 3, 2, w->adapt);
                 if (ft.ctype == 1) {
@@ -2802,7 +2809,7 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
                         + (mi_col * 4) / W] : 0;
         if (rv == 2) part = PART_HORZ;
         else if (rv == 3) part = PART_VERT;
-        else if (rv >= 4 && rv <= 7) part = rv;   /* HORZ_A..VERT_B */
+        else if (rv >= 4 && rv <= 9) part = rv;   /* HORZ_A..VERT_4 */
         else
             part = (W > 8 && dec_split(w, mi_row, mi_col, W))
                    ? PART_SPLIT : PART_NONE;
@@ -2814,7 +2821,10 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
     if (bsize >= 3)
         write_partition(w, mi_row, mi_col, bsize, part, has_rows, has_cols);
 
-    int subsize = subsize_of(bsize, part >= 4 ? (part == 4 || part == 5
+    int subsize;
+    if (part == 8)       subsize = bsize_of(BW[bsize], BH[bsize] / 4);
+    else if (part == 9)  subsize = bsize_of(BW[bsize] / 4, BH[bsize]);
+    else subsize = subsize_of(bsize, part >= 4 ? (part == 4 || part == 5
                                                   ? PART_HORZ : PART_VERT)
                                                : part);
     int quarter = subsize_of(bsize, PART_SPLIT);
@@ -2844,6 +2854,16 @@ static void walk(Walk *w, int mi_row, int mi_col, int bsize, int sb_r, int sb_c)
         enc_block(w, mi_row, mi_col, subsize, sb_r, sb_c);
         enc_block(w, mi_row, mi_col + half, quarter, sb_r, sb_c);
         enc_block(w, mi_row + half, mi_col + half, quarter, sb_r, sb_c);
+    } else if (part == 8) {            /* HORZ_4: four SxS/4 strips */
+        int qh = bw4 >> 2;
+        for (int i = 0; i < 4; i++)
+            if (mi_row + i * qh < w->mi_rows)
+                enc_block(w, mi_row + i * qh, mi_col, subsize, sb_r, sb_c);
+    } else if (part == 9) {            /* VERT_4 */
+        int qw = bw4 >> 2;
+        for (int i = 0; i < 4; i++)
+            if (mi_col + i * qw < w->mi_cols)
+                enc_block(w, mi_row, mi_col + i * qw, subsize, sb_r, sb_c);
     } else {
         walk(w, mi_row, mi_col, subsize, sb_r, sb_c);
         walk(w, mi_row, mi_col + half, subsize, sb_r, sb_c);
@@ -3279,7 +3299,8 @@ void walk_feature_search(Walk *w, const int32_t *leaves, int nl,
         /* ---- interintra + OBMC (single-ref only) */
         int ii = -1, iiw = -1, mm = 0;
         int ii_elig = w->enable_interintra && !is_comp
-            && W >= 8 && W <= 32 && H >= 8 && H <= 32;
+            && W >= 8 && W <= 32 && H >= 8 && H <= 32
+            && W <= 2 * H && H <= 2 * W;
         int ob_elig = obmc_eligible_c(w, mi_row, mi_col, W, H, is_comp);
         int64_t c_simple = 0, best_ii = -1;
         if (ii_elig || ob_elig) c_simple = fs_cost(&fc, pred);
@@ -3338,7 +3359,7 @@ void walk_feature_search(Walk *w, const int32_t *leaves, int nl,
             int64_t c_avg = fs_cost(&fc, pred);
             int64_t best_w = -1;
             int bw_ct = 0, bw_idx = 0, bw_sign = 0;
-            if (W <= 32) {
+            if (W <= 32 && W <= 2 * H && H <= 2 * W) {
                 for (int widx = 0; widx < 16; widx++)
                     for (int sign = 0; sign < 2; sign++) {
                         const int32_t *wm = wedge_mask_c(w, W, widx, sign);

@@ -104,3 +104,62 @@ def test_natural_ab_search_conformant():
     for i, p in enumerate(disp):
         d = dav1d.decode_nth(stream, i, W, H)
         assert all(np.array_equal(a, b) for a, b in zip(d, p.recon)), i
+
+
+@requires_dav1d
+def test_forced_h4_v4_partitions_conformant():
+    """HORZ_4/VERT_4 strip partitions (research presets): bias the rate
+    model AND the AB combos so the 4-strip shapes win, then require
+    dav1d bit-exactness."""
+    W, H = 192, 128
+    # horizontal 8px bands with vertical motion: 32x8 strips align with
+    # the band boundaries, so HORZ_4 dominates the AB/half shapes
+    rng = np.random.default_rng(5)
+    bands = rng.integers(30, 226, (64,)).astype(np.uint8)
+    frames = []
+    for i in range(5):
+        rows = np.repeat(bands, 8)
+        y = np.tile(np.roll(rows, i * 3)[:H, None], (1, W))
+        y = np.clip(y.astype(np.int16)
+                    + rng.integers(-2, 3, (H, W)), 0, 255).astype(np.uint8)
+        frames.append(y)
+    u = np.full((H // 2, W // 2), 120, np.uint8)
+    v = np.full((H // 2, W // 2), 132, np.uint8)
+    counts = []
+    orig_rm = RD.intra_rate_model
+    RD.intra_rate_model = lambda q: _BiasedRM(orig_rm(q))
+    orig_multi = IE.InterFrameEncoder._pre_walk_multi
+    orig_cost = None
+
+    def spy(self):
+        # also make AB expensive so 4-way wins where available
+        got = orig_multi(self)
+        if got and self.decisions is not None and self.decisions.rect:
+            counts.append(int(sum((m >= 8).sum()
+                                  for m in self.decisions.rect.values())))
+        return got
+
+    IE.InterFrameEncoder._pre_walk_multi = spy
+    # preset 2: research ladder (inter_part4 on)
+    try:
+        cfg = EncoderConfig(width=W, height=H, preset=2, recon_enabled=True)
+        cfg.qp = 30
+        cfg.inter_me_backend = "native"
+        enc = Encoder(cfg).init()
+        pkts = []
+        for f in frames:
+            enc.send_picture(f, u, v.copy())
+            while (p := enc.get_packet()) is not None:
+                pkts.append(p)
+        enc.flush()
+        while (p := enc.get_packet()) is not None:
+            pkts.append(p)
+    finally:
+        IE.InterFrameEncoder._pre_walk_multi = orig_multi
+        RD.intra_rate_model = orig_rm
+    stream = b"".join(p.data for p in pkts)
+    disp = [p for p in pkts if p.recon is not None]
+    for i, p in enumerate(disp):
+        d = dav1d.decode_nth(stream, i, W, H)
+        assert all(np.array_equal(a, b) for a, b in zip(d, p.recon)), i
+    assert sum(counts) > 0, "no 4-way partitions chosen; test is vacuous"
