@@ -155,6 +155,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.inter_rect = bool(inter_rect)
         # HORZ_4/VERT_4 strip candidates at 32/64 nodes (research presets)
         self.inter_part4 = bool(inter_part4)
+        # AB (HORZ_A/B, VERT_A/B) candidates ride inter_rect; separable
+        # for experiments
+        self.inter_ab = bool(inter_rect)
         # tune-3 unipred psy bias percent applied to inter costs in the
         # decide kernel (uni_psy_bias/bi_psy_bias, md_process.h:1277)
         self.inter_bias_pct = int(inter_bias_pct)
@@ -813,6 +816,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                                   + lam * float(rm.part_split_bits[BSL[S]]))
                 horz_cost = vert_cost = np.inf
                 ab_cost = [np.inf] * 4   # HORZ_A, HORZ_B, VERT_A, VERT_B
+                do_ab = self.inter_ab
                 if self.inter_rect and S >= 16 and S <= dmax:
                     horz_cost = (costj[(r, c, S, S >> 1)]
                                  + costj[(r + half, c, S, S >> 1)]
@@ -841,6 +845,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                          q(r, c + half), q(r + half, c + half)),  # VERT_B
                     )
                     for i, parts3 in enumerate(combos):
+                        if not do_ab:
+                            break
                         if all(p is not None for p in parts3):
                             ab_cost[i] = (float(sum(parts3))
                                           + lam * (float(rm.part_split_bits[BSL[S]])
@@ -1619,6 +1625,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                     self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
                     (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref,
                     sign_bias=self.sign_bias)
+                near_idx = 0
                 # NEWMV whose MV equals the stack head is re-coded as
                 # NEARESTMV: same prediction, no DRL/MV syntax (the
                 # inject_mvp-candidate == ME-result collapse in MD)
@@ -1627,6 +1634,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                 elif (y_mode == NEWMV and refmv_count >= 2
                         and len(stack) > 1 and tuple(mv) == tuple(stack[1])):
                     y_mode = NEARMV   # RefMvIdx 1 via read_drl_idx
+                # (NEWMV == stack[2] -> NEARMV@DRL1 measured
+                # non-conformant: stack parity ends at index 1 today)
             if is_comp and y_mode == NEW_NEWMV:
                 m0 = tuple(mv) == tuple(stack[0])
                 m1 = tuple(mv2) == tuple(stack2[0])
@@ -2062,7 +2071,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                     self._write_drl(stack, weights, refmv_count)
                     self._write_mv(mv, stack[0])
                 elif y_mode == NEARMV:
-                    self._write_drl_near(weights, refmv_count)
+                    self._write_drl_near(weights, refmv_count, near_idx)
             if (self.enable_interintra and not is_comp
                     and 8 <= W <= 32 and 8 <= H <= 32
                     and W <= 2 * H and H <= 2 * W):
@@ -2260,18 +2269,21 @@ class InterFrameEncoder(IntraFrameEncoder):
                 if idx == 0:
                     return
 
-    def _write_drl_near(self, weights, refmv_count):
-        """read_drl_idx NEARMV branch, RefMvIdx = 1 (first bit 0)."""
+    def _write_drl_near(self, weights, refmv_count, near_idx=0):
+        """read_drl_idx NEARMV branch: one bit per idx, stop at 0
+        (ref_mv_idx = near_idx -> stack[1 + near_idx])."""
+        def drl_ctx(i):
+            a = weights[i] if len(weights) > i else 0
+            b = weights[i + 1] if len(weights) > i + 1 else 0
+            if a >= REF_CAT_LEVEL and b >= REF_CAT_LEVEL:
+                return 0
+            return 1 if a >= REF_CAT_LEVEL else 2
+
         if refmv_count > 2:
-            w1 = weights[1] if len(weights) > 1 else 0
-            w2 = weights[2] if len(weights) > 2 else 0
-            if w1 >= REF_CAT_LEVEL and w2 >= REF_CAT_LEVEL:
-                ctx = 0
-            elif w1 >= REF_CAT_LEVEL:
-                ctx = 1
-            else:
-                ctx = 2
-            self.fc.write(self.enc, "drl", (ctx,), 0, 2)
+            self.fc.write(self.enc, "drl", (drl_ctx(1),),
+                          int(near_idx > 0), 2)
+            if near_idx > 0 and refmv_count > 3:
+                self.fc.write(self.enc, "drl", (drl_ctx(2),), 0, 2)
 
     def _write_mv(self, mv, ref_mv):
         diff = (mv[0] - ref_mv[0], mv[1] - ref_mv[1])

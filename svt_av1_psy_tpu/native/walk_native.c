@@ -2511,12 +2511,17 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
     }
     /* NEWMV whose MV equals the stack head re-codes as NEARESTMV (same
      * prediction, no DRL/MV syntax); ditto NEW_NEWMV -> NEAREST_NEARESTMV */
+    int near_idx = 0;    /* NEARMV DRL: 0 -> stack[1], 1 -> stack[2] */
     if (use_inter && !is_comp && mode == 16
         && mvr == st_r[0] && mvc == st_c[0])
         mode = 13;
     else if (use_inter && !is_comp && mode == 16 && refmv_count >= 2
              && nstack > 1 && mvr == st_r[1] && mvc == st_c[1])
         mode = 14;   /* NEARMV: RefMvIdx 1 via read_drl_idx */
+    /* NOTE: converting NEWMV == stack[2] to NEARMV at DRL index 1 was
+       measured NON-conformant (our stack beyond index 1 diverges from
+       the decoder's on real GoPs); the writer below supports it once
+       stack parity extends past index 1. */
     if (is_comp && mode == 24) {
         int m0 = mvr == st_r[0] && mvc == st_c[0];
         int m1 = mv2r == s1r[0] && mv2c == s1c[0];
@@ -2639,12 +2644,21 @@ static void encode_block_inter(Walk *w, int mi_row, int mi_col, int bsize,
                 write_drl(w, st_w, nstack, refmv_count);
                 write_mv(w, mvr, mvc, st_r[0], st_c[0]);
             } else if (mode == 14) {
-                /* read_drl_idx NEARMV branch: first bit 0 -> RefMvIdx 1 */
+                /* read_drl_idx NEARMV branch: bit per idx, stop at 0
+                   (ref_mv_idx = near_idx -> stack[1 + near_idx]) */
                 if (refmv_count > 2) {
                     int w1 = nstack > 1 ? st_w[1] : 0;
                     int w2 = nstack > 2 ? st_w[2] : 0;
                     int ctx = (w1 >= 640 && w2 >= 640) ? 0 : (w1 >= 640 ? 1 : 2);
-                    ec_symbol(w->enc, 0, w->cdf_drl + ctx * 3, 2, w->adapt);
+                    ec_symbol(w->enc, near_idx > 0, w->cdf_drl + ctx * 3, 2,
+                              w->adapt);
+                    if (near_idx > 0 && refmv_count > 3) {
+                        int w3 = nstack > 3 ? st_w[3] : 0;
+                        int c2 = (w2 >= 640 && w3 >= 640) ? 0
+                                 : (w2 >= 640 ? 1 : 2);
+                        ec_symbol(w->enc, 0, w->cdf_drl + c2 * 3, 2,
+                                  w->adapt);
+                    }
                 }
             }
         }
