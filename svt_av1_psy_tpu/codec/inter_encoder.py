@@ -9,7 +9,15 @@ codec/mv_pred.py (normative stack), MC via codec/convolve.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# experimental: convert NEWMV == stack[2] into NEARMV at DRL index 1
+# (RefMvIdx 2). Behind an env flag while stack parity beyond index 1 is
+# being qualified against dav1d (see _write_drl_near).
+_NEAR2 = bool(int(os.environ.get("SVT_NEAR2", "0")))
+_NEAR2_HITS = 0  # debug counter for the qualification harness
 
 from .constants import (BLOCK_HEIGHT, BLOCK_WIDTH, BlockSize, PartitionType,
                         PredictionMode)
@@ -1634,8 +1642,12 @@ class InterFrameEncoder(IntraFrameEncoder):
                 elif (y_mode == NEWMV and refmv_count >= 2
                         and len(stack) > 1 and tuple(mv) == tuple(stack[1])):
                     y_mode = NEARMV   # RefMvIdx 1 via read_drl_idx
-                # (NEWMV == stack[2] -> NEARMV@DRL1 measured
-                # non-conformant: stack parity ends at index 1 today)
+                elif (_NEAR2 and y_mode == NEWMV and refmv_count >= 3
+                        and len(stack) > 2 and tuple(mv) == tuple(stack[2])):
+                    y_mode = NEARMV   # RefMvIdx 2 (two drl bits)
+                    near_idx = 1
+                    global _NEAR2_HITS
+                    _NEAR2_HITS += 1
             if is_comp and y_mode == NEW_NEWMV:
                 m0 = tuple(mv) == tuple(stack[0])
                 m1 = tuple(mv2) == tuple(stack2[0])

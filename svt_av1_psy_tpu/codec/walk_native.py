@@ -124,6 +124,8 @@ class _CWalk(ctypes.Structure):
         ("cdf_tx_size", _VP), ("cdf_txfm_partition", _VP),
         # ---- third reference extension (GOLDEN rescue) ----
         ("refp3", _VP * 3), ("refp3_stride", _I * 3), ("ref3_const", _I),
+        # ---- stack-aware NEAREST/NEAR MV injection (feature search) ----
+        ("near_lam", _I),
     ]
 
 

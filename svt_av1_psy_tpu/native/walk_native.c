@@ -282,6 +282,9 @@ typedef struct {
     const int32_t *refp3[3];      /* padded GOLDEN planes (or NULL) */
     int refp3_stride[3];
     int ref3_const;               /* coded ref constant (4) or 0 */
+    /* ---- stack-aware NEAREST/NEAR MV injection (feature search):
+       lambda x MV-syntax bits a NEWMV pays over NEARESTMV; 0 = off ---- */
+    int near_lam;
 } Walk;
 
 /* Split_Tx_Size (spec 9.3): one var-tx / tx-depth step per tx size */
@@ -3265,6 +3268,60 @@ void walk_feature_search(Walk *w, const int32_t *leaves, int nl,
                                pred);
         else
             mc_pred_plane_f(w, ref_idx, 0, x0, y0, W, H, mvr, mvc, 0, pred);
+
+        /* ---- stack-aware NEAREST/NEAR MV injection (decide-time DRL).
+           Trial the reference-MV stack head/runner-up as replacements for
+           the decided NEWMV: an exact stack match collapses to
+           NEARESTMV/NEARMV in both walks (no DRL/MV syntax), so a
+           candidate within near_lam (lambda x saved MV bits) of the NEWMV
+           cost wins RD. Always conformance-safe: the encode walk
+           re-derives its own stack and only collapses on exact equality.
+           (reference: inject_mvp_candidates, mode_decision.c:1934) */
+        if (w->near_lam > 0 && !is_comp && mode == 16) {
+            int st_r[10], st_c[10], st_w2[10];
+            int mc2, rc2, ns2;
+            int gm_r = ref == 1 ? w->gm_row : 0;
+            int gm_c = ref == 1 ? w->gm_col : 0;
+            ref_mv_list(w, mi_row, mi_col, bw4, bh4, ref, gm_r, gm_c,
+                        st_r, st_c, st_w2, &mc2, &rc2, &ns2);
+            int64_t thr = fs_cost(&fc, pred) + w->near_lam;
+            int take = -1;
+            int kmax = (rc2 >= 2 && ns2 > 1) ? 1 : 0;
+            for (int k = 0; k <= kmax; k++) {
+                if (st_r[k] == mvr && st_c[k] == mvc)
+                    break;               /* already collapses at this k */
+                if (k == 1 && st_r[1] == st_r[0] && st_c[1] == st_c[0])
+                    break;
+                /* stay inside the padded reference window */
+                int ipy = st_r[k] >> 3, ipx = st_c[k] >> 3;
+                if (y0 + ipy - 4 < -w->pad || x0 + ipx - 4 < -w->pad
+                    || y0 + ipy + H + 5 > w->ph[0] + w->pad
+                    || x0 + ipx + W + 5 > w->pw[0] + w->pad)
+                    continue;
+                mc_pred_plane_f(w, ref_idx, 0, x0, y0, W, H,
+                                st_r[k], st_c[k], 0, altp);
+                /* NEARMV still pays drl bit(s) + a pricier mode symbol */
+                int64_t c = fs_cost(&fc, altp)
+                    + (k ? w->near_lam >> 3 : 0);
+                if (c < thr) {
+                    thr = c;
+                    take = k;
+                    memcpy(pred, altp, sizeof(uint16_t) * W * H);
+                }
+            }
+            if (take >= 0) {
+                mvr = st_r[take];
+                mvc = st_c[take];
+                ((int32_t *)w->d_mvr)[mi] = mvr;
+                ((int32_t *)w->d_mvc)[mi] = mvc;
+                /* later leaves' stacks + OBMC must see the final MV */
+                for (int r = mi_row; r < r1; r++)
+                    for (int c = mi_col; c < c1; c++) {
+                        w->g_mvr[r * w->mi_cols + c] = (int16_t)mvr;
+                        w->g_mvc[r * w->mi_cols + c] = (int16_t)mvc;
+                    }
+            }
+        }
 
         /* ---- switchable interp filter (rebuild with SMOOTH/SHARP) */
         int filt = 0;
