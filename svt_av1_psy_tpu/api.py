@@ -148,9 +148,16 @@ class Encoder:
             # order hints: unlocks skip_mode (and, later, jnt-comp
             # distance weights / ref_frame_mvs); off for still pictures
             enable_order_hint=not (cfg.avif or int(cfg.tune) == 4),
+            # temporal MV projection (MFMV): --enable-mfmv (-1 auto = on
+            # whenever order hints are, matching enc_settings.c)
+            enable_ref_frame_mvs=(not (cfg.avif or int(cfg.tune) == 4)
+                                  and cfg.enable_mfmv != 0),
         )
         # DPB order-hint mirror (RefOrderHint[8]) + display-order counter
         self._dpb_hints = [0] * 8
+        # DPB motion-field side data (spec 7.20 storage) per slot: the
+        # saved 8x8 (ref, mv) field + frame metadata MFMV projects from
+        self._dpb_mf = [None] * 8
         self._disp_idx = 0
         # film grain: explicit table takes precedence over the estimation
         # model driven by --film-grain (app_config.c:2869 precedence warning)
@@ -1280,6 +1287,35 @@ class Encoder:
                 self._seq.order_hint_bits, order_hint,
                 ref_hints[skip_pair[0] - 1], ref_hints[skip_pair[1] - 1])
 
+        # ---- temporal MV projection (MFMV, spec 7.9): project the saved
+        # motion fields of up to 3 references onto this frame's 8x8 grid;
+        # the MV-stack temporal scan consumes it in search + both walks
+        use_rfm = bool(self._seq.enable_ref_frame_mvs and not is_key
+                       and not cfg.lossless)
+        tpl_data = None
+        if use_rfm:
+            from .codec.mfmv import rel_dist as _rd
+            from .codec.mfmv import setup_motion_field
+
+            _mi_r = 2 * ((cfg.height + 7) >> 3)
+            _mi_c = 2 * ((cfg.width + 7) >> 3)
+            _bits = self._seq.order_hint_bits
+            refs_mf = {}
+            for _role in range(1, 8):
+                _slot = ref_idx_early[_role - 1]
+                _e = self._dpb_mf[_slot]
+                refs_mf[_role] = _e if _e is not None else {
+                    "hint": self._dpb_hints[_slot], "is_intra": True,
+                    "ref_hints": (0,) * 7, "mi_rows": 0, "mi_cols": 0,
+                    "mf": None}
+            _tr, _tc, _to = setup_motion_field(_mi_r, _mi_c, order_hint,
+                                               _bits, refs_mf)
+            _cur_off = np.zeros(8, np.int32)
+            for _i in range(7):
+                _cur_off[1 + _i] = _rd(order_hint, ref_hints[_i], _bits)
+            tpl_data = dict(row=_tr, col=_tc, off=_to, cur_off=_cur_off,
+                            allow_hp=True, force_int=False)
+
         def make_enc():
             if is_key:
                 kw = dict(common)
@@ -1327,6 +1363,7 @@ class Encoder:
                 skip_mode_present=skip_present,
                 skip_mode_pair=skip_pair,
                 skip_mode_weights=skip_weights,
+                tpl_mvs=tpl_data,
                 **common)
 
         def run_filters(enc):
@@ -1491,6 +1528,7 @@ class Encoder:
                          interpolation_filter_switchable=filt_switchable,
                          order_hint=order_hint,
                          ref_order_hints=ref_hints,
+                         use_ref_frame_mvs=use_rfm,
                          skip_mode_present=skip_present)
         if not is_key:
             fp.is_motion_mode_switchable = mm_switchable
@@ -1583,10 +1621,32 @@ class Encoder:
                     _in_y, _in_u, _in_v, pts, gop=gop,
                     _recode=(attempt + 1, min(255, qindex + bump)))
         self._frame_t35.pop(_t35_key, None)   # consumed (kept across recodes)
+        # motion-field storage (spec 7.20): refreshed slots keep this
+        # frame's 8x8 (ref, mv) field for future MFMV projection
+        mf_entry = None
+        if (self._seq.enable_ref_frame_mvs and not is_key
+                and fp.refresh_frame_flags
+                and getattr(enc, "grid", None) is not None):
+            from .codec.mfmv import rel_dist as _rd2
+            from .codec.mfmv import save_motion_field
+
+            _side = np.zeros(8, np.int8)
+            for _i in range(7):
+                if ref_hints[_i] == order_hint:
+                    _side[1 + _i] = -1
+                elif _rd2(ref_hints[_i], order_hint,
+                          self._seq.order_hint_bits) > 0:
+                    _side[1 + _i] = 1
+            mf_entry = dict(
+                hint=order_hint, ref_hints=ref_hints, is_intra=False,
+                mi_rows=enc.grid.rows, mi_cols=enc.grid.cols,
+                mf=save_motion_field(enc.grid, _side, enc.grid.rows,
+                                     enc.grid.cols))
         # decoder-side RefOrderHint mirror (shown keyframes refresh all)
         for s in range(8):
             if (fp.refresh_frame_flags >> s) & 1:
                 self._dpb_hints[s] = order_hint
+                self._dpb_mf[s] = mf_entry
         recon = None
         if cfg.recon_enabled or cfg.stat_report:
             if up_final is not None:

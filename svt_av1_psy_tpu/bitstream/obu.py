@@ -117,6 +117,8 @@ class FrameParams:
     # spec: forced to 1 for intra frames; coded only when screen-content
     # tools are on and seq_force_integer_mv == 2
     force_integer_mv: bool = False
+    # temporal MV projection (spec 7.9); requires seq enable_ref_frame_mvs
+    use_ref_frame_mvs: bool = False
 
 
 def write_obu(obu_type: ObuType, payload: bytes, has_size: bool = True) -> bytes:
@@ -588,7 +590,8 @@ def frame_header_payload(sp: SequenceParams, fp: FrameParams) -> bytes:
         if not fp.interpolation_filter_switchable:
             w.f(fp.interpolation_filter, 2)
         w.f(int(fp.is_motion_mode_switchable), 1)
-        # use_ref_frame_mvs requires seq enable_ref_frame_mvs (off)
+        if sp.enable_ref_frame_mvs and not fp.error_resilient_mode:
+            w.f(int(fp.use_ref_frame_mvs), 1)
     else:
         if sp.enable_superres:
             # superres_params (spec 5.9.8): denom = coded_denom + 9

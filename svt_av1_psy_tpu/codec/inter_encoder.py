@@ -152,7 +152,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  device_commit=None, sign_bias=None,
                  skip_mode_present=False, skip_mode_pair=None,
                  skip_mode_weights=(0, 0), inter_rect=False,
-                 inter_part4=False, **kw):
+                 inter_part4=False, tpl_mvs=None, **kw):
         super().__init__(width, height, qindex, bd=bd, monochrome=monochrome,
                          sharpness=sharpness, sb_qindex_map=sb_qindex_map, **kw)
         # square leaf sizes the partition DP may choose (preset ladder);
@@ -203,6 +203,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         # 5.11.27) — eligible NEAREST_NEARESTMV zero-residual compound
         # blocks on the skip pair code one skip_mode bit and nothing else
         self.sign_bias = tuple(sign_bias) if sign_bias is not None else None
+        # MFMV (use_ref_frame_mvs): projected temporal motion field + the
+        # per-ref cur->ref distances; feeds the MV-stack temporal scan in
+        # search and both walks (codec/mfmv.py, spec 7.9/7.10.2.5)
+        self.tpl_mvs = tpl_mvs
         self.skip_mode_present = bool(skip_mode_present)
         self.skip_mode_pair = skip_mode_pair
         # dist-weight pair (fwd, bck) for skip-mode prediction
@@ -1626,13 +1630,14 @@ class InterFrameEncoder(IntraFrameEncoder):
                                        gm=(self._gm_stack_mv(mi_row, mi_col,
                                                              W, H, LAST_FRAME),
                                            (0, 0)),
-                                       sign_bias=self.sign_bias)
+                                       sign_bias=self.sign_bias,
+                                       tpl=self.tpl_mvs)
             else:
                 gm_ref = self._gm_stack_mv(mi_row, mi_col, W, H, ref_sel)
                 stack, weights, mode_ctx, refmv_count = setup_ref_mv_list(
                     self.grid, mi_row, mi_col, n8_w, n8_h, ref_sel,
                     (t_r0, t_r1, t_c0, t_c1), gm_mv=gm_ref,
-                    sign_bias=self.sign_bias)
+                    sign_bias=self.sign_bias, tpl=self.tpl_mvs)
                 near_idx = 0
                 # NEWMV whose MV equals the stack head is re-coded as
                 # NEARESTMV: same prediction, no DRL/MV syntax (the
@@ -1978,7 +1983,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                 self.grid, mi_row, mi_col, n8_w, n8_h,
                 (LAST_FRAME, self.ref2), (tr0_, tr1_, tc0_, tc1_),
                 gm=(self._gm_stack_mv(mi_row, mi_col, W, H, LAST_FRAME),
-                    (0, 0)), sign_bias=self.sign_bias)
+                    (0, 0)), sign_bias=self.sign_bias, tpl=self.tpl_mvs)
             smv, smv2 = tuple(s0_[0]), tuple(s1_[0])
             from . import compound as cmp
 

@@ -151,8 +151,77 @@ def _add_candidate(ctx: _Ctx, grid: MiGrid, r, c, ref_frame, gm_mv, length, weig
             ctx.newmv_count += 1
 
 
+def _temporal_scan(tpl, mi_row, mi_col, n8_w, n8_h, tile, gm, rf, add_cand):
+    """Temporal MV-stack scan (spec 7.10.2.5; add_tpl_ref_mv,
+    adaptive_mv_pred.c:337): sample the projected motion field at the
+    block's 8x8 positions (+3 extension samples inside the 64x64), rescale
+    each hit by cur/ref frame distance, and dedupe into the stack via
+    add_cand(mr, mc, m2r, m2c).  Returns the ZeroMvContext bit: set when
+    the co-located sample is missing or >= 2px from the global MV."""
+    from .mfmv import lower_mv_precision, mv_projection
+
+    t_r0, t_r1, t_c0, t_c1 = tile
+    row_arr, col_arr, off_arr = tpl["row"], tpl["col"], tpl["off"]
+    cur0 = int(tpl["cur_off"][rf[0]])
+    cur1 = int(tpl["cur_off"][rf[1]]) if rf[1] else 0
+    allow_hp = bool(tpl["allow_hp"])
+    force_int = bool(tpl.get("force_int", False))
+    zero_bit = False
+
+    def sample(blk_row, blk_col):
+        nonlocal zero_bit
+        pr = blk_row if (mi_row & 1) else blk_row + 1
+        pc = blk_col if (mi_col & 1) else blk_col + 1
+        r, c = mi_row + pr, mi_col + pc
+        if r < t_r0 or r >= t_r1 or c < t_c0 or c >= t_c1:
+            return 0
+        off = int(off_arr[r >> 1, c >> 1])
+        if off == 0:                       # INVALID_MV sentinel
+            return 0
+        fr = int(row_arr[r >> 1, c >> 1])
+        fc = int(col_arr[r >> 1, c >> 1])
+        mr, mc = mv_projection(fr, fc, cur0, off)
+        mr, mc = lower_mv_precision(int(mr), int(mc), allow_hp, force_int)
+        at00 = blk_row == 0 and blk_col == 0
+        if rf[1]:
+            m2r, m2c = mv_projection(fr, fc, cur1, off)
+            m2r, m2c = lower_mv_precision(int(m2r), int(m2c), allow_hp,
+                                          force_int)
+            if at00 and (abs(mr - gm[0][0]) >= 16 or abs(mc - gm[0][1]) >= 16
+                         or abs(m2r - gm[1][0]) >= 16
+                         or abs(m2c - gm[1][1]) >= 16):
+                zero_bit = True
+            add_cand(mr, mc, m2r, m2c)
+        else:
+            if at00 and (abs(mr - gm[0][0]) >= 16
+                         or abs(mc - gm[0][1]) >= 16):
+                zero_bit = True
+            add_cand(mr, mc, 0, 0)
+        return 1
+
+    step_h = 4 if n8_h >= 16 else 2
+    step_w = 4 if n8_w >= 16 else 2
+    avail = 0
+    for br in range(0, min(n8_h, 16), step_h):
+        for bc in range(0, min(n8_w, 16), step_w):
+            ret = sample(br, bc)
+            if br == 0 and bc == 0:
+                avail = ret
+    if not avail:
+        zero_bit = True
+    if 2 <= n8_h < 16 and 2 <= n8_w < 16:     # allow_extension
+        voff = max(2, n8_h)
+        hoff = max(2, n8_w)
+        mrow, mcol = mi_row & 15, mi_col & 15  # check_sb_border (64x64)
+        for br, bc in ((voff, -2), (voff, hoff), (voff - 2, hoff)):
+            if 0 <= mrow + br < 16 and 0 <= mcol + bc < 16:
+                sample(br, bc)
+    return zero_bit
+
+
 def setup_ref_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, ref_frame,
-                      tile, sb_mi=16, gm_mv=(0, 0), sign_bias=None):
+                      tile, sb_mi=16, gm_mv=(0, 0), sign_bias=None,
+                      tpl=None):
     """Returns (stack [(mvrow, mvcol)...], mode_context, refmv_count).
 
     tile: (mi_row_start, mi_row_end, mi_col_start, mi_col_end).
@@ -270,7 +339,23 @@ def setup_ref_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, ref_frame,
     for i in range(ctx.count):
         ctx.weights[i] += REF_CAT_LEVEL
 
-    # (temporal MVs disabled: use_ref_frame_mvs = 0)
+    # temporal candidates (use_ref_frame_mvs): projected MFMV samples enter
+    # here, between the +REF_CAT_LEVEL bump and the outer spatial scans
+    if tpl is not None:
+        def _add_t(mr, mc, _m2r, _m2c):
+            mv = (mr, mc)
+            for i, s in enumerate(ctx.stack):
+                if s == mv:
+                    ctx.weights[i] += 2
+                    return
+            if ctx.count < MAX_REF_MV_STACK_SIZE:
+                ctx.stack.append(mv)
+                ctx.weights.append(2)
+                ctx.count += 1
+
+        if _temporal_scan(tpl, mi_row, mi_col, n8_w, n8_h, tile,
+                          (gm_mv, (0, 0)), (ref_frame, 0), _add_t):
+            mode_ctx |= 1 << GLOBALMV_OFFSET
 
     # top-left + outer rows/cols
     newmv_before = ctx.newmv_count
@@ -417,7 +502,7 @@ def _add_comp_candidate(ctx: _CCtx, grid: MiGrid, r, c, rf, gm, length,
 
 def setup_comp_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, rf,
                        tile, sb_mi=16, gm=((0, 0), (0, 0)),
-                       sign_bias=None):
+                       sign_bias=None, tpl=None):
     """Reference-MV stack for a compound pair rf = (ref0, ref1)
     (setup_ref_mv_list compound path + scan_row_col_light,
     adaptive_mv_pred.c:470-570). Returns (stack0, stack1, weights,
@@ -533,6 +618,25 @@ def setup_comp_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, rf,
     for i in range(ctx.count):
         ctx.weights[i] += REF_CAT_LEVEL
 
+    mode_ctx = 0
+    # temporal candidates (use_ref_frame_mvs), compound branch: both
+    # projected MVs must match an existing pair to merge
+    if tpl is not None:
+        def _add_t(mr, mc, m2r, m2c):
+            for i in range(ctx.count):
+                if ctx.mv0[i] == (mr, mc) and ctx.mv1[i] == (m2r, m2c):
+                    ctx.weights[i] += 2
+                    return
+            if ctx.count < MAX_REF_MV_STACK_SIZE:
+                ctx.mv0.append((mr, mc))
+                ctx.mv1.append((m2r, m2c))
+                ctx.weights.append(2)
+                ctx.count += 1
+
+        if _temporal_scan(tpl, mi_row, mi_col, n8_w, n8_h, tile, gm,
+                          rf, _add_t):
+            mode_ctx |= 1 << GLOBALMV_OFFSET
+
     scan_blk(-1, -1)
     for idx in range(2, MVREF_ROWS + 1):
         row_offset = -(idx << 1) + 1 + row_adj
@@ -545,7 +649,6 @@ def setup_comp_mv_list(grid: MiGrid, mi_row, mi_col, n8_w, n8_h, rf,
             scan_col(col_offset)
     ctx.newmv_count = nearest_newmv_count
 
-    mode_ctx = 0
     ref_match_count = (ctx.row_match > 0) + (ctx.col_match > 0)
     if nearest_match == 0:
         if ref_match_count >= 1:

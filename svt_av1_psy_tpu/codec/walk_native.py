@@ -209,6 +209,8 @@ def eligible(enc) -> bool:
         if (getattr(enc, "inter_dec", None) is None
                 or getattr(enc, "gm_wm", None) is not None):
             return False
+        if getattr(enc, "tpl_mvs", None) is not None:
+            return False   # temporal MV scan not yet in the C stacks
         needs_feat = (getattr(enc, "motion_mode_switchable", False)
                       or getattr(enc, "enable_interintra", False)
                       or getattr(enc, "enable_masked_compound", False)
