@@ -126,6 +126,12 @@ class _CWalk(ctypes.Structure):
         ("refp3", _VP * 3), ("refp3_stride", _I * 3), ("ref3_const", _I),
         # ---- stack-aware NEAREST/NEAR MV injection (feature search) ----
         ("near_lam", _I),
+        # ---- MFMV (use_ref_frame_mvs) extension ----
+        ("use_ref_frame_mvs", _I),
+        ("tpl_row", _VP), ("tpl_col", _VP), ("tpl_off", _VP),
+        ("tpl_stride", _I),
+        ("cur_off", _I * 8),
+        ("allow_hp", _I), ("force_int", _I),
     ]
 
 
@@ -209,8 +215,6 @@ def eligible(enc) -> bool:
         if (getattr(enc, "inter_dec", None) is None
                 or getattr(enc, "gm_wm", None) is not None):
             return False
-        if getattr(enc, "tpl_mvs", None) is not None:
-            return False   # temporal MV scan not yet in the C stacks
         needs_feat = (getattr(enc, "motion_mode_switchable", False)
                       or getattr(enc, "enable_interintra", False)
                       or getattr(enc, "enable_masked_compound", False)
@@ -304,6 +308,27 @@ def _fill_features(enc, w, keep):
     w.cdf_compound_type = _ptr(tb["compound_type"])
     w.cdf_switchable_interp = _ptr(tb["switchable_interp"])
     w.psy_rd = float(getattr(enc, "psy_rd", 0.0))
+
+
+def _fill_tpl(enc, w, keep):
+    """Fill the MFMV extension fields (projected temporal motion field +
+    per-ref distances) so the C stacks run the same temporal scan as
+    mv_pred._temporal_scan."""
+    tp = getattr(enc, "tpl_mvs", None)
+    if tp is None:
+        w.use_ref_frame_mvs = 0
+        return
+    w.use_ref_frame_mvs = 1
+    tr = np.ascontiguousarray(tp["row"], np.int16)
+    tc = np.ascontiguousarray(tp["col"], np.int16)
+    to = np.ascontiguousarray(tp["off"], np.uint8)
+    keep += [tr, tc, to]
+    w.tpl_row, w.tpl_col, w.tpl_off = _ptr(tr), _ptr(tc), _ptr(to)
+    w.tpl_stride = to.shape[1]
+    for i in range(8):
+        w.cur_off[i] = int(tp["cur_off"][i])
+    w.allow_hp = int(bool(tp["allow_hp"]))
+    w.force_int = int(bool(tp.get("force_int", False)))
 
 
 def _z_order_leaves(enc):
@@ -436,6 +461,11 @@ def feature_search(enc) -> bool:
     fe.fc = enc.fc
     fe.psy_rd = getattr(enc, "psy_rd", 0.0)
     _fill_features(fe, w, keep)
+    _fill_tpl(enc, w, keep)
+    sb = getattr(enc, "sign_bias", None)
+    if sb is not None:
+        for i in range(min(8, len(sb))):
+            w.sign_bias[i] = int(sb[i])
 
     maps = {name: np.zeros(shape, np.int8)
             for name in ("filt", "mm", "ii", "iiw", "ctype", "widx",
@@ -619,6 +649,8 @@ def encode_tile(enc, mi_r0, mi_r1, mi_c0, mi_c1) -> None:
         w.mi_skip_mode = _ptr(enc.mi_skip_mode)
         # p<=6 features: flags, kernel sets, decision maps, masks, CDFs
         _fill_features(enc, w, keep)
+        # MFMV: temporal motion field for the C stacks' temporal scan
+        _fill_tpl(enc, w, keep)
         pre = getattr(enc, "pre_commit", None)
         if pre is not None:
             keep += [pre.pre_slot, pre.pre_off, pre.pre_eob, pre.pre_qc]

@@ -285,6 +285,17 @@ typedef struct {
     /* ---- stack-aware NEAREST/NEAR MV injection (feature search):
        lambda x MV-syntax bits a NEWMV pays over NEARESTMV; 0 = off ---- */
     int near_lam;
+    /* ---- MFMV (use_ref_frame_mvs, spec 7.9/7.10.2.5): projected
+       temporal motion field + per-ref cur->ref distances; mirror of
+       mv_pred._temporal_scan / codec.mfmv ---- */
+    int use_ref_frame_mvs;
+    const int16_t *tpl_row;       /* ((mi_rows+1)/2, tpl_stride) */
+    const int16_t *tpl_col;
+    const uint8_t *tpl_off;       /* 0 = INVALID_MV sentinel */
+    int tpl_stride;
+    int cur_off[8];               /* rel_dist(cur_hint, ref_hint[rf]) */
+    int allow_hp;
+    int force_int;
 } Walk;
 
 /* Split_Tx_Size (spec 9.3): one var-tx / tx-depth step per tx size */
@@ -1200,6 +1211,115 @@ static int rm_has_tr(int mi_row, int mi_col, int n8_w, int n8_h) {
     return has_tr;
 }
 
+/* ---- MFMV temporal scan (add_tpl_ref_mv, adaptive_mv_pred.c:337 /
+   spec 7.10.2.5): mirrors mv_pred._temporal_scan exactly ---- */
+static const int mfmv_div_mult[32] = {
+    0, 16384, 8192, 5461, 4096, 3276, 2730, 2340, 2048, 1820, 1638,
+    1489, 1365, 1260, 1170, 1092, 1024, 963, 910, 862, 819, 780,
+    744, 712, 682, 655, 630, 606, 585, 564, 546, 528};
+
+static int mfmv_proj(int mv, int num, int den) {
+    if (den > 31) den = 31;
+    num = num > 31 ? 31 : (num < -31 ? -31 : num);
+    long long p = (long long)mv * num * mfmv_div_mult[den];
+    int out = p >= 0 ? (int)((p + 8192) >> 14) : -(int)((-p + 8192) >> 14);
+    return out > 16383 ? 16383 : (out < -16383 ? -16383 : out);
+}
+
+static int mfmv_lower(int v, int allow_hp, int force_int) {
+    if (force_int) {
+        int mod = v % 8;
+        if (mod) {
+            v -= mod;
+            if (mod > 4) v += 8;
+            else if (mod < -4) v -= 8;
+        }
+        return v;
+    }
+    if (!allow_hp && (v & 1)) v += v > 0 ? -1 : 1;
+    return v;
+}
+
+/* returns the ZeroMvContext bit; add() dedupes into the caller's stack */
+static int tpl_scan(const Walk *w, int mi_row, int mi_col, int n8_w, int n8_h,
+                    int rf0, int rf1, int gm0r, int gm0c, int gm1r, int gm1c,
+                    void *ctx, void (*add)(void *, int, int, int, int)) {
+    int cur0 = w->cur_off[rf0];
+    int cur1 = rf1 ? w->cur_off[rf1] : 0;
+    int zero_bit = 0, avail = 0;
+    int step_h = n8_h >= 16 ? 4 : 2;
+    int step_w = n8_w >= 16 ? 4 : 2;
+    int end_h = n8_h < 16 ? n8_h : 16;
+    int end_w = n8_w < 16 ? n8_w : 16;
+    int pos[67][2];
+    int n_pos = 0, n_main;
+    for (int br = 0; br < end_h; br += step_h)
+        for (int bc = 0; bc < end_w; bc += step_w) {
+            pos[n_pos][0] = br; pos[n_pos][1] = bc; n_pos++;
+        }
+    n_main = n_pos;
+    if (n8_h >= 2 && n8_h < 16 && n8_w >= 2 && n8_w < 16) {
+        int voff = n8_h > 2 ? n8_h : 2;
+        int hoff = n8_w > 2 ? n8_w : 2;
+        int mrow = mi_row & 15, mcol = mi_col & 15;   /* check_sb_border */
+        int e[3][2] = {{voff, -2}, {voff, hoff}, {voff - 2, hoff}};
+        for (int i = 0; i < 3; i++) {
+            if (mrow + e[i][0] < 0 || mrow + e[i][0] >= 16
+                || mcol + e[i][1] < 0 || mcol + e[i][1] >= 16) continue;
+            pos[n_pos][0] = e[i][0]; pos[n_pos][1] = e[i][1]; n_pos++;
+        }
+    }
+    for (int i = 0; i < n_pos; i++) {
+        int br = pos[i][0], bc = pos[i][1];
+        int pr = (mi_row & 1) ? br : br + 1;
+        int pc = (mi_col & 1) ? bc : bc + 1;
+        int r = mi_row + pr, c = mi_col + pc;
+        int ret = 0;
+        if (r >= w->tile_r0 && r < w->tile_r1
+            && c >= w->tile_c0 && c < w->tile_c1) {
+            int ti = (r >> 1) * w->tpl_stride + (c >> 1);
+            int off = w->tpl_off[ti];
+            if (off) {
+                int fr = w->tpl_row[ti], fc = w->tpl_col[ti];
+                int mr = mfmv_lower(mfmv_proj(fr, cur0, off),
+                                    w->allow_hp, w->force_int);
+                int mc = mfmv_lower(mfmv_proj(fc, cur0, off),
+                                    w->allow_hp, w->force_int);
+                int m2r = 0, m2c = 0;
+                if (rf1) {
+                    m2r = mfmv_lower(mfmv_proj(fr, cur1, off),
+                                     w->allow_hp, w->force_int);
+                    m2c = mfmv_lower(mfmv_proj(fc, cur1, off),
+                                     w->allow_hp, w->force_int);
+                }
+                if (br == 0 && bc == 0) {
+                    int far = abs(mr - gm0r) >= 16 || abs(mc - gm0c) >= 16;
+                    if (rf1)
+                        far = far || abs(m2r - gm1r) >= 16
+                                  || abs(m2c - gm1c) >= 16;
+                    if (far) zero_bit = 1;
+                }
+                add(ctx, mr, mc, m2r, m2c);
+                ret = 1;
+            }
+        }
+        if (i < n_main && br == 0 && bc == 0) avail = ret;
+    }
+    if (!avail) zero_bit = 1;
+    return zero_bit;
+}
+
+static void rm_tpl_add(void *vp, int mr, int mc, int m2r, int m2c) {
+    (void)m2r; (void)m2c;
+    RefMv *s = (RefMv *)vp;
+    for (int i = 0; i < s->count; i++)
+        if (s->mvr[i] == mr && s->mvc[i] == mc) { s->wt[i] += 2; return; }
+    if (s->count < 8) {
+        s->mvr[s->count] = mr; s->mvc[s->count] = mc;
+        s->wt[s->count] = 2; s->count++;
+    }
+}
+
 static void ref_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
                         int n8_h, int ref, int gm_r, int gm_c,
                         int *st_r, int *st_c, int *st_w,
@@ -1232,6 +1352,11 @@ static void ref_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
     int nearest_newmv = s.newmv_count;
     for (int i = 0; i < s.count; i++) s.wt[i] += 640;   /* REF_CAT_LEVEL */
 
+    int tpl_zero = 0;
+    if (w->use_ref_frame_mvs)
+        tpl_zero = tpl_scan(w, mi_row, mi_col, n8_w, n8_h, ref, 0,
+                            gm_r, gm_c, 0, 0, &s, rm_tpl_add);
+
     rm_scan_blk(&s, -1, -1);
     for (int idx = 2; idx <= 3; idx++) {                /* MVREF_ROWS = 3 */
         int ro = -(idx << 1) + 1 + row_adj;
@@ -1245,7 +1370,7 @@ static void ref_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
     }
     s.newmv_count = nearest_newmv;   /* outer scans use a dummy counter */
 
-    int mode_ctx = 0;
+    int mode_ctx = tpl_zero << 3;     /* ZeroMvContext (GLOBALMV_OFFSET) */
     int ref_match = (s.row_match > 0) + (s.col_match > 0);
     if (nearest_match == 0) {
         if (ref_match >= 1) mode_ctx |= 1;
@@ -1713,6 +1838,21 @@ static void cm_add(CompMv *s, int r, int c, int length, int weight) {
     if (md_is_newmv(md)) s->newmv_count++;
 }
 
+static void cm_tpl_add(void *vp, int mr, int mc, int m2r, int m2c) {
+    CompMv *s = (CompMv *)vp;
+    for (int i = 0; i < s->count; i++)
+        if (s->m0r[i] == mr && s->m0c[i] == mc
+            && s->m1r[i] == m2r && s->m1c[i] == m2c) {
+            s->wt[i] += 2;
+            return;
+        }
+    if (s->count < 8) {
+        s->m0r[s->count] = mr; s->m0c[s->count] = mc;
+        s->m1r[s->count] = m2r; s->m1c[s->count] = m2c;
+        s->wt[s->count] = 2; s->count++;
+    }
+}
+
 static int cm_pair_at(const CompMv *s, int idx) {
     const Walk *w = s->w;
     return w->g_ref[idx] == s->rf0 && w->g_ref2 && w->g_ref2[idx] == s->rf1;
@@ -1833,6 +1973,11 @@ static void comp_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
     int nearest_newmv = s.newmv_count;
     for (int i = 0; i < s.count; i++) s.wt[i] += 640;
 
+    int tpl_zero = 0;
+    if (w->use_ref_frame_mvs)
+        tpl_zero = tpl_scan(w, mi_row, mi_col, n8_w, n8_h, rf0, rf1,
+                            gm0r, gm0c, 0, 0, &s, cm_tpl_add);
+
     cm_scan_blk(&s, -1, -1);
     for (int idx = 2; idx <= 3; idx++) {
         int ro = -(idx << 1) + 1 + row_adj;
@@ -1846,7 +1991,7 @@ static void comp_mv_list(const Walk *w, int mi_row, int mi_col, int n8_w,
     }
     s.newmv_count = nearest_newmv;
 
-    int mode_ctx = 0;
+    int mode_ctx = tpl_zero << 3;     /* ZeroMvContext (GLOBALMV_OFFSET) */
     int ref_match = (s.row_match > 0) + (s.col_match > 0);
     if (nearest_match == 0) {
         if (ref_match >= 1) mode_ctx |= 1;

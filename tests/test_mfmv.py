@@ -138,23 +138,26 @@ def _assert_dav1d_exact(pkts, W, H):
 def test_mfmv_hierarchical_dav1d_bit_exact(preset):
     if not dav1d.available():
         pytest.skip("dav1d not available")
-    import svt_av1_psy_tpu.codec.mv_pred as mp
+    from svt_av1_psy_tpu.codec import mfmv as mf
 
     W, H = 176, 144
     ys, u, v = _clip()
-    scans = [0]
-    orig = mp._temporal_scan
+    # instrument at the projection level (backend-independent: the
+    # temporal scan itself may run in the Python stacks or the C walk)
+    projected = [0]
+    orig = mf.setup_motion_field
 
     def counted(*a, **k):
-        scans[0] += 1
-        return orig(*a, **k)
+        out = orig(*a, **k)
+        projected[0] += int((out[2] > 0).sum())
+        return out
 
-    mp._temporal_scan = counted
+    mf.setup_motion_field = counted
     try:
         pkts = _encode(ys, u, v, W, H, mfmv_knob=-1, preset=preset)
     finally:
-        mp._temporal_scan = orig
-    assert scans[0] > 0, "temporal scan never ran with mfmv on"
+        mf.setup_motion_field = orig
+    assert projected[0] > 0, "no temporal MVs were ever projected"
     _assert_dav1d_exact(pkts, W, H)
 
 
